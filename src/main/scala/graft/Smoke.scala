@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Local mimic of the driver's t1 smoke: SparkEntry.entry rows > 0. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.entry(spark)
+    println(s"ENTRY_ROWS=${df.count()}")
+    df.show(5)
+    spark.stop()
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables
+  * (see TESTDATA.md / FIXTURES.md §B). All queries take the scale-factor
+  * directory as a parameter so the same code runs at any SF.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir) else
+      spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as long (legacy conf) and convert
+    * to a microsecond timestamp (`div 1000` = truncation, matching DuckDB's
+    * ns→us narrowing), so downstream window code sees a plain TimestampType.
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Register every table as a temp view (for spark.sql surfaces). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,442 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational operator catalog (SURVEY.md §2B): the standard-catalog
+  * operators the reference lacks, expressed as thin declarative DataFrame
+  * plans so Catalyst supplies pushdown / pruning / join selection /
+  * whole-stage codegen. Every query here is paired with an ANSI-SQL oracle
+  * (DuckDB) in [[oracles]].
+  *
+  * Determinism-for-oracle notes:
+  *  - All "money" doubles in the testdata are exactly 2-decimal, so sums are
+  *    computed over DECIMAL(18,2) (exact, order-independent) and cast back to
+  *    double — bit-identical between Spark and DuckDB regardless of
+  *    aggregation order. Raw double SUMs would be order-dependent.
+  *  - Top-k / window-rank queries always order with a unique tie-break key.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.load(s, d, name)
+
+  /** Exact order-independent sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  /** Exact-numerator average (double division of exact decimal sum). */
+  private def davg(c: Column): Column = dsum(c) / count(c)
+  private def oSum(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  private def oAvg(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- scans / filter / projection (pushdown-verified in RelationalSpec) --
+    "q01_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp") &&
+                col("l_quantity") > 25 && col("l_discount") <= 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_extendedprice"))),
+
+    // --- hash aggregation, partial+final (TPC-H Q1 shape) ------------------
+    "q02_agg_groupby" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // --- broadcast hash join (small dim × big fact) -------------------------
+    "q03_join_broadcast" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+             dsum(col("l_quantity")).as("sum_qty"))),
+
+    // --- shuffle hash/SMJ join --------------------------------------------
+    "q04_join_shuffle" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice")).as("sum_price"))),
+
+    // --- multi-way join through the star schema (TPC-H Q5 shape) -----------
+    "q05_multi_join" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+                 (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n_items"))),
+
+    // --- left semi join (EXISTS) --------------------------------------------
+    "q06_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 450000),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+
+    // --- left anti join (NOT EXISTS) ----------------------------------------
+    "q07_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))),
+
+    // --- left outer join + agg (count preserves 0-order customers) ----------
+    "q08_outer_join_agg" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"))),
+
+    // --- distinct aggregation ------------------------------------------------
+    "q09_distinct_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             count(lit(1)).as("n_rows"))),
+
+    // --- rollup ---------------------------------------------------------------
+    "q10_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("n_rows"))),
+
+    // --- cube -------------------------------------------------------------------
+    "q11_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice")).as("sum_price"))),
+
+    // --- ranking window functions (top-3 per group, unique tie-break) ----------
+    "q12_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
+                col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    // --- analytic window functions (lag + running sum per customer) ------------
+    "q13_window_analytic" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                col("o_totalprice"), col("prev_price"), col("running_spend"))
+    }),
+
+    // --- global sort + limit (top-k) --------------------------------------------
+    "q14_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // --- set operations -----------------------------------------------------------
+    "q15_set_ops" -> ((s, d) => {
+      val auto = t(s, d, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_nationkey"))
+      val bld = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey"))
+      val mach = t(s, d, "customer").filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_nationkey"))
+      auto.intersect(bld).except(mach).union(
+        t(s, d, "customer").filter(col("c_acctbal") < -900).select(col("c_nationkey")))
+        .distinct()
+    }),
+
+    // --- string scalar functions ---------------------------------------------------
+    "q16_string_funcs" -> ((s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          lower(col("p_brand")).as("lbrand"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "a", "@").as("name_at"),
+          trim(col("p_name")).as("name_trim"))),
+
+    // --- date/time scalar functions --------------------------------------------------
+    "q17_date_funcs" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .groupBy(col("yr"), col("mo"), col("month_start"), col("ym"))
+        .agg(count(lit(1)).as("n_orders"), max(col("dom")).as("max_dom"))),
+
+    // --- math + CASE WHEN --------------------------------------------------------------
+    "q18_math_case" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("disc_dist"),
+          // round() on a *computed double* diverges between engines (Spark
+          // rounds the shortest decimal repr, DuckDB the raw binary64), so
+          // round only exact decimals; plain double division is IEEE-defined
+          // and bit-identical everywhere.
+          (col("l_extendedprice") / 100.0).as("price_h"),
+          round(col("l_extendedprice").cast(DecimalType(18, 2)), 1).cast("double").as("price_r"),
+          floor(col("l_quantity")).as("qty_floor"),
+          ceil(col("l_quantity") / 7.0).as("qty_c7"),
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 30, "mid")
+            .otherwise("high").as("qty_band"),
+          (col("l_extendedprice") * col("l_tax")).cast(DecimalType(18, 4))
+            .cast("double").as("tax_amt"))),
+
+    // --- GROUP BY + HAVING ---------------------------------------------------------------
+    "q19_having" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 3)),
+
+    // --- scalar subquery (price above global average) ---------------------------------------
+    "q20_scalar_subquery" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val avgPrice = p.agg(davg(col("p_retailprice")).as("ap"))
+      p.join(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("ap") * 1.02)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+    }),
+
+    // --- events: keyed tumbling-window min/avg (reference Example1/4 batch analog) ----------
+    "q21_events_window_min" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"),
+                 col("user_id"))
+        .agg(min(col("value")).as("min_value"),
+             max(col("value")).as("max_value"),
+             count(lit(1)).as("n_events"))),
+
+    "q22_events_window_avg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 day").getField("start").as("win_start"),
+                 col("event_type"))
+        .agg(davg(col("value")).as("avg_value"),
+             count(lit(1)).as("n_events"))),
+
+    // --- events: semi-structured JSON attribute extraction (reference op #5 analog) ----------
+    "q23_events_json" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+                get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(davg(col("k")).as("avg_k"), max(col("k")).as("max_k"),
+             min(col("k")).as("min_k"), count(lit(1)).as("n"))),
+
+    // --- grouping sets via SQL ------------------------------------------------------------------
+    "q24_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(1) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      """)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_quantity > 25 AND l_discount <= 0.05""",
+
+    "q02_agg_groupby" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            ${oSum("l_quantity")} AS sum_qty,
+            ${oSum("l_extendedprice")} AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+            ${oAvg("l_quantity")} AS avg_qty,
+            ${oAvg("l_discount")} AS avg_disc,
+            COUNT(1) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus""",
+
+    "q03_join_broadcast" ->
+      s"""SELECT p_brand, COUNT(1) AS n_items, ${oSum("l_quantity")} AS sum_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand""",
+
+    "q04_join_shuffle" ->
+      s"""SELECT c_mktsegment, COUNT(1) AS n_orders, ${oSum("o_totalprice")} AS sum_price
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment""",
+
+    "q05_multi_join" ->
+      """SELECT r_name, n_name,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+            COUNT(1) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 450000)""",
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '1998-01-01')""",
+
+    "q08_outer_join_agg" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name""",
+
+    "q09_distinct_agg" ->
+      """SELECT l_returnflag,
+            COUNT(DISTINCT l_partkey) AS n_parts,
+            COUNT(DISTINCT l_suppkey) AS n_supps,
+            COUNT(1) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q10_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            ${oSum("l_quantity")} AS sum_qty, COUNT(1) AS n_rows
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q11_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+            COUNT(1) AS n_orders, ${oSum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "q12_window_rank" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn <= 3""",
+
+    "q13_window_analytic" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+            LAG(o_totalprice, 1) OVER w AS prev_price,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "q14_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q15_set_ops" ->
+      """SELECT DISTINCT c_nationkey FROM (
+           (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+            INTERSECT
+            SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+           EXCEPT
+           SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+         )
+         UNION
+         SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal < -900""",
+
+    "q16_string_funcs" ->
+      """SELECT p_partkey,
+            UPPER(p_name) AS uname,
+            LOWER(p_brand) AS lbrand,
+            SUBSTRING(p_type, 1, 5) AS type5,
+            LENGTH(p_name) AS name_len,
+            CONCAT_WS('|', p_brand, p_type) AS brand_type,
+            REGEXP_REPLACE(p_name, 'a', '@', 'g') AS name_at,
+            TRIM(p_name) AS name_trim
+         FROM part""",
+
+    "q17_date_funcs" ->
+      """SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+            DATE_TRUNC('month', o_orderdate) AS month_start,
+            STRFTIME(o_orderdate, '%Y-%m') AS ym,
+            COUNT(1) AS n_orders, MAX(DAYOFMONTH(o_orderdate)) AS max_dom
+         FROM orders GROUP BY 1, 2, 3, 4""",
+
+    "q18_math_case" ->
+      """SELECT l_orderkey, l_linenumber,
+            ABS(l_discount - 0.05) AS disc_dist,
+            l_extendedprice / 100.0 AS price_h,
+            CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r,
+            FLOOR(l_quantity) AS qty_floor,
+            CEIL(l_quantity / 7.0) AS qty_c7,
+            CASE WHEN l_quantity < 10 THEN 'low'
+                 WHEN l_quantity < 30 THEN 'mid'
+                 ELSE 'high' END AS qty_band,
+            CAST(CAST(l_extendedprice * l_tax AS DECIMAL(18,4)) AS DOUBLE) AS tax_amt
+         FROM lineitem""",
+
+    "q19_having" ->
+      s"""SELECT o_custkey, COUNT(1) AS n_orders, ${oSum("o_totalprice")} AS spend
+          FROM orders GROUP BY o_custkey HAVING COUNT(1) >= 3""",
+
+    "q20_scalar_subquery" ->
+      s"""SELECT p_partkey, p_name, p_retailprice FROM part
+          WHERE p_retailprice > (SELECT ${oAvg("p_retailprice")} FROM part) * 1.02""",
+
+    "q21_events_window_min" ->
+      """SELECT DATE_TRUNC('hour', ts) AS win_start, user_id,
+            MIN(value) AS min_value, MAX(value) AS max_value, COUNT(1) AS n_events
+         FROM events GROUP BY 1, 2""",
+
+    "q22_events_window_avg" ->
+      s"""SELECT DATE_TRUNC('day', ts) AS win_start, event_type,
+            ${oAvg("value")} AS avg_value, COUNT(1) AS n_events
+          FROM events GROUP BY 1, 2""",
+
+    "q23_events_json" ->
+      """SELECT event_type,
+            CAST(SUM(CAST(k AS DECIMAL(18,2))) AS DOUBLE) / COUNT(k) AS avg_k,
+            MAX(k) AS max_k, MIN(k) AS min_k, COUNT(1) AS n
+         FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+               FROM events)
+         GROUP BY event_type""",
+
+    "q24_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            COUNT(1) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))"""
+  )
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare.py <verify_out_dir> <sf_dir>
+
+Loads each <out_dir>/<name>/ parquet (Spark result), runs the matching
+oracle_sql.json entry in DuckDB over the sf_dir tables, sorts columns by
+name and rows by all columns, and compares values exactly.
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) > 0:
+        df = df.sort_values(by=list(df.columns), kind="mergesort",
+                            na_position="first").reset_index(drop=True)
+    return df
+
+def cmp(a: pd.DataFrame, b: pd.DataFrame):
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA cols {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        for i in range(len(av)):
+            x, y = av[i], bv[i]
+            if x is None and y is None:
+                continue
+            fx = isinstance(x, float) and math.isnan(x)
+            fy = isinstance(y, float) and math.isnan(y)
+            if fx and fy:
+                continue
+            if fx != fy or (x is None) != (y is None) or x != y:
+                return f"VALUE col={c} row={i}: spark={x!r} oracle={y!r}"
+    return None
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    names = sorted(glob.glob(f"{out_dir}/*/"))
+    for path in names:
+        name = path.rstrip("/").split("/")[-1]
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM '{path}*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark result: {e}")
+            continue
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle (rows-only check: {len(spark_df)} rows)")
+            n_ok += 1
+            continue
+        try:
+            ora_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            continue
+        err = cmp(canon(spark_df), canon(ora_df))
+        if err:
+            print(f"FAIL {name}: {err}")
+        else:
+            print(f"OK   {name} ({len(spark_df)} rows)")
+            n_ok += 1
+    print(f"== {n_ok}/{len(names)} pass ==")
+
+if __name__ == "__main__":
+    main()
