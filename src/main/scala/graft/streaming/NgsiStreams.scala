@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.ngsi._
+
+/** Streaming assembly of the reference jobs (SURVEY §2A #1-#15):
+  * raw-notification stream -> parse -> windowed aggregate -> sink(s).
+  *
+  * Divergence, by design (SURVEY §2B "watermarks"): the reference uses
+  * processing-time windows with no lateness handling at all
+  * (`Example1.scala:27`); here `recvTime` is the ingest timestamp
+  * (processing-time analog) but flows through event-time machinery with a
+  * watermark, so state is bounded — the part Flink's processing-time
+  * windows did implicitly and unboundedly keyed state would otherwise
+  * leak.
+  */
+object NgsiStreams {
+
+  /** Example1 streaming: body stream -> windowed per-entity min. */
+  def minTemperatureStream(raw: DataFrame,
+                           watermark: String = "10 seconds",
+                           windowDur: String = "5 seconds",
+                           slide: String = "2 seconds"): DataFrame = {
+    val parsed = NgsiPipelines.parseEvents(raw)
+    NgsiPipelines.minTemperature(
+      parsed.withWatermark("recvTime", watermark), windowDur, slide)
+  }
+
+  /** Example4 streaming: windowed average via the typed Aggregator. */
+  def avgTemperatureStream(raw: DataFrame,
+                           watermark: String = "10 seconds",
+                           windowDur: String = "5 seconds",
+                           slide: String = "2 seconds"): DataFrame = {
+    val parsed = NgsiPipelines.parseEvents(raw)
+    NgsiPipelines.avgTemperature(
+      parsed.withWatermark("recvTime", watermark), windowDur, slide)
+  }
+
+  /** Example5 streaming: structured-attribute navigation + windowed min. */
+  def minBusPriceStream(raw: DataFrame,
+                        watermark: String = "10 seconds",
+                        windowDur: String = "5 seconds",
+                        slide: String = "2 seconds"): DataFrame = {
+    val parsed = NgsiPipelines.parseEvents(raw)
+    NgsiPipelines.minBusPrice(
+      parsed.withWatermark("recvTime", watermark), windowDur, slide)
+  }
+
+  /** Example1's sink: console, single output partition — the analog of
+    * `.print().setParallelism(1)` (`Example1.scala:31`). */
+  def toConsole(df: DataFrame, numRows: Int = 20): DataStreamWriter[Row] =
+    df.coalesce(1).writeStream
+      .format("console")
+      .option("numRows", numRows)
+      .outputMode(OutputMode.Update())
+
+  /** Example2/3's dual sink (`Example2.scala:42,45`): each micro-batch is
+    * serialized to NGSI update payloads once, then fanned out to BOTH the
+    * HTTP broker sink and the console — one foreachBatch with a local
+    * persist beats two independent writeStream queries (which would run
+    * the whole window aggregation twice). */
+  def toOrionAndConsole(minDf: DataFrame,
+                        urlBase: String,
+                        method: String = "POST",
+                        headers: Map[String, String] = Map.empty): DataStreamWriter[Row] =
+    minDf.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val updates = NgsiPipelines.toOrionUpdates(batch, urlBase, method).persist()
+        try {
+          OrionSink.writeBatch(updates, headers)
+          updates.select(col("content")).coalesce(1).show(20, truncate = false)
+        } finally { updates.unpersist(); () }
+      }
+
+  /** HTTP-only sink via ForeachWriter (per-record, fully streaming). */
+  def toOrion(updates: DataFrame,
+              headers: Map[String, String] = Map.empty): DataStreamWriter[Row] =
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .foreach(new OrionSink.Writer(headers = headers))
+
+  def start(w: DataStreamWriter[Row], trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    w.trigger(trigger).start()
+}
