@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media payloads are opaque `binary` columns
+  * with typed metadata alongside. The actual image/audio decode libraries are
+  * not available in this environment, so the decode step is a clearly-marked
+  * deterministic STUB ([[decodeStub]]); everything Spark-side — schema,
+  * batched per-partition iteration, partitioning, metadata extraction, frame
+  * sampling — is real and tested (MultimodalSpec).
+  *
+  * The oracle-checked queries (q60/q61) use the text bytes of `documents` as
+  * the stand-in payload so DuckDB can verify the plumbing end-to-end.
+  */
+object Multimodal {
+
+  /** One media object: opaque bytes + typed metadata. */
+  case class MediaPayload(doc_id: Long, modality: String, payload: Array[Byte])
+
+  /** Decoded features (stub): dimensions + a small feature vector. */
+  case class MediaFeature(doc_id: Long, modality: String,
+                          width: Int, height: Int, n_bytes: Long,
+                          feature: Array[Float])
+
+  val FrameSize = 32 // bytes per fake "frame" for sampling
+  val FrameStride = 3
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  private val modalityCol =
+    when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio")
+      .otherwise("video")
+
+  /** documents → typed payload Dataset (binary column + metadata). */
+  def payloads(s: SparkSession, d: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    docs(s, d)
+      .select(col("doc_id"), modalityCol.as("modality"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaPayload]
+  }
+
+  /** STUB decoder — the plug-point where a real image/audio/video decode
+    * (JPEG decode, PCM resample, frame extraction, …) would run. Libraries
+    * are absent in this container, so it derives deterministic fake features
+    * from the bytes. Runs per-partition so a real implementation can amortize
+    * decoder/model initialization across the partition's rows (the Scala
+    * analog of a batched `mapInPandas` UDF).
+    */
+  def decodeStub(ds: Dataset[MediaPayload]): Dataset[MediaFeature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // real decoder init would happen once per partition, here:
+      it.map { m =>
+        val n = m.payload.length.toLong
+        val feature = m.payload.take(8).map(b => (b & 0xff) / 255.0f)
+        MediaFeature(m.doc_id, m.modality,
+          width = (n % 640).toInt, height = (n % 480).toInt,
+          n_bytes = n, feature = feature)
+      }
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- binary payload + typed metadata extraction ------------------------
+    "q60_multimodal_meta" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), modalityCol.as("modality"),
+          encode(col("text"), "UTF-8").as("payload"), col("text"))
+        .select(
+          col("doc_id"),
+          col("modality"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          (length(col("payload")).cast("long") % 640).as("fake_w"),
+          (length(col("payload")).cast("long") % 480).as("fake_h"))),
+
+    // --- frame sampling over the binary payload (every 3rd 32-byte frame) --
+    "q61_multimodal_frames" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), col("text"),
+          floor(length(col("text")) / FrameSize).cast("int").as("nf"))
+        .filter(col("nf") >= 1)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("nf") - 1, lit(FrameStride))).as("f"),
+          col("text"))
+        .select(col("doc_id"), col("f").cast("long").as("f"),
+          md5(col("text").substr(col("f") * FrameSize + 1, lit(FrameSize)))
+            .as("frame_md5")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q60_multimodal_meta" ->
+      """SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'image'
+                 WHEN doc_id % 3 = 1 THEN 'audio'
+                 ELSE 'video' END AS modality,
+            octet_length(encode(text)) AS n_bytes,
+            md5(text) AS payload_md5,
+            octet_length(encode(text)) % 640 AS fake_w,
+            octet_length(encode(text)) % 480 AS fake_h
+         FROM documents""",
+
+    "q61_multimodal_frames" ->
+      s"""SELECT doc_id, f, md5(substr(text, CAST(f * $FrameSize + 1 AS INT), $FrameSize)) AS frame_md5
+          FROM (SELECT doc_id, text,
+                  unnest(range(0, CAST(floor(length(text) / $FrameSize) AS BIGINT), $FrameStride)) AS f
+                FROM documents
+                WHERE CAST(floor(length(text) / $FrameSize) AS BIGINT) >= 1)"""
+  )
+}

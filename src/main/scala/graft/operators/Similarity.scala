@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import TextFns._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Three strategies, in ascending scale-fitness:
+  *  - q50 brute force: the correctness baseline. The (small) query set is
+  *    broadcast against the full corpus — at cluster scale this is one
+  *    broadcast-nested-loop stage over corpus partitions, no shuffle of the
+  *    corpus itself.
+  *  - q51 hyperplane-LSH: corpus and queries get a bucket key from fixed
+  *    random hyperplanes; candidate generation is a shuffled equi-join on
+  *    bucket — the 100 TB path (bucket count scales with corpus size).
+  *  - q52 IVF: k-means-style coarse quantization (here: per-label centroids,
+  *    since the testdata carries labels); queries probe only their nearest
+  *    centroid's inverted list. Not ANSI-SQL-expressible deterministically
+  *    (centroid averages are order-sensitive doubles), so it has no oracle —
+  *    the driver records a rows-only check; exactness is covered by
+  *    SimilaritySpec instead.
+  */
+object Similarity {
+
+  val NumQueries = 20 // vec_id < 20 are the query vectors
+  val TopK = 5
+  val LshTopK = 3
+
+  private def embs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- brute-force cosine top-k (baseline) -------------------------------
+    "q50_knn_brute" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("qv"), col("v")).as("sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("nn_rank", row_number().over(w).cast("long"))
+        .filter(col("nn_rank") <= TopK)
+        .select(col("query_id"), col("nn_rank"), col("vec_id"), col("sim"))
+    }),
+
+    // --- hyperplane-LSH bucketed top-k (scale path) ------------------------
+    "q51_knn_lsh" -> ((s, d) => {
+      val e = embs(s, d).withColumn("bucket", lshBucket(col("v")))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("bucket").as("qbucket"))
+      val scored = q.join(e,
+          col("qbucket") === col("bucket") && col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("qv"), col("v")).as("sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("nn_rank", row_number().over(w).cast("long"))
+        .filter(col("nn_rank") <= LshTopK)
+        .select(col("query_id"), col("nn_rank"), col("vec_id"), col("sim"))
+    }),
+
+    // --- IVF: per-label centroids, probe nearest list (no oracle) ----------
+    "q52_knn_ivf" -> ((s, d) => ivfTopK(embs(s, d), NumQueries, LshTopK))
+  )
+
+  /** IVF search: centroids = element-wise mean per label; each query probes
+    * only its nearest centroid's member list. Centroid build is one narrow
+    * shuffle (label,pos); probe is a broadcast of (tiny) centroids then an
+    * equi-join on the probed label. */
+  def ivfTopK(e: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cx")))),
+        p => p.getField("cx")).as("cv"))
+      .select(col("label").as("c_label"), col("cv"))
+
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("c_label"))
+    val probed = q.join(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("c_label"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("crank", row_number().over(wc).cast("long"))
+      .filter(col("crank") === 1)
+      .select(col("query_id"), col("qv"), col("c_label"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    probed.join(e, col("c_label") === col("label") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("nn_rank", row_number().over(w).cast("long"))
+      .filter(col("nn_rank") <= k)
+      .select(col("query_id"), col("nn_rank"), col("vec_id"), col("label"), col("sim"))
+  }
+
+  // ------------------------- oracle SQL twins ----------------------------
+
+  private val oEmb = "CAST(embedding AS DOUBLE[])"
+
+  val oracles: Map[String, String] = Map(
+    "q50_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     ${oCosine("q.v", "c.v")} AS sim
+              FROM e q JOIN e c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id)
+          SELECT query_id, nn_rank, vec_id, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, vec_id) AS nn_rank
+            FROM scored)
+          WHERE nn_rank <= $TopK""",
+
+    "q51_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, $oEmb AS v, ${oLshBucket(oEmb)} AS bucket
+                     FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     ${oCosine("q.v", "c.v")} AS sim
+              FROM e q JOIN e c
+                ON q.bucket = c.bucket AND q.vec_id < $NumQueries
+               AND q.vec_id <> c.vec_id)
+          SELECT query_id, nn_rank, vec_id, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, vec_id) AS nn_rank
+            FROM scored)
+          WHERE nn_rank <= $LshTopK"""
+    // q52_knn_ivf intentionally has no oracle (see Scaladoc).
+  )
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import TextFns._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language-ID (stopword heuristic), and document
+  * fingerprinting — all narrow per-row projections + one hash aggregation,
+  * so they scale linearly (no shuffle except the final groupBy).
+  *
+  * Determinism-for-oracle: ratio aggregates are computed as
+  * `sum(int)::double / sum(int)` (exact rational division) instead of
+  * `avg(double)` (order-dependent rounding).
+  */
+object TextAnalysis {
+
+  /** Tiny English stopword list; enough for the heuristic language ID. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopArr = array(Stopwords.map(lit): _*)
+  private val oStopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** BPE-ish token regex: letter runs, digit runs, single other non-space. */
+  val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private def t(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- token counting: whitespace + BPE-ish regex ------------------------
+    "q30_text_tokens" -> ((s, d) =>
+      t(s, d).select(
+        col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tok"),
+        size(regexp_extract_all(col("text"), lit(BpeRegex), lit(0)))
+          .cast("long").as("n_bpe_tok"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(toks(col("text")))).as("avg_tok_len"))),
+
+    // --- per-source quality scoring (length / stopword / unique-ratio) -----
+    "q31_text_quality" -> ((s, d) =>
+      t(s, d)
+        .select(
+          col("source"),
+          size(toks(col("text"))).as("n_tok"),
+          size(filter(toks(col("text")), w => array_contains(stopArr, w))).as("n_stop"),
+          size(array_distinct(toks(col("text")))).as("n_uniq"))
+        .withColumn("is_quality",
+          (col("n_tok") >= 20 && col("n_tok") <= 90 &&
+            col("n_stop").cast("double") / col("n_tok") < lit(0.4)).cast("int"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          (sum(col("n_stop")).cast("double") / sum(col("n_tok"))).as("stop_ratio"),
+          (sum(col("n_uniq")).cast("double") / sum(col("n_tok"))).as("uniq_ratio"),
+          sum(col("is_quality")).as("n_quality"))),
+
+    // --- heuristic language ID (stopword-hit ratio) ------------------------
+    "q32_text_langid" -> ((s, d) =>
+      t(s, d)
+        .select(
+          col("lang"),
+          (size(filter(toks(col("text")), w => array_contains(stopArr, w)))
+            .cast("double") / size(toks(col("text")))).as("stop_ratio"))
+        .withColumn("lang_pred",
+          when(col("stop_ratio") >= 0.05, "en")
+            .when(col("stop_ratio") >= 0.01, "en_low")
+            .otherwise("und"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("stop_ratio")).as("min_ratio"),
+          max(col("stop_ratio")).as("max_ratio"))),
+
+    // --- document fingerprinting (full-hash + shingle winnow) --------------
+    "q33_text_fingerprint" -> ((s, d) => {
+      val sh = shingles(toks(col("text")), 3)
+      t(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        array_min(transform(sh, x => md5(x))).as("min_shingle_fp"),
+        array_max(transform(sh, x => md5(x))).as("max_shingle_fp"),
+        size(array_distinct(sh)).cast("long").as("n_distinct_shingles"))
+    })
+  )
+
+  private val oToks = "string_split(text, ' ')"
+  private val oNStop =
+    s"len(list_filter($oToks, w -> list_contains($oStopList, w)))"
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_tokens" ->
+      s"""SELECT doc_id,
+            len($oToks) AS n_tok,
+            len(regexp_extract_all(text, '$BpeRegex')) AS n_bpe_tok,
+            length(text) AS n_chars_calc,
+            CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($oToks) AS avg_tok_len
+          FROM documents""",
+
+    "q31_text_quality" ->
+      s"""SELECT source,
+            COUNT(1) AS n_docs,
+            CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+            CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok) AS stop_ratio,
+            CAST(SUM(n_uniq) AS DOUBLE) / SUM(n_tok) AS uniq_ratio,
+            CAST(SUM(CASE WHEN n_tok >= 20 AND n_tok <= 90
+                      AND CAST(n_stop AS DOUBLE) / n_tok < 0.4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+          FROM (SELECT source,
+                  len($oToks) AS n_tok,
+                  $oNStop AS n_stop,
+                  len(list_distinct($oToks)) AS n_uniq
+                FROM documents)
+          GROUP BY source""",
+
+    "q32_text_langid" ->
+      s"""SELECT lang,
+            CASE WHEN stop_ratio >= 0.05 THEN 'en'
+                 WHEN stop_ratio >= 0.01 THEN 'en_low'
+                 ELSE 'und' END AS lang_pred,
+            COUNT(1) AS n_docs,
+            MIN(stop_ratio) AS min_ratio,
+            MAX(stop_ratio) AS max_ratio
+          FROM (SELECT lang,
+                  CAST($oNStop AS DOUBLE) / len($oToks) AS stop_ratio
+                FROM documents)
+          GROUP BY 1, 2""",
+
+    "q33_text_fingerprint" ->
+      s"""SELECT doc_id,
+            md5(text) AS fp,
+            list_min(list_transform(sh, x -> md5(x))) AS min_shingle_fp,
+            list_max(list_transform(sh, x -> md5(x))) AS max_shingle_fp,
+            len(list_distinct(sh)) AS n_distinct_shingles
+          FROM (SELECT doc_id, text, ${oShingles(oToks, 3)} AS sh FROM documents)"""
+  )
+}

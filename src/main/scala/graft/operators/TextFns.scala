@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared, engine-portable text/vector primitives for the LLM-pipeline
+  * operators (dedup, similarity, text analysis, multimodal).
+  *
+  * Portability contract: every primitive here has a DuckDB-SQL twin used by
+  * the oracle strings, built on operations whose results are bit-identical
+  * across engines:
+  *   - `md5(string)` — the one hash both engines share. MinHash is therefore
+  *     "lexicographic min of seeded md5 hex digests", a valid min-wise
+  *     independent family (the seed is prepended to the shingle).
+  *   - integer arithmetic, exact-rational double division (int/int), and
+  *     IEEE-754 double ops in a fixed fold order.
+  *
+  * Scale notes (100 TB stance): everything is a narrow per-row projection or
+  * an equi-join on a computed key — no cross joins, no driver-side state.
+  * All-pairs similarity is always blocked by an LSH/minhash bucket key first,
+  * so the shuffle is keyed by bucket and the quadratic term is bounded by
+  * bucket size, not table size.
+  */
+object TextFns {
+
+  /** Whitespace tokenization (documents.text is single-space separated). */
+  def toks(c: Column): Column = split(c, " ")
+
+  /** n-token shingles: ["a","b","c","d"], n=3 -> ["a b c", "b c d"].
+    * Guarded so short docs yield an empty array rather than a negative
+    * `sequence` range. */
+  def shingles(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Seeded portable hash of a string column: md5 hex of "<seed>|<value>". */
+  def seededMd5(seed: Int, c: Column): Column =
+    md5(concat(lit(s"$seed|"), c))
+
+  /** MinHash signature element `seed` over a shingle array: the
+    * lexicographically smallest seeded md5 across shingles. */
+  def minhash(sh: Column, seed: Int): Column =
+    array_min(transform(sh, x => seededMd5(seed, x)))
+
+  /** LSH band key over adjacent minhash signature columns. */
+  def bandKey(sigs: Seq[Column]): Column = md5(concat(sigs: _*))
+
+  /** SimHash bit accumulator for plane `b`: fold +-1 per token, sign taken
+    * from the top bit of the seeded md5 (first hex char >= '8'). Token order
+    * is the array order, so the integer fold is deterministic. */
+  def simhashVote(tk: Column, b: Int): Column =
+    aggregate(tk, lit(0),
+      (acc, w) => acc + when(substring(seededMd5(b, w), 1, 1) >= "8", 1).otherwise(-1))
+
+  /** SimHash value from `bits` vote columns: bit b set iff vote_b >= 0. */
+  def simhashFromVotes(votes: Seq[Column]): Column =
+    votes.zipWithIndex.map { case (v, b) =>
+      when(v >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact Jaccard of two string arrays (rational int/int division —
+    * bit-identical across engines). Inputs are deduped here so callers may
+    * pass raw shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b))
+
+  // ---------------------------------------------------------------------
+  // Vector primitives (embeddings are float arrays; all math is done after
+  // an exact float->double widening, with a left-to-right fold so the sum
+  // order — the only IEEE freedom — is pinned on both engines).
+  // ---------------------------------------------------------------------
+
+  /** Left-fold sum of a double array. */
+  private def asum(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column = asum(zip_with(a, b, (x, y) => x * y))
+
+  def norm(a: Column): Column = sqrt(asum(transform(a, x => x * x)))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // ---------------------------------------------------------------------
+  // Random-hyperplane LSH for embeddings. The planes are pseudo-random but
+  // fixed, derived from md5 of "hp<b>-<k>" so the oracle SQL can embed the
+  // exact same literals (each coefficient is an integer - 127.5, exact in
+  // binary64 and exact in its decimal SQL rendering).
+  // ---------------------------------------------------------------------
+
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  val EmbDim = 64
+  val NumPlanes = 4
+
+  /** NumPlanes x EmbDim fixed pseudo-random hyperplane coefficients. */
+  val hyperplanes: Array[Array[Double]] =
+    Array.tabulate(NumPlanes, EmbDim) { (b, k) =>
+      Integer.parseInt(md5hex(s"hp$b-$k").substring(0, 2), 16) - 127.5
+    }
+
+  /** LSH bucket id (0..2^NumPlanes-1) of a double-array embedding column. */
+  def lshBucket(e: Column): Column =
+    (0 until NumPlanes).map { b =>
+      val plane = array(hyperplanes(b).map(lit): _*)
+      when(dot(e, plane) >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  // --------------- DuckDB twins (oracle SQL fragments) -------------------
+
+  /** DuckDB: n-token shingle list from a token-list expression `tk`. */
+  def oShingles(tk: String, n: Int): String =
+    s"list_transform(range(1, len($tk)-${n - 2}), i -> array_to_string(($tk)[i:i+${n - 1}], ' '))"
+
+  def oSeededMd5(seed: Int, x: String): String = s"md5('$seed|' || $x)"
+
+  def oMinhash(sh: String, seed: Int): String =
+    s"list_min(list_transform($sh, x -> ${oSeededMd5(seed, "x")}))"
+
+  def oSimhashVote(tk: String, b: Int): String =
+    s"list_sum(list_transform($tk, w -> CASE WHEN substr(${oSeededMd5(b, "w")},1,1) >= '8' THEN 1 ELSE -1 END))"
+
+  def oJaccard(a: String, b: String): String =
+    s"CAST(len(list_distinct(list_intersect($a, $b))) AS DOUBLE) / len(list_distinct(list_concat($a, $b)))"
+
+  /** DuckDB: dot of a DOUBLE[] expression with a fixed plane (1-indexed). */
+  def oPlaneDot(e: String, b: Int): String = {
+    val litArr = hyperplanes(b).mkString("[", ", ", "]")
+    s"list_sum(list_transform(range(1, ${EmbDim + 1}), k -> ($e)[k] * ($litArr)[k]))"
+  }
+
+  def oLshBucket(e: String): String =
+    (0 until NumPlanes).map { b =>
+      s"(CASE WHEN ${oPlaneDot(e, b)} >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  def oDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${EmbDim + 1}), k -> ($a)[k] * ($b)[k]))"
+
+  def oNorm(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> x * x)))"
+
+  def oCosine(a: String, b: String): String =
+    s"(${oDot(a, b)} / (${oNorm(a)} * ${oNorm(b)}))"
+}

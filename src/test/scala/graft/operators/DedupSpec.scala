@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import TextFns._
+
+/** Behavioral tests for the dedup operators on crafted data (the DuckDB
+  * oracle covers determinism on the driver testdata; these cover semantics —
+  * does near-dup detection actually catch near-dups?). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "key agg row scan slow fast table value part hash merge batch line sort window"
+  private val nearDup = base.replace("slow", "quick") // 1 of 15 tokens changed
+  private val unrelated = "completely different words nothing shared here at all in any way whatsoever ok fine"
+
+  private def docsDf = Seq(
+    (0L, base), (1L, base), (2L, nearDup), (3L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under one hash") {
+    val out = docsDf.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(0L) == 2L) // docs 0 and 1 collapse
+    assert(out(2L) == 1L)
+    assert(out(3L) == 1L)
+  }
+
+  test("minhash-LSH candidates include the near-dup pair, exclude unrelated") {
+    val sh = docsDf.select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
+    val sig = sh.select(col("doc_id") +:
+      (0 until 8).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until 4).map(j =>
+        md5(concat(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")))): _*)).as("k"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)), "identical docs must collide in every band")
+    assert(!cand.exists { case (i, j) => j == 3L || i == 3L },
+      s"unrelated doc should not be a candidate, got $cand")
+  }
+
+  test("trigram jaccard verifies: identical=1.0, near-dup high, unrelated 0") {
+    val sh = docsDf.select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
+    val pairs = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        jaccard(col("x.sh"), col("y.sh")).as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+    assert(pairs((0L, 3L)) == 0.0)
+  }
+
+  test("q42 pipeline finds real near-dup pairs in the driver testdata") {
+    val got = Dedup.queries("q42_dedup_lsh_pairs")(spark, sfDir)
+    val rows = got.collect()
+    assert(rows.nonEmpty, "sf0.001 documents contain near-duplicates; LSH must surface some")
+    assert(rows.forall(_.getDouble(2) >= Dedup.JaccardThreshold))
+  }
+
+  test("embedding near-dup: identical vectors share an LSH bucket with sim 1") {
+    val e = Seq(
+      (0L, Seq.fill(64)(0.5)), (1L, Seq.fill(64)(0.5)),
+      (2L, (0 until 64).map(i => if (i % 2 == 0) 1.0 else -1.0))
+    ).toDF("vec_id", "v").withColumn("bucket", lshBucket(col("v")))
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"),
+        cosine(col("x.v"), col("y.v")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.get((0L, 1L)).contains(1.0))
+  }
+}
