@@ -11,32 +11,42 @@ import TextFns._
   * embedding-cosine near-dup.
   *
   * Scale stance: no query here ever does an unblocked all-pairs comparison.
-  * Every near-dup variant first computes a per-row bucket key (minhash band,
-  * simhash, or hyperplane-LSH bucket) and self-joins on that key, so the
-  * shuffle is an equi-join keyed by bucket and the quadratic cost is bounded
-  * by bucket size. Exact Jaccard/cosine runs only on candidate pairs. This is
-  * the shape that survives 100 TB: signature pass is embarrassingly parallel,
-  * the band join is a standard shuffled equi-join, and AQE handles skewed
-  * buckets.
+  * Every near-dup variant first computes per-row bucket keys (minhash bands
+  * or hyperplane-LSH buckets); candidate pairs are generated inside buckets
+  * after ONE shuffle keyed by bucket, so the quadratic term is bounded by
+  * bucket size and the signature pass runs exactly once. Exact
+  * Jaccard/cosine runs only on candidates, behind an integer size-ratio
+  * prefilter that is mathematically implied by the threshold (so it changes
+  * cost, never results). This is the shape that survives 100 TB: the
+  * signature pass is embarrassingly parallel, candidate generation is one
+  * hash aggregation, and AQE absorbs residual bucket skew.
   */
 object Dedup {
 
-  val NumHashes = 8   // minhash signature length
-  val BandSize = 2    // rows per LSH band -> 4 bands
+  // q41/q42: trigram shingles, 8 minhashes in 4 bands of 2
+  val NumHashes = 8
+  val BandSize = 2
   val NumBands: Int = NumHashes / BandSize
   val SimhashBits = 8
-  val JaccardThreshold = 0.7   // trigram verify threshold (q42)
-  val BigramThreshold = 0.8    // bigram n-gram-Jaccard threshold (q44)
-  val CosineThreshold = 0.4    // embedding near-dup threshold (q45)
+  val JaccardThreshold: Double = 7.0 / 10  // trigram verify threshold (q42)
+  // q44: bigram shingles, 6 minhashes in 2 bands of 3 (seeds 10..15).
+  // 3-hash bands keep random-pair collisions ~J^3, so candidate volume stays
+  // proportional to true near-dup clusters; recall at J=0.8 is 1-(1-J^3)^2
+  // ~ 0.76 at the threshold boundary and ~1 for real near-dups (J >= 0.95).
+  val BigramSeedBase = 10
+  val BigramThreshold: Double = 4.0 / 5
+  val CosineThreshold = 0.4 // embedding near-dup threshold (q45)
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
   private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
-  /** doc_id + trigram shingle array. */
+  /** doc_id + trigram shingle array (hash-distributed: the minhash pass
+    * downstream is CPU-bound and the scan may be a single split). */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
+    docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
 
-  /** Signature frame: doc_id, sh, mh0..mh7, b0..b3. */
+  /** Signature frame for q41: doc_id, sh, mh0..mh7, b0..b3. */
   private def signatures(s: SparkSession, d: String): DataFrame = {
     val sig = shingled(s, d).select(
       col("doc_id") +: col("sh") +:
@@ -48,13 +58,55 @@ object Dedup {
             .as(s"b$j")): _*)
   }
 
-  /** (doc_id, band-index, band-key) — the LSH bucket relation. */
-  private def banded(s: SparkSession, d: String): DataFrame =
-    signatures(s, d).select(
+  /** All i<j pairs from a bucket's (sorted) member array. */
+  private def inBucketPairs(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (x, ix) =>
+      transform(slice(sorted, ix + lit(2), size(sorted)),
+        y => struct(x.as("i"), y.as("j")))))
+  }
+
+  /** Generic MinHash-LSH near-dup pipeline: n-token shingles -> `numHashes`
+    * seeded minhashes -> bands of `bandSize` -> in-bucket candidate pairs
+    * (one shuffle) -> integer size prefilter -> exact-Jaccard verify at
+    * threshold tNum/tDen. Deterministic and mirrored 1:1 by
+    * [[oLshNearDupPairs]] for the DuckDB oracle.
+    */
+  def lshNearDupPairs(docsDf: DataFrame, n: Int, numHashes: Int, bandSize: Int,
+                      seedBase: Int, tNum: Int, tDen: Int): DataFrame = {
+    val numBands = numHashes / bandSize
+    // The raw text is tiny but the signature projection is CPU-heavy
+    // (md5 per shingle per hash); hash-distributing rows before it lets the
+    // pass use every core even when the scan is a single split.
+    val base = docsDf.repartition(TextFns.cpuPartitions, col("doc_id"))
+      .select(col("doc_id"), shingles(toks(col("text")), n).as("sh"))
+    val sig = base.select(
+      col("doc_id") +:
+        (0 until numHashes).map(i => minhash(col("sh"), seedBase + i).as(s"mh$i")): _*)
+    val banded = sig.select(
       col("doc_id"),
-      explode(array((0 until NumBands).map(j =>
-        struct(lit(j).as("b"), col(s"b$j").as("k"))): _*)).as("bk"))
+      explode(array((0 until numBands).map { j =>
+        struct(lit(j).as("b"),
+          bandKey((0 until bandSize).map(r => col(s"mh${j * bandSize + r}"))).as("k"))
+      }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+    val cand = banded
+      .groupBy(col("b"), col("k"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(inBucketPairs(col("ids"))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .distinct()
+    val sized = base.select(col("doc_id"), col("sh"),
+      size(array_distinct(col("sh"))).as("nd"))
+    cand
+      .join(sized.select(col("doc_id").as("i"), col("sh").as("shi"), col("nd").as("ndi")), "i")
+      .join(sized.select(col("doc_id").as("j"), col("sh").as("shj"), col("nd").as("ndj")), "j")
+      .filter(least(col("ndi"), col("ndj")) * tDen >=
+        greatest(col("ndi"), col("ndj")) * tNum)
+      .select(col("i"), col("j"), jaccard(col("shi"), col("shj")).as("jac"))
+      .filter(col("jac") >= lit(tNum.toDouble / tDen))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -69,24 +121,14 @@ object Dedup {
     "q41_dedup_minhash" -> ((s, d) => signatures(s, d).drop("sh")),
 
     // --- MinHash-LSH candidate pairs, verified by exact trigram Jaccard ----
-    "q42_dedup_lsh_pairs" -> ((s, d) => {
-      val bd = banded(s, d)
-      val cand = bd.as("x").join(bd.as("y"),
-          col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-        .distinct()
-      val base = shingled(s, d)
-      cand
-        .join(base.select(col("doc_id").as("i"), col("sh").as("shi")), "i")
-        .join(base.select(col("doc_id").as("j"), col("sh").as("shj")), "j")
-        .select(col("i"), col("j"), jaccard(col("shi"), col("shj")).as("jac"))
-        .filter(col("jac") >= JaccardThreshold)
-    }),
+    "q42_dedup_lsh_pairs" -> ((s, d) =>
+      lshNearDupPairs(docs(s, d), n = 3, numHashes = NumHashes,
+        bandSize = BandSize, seedBase = 0, tNum = 7, tDen = 10)),
 
     // --- SimHash (8-bit random-hyperplane sketch over tokens) --------------
     "q43_dedup_simhash" -> ((s, d) => {
-      val base = docs(s, d).select(col("doc_id"), toks(col("text")).as("tk"))
+      val base = docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("doc_id"), toks(col("text")).as("tk"))
       val votes = base.select(
         col("doc_id") +:
           (0 until SimhashBits).map(b => simhashVote(col("tk"), b).as(s"v$b")): _*)
@@ -96,28 +138,23 @@ object Dedup {
           .cast("long").as("simhash"))
     }),
 
-    // --- n-gram (bigram) Jaccard near-dup, minhash-blocked -----------------
-    "q44_dedup_ngram_jaccard" -> ((s, d) => {
-      val g = docs(s, d).select(
-        col("doc_id"),
-        array_distinct(shingles(toks(col("text")), 2)).as("g"))
-        .withColumn("blk", minhash(col("g"), 9))
-      g.as("x").join(g.as("y"),
-          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
-          jaccard(col("x.g"), col("y.g")).as("jac"))
-        .filter(col("jac") >= BigramThreshold)
-    }),
+    // --- n-gram (bigram) Jaccard near-dup, banded-minhash-blocked ----------
+    "q44_dedup_ngram_jaccard" -> ((s, d) =>
+      lshNearDupPairs(docs(s, d), n = 2, numHashes = 6,
+        bandSize = 3, seedBase = BigramSeedBase, tNum = 4, tDen = 5)),
 
     // --- embedding-cosine near-dup, hyperplane-LSH-blocked -----------------
+    // Norms are computed once per vector, not once per pair (same arithmetic
+    // -> same bits as norm-in-the-pair, so the oracle formula is unchanged).
     "q45_dedup_embcos" -> ((s, d) => {
-      val e = embs(s, d)
+      val e = embs(s, d).repartition(TextFns.cpuPartitions, col("vec_id"))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("bucket", lshBucket(col("v")))
+        .withColumn("nrm", norm(col("v")))
       e.as("x").join(e.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"),
-          cosine(col("x.v"), col("y.v")).as("sim"))
+          (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("sim"))
         .filter(col("sim") >= CosineThreshold)
     })
   )
@@ -127,9 +164,28 @@ object Dedup {
   private val oToks = "string_split(text, ' ')"
   private val oSh = oShingles(oToks, 3)
 
-  private val oSigSelect: String = {
-    val mhs = (0 until NumHashes).map(i => s"${oMinhash("sh", i)} AS mh$i")
-    s"SELECT doc_id, sh, ${mhs.mkString(", ")} FROM (SELECT doc_id, $oSh AS sh FROM documents)"
+  /** DuckDB mirror of [[lshNearDupPairs]] (no size prefilter — it is implied
+    * by the jaccard threshold, so results are identical). */
+  def oLshNearDupPairs(n: Int, numHashes: Int, bandSize: Int,
+                       seedBase: Int, tNum: Int, tDen: Int): String = {
+    val numBands = numHashes / bandSize
+    val sigCols = (0 until numHashes)
+      .map(i => s"${oMinhash("sh", seedBase + i)} AS mh$i").mkString(", ")
+    val bandedSql = (0 until numBands).map { j =>
+      val cat = (0 until bandSize).map(r => s"mh${j * bandSize + r}").mkString(" || ")
+      s"SELECT doc_id, $j AS b, md5($cat) AS k FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT doc_id, ${oShingles(oToks, n)} AS sh FROM documents),
+          sig AS (SELECT doc_id, $sigCols FROM base),
+          banded AS ($bandedSql),
+          cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+                   FROM banded x JOIN banded y
+                     ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id)
+        SELECT i, j, jac FROM (
+          SELECT cand.i, cand.j, ${oJaccard("bx.sh", "by.sh")} AS jac
+          FROM cand JOIN base bx ON cand.i = bx.doc_id
+                    JOIN base by ON cand.j = by.doc_id)
+        WHERE jac >= ${tNum.toDouble / tDen}"""
   }
 
   private val oBandExprs: Seq[String] = (0 until NumBands).map { j =>
@@ -137,11 +193,10 @@ object Dedup {
     s"md5($cat) AS b$j"
   }
 
-  private val oBanded: String =
-    (0 until NumBands).map { j =>
-      val cat = (0 until BandSize).map(r => s"mh${j * BandSize + r}").mkString(" || ")
-      s"SELECT doc_id, $j AS b, md5($cat) AS k FROM sig"
-    }.mkString(" UNION ALL ")
+  private val oSigSelect: String = {
+    val mhs = (0 until NumHashes).map(i => s"${oMinhash("sh", i)} AS mh$i")
+    s"SELECT doc_id, sh, ${mhs.mkString(", ")} FROM (SELECT doc_id, $oSh AS sh FROM documents)"
+  }
 
   val oracles: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -154,17 +209,7 @@ object Dedup {
           FROM ($oSigSelect)""",
 
     "q42_dedup_lsh_pairs" ->
-      s"""WITH base AS (SELECT doc_id, $oSh AS sh FROM documents),
-            sig AS (SELECT doc_id, ${(0 until NumHashes).map(i => s"${oMinhash("sh", i)} AS mh$i").mkString(", ")} FROM base),
-            banded AS ($oBanded),
-            cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
-                     FROM banded x JOIN banded y
-                       ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id)
-          SELECT i, j, jac FROM (
-            SELECT cand.i, cand.j, ${oJaccard("bx.sh", "by.sh")} AS jac
-            FROM cand JOIN base bx ON cand.i = bx.doc_id
-                      JOIN base by ON cand.j = by.doc_id)
-          WHERE jac >= $JaccardThreshold""",
+      oLshNearDupPairs(3, NumHashes, BandSize, 0, 7, 10),
 
     "q43_dedup_simhash" ->
       s"""SELECT doc_id, CAST(${(0 until SimhashBits).map(b =>
@@ -174,13 +219,7 @@ object Dedup {
                 FROM (SELECT doc_id, $oToks AS tk FROM documents))""",
 
     "q44_dedup_ngram_jaccard" ->
-      s"""WITH g AS (SELECT doc_id, list_distinct(${oShingles(oToks, 2)}) AS g,
-                       ${oMinhash(s"list_distinct(${oShingles(oToks, 2)})", 9)} AS blk
-                     FROM documents)
-          SELECT i, j, jac FROM (
-            SELECT x.doc_id AS i, y.doc_id AS j, ${oJaccard("x.g", "y.g")} AS jac
-            FROM g x JOIN g y ON x.blk = y.blk AND x.doc_id < y.doc_id)
-          WHERE jac >= $BigramThreshold""",
+      oLshNearDupPairs(2, 6, 3, BigramSeedBase, 4, 5),
 
     "q45_dedup_embcos" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

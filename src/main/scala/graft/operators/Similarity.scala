@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -30,10 +30,18 @@ object Similarity {
   val TopK = 5
   val LshTopK = 3
 
+  /** Embeddings widened to double with the L2 norm precomputed once per
+    * vector (pair scoring then divides by the two cached norms — same
+    * arithmetic, same bits as computing norms inside the pair). */
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
+      .repartition(TextFns.cpuPartitions, col("vec_id")) // spread the per-pair dot products across cores
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  private def pairSim(qv: Column, qn: Column, cv: Column, cn: Column): Column =
+    dot(qv, cv) / (qn * cn)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -41,10 +49,10 @@ object Similarity {
     "q50_knn_brute" -> ((s, d) => {
       val e = embs(s, d)
       val q = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       val scored = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id"),
-          cosine(col("qv"), col("v")).as("sim"))
+          pairSim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("vec_id"))
       scored.withColumn("nn_rank", row_number().over(w).cast("long"))
@@ -57,11 +65,11 @@ object Similarity {
       val e = embs(s, d).withColumn("bucket", lshBucket(col("v")))
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("bucket").as("qbucket"))
-      val scored = q.join(e,
+          col("nrm").as("qn"), col("bucket").as("qbucket"))
+      val scored = broadcast(q).join(e,
           col("qbucket") === col("bucket") && col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id"),
-          cosine(col("qv"), col("v")).as("sim"))
+          pairSim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("vec_id"))
       scored.withColumn("nn_rank", row_number().over(w).cast("long"))

@@ -78,7 +78,7 @@ object TextAnalysis {
     // --- document fingerprinting (full-hash + shingle winnow) --------------
     "q33_text_fingerprint" -> ((s, d) => {
       val sh = shingles(toks(col("text")), 3)
-      t(s, d).select(
+      t(s, d).repartition(TextFns.cpuPartitions, col("doc_id")).select(
         col("doc_id"),
         md5(col("text")).as("fp"),
         array_min(transform(sh, x => md5(x))).as("min_shingle_fp"),

@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** Partition count for CPU-bound projection passes (signature/md5/dot
+    * product stages). Explicit so AQE does not coalesce the exchange back to
+    * one partition when the input bytes are small — the cost driver here is
+    * CPU per row, not bytes. */
+  def cpuPartitions: Int =
+    org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+
   /** Whitespace tokenization (documents.text is single-space separated). */
   def toks(c: Column): Column = split(c, " ")
 
