@@ -1,0 +1,173 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structured Streaming source for NGSI v2 notifications pushed over HTTP —
+  * the Spark rebuild of the reference's `OrionSource(port)` (reference usage
+  * `Example1.scala:17`; wire format `files/example1/curl_Notification.sh`,
+  * headers `Fiware-Service`/`Fiware-ServicePath` lines 7-11).
+  *
+  * Shape: DataSourceV2 `TableProvider` whose `MicroBatchStream` embeds a
+  * zero-dependency `com.sun.net.httpserver` listener on the driver. Each
+  * POSTed notification becomes one buffered row; offsets are monotonically
+  * increasing sequence numbers over an in-driver ring buffer, trimmed on
+  * commit. Emitted schema matches what [[graft.ngsi.NgsiPipelines.parseEvents]]
+  * consumes:
+  *
+  *   value STRING, service STRING, servicePath STRING, recvTime TIMESTAMP
+  *
+  * Semantics and scale notes:
+  *  - Like the reference's Netty server, ingest is a single listener and
+  *    durability is the process lifetime: offsets are NOT replayable across
+  *    driver restarts (the reference has the same at-most-once property).
+  *    For replayable ingest, front this with a durable log and read that
+  *    instead; this source is the parity piece for broker push.
+  *  - Rows are shipped to executors inside the planned partition (the same
+  *    pattern as Spark's own socket source). Parsing/windowing downstream is
+  *    fully distributed; the listener is only the accept path.
+  *
+  * Usage: `spark.readStream.format("graft.sources.NgsiHttpSource")
+  *   .option("port", 9001).load()`
+  */
+class NgsiHttpSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NgsiHttpSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new NgsiHttpTable(Option(properties.get("port")).map(_.toInt)
+      .getOrElse(throw new IllegalArgumentException("ngsi-http source requires a 'port' option")))
+}
+
+object NgsiHttpSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("value", StringType),
+    StructField("service", StringType),
+    StructField("servicePath", StringType),
+    StructField("recvTime", TimestampType)))
+}
+
+private[sources] class NgsiHttpTable(port: Int) extends Table with SupportsRead {
+  override def name(): String = s"ngsi-http:$port"
+  override def schema(): StructType = NgsiHttpSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = NgsiHttpSource.Schema
+        override def toBatch: Batch =
+          throw new UnsupportedOperationException("ngsi-http is streaming-only")
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new NgsiHttpMicroBatchStream(port)
+      }
+    }
+}
+
+/** Offset = count of notifications accepted since source start. */
+private[sources] case class SeqOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] final case class BufferedNotification(
+    body: String, service: String, servicePath: String, recvTimeMicros: Long)
+
+private[sources] class NgsiHttpMicroBatchStream(port: Int)
+    extends MicroBatchStream {
+
+  // Ring buffer of accepted-but-uncommitted notifications. `firstSeq` is the
+  // sequence number of buffer(0); lock is the buffer itself.
+  private val buffer = new ArrayBuffer[BufferedNotification]()
+  private var firstSeq = 0L
+
+  private val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress(port), 0)
+    s.createContext("/", (exchange: HttpExchange) => handle(exchange))
+    s.setExecutor(null) // single accept thread, like the reference's source
+    s.start()
+    s
+  }
+
+  private def handle(exchange: HttpExchange): Unit = {
+    try {
+      if (exchange.getRequestMethod.equalsIgnoreCase("POST")) {
+        val body = new String(exchange.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        val h = exchange.getRequestHeaders
+        val rec = BufferedNotification(
+          body,
+          Option(h.getFirst("Fiware-Service")).getOrElse(""),
+          Option(h.getFirst("Fiware-ServicePath")).getOrElse(""),
+          System.currentTimeMillis() * 1000L)
+        buffer.synchronized { buffer += rec }
+        exchange.sendResponseHeaders(200, -1)
+      } else {
+        exchange.sendResponseHeaders(405, -1)
+      }
+    } finally exchange.close()
+  }
+
+  override def initialOffset(): Offset = SeqOffset(0L)
+
+  override def latestOffset(): Offset =
+    buffer.synchronized { SeqOffset(firstSeq + buffer.size) }
+
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].n
+    val e = end.asInstanceOf[SeqOffset].n
+    val rows = buffer.synchronized {
+      val from = math.max(0L, s - firstSeq).toInt
+      val until = math.max(0L, e - firstSeq).toInt
+      buffer.slice(from, until).toArray
+    }
+    if (rows.isEmpty) Array.empty
+    else Array(NgsiHttpInputPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val rows = partition.asInstanceOf[NgsiHttpInputPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val r = rows(i)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(r.body),
+          UTF8String.fromString(r.service),
+          UTF8String.fromString(r.servicePath),
+          r.recvTimeMicros))
+      }
+      override def close(): Unit = ()
+    }
+
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[SeqOffset].n
+    buffer.synchronized {
+      val drop = math.max(0L, e - firstSeq).toInt
+      buffer.remove(0, math.min(drop, buffer.size))
+      firstSeq = math.max(firstSeq, e)
+    }
+  }
+
+  override def stop(): Unit = server.stop(0)
+}
+
+private[sources] case class NgsiHttpInputPartition(
+    rows: Array[BufferedNotification]) extends InputPartition

@@ -20,6 +20,15 @@ import graft.ngsi._
   */
 object NgsiStreams {
 
+  /** The reference's `env.addSource(new OrionSource(port))`
+    * (`Example1.scala:17`): an unbounded stream of NGSI notifications
+    * pushed over HTTP. See [[graft.sources.NgsiHttpSource]]. */
+  def fromHttp(spark: org.apache.spark.sql.SparkSession, port: Int): DataFrame =
+    spark.readStream
+      .format("graft.sources.NgsiHttpSource")
+      .option("port", port)
+      .load()
+
   /** Example1 streaming: body stream -> windowed per-entity min. */
   def minTemperatureStream(raw: DataFrame,
                            watermark: String = "10 seconds",
