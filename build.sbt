@@ -26,7 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32 local executor threads doing array/hash-heavy work want headroom;
-  // the box has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 10g measured fastest for the bench on this box: a larger heap (24g)
+  // slowed the same run ~3x (fresh-page touch + GC geometry), 8g risks
+  // pressure with 32 executor threads of array-heavy work.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
 )

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for graft's native Catalyst expressions.
+  *
+  * Two routes:
+  *  - [[GraftExtensions]]: the public `SparkSessionExtensions` hook —
+  *    `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  *    or `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *  - [[GraftFunctions.register]]: imperative + idempotent, for sessions the
+  *    caller didn't build (the driver hands `SparkEntry.queries` an existing
+  *    session); query builders call it before using `graft_*` functions.
+  */
+object GraftFunctions {
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (args => DotProduct(args(0), args(1))),
+    "graft_l2norm" -> (args => L2Norm(args(0))))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(
+          id,
+          new ExpressionInfo(classOf[DotProduct].getName, name),
+          builder)
+      }
+    }
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo(classOf[DotProduct].getName, name),
+          builder))
+    }
+}

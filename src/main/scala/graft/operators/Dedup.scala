@@ -147,6 +147,7 @@ object Dedup {
     // Norms are computed once per vector, not once per pair (same arithmetic
     // -> same bits as norm-in-the-pair, so the oracle formula is unchanged).
     "q45_dedup_embcos" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val e = embs(s, d).repartition(TextFns.cpuPartitions, col("vec_id"))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("bucket", lshBucket(col("v")))

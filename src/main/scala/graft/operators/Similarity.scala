@@ -33,12 +33,14 @@ object Similarity {
   /** Embeddings widened to double with the L2 norm precomputed once per
     * vector (pair scoring then divides by the two cached norms — same
     * arithmetic, same bits as computing norms inside the pair). */
-  private def embs(s: SparkSession, d: String): DataFrame =
+  private def embs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, d, "embeddings")
       .repartition(TextFns.cpuPartitions, col("vec_id")) // spread the per-pair dot products across cores
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
+  }
 
   private def pairSim(qv: Column, qn: Column, cv: Column, cn: Column): Column =
     dot(qv, cv) / (qn * cn)
@@ -86,6 +88,7 @@ object Similarity {
     * shuffle (label,pos); probe is a broadcast of (tiny) centroids then an
     * equi-join on the probed label. */
   def ivfTopK(e: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
     val cent = e
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))

@@ -80,13 +80,14 @@ object TextFns {
   // order — the only IEEE freedom — is pinned on both engines).
   // ---------------------------------------------------------------------
 
-  /** Left-fold sum of a double array. */
-  private def asum(c: Column): Column =
-    aggregate(c, lit(0.0), (acc, x) => acc + x)
+  /** Dot product via the native codegen'd [[graft.functions.DotProduct]]
+    * (same left-to-right fold as `aggregate(zip_with(a,b,*), 0D, +)`, so
+    * results are bit-identical — the lambda version evaluates interpreted
+    * per element and dominated the ANN profiles). Callers must have
+    * registered [[graft.functions.GraftFunctions]] on the session. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def dot(a: Column, b: Column): Column = asum(zip_with(a, b, (x, y) => x * y))
-
-  def norm(a: Column): Column = sqrt(asum(transform(a, x => x * x)))
+  def norm(a: Column): Column = call_function("graft_l2norm", a)
 
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

@@ -22,6 +22,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }
