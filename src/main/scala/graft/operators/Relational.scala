@@ -260,6 +260,29 @@ object Relational {
         .agg(davg(col("k")).as("avg_k"), max(col("k")).as("max_k"),
              min(col("k")).as("min_k"), count(lit(1)).as("n"))),
 
+    // --- session windows (gap-based, the streaming-native grouping) -------------
+    // Batch analog of `session_window`; the oracle reproduces the exact same
+    // sessions with gaps-and-islands SQL (new session when the gap since the
+    // previous event is >= 12h; session end = last event + gap, end-exclusive).
+    "q25_session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "12 hours").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("value")).as("min_value"))
+        .select(col("user_id"),
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("n_events"), col("min_value"))),
+
+    // --- approximate distinct (HLL sketch; the at-scale counterpart of q09) ----
+    // No oracle: DuckDB's approx_count_distinct uses a different sketch, so
+    // values legitimately differ. RelationalSpec bounds the relative error
+    // against the exact count instead.
+    "q26_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))),
+
     // --- grouping sets via SQL ------------------------------------------------------------------
     "q24_grouping_sets" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -431,6 +454,27 @@ object Relational {
          FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
                FROM events)
          GROUP BY event_type""",
+
+    "q25_session_window" ->
+      """WITH m AS (
+           SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 12 HOUR AS session_end,
+           COUNT(1) AS n_events,
+           MIN(value) AS min_value
+         FROM s GROUP BY user_id, sid""",
+    // q26_approx_distinct intentionally has no oracle (sketches differ
+    // between engines); see the query comment.
 
     "q24_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
