@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state operators (`flatMapGroupsWithState` /
+  * `mapGroupsWithState`) — the extension point the reference's keyed window
+  * state maps to when the built-in windowed aggregates aren't enough
+  * (SURVEY §2B "Session windows / stateful ops").
+  *
+  * Scale stance: state lives in the state store, partitioned by key like any
+  * shuffle — the operator scales with executors. State GROWTH is the real
+  * 100 TB risk, so both operators take a processing-time timeout that
+  * retires idle keys; the tradeoff (a key re-admitted after idle eviction)
+  * is the standard bounded-state contract. For plain streaming dedup Spark's
+  * built-in `dropDuplicatesWithinWatermark` suffices; [[firstSeen]] is the
+  * shape you extend when the admission logic is richer than equality
+  * (budgets, quotas, per-source caps).
+  */
+object StatefulOps {
+
+  /** A keyed record: `key` is the dedup identity (e.g. a content hash). */
+  case class Keyed(key: String, payload: String)
+
+  /** Streaming exact dedup: the FIRST record per key is emitted, all later
+    * ones are dropped. Append-mode output.
+    *
+    * `idleTimeout = Some(d)` bounds state by retiring keys idle for `d`
+    * (production setting; a retired key would be re-admitted). `None` keeps
+    * state forever — needed where every batch must be deterministic (e.g.
+    * tests: a processing-time timeout keeps the query triggering empty
+    * batches, so `processAllAvailable` never settles). */
+  def firstSeen(ds: Dataset[Keyed],
+                idleTimeout: Option[String] = Some("1 hour")): Dataset[Keyed] = {
+    import ds.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, Keyed](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (_, records, state) =>
+          idleTimeout.foreach(state.setTimeoutDuration)
+          if (state.exists) Iterator.empty
+          else { state.update(true); records.take(1) }
+      }
+  }
+
+  case class KeyedValue(key: String, value: Float)
+  case class RunningMin(key: String, min: Float)
+
+  /** Continuous per-key running minimum — the reference's `min` semantics
+    * without window bounds: every update emits the new minimum for the key
+    * (Update-mode output, like `Example1`'s console updates). */
+  def runningMin(ds: Dataset[KeyedValue],
+                 idleTimeout: Option[String] = Some("1 hour")): Dataset[RunningMin] = {
+    import ds.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_.key)
+      .mapGroupsWithState[Float, RunningMin](timeoutConf) {
+        case (key, _, state) if state.hasTimedOut =>
+          val last = state.get
+          state.remove()
+          RunningMin(key, last)
+        case (key, records, state) =>
+          idleTimeout.foreach(state.setTimeoutDuration)
+          val batchMin = records.map(_.value).min
+          val newMin =
+            if (state.exists) math.min(state.get, batchMin) else batchMin
+          state.update(newMin)
+          RunningMin(key, newMin)
+      }
+  }
+}
