@@ -80,6 +80,21 @@ object Multimodal {
           (length(col("payload")).cast("long") % 640).as("fake_w"),
           (length(col("payload")).cast("long") % 480).as("fake_h"))),
 
+    // --- "resize": deterministic 4:1 byte downsample of the payload --------
+    // The stand-in for an image resize: keep every 4th byte, emit the
+    // thumbnail's size and content hash (the real resize would swap in a
+    // decoder inside decodeStub; the plumbing — per-row binary transform,
+    // metadata columns — is what this exercises).
+    "q62_multimodal_resize" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          array_join(
+            transform(sequence(lit(1), length(col("text")), lit(4)),
+              i => col("text").substr(i, lit(1))), "").as("thumb"))
+        .select(col("doc_id"),
+          length(col("thumb")).cast("long").as("thumb_bytes"),
+          md5(col("thumb")).as("thumb_md5"))),
+
     // --- frame sampling over the binary payload (every 3rd 32-byte frame) --
     "q61_multimodal_frames" -> ((s, d) =>
       docs(s, d)
@@ -105,6 +120,13 @@ object Multimodal {
             octet_length(encode(text)) % 640 AS fake_w,
             octet_length(encode(text)) % 480 AS fake_h
          FROM documents""",
+
+    "q62_multimodal_resize" ->
+      """SELECT doc_id, length(thumb) AS thumb_bytes, md5(thumb) AS thumb_md5
+         FROM (SELECT doc_id,
+                 array_to_string(list_transform(range(1, length(text) + 1, 4),
+                   i -> substr(text, CAST(i AS INT), 1)), '') AS thumb
+               FROM documents)""",
 
     "q61_multimodal_frames" ->
       s"""SELECT doc_id, f, md5(substr(text, CAST(f * $FrameSize + 1 AS INT), $FrameSize)) AS frame_md5

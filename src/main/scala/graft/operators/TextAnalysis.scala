@@ -75,6 +75,31 @@ object TextAnalysis {
           min(col("stop_ratio")).as("min_ratio"),
           max(col("stop_ratio")).as("max_ratio"))),
 
+    // --- tf-idf-style term weighting, top-3 terms per doc ------------------
+    // idf is the rational N/df rather than ln(N/df): same ranking (monotone
+    // transform), but exact int/int arithmetic — ln() is not bit-identical
+    // across libm implementations, and the oracle gate hash-compares values.
+    "q34_text_tfidf" -> ((s, d) => {
+      val tf = t(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = t(s, d).select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("weight").desc, col("term"))
+      tf.join(df_, "term")
+        .join(broadcast(n))
+        .withColumn("weight",
+          col("tf") * (col("n_docs").cast("double") / col("df")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+          col("df"), col("weight"))
+    }),
+
     // --- document fingerprinting (full-hash + shingle winnow) --------------
     "q33_text_fingerprint" -> ((s, d) => {
       val sh = shingles(toks(col("text")), 3)
@@ -128,6 +153,23 @@ object TextAnalysis {
                   CAST($oNStop AS DOUBLE) / len($oToks) AS stop_ratio
                 FROM documents)
           GROUP BY 1, 2""",
+
+    "q34_text_tfidf" ->
+      s"""WITH tf AS (
+            SELECT doc_id, unnest($oToks) AS term FROM documents),
+          tfc AS (
+            SELECT doc_id, term, COUNT(1) AS tf FROM tf GROUP BY 1, 2),
+          dfc AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY 1),
+          n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+          SELECT doc_id, rnk, term, tf, df, weight FROM (
+            SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+              tfc.tf * (CAST(n.n_docs AS DOUBLE) / dfc.df) AS weight,
+              ROW_NUMBER() OVER (PARTITION BY tfc.doc_id
+                ORDER BY tfc.tf * (CAST(n.n_docs AS DOUBLE) / dfc.df) DESC,
+                         tfc.term) AS rnk
+            FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n)
+          WHERE rnk <= 3""",
 
     "q33_text_fingerprint" ->
       s"""SELECT doc_id,
