@@ -48,6 +48,41 @@ object StatefulOps {
       }
   }
 
+  /** A document flowing through a streaming ingest pipeline. */
+  case class Doc(doc_id: Long, text: String)
+
+  /** Streaming near-dup admission: documents whose FULL MinHash signature
+    * (concatenated seeded minhashes over n-token shingles) was already seen
+    * are dropped; first arrival wins. Near-duplicates collide on the full
+    * signature with probability J^numHashes — this is the streaming
+    * counterpart of the batch LSH dedup (Dedup.lshNearDupPairs), trading its
+    * banded recall for O(1) per-document state. Docs too short to shingle
+    * fall back to exact-text dedup (md5). */
+  def firstSeenBySignature(docs: Dataset[Doc], n: Int = 3, numHashes: Int = 4,
+                           idleTimeout: Option[String] = Some("1 hour")): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextFns
+    val keyed = docs.toDF()
+      .withColumn("sh", TextFns.shingles(TextFns.toks(col("text")), n))
+      .withColumn("sig", coalesce(
+        concat((0 until numHashes).map(i => TextFns.minhash(col("sh"), i)): _*),
+        md5(col("text"))))
+      .select(col("sig"), col("doc_id"), col("text"))
+      .as[(String, Long, String)]
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, Doc](OutputMode.Append(), timeoutConf) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (_, records, state) =>
+          idleTimeout.foreach(state.setTimeoutDuration)
+          if (state.exists) Iterator.empty
+          else { state.update(true); records.take(1).map(r => Doc(r._2, r._3)) }
+      }
+  }
+
   case class KeyedValue(key: String, value: Float)
   case class RunningMin(key: String, min: Float)
 

@@ -28,6 +28,26 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("firstSeenBySignature: signature-identical docs deduped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = firstSeenBySignature(in.toDS(), idleTimeout = None).writeStream
+      .format("memory").queryName("sig_dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val text = "key agg row scan slow fast table value part hash merge batch"
+      in.addData(Doc(1, text), Doc(2, "totally different words in this one here yes"))
+      q.processAllAvailable()
+      in.addData(Doc(3, text), Doc(4, "short")) // exact re-arrival + short doc
+      q.processAllAvailable()
+      in.addData(Doc(5, "short")) // short-doc exact dup
+      q.processAllAvailable()
+      val out = spark.table("sig_dedup").as[Doc].collect().map(_.doc_id).sorted.toSeq
+      assert(out == Seq(1L, 2L, 4L), s"got $out")
+    } finally q.stop()
+  }
+
   test("runningMin: minimum tightens monotonically per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedValue]
