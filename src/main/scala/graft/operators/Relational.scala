@@ -283,6 +283,23 @@ object Relational {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))),
 
+    // --- top-k per group via bounded partial aggregation -----------------------
+    // Same result set as q12, different physical strategy: a typed Aggregator
+    // whose map-side partials keep only k rows, so the shuffle carries
+    // k * partitions rows per group instead of sorting the whole group —
+    // the shape that wins when groups are huge and k is small.
+    "q27_topk_agg" -> ((s, d) => {
+      val topk = udaf(new TopKLines(3))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(topk(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber")).as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rn"),
+          col("r.okey").as("l_orderkey"), col("r.lineno").as("l_linenumber"),
+          col("r.price").as("l_extendedprice"))
+    }),
+
     // --- grouping sets via SQL ------------------------------------------------------------------
     "q24_grouping_sets" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -368,6 +385,15 @@ object Relational {
           FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 
     "q12_window_rank" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn <= 3""",
+
+    // q27 computes the identical result to q12 with a different physical
+    // strategy (bounded partial top-k aggregation), so it shares the oracle.
+    "q27_topk_agg" ->
       """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
