@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-shape assertions for the LLM-pipeline operators: the properties
+  * that make them viable at 100 TB, checked on the actual physical plans.
+  */
+class ExtensionPlanSpec extends SparkSpec {
+
+  private def plan(m: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
+                   name: String): String =
+    m(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("near-dup pipelines never plan a cartesian or nested-loop join") {
+    Seq("q42_dedup_lsh_pairs", "q44_dedup_ngram_jaccard", "q45_dedup_embcos")
+      .foreach { q =>
+        val p = plan(Dedup.queries, q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(600)}")
+      }
+  }
+
+  test("LSH knn candidates come from an equi-join on the bucket key") {
+    val p = plan(Similarity.queries, "q51_knn_lsh")
+    // candidate generation must be a hash-key join, not an all-pairs compare
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("brute-force knn broadcasts the query side (corpus never shuffles)") {
+    val p = plan(Similarity.queries, "q50_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("native vector expressions are in the scoring plans") {
+    Seq(plan(Similarity.queries, "q50_knn_brute"),
+      plan(Dedup.queries, "q45_dedup_embcos")).foreach { p =>
+      assert(p.contains("graft_dot") && p.contains("graft_l2norm"), p.take(800))
+    }
+  }
+
+  test("exact dedup is one hash aggregation, no join") {
+    val p = plan(Dedup.queries, "q40_dedup_exact")
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+  }
+}
