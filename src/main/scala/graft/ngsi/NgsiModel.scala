@@ -73,7 +73,7 @@ object NgsiParser extends Serializable {
     val root = mapper.readTree(body)
     val entities = Option(root.get("data")).toSeq.flatMap { data =>
       data.elements().asScala.map { ent =>
-        val fields = ent.fields().asScala
+        val fields = ent.properties().iterator().asScala
         val attrs = fields.collect {
           case e if e.getKey != "id" && e.getKey != "type" =>
             val a = e.getValue

@@ -52,7 +52,7 @@ object Dedup {
       col("doc_id") +: col("sh") +:
         (0 until NumHashes).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
     sig.select(
-      sig.columns.map(col) ++
+      sig.columns.toIndexedSeq.map(col) ++
         (0 until NumBands).map(j =>
           bandKey((0 until BandSize).map(r => col(s"mh${j * BandSize + r}")))
             .as(s"b$j")): _*)

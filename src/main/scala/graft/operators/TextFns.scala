@@ -115,7 +115,7 @@ object TextFns {
   /** LSH bucket id (0..2^NumPlanes-1) of a double-array embedding column. */
   def lshBucket(e: Column): Column =
     (0 until NumPlanes).map { b =>
-      val plane = array(hyperplanes(b).map(lit): _*)
+      val plane = array(hyperplanes(b).toIndexedSeq.map(lit): _*)
       when(dot(e, plane) >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 

@@ -72,6 +72,28 @@ class NgsiHttpSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sustains a burst of 500 notifications without loss") {
+    val port = freePort()
+    val raw = NgsiStreams.fromHttp(spark, port)
+    val q = raw.writeStream
+      .format("memory").queryName("ngsi_http_burst")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val client = HttpClient.newHttpClient()
+      (1 to 500).foreach { i =>
+        val req = HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/notify"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            notification.replace("R1", s"R$i")))
+          .build()
+        assert(client.send(req, HttpResponse.BodyHandlers.discarding()).statusCode() == 200)
+      }
+      q.processAllAvailable()
+      val got = spark.table("ngsi_http_burst").count()
+      assert(got == 500L, s"ingested $got of 500")
+    } finally q.stop()
+  }
+
   test("non-POST requests are rejected, stream unaffected") {
     val port = freePort()
     val raw = NgsiStreams.fromHttp(spark, port)
