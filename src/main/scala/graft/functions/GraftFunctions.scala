@@ -18,7 +18,9 @@ object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (args => DotProduct(args(0), args(1))),
-    "graft_l2norm" -> (args => L2Norm(args(0))))
+    "graft_l2norm" -> (args => L2Norm(args(0))),
+    "graft_minhash_sig" -> (args => MinHashSignature(args(0),
+      args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

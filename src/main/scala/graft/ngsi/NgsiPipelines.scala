@@ -27,14 +27,17 @@ object NgsiPipelines {
   def parseEvents(raw: DataFrame): Dataset[NgsiEvent] = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val hasTs = raw.columns.contains("recvTime")
-    val withTs =
-      if (hasTs) raw.select(col("value").cast("string"), col("recvTime"))
-      else raw.select(col("value").cast("string"),
-                      current_timestamp().as("recvTime"))
-    withTs.as[(String, java.sql.Timestamp)].map { case (body, ts) =>
-      NgsiParser.parse(body, recvTime = ts)
-    }
+    def colOr(name: String, dflt: Column): Column =
+      if (raw.columns.contains(name)) col(name) else dflt
+    val shaped = raw.select(
+      col("value").cast("string"),
+      colOr("service", lit("")).cast("string"),
+      colOr("servicePath", lit("")).cast("string"),
+      colOr("recvTime", current_timestamp()))
+    shaped.as[(String, String, String, java.sql.Timestamp)]
+      .map { case (body, svc, path, ts) =>
+        NgsiParser.parse(body, service = svc, servicePath = path, recvTime = ts)
+      }
   }
 
   /** `flatMap(event => event.entities)` (`Example1.scala:21`) as a

@@ -48,9 +48,12 @@ object Dedup {
 
   /** Signature frame for q41: doc_id, sh, mh0..mh7, b0..b3. */
   private def signatures(s: SparkSession, d: String): DataFrame = {
-    val sig = shingled(s, d).select(
-      col("doc_id") +: col("sh") +:
-        (0 until NumHashes).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
+    graft.functions.GraftFunctions.register(s)
+    val sig = shingled(s, d)
+      .withColumn("mhs", minhashSig(col("sh"), NumHashes, 0))
+      .select(
+        col("doc_id") +: col("sh") +:
+          (0 until NumHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
     sig.select(
       sig.columns.toIndexedSeq.map(col) ++
         (0 until NumBands).map(j =>
@@ -74,15 +77,19 @@ object Dedup {
     */
   def lshNearDupPairs(docsDf: DataFrame, n: Int, numHashes: Int, bandSize: Int,
                       seedBase: Int, tNum: Int, tDen: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
     val numBands = numHashes / bandSize
     // The raw text is tiny but the signature projection is CPU-heavy
     // (md5 per shingle per hash); hash-distributing rows before it lets the
-    // pass use every core even when the scan is a single split.
+    // pass use every core even when the scan is a single split. The native
+    // MinHashSignature expression computes all seeded mins in one array pass.
     val base = docsDf.repartition(TextFns.cpuPartitions, col("doc_id"))
       .select(col("doc_id"), shingles(toks(col("text")), n).as("sh"))
-    val sig = base.select(
-      col("doc_id") +:
-        (0 until numHashes).map(i => minhash(col("sh"), seedBase + i).as(s"mh$i")): _*)
+    val sig = base
+      .withColumn("mhs", minhashSig(col("sh"), numHashes, seedBase))
+      .select(
+        col("doc_id") +:
+          (0 until numHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
     val banded = sig.select(
       col("doc_id"),
       explode(array((0 until numBands).map { j =>

@@ -51,6 +51,14 @@ object TextFns {
   def minhash(sh: Column, seed: Int): Column =
     array_min(transform(sh, x => seededMd5(seed, x)))
 
+  /** Full MinHash signature (seeds seedBase until seedBase+numHashes) in ONE
+    * pass over the shingle array via the native
+    * [[graft.functions.MinHashSignature]] expression — value-identical to
+    * `numHashes` [[minhash]] columns, ~numHashes× less array traversal.
+    * Requires [[graft.functions.GraftFunctions]] registered on the session. */
+  def minhashSig(sh: Column, numHashes: Int, seedBase: Int): Column =
+    call_function("graft_minhash_sig", sh, lit(numHashes), lit(seedBase))
+
   /** LSH band key over adjacent minhash signature columns. */
   def bandKey(sigs: Seq[Column]): Column = md5(concat(sigs: _*))
 

@@ -63,10 +63,12 @@ object StatefulOps {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions._
     import graft.operators.TextFns
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val keyed = docs.toDF()
       .withColumn("sh", TextFns.shingles(TextFns.toks(col("text")), n))
+      .withColumn("mhs", TextFns.minhashSig(col("sh"), numHashes, 0))
       .withColumn("sig", coalesce(
-        concat((0 until numHashes).map(i => TextFns.minhash(col("sh"), i)): _*),
+        concat((0 until numHashes).map(i => element_at(col("mhs"), i + 1)): _*),
         md5(col("text"))))
       .select(col("sig"), col("doc_id"), col("text"))
       .as[(String, Long, String)]
