@@ -80,7 +80,34 @@ object Similarity {
     }),
 
     // --- IVF: per-label centroids, probe nearest list (no oracle) ----------
-    "q52_knn_ivf" -> ((s, d) => ivfTopK(embs(s, d), NumQueries, LshTopK))
+    "q52_knn_ivf" -> ((s, d) => ivfTopK(embs(s, d), NumQueries, LshTopK)),
+
+    // --- symmetric int8 quantization (embedding storage at scale) ----------
+    // 4x compression for a 100 TB embedding store. Rounding is
+    // floor(x*127/amax + 0.5) — floor is exact in both engines, unlike
+    // round() whose half-way rule differs. Quantized vectors are emitted as
+    // a checksum + stats (arrays round-trip awkwardly through the oracle
+    // compare); the reconstruction error uses the pinned left-fold.
+    "q53_embed_quantize" -> ((s, d) => {
+      val e = embs(s, d)
+        .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      val qi = transform(col("v"),
+        x => floor(x * lit(127.0) / col("amax") + lit(0.5)).cast("int"))
+      e.withColumn("qi", qi)
+        .select(
+          col("vec_id"),
+          col("amax"),
+          aggregate(col("qi"), lit(0L), (acc, q) => acc + q).as("qsum"),
+          md5(concat_ws(",", transform(col("qi"), q => q.cast("string"))))
+            .as("qmd5"),
+          aggregate(
+            zip_with(col("v"), col("qi"),
+              (x, q) => {
+                val diff = x - (q * col("amax") / lit(127.0))
+                diff * diff
+              }),
+            lit(0.0), (acc, x) => acc + x).as("err"))
+    })
   )
 
   /** IVF search: centroids = element-wise mean per label; each query probes
@@ -151,7 +178,23 @@ object Similarity {
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY sim DESC, vec_id) AS nn_rank
             FROM scored)
-          WHERE nn_rank <= $LshTopK"""
+          WHERE nn_rank <= $LshTopK""",
     // q52_knn_ivf intentionally has no oracle (see Scaladoc).
+
+    "q53_embed_quantize" ->
+      s"""WITH e AS (
+            SELECT vec_id, $oEmb AS v,
+                   list_max(list_transform($oEmb, x -> abs(x))) AS amax
+            FROM embeddings),
+          q AS (
+            SELECT vec_id, v, amax,
+                   list_transform(v, x -> CAST(floor(x * 127.0 / amax + 0.5) AS INT)) AS qi
+            FROM e)
+          SELECT vec_id, amax,
+            CAST(list_sum(qi) AS BIGINT) AS qsum,
+            md5(array_to_string(qi, ',')) AS qmd5,
+            list_sum(list_transform(range(1, ${EmbDim + 1}),
+              k -> (v[k] - (qi[k] * amax / 127.0)) * (v[k] - (qi[k] * amax / 127.0)))) AS err
+          FROM q"""
   )
 }
