@@ -300,6 +300,43 @@ object Relational {
           col("r.price").as("l_extendedprice"))
     }),
 
+    // --- pivot (rows -> columns) -----------------------------------------------
+    "q28_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .select(col("o_orderpriority"), col("F").as("f_total"),
+          col("O").as("o_total"), col("P").as("p_total"))),
+
+    // --- statistical aggregates from exact moments ------------------------------
+    // stddev/corr built-ins accumulate floating state in shuffle order, so
+    // they are not reproducible across engines; computing the moments as
+    // exact DECIMAL sums and doing the final arithmetic in doubles is — the
+    // estimator is identical, the result is bit-stable.
+    "q29_stats_moments" -> ((s, d) => {
+      val q = col("l_quantity").cast(DecimalType(18, 2))
+      val p = col("l_extendedprice").cast(DecimalType(18, 2))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).as("sq"), sum(p).as("sp"),
+          sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
+        .select(
+          col("l_returnflag"), col("n"),
+          ((col("sqq").cast("double") - col("sq").cast("double") *
+            col("sq").cast("double") / col("n")) / (col("n") - 1)).as("var_qty"),
+          sqrt((col("sqq").cast("double") - col("sq").cast("double") *
+            col("sq").cast("double") / col("n")) / (col("n") - 1)).as("sd_qty"),
+          ((col("sqp").cast("double") - col("sq").cast("double") *
+            col("sp").cast("double") / col("n")) /
+            sqrt((col("sqq").cast("double") - col("sq").cast("double") *
+              col("sq").cast("double") / col("n")) *
+              (col("spp").cast("double") - col("sp").cast("double") *
+                col("sp").cast("double") / col("n")))).as("corr_qty_price"))
+    }),
+
     // --- grouping sets via SQL ------------------------------------------------------------------
     "q24_grouping_sets" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -480,6 +517,30 @@ object Relational {
          FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
                FROM events)
          GROUP BY event_type""",
+
+    "q28_pivot" ->
+      """SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_total
+         FROM orders GROUP BY o_orderpriority""",
+
+    "q29_stats_moments" ->
+      """WITH m AS (
+           SELECT l_returnflag, COUNT(1) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1) AS var_qty,
+           sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)) AS sd_qty,
+           (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n) /
+             sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) *
+                  (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n)) AS corr_qty_price
+         FROM m""",
 
     "q25_session_window" ->
       """WITH m AS (
