@@ -339,7 +339,9 @@ object Relational {
 
     // --- grouping sets via SQL ------------------------------------------------------------------
     "q24_grouping_sets" -> ((s, d) => {
-      Tables.registerAll(s, d)
+      // register only what the SQL touches (registerAll would re-read all
+      // ten table schemas on every invocation)
+      Tables.load(s, d, "lineitem").createOrReplaceTempView("lineitem")
       s.sql("""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
