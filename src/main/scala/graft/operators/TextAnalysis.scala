@@ -100,6 +100,19 @@ object TextAnalysis {
           col("df"), col("weight"))
     }),
 
+    // --- length quartiles (ntile; total order via doc_id tie-break) --------
+    "q35_text_length_quartiles" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, d)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // --- document fingerprinting (full-hash + shingle winnow) --------------
     "q33_text_fingerprint" -> ((s, d) => {
       val sh = shingles(toks(col("text")), 3)
@@ -170,6 +183,15 @@ object TextAnalysis {
                          tfc.term) AS rnk
             FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n)
           WHERE rnk <= 3""",
+
+    "q35_text_length_quartiles" ->
+      """SELECT quartile, COUNT(1) AS n_docs,
+            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM (SELECT doc_id, n_chars,
+                 NTILE(4) OVER (ORDER BY n_chars, doc_id) AS quartile
+               FROM documents)
+         GROUP BY quartile""",
 
     "q33_text_fingerprint" ->
       s"""SELECT doc_id,
