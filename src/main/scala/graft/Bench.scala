@@ -21,14 +21,15 @@ object Bench {
       }
     // Per-query time = min of 2 runs: the host shows 3-5x run-to-run noise
     // (shared VM), and min-of-N is the standard estimator for the code's
-    // actual cost under external interference.
+    // actual cost under external interference. A query that throws reports
+    // -1 (NOT its time-to-exception, which would read as a speedup).
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -16,21 +16,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (args => DotProduct(args(0), args(1))),
-    "graft_l2norm" -> (args => L2Norm(args(0))),
-    "graft_minhash_sig" -> (args => MinHashSignature(args(0),
-      args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct].getName,
+      args => DotProduct(args(0), args(1))),
+    ("graft_l2norm", classOf[L2Norm].getName,
+      args => L2Norm(args(0))),
+    ("graft_minhash_sig", classOf[MinHashSignature].getName,
+      args => MinHashSignature(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    functions.foreach { case (name, builder) =>
+    functions.foreach { case (name, className, builder) =>
       val id = FunctionIdentifier(name)
       if (!registry.functionExists(id)) {
-        registry.registerFunction(
-          id,
-          new ExpressionInfo(classOf[DotProduct].getName, name),
-          builder)
+        registry.registerFunction(id, new ExpressionInfo(className, name), builder)
       }
     }
   }
@@ -38,10 +38,8 @@ object GraftFunctions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftFunctions.functions.foreach { case (name, builder) =>
+    GraftFunctions.functions.foreach { case (name, className, builder) =>
       ext.injectFunction(
-        (FunctionIdentifier(name),
-          new ExpressionInfo(classOf[DotProduct].getName, name),
-          builder))
+        (FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
     }
 }

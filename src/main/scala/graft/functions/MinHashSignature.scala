@@ -71,11 +71,20 @@ object MinHashSignature {
     false
   }
 
+  // Seed-prefix byte tables are per-expression constants; memoize so the
+  // per-row hot path does no string building (this pass exists to be fast).
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Byte]]]()
+
+  private def prefixes(numHashes: Int, seedBase: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent((numHashes, seedBase),
+      k => Array.tabulate(k._1)(i => s"${k._2 + i}|".getBytes("UTF-8")))
+
   /** Called from both interpreted eval and generated code. */
   def compute(sh: ArrayData, numHashes: Int, seedBase: Int): ArrayData = {
     val md = localMd.get()
     val n = sh.numElements()
-    val prefixes = Array.tabulate(numHashes)(i => s"${seedBase + i}|".getBytes("UTF-8"))
+    val prefixes = this.prefixes(numHashes, seedBase)
     val mins = new Array[Array[Byte]](numHashes)
     var k = 0
     while (k < n) {

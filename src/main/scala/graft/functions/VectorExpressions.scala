@@ -24,14 +24,20 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // Length mismatch yields null — matching zip_with's null-padding (null
+  // product -> null sum), so malformed vectors surface as nulls instead of
+  // silently truncated partial sums.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var sum = 0.0
-    var i = 0
-    while (i < n) { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
-    sum
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var sum = 0.0
+      var i = 0
+      while (i < n) { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
+      sum
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -40,14 +46,20 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
+
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

@@ -28,13 +28,21 @@ object Dedup {
   val BandSize = 2
   val NumBands: Int = NumHashes / BandSize
   val SimhashBits = 8
-  val JaccardThreshold: Double = 7.0 / 10  // trigram verify threshold (q42)
+  // q42 trigram verify threshold as an exact rational — the SINGLE source
+  // for both the call site (tNum/tDen) and the Double used by specs.
+  val TrigramTNum = 7
+  val TrigramTDen = 10
+  val JaccardThreshold: Double = TrigramTNum.toDouble / TrigramTDen
   // q44: bigram shingles, 6 minhashes in 2 bands of 3 (seeds 10..15).
   // 3-hash bands keep random-pair collisions ~J^3, so candidate volume stays
   // proportional to true near-dup clusters; recall at J=0.8 is 1-(1-J^3)^2
   // ~ 0.76 at the threshold boundary and ~1 for real near-dups (J >= 0.95).
   val BigramSeedBase = 10
-  val BigramThreshold: Double = 4.0 / 5
+  val BigramHashes = 6
+  val BigramBandSize = 3
+  val BigramTNum = 4
+  val BigramTDen = 5
+  val BigramThreshold: Double = BigramTNum.toDouble / BigramTDen
   val CosineThreshold = 0.4 // embedding near-dup threshold (q45)
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
@@ -97,6 +105,12 @@ object Dedup {
           bandKey((0 until bandSize).map(r => col(s"mh${j * bandSize + r}"))).as("k"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+      // Docs too short to shingle have all-null signatures -> null band key;
+      // without this filter they would all share one (b, null) bucket and
+      // the in-bucket pair expansion would go quadratic in their count
+      // (results are unchanged: a null key can never satisfy the oracle's
+      // equi-join either).
+      .filter(col("k").isNotNull)
     val cand = banded
       .groupBy(col("b"), col("k"))
       .agg(collect_list(col("doc_id")).as("ids"))
@@ -130,7 +144,8 @@ object Dedup {
     // --- MinHash-LSH candidate pairs, verified by exact trigram Jaccard ----
     "q42_dedup_lsh_pairs" -> ((s, d) =>
       lshNearDupPairs(docs(s, d), n = 3, numHashes = NumHashes,
-        bandSize = BandSize, seedBase = 0, tNum = 7, tDen = 10)),
+        bandSize = BandSize, seedBase = 0,
+        tNum = TrigramTNum, tDen = TrigramTDen)),
 
     // --- SimHash (8-bit random-hyperplane sketch over tokens) --------------
     "q43_dedup_simhash" -> ((s, d) => {
@@ -147,8 +162,9 @@ object Dedup {
 
     // --- n-gram (bigram) Jaccard near-dup, banded-minhash-blocked ----------
     "q44_dedup_ngram_jaccard" -> ((s, d) =>
-      lshNearDupPairs(docs(s, d), n = 2, numHashes = 6,
-        bandSize = 3, seedBase = BigramSeedBase, tNum = 4, tDen = 5)),
+      lshNearDupPairs(docs(s, d), n = 2, numHashes = BigramHashes,
+        bandSize = BigramBandSize, seedBase = BigramSeedBase,
+        tNum = BigramTNum, tDen = BigramTDen)),
 
     // --- embedding-cosine near-dup, hyperplane-LSH-blocked -----------------
     // Norms are computed once per vector, not once per pair (same arithmetic
@@ -217,7 +233,7 @@ object Dedup {
           FROM ($oSigSelect)""",
 
     "q42_dedup_lsh_pairs" ->
-      oLshNearDupPairs(3, NumHashes, BandSize, 0, 7, 10),
+      oLshNearDupPairs(3, NumHashes, BandSize, 0, TrigramTNum, TrigramTDen),
 
     "q43_dedup_simhash" ->
       s"""SELECT doc_id, CAST(${(0 until SimhashBits).map(b =>
@@ -227,7 +243,8 @@ object Dedup {
                 FROM (SELECT doc_id, $oToks AS tk FROM documents))""",
 
     "q44_dedup_ngram_jaccard" ->
-      oLshNearDupPairs(2, 6, 3, BigramSeedBase, 4, 5),
+      oLshNearDupPairs(2, BigramHashes, BigramBandSize, BigramSeedBase,
+        BigramTNum, BigramTDen),
 
     "q45_dedup_embcos" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -88,9 +88,13 @@ object Multimodal {
     "q62_multimodal_resize" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"),
-          array_join(
-            transform(sequence(lit(1), length(col("text")), lit(4)),
-              i => col("text").substr(i, lit(1))), "").as("thumb"))
+          // empty-text guard: sequence(1, 0, 4) throws in Spark while the
+          // oracle's range(1, 1, 4) yields an empty list -> '' thumb
+          when(length(col("text")) >= 1,
+            array_join(
+              transform(sequence(lit(1), length(col("text")), lit(4)),
+                i => col("text").substr(i, lit(1))), ""))
+            .otherwise(lit("")).as("thumb"))
         .select(col("doc_id"),
           length(col("thumb")).cast("long").as("thumb_bytes"),
           md5(col("thumb")).as("thumb_md5"))),

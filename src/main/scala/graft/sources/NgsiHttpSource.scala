@@ -127,7 +127,22 @@ private[sources] class NgsiHttpMicroBatchStream(port: Int)
   override def latestOffset(): Offset =
     buffer.synchronized { SeqOffset(firstSeq + buffer.size) }
 
-  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+  /** On restart with a checkpoint, the checkpointed offset is ahead of this
+    * fresh instance's numbering (which starts at 0). Rebase the sequence to
+    * the checkpointed position so post-restart notifications are delivered
+    * instead of being silently skipped by an offset-range mismatch; anything
+    * buffered before the rebase is dropped (the documented at-most-once
+    * contract across restarts). */
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    buffer.synchronized {
+      if (n > firstSeq + buffer.size) {
+        buffer.clear()
+        firstSeq = n
+      }
+    }
+    SeqOffset(n)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].n

@@ -38,6 +38,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got(0).getDouble(0) == 5.0)
   }
 
+  test("length mismatch yields null (zip_with null-padding semantics)") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(
+      TextFns.dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof")).collect()
+    assert(r(0).isNullAt(0), "native must not truncate to the shorter array")
+    assert(r(0).isNullAt(1))
+  }
+
   test("null array yields null, not a crash") {
     val df = Seq((Some(Seq(1.0)), None: Option[Seq[Double]])).toDF("a", "b")
     val r = df.select(TextFns.dot(col("a"), col("b"))).collect()
