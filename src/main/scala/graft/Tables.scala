@@ -21,6 +21,13 @@ object Tables {
     * vectorized reader rejects. Read nanos as long (legacy conf) and convert
     * to a microsecond timestamp (`div 1000` = truncation, matching DuckDB's
     * ns→us narrowing), so downstream window code sees a plain TimestampType.
+    *
+    * Deliberate side effect: `nanosAsLong` is a SESSION conf (no per-read
+    * option exists) and must stay set through lazy execution, so after the
+    * first events load every TIMESTAMP(NANOS) parquet column in this session
+    * reads as LongType. None of the catalog's other tables use nanos; a
+    * session that reads foreign nanos-timestamp files should load them
+    * before events or use a separate session.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

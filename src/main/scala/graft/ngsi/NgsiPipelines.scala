@@ -85,6 +85,11 @@ object NgsiPipelines {
     flattenEntities(events.toDF())
       .select(col("recvTime"), col("id"),
               attrValue("temperature").cast("float").as("temperature"))
+      // Entities without the attribute must not reach the Aggregator: the
+      // scala-Float encoder deserializes SQL null as 0.0f, which would be
+      // COUNTED and corrupt the average (min() skips nulls natively; this
+      // filter gives avg the same skip-missing semantics).
+      .filter(col("temperature").isNotNull)
       .groupBy(window(col("recvTime"), windowDur, slide), col("id"))
       .agg(AverageAggregate.toColumn("temperature").as("temperature_avg"))
 

@@ -50,8 +50,15 @@ object OrionSink {
       headers.foreach { case (k, v) => builder.header(k, v) }
       // Fire-and-forget per record, matching the reference sink's
       // best-effort semantics (no retry/ack logic in the connector usage).
-      try client.send(builder.build(), HttpResponse.BodyHandlers.discarding())
-      catch { case _: java.io.IOException | _: InterruptedException => () }
+      // IOExceptions are best-effort losses; an interrupt is task
+      // cancellation and must abort the partition with the flag restored.
+      try { client.send(builder.build(), HttpResponse.BodyHandlers.discarding()); () }
+      catch {
+        case _: java.io.IOException => ()
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw new RuntimeException("interrupted during HTTP sink write", e)
+      }
     }
 
     override def close(errorOrNull: Throwable): Unit = ()

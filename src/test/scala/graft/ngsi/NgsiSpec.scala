@@ -131,6 +131,22 @@ class NgsiPipelineSpec extends SparkSpec with Matchers {
     out.map(_.getFloat(0)) shouldBe Array(21.0f)
   }
 
+  test("avg skips entities missing the attribute instead of counting 0.0") {
+    // regression: the scala-Float encoder turns a SQL null into 0.0f, so an
+    // entity without `temperature` must be filtered before the Aggregator
+    val noTemp =
+      """{"data":[{"id":"R1","type":"Node",
+        |"pressure":{"type":"Float","value":720,"metadata":{}}}],
+        |"subscriptionId":"sub1"}""".stripMargin.replace("\n", "")
+    val raw = eventsDf(
+      (flatSensorAt("R1", 10.0), 0L), (flatSensorAt("R1", 30.0), 1000L),
+      (noTemp, 2000L))
+    val out = NgsiPipelines
+      .avgTemperature(NgsiPipelines.parseEvents(raw), "5 seconds", "5 seconds")
+      .select(col("temperature_avg")).collect()
+    out.map(_.getFloat(0)) shouldBe Array(20.0f)
+  }
+
   test("example5 batch: structured attrs -> explode buses -> min price") {
     val raw = eventsDf((structured, 0L), (structured, 1000L))
     val out = NgsiPipelines

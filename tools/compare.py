@@ -48,6 +48,13 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     names = sorted(glob.glob(f"{out_dir}/*/"))
+    # A query that crashed in Verify writes NO result dir — it must count as
+    # a failure, not silently shrink the denominator.
+    have = {p.rstrip("/").split("/")[-1] for p in names}
+    missing = sorted(set(oracle) - have)
+    for name in missing:
+        print(f"FAIL {name}: no result written (query crashed in Verify?)")
+    n_total = len(names) + len(missing)
     for path in names:
         name = path.rstrip("/").split("/")[-1]
         try:
@@ -71,7 +78,9 @@ def main():
         else:
             print(f"OK   {name} ({len(spark_df)} rows)")
             n_ok += 1
-    print(f"== {n_ok}/{len(names)} pass ==")
+    print(f"== {n_ok}/{n_total} pass ==")
+    if n_ok != n_total:
+        sys.exit(1)
 
 if __name__ == "__main__":
     main()
