@@ -59,6 +59,33 @@ object NgsiStreams {
       parsed.withWatermark("recvTime", watermark), windowDur, slide)
   }
 
+  /** Stream-static enrichment: join the (unbounded) entity stream with a
+    * (bounded) dimension table. The dimension is broadcast per micro-batch,
+    * so the stream side never shuffles — the standard shape for attaching
+    * reference data (device registry, room metadata) to sensor streams. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
+  /** Stream-stream inner join of two sensor streams on entity id within a
+    * time tolerance. Both sides carry watermarks so the state store can
+    * evict rows once the other side can no longer match them — without the
+    * range condition + watermarks, stream-stream join state grows forever. */
+  def joinSensorStreams(left: DataFrame, right: DataFrame,
+                        key: String = "id",
+                        watermark: String = "10 seconds",
+                        tolerance: String = "5 seconds"): DataFrame = {
+    val l = left.withWatermark("recvTime", watermark)
+    val r = right
+      .withColumnRenamed("recvTime", "recvTimeR")
+      .withColumnRenamed(key, s"${key}R")
+      .withWatermark("recvTimeR", watermark)
+    l.join(r,
+      col(key) === col(s"${key}R") &&
+        col("recvTimeR") >= col("recvTime") - expr(s"INTERVAL $tolerance") &&
+        col("recvTimeR") <= col("recvTime") + expr(s"INTERVAL $tolerance"))
+  }
+
   /** Example1's sink: console, single output partition — the analog of
     * `.print().setParallelism(1)` (`Example1.scala:31`). */
   def toConsole(df: DataFrame, numRows: Int = 20): DataStreamWriter[Row] =

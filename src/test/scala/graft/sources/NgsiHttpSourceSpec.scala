@@ -94,6 +94,28 @@ class NgsiHttpSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("offset contract: restart rebase delivers post-restart notifications") {
+    val port = freePort()
+    val stream = new NgsiHttpMicroBatchStream(port)
+    try {
+      // simulate a restart: the checkpoint holds offset 100 from the
+      // previous incarnation; this fresh instance has numbered from 0
+      val restored = stream.deserializeOffset("100")
+      assert(restored.asInstanceOf[SeqOffset].n == 100L)
+      // notifications arriving AFTER the restore must extend 100, not 0
+      post(port, notification, Map.empty)
+      post(port, notification, Map.empty)
+      val latest = stream.latestOffset().asInstanceOf[SeqOffset]
+      assert(latest.n == 102L, s"expected rebase to 100 + 2 arrivals, got ${latest.n}")
+      val parts = stream.planInputPartitions(SeqOffset(100L), latest)
+      val rows = parts.flatMap(_.asInstanceOf[NgsiHttpInputPartition].rows)
+      assert(rows.length == 2)
+      stream.commit(latest)
+      assert(stream.latestOffset().asInstanceOf[SeqOffset].n == 102L)
+      assert(stream.planInputPartitions(latest, latest).isEmpty)
+    } finally stream.stop()
+  }
+
   test("non-POST requests are rejected, stream unaffected") {
     val port = freePort()
     val raw = NgsiStreams.fromHttp(spark, port)
