@@ -37,6 +37,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full query manifest so the local gate can count a crashed no-oracle
+    // query as a failure instead of losing it from the denominator.
+    Files.writeString(Paths.get(s"$outDir/query_names.txt"),
+      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
     spark.stop()
   }
 }

@@ -89,12 +89,16 @@ object Multimodal {
       docs(s, d)
         .select(col("doc_id"),
           // empty-text guard: sequence(1, 0, 4) throws in Spark while the
-          // oracle's range(1, 1, 4) yields an empty list -> '' thumb
-          when(length(col("text")) >= 1,
-            array_join(
-              transform(sequence(lit(1), length(col("text")), lit(4)),
-                i => col("text").substr(i, lit(1))), ""))
-            .otherwise(lit("")).as("thumb"))
+          // oracle's range(1, 1, 4) yields an empty list -> '' thumb.
+          // NULL text must stay NULL (as the oracle's expression does), so
+          // the guard nests under isNotNull with no outer otherwise.
+          when(col("text").isNotNull,
+            when(length(col("text")) >= 1,
+              array_join(
+                transform(sequence(lit(1), length(col("text")), lit(4)),
+                  i => col("text").substr(i, lit(1))), ""))
+              .otherwise(lit("")))
+            .as("thumb"))
         .select(col("doc_id"),
           length(col("thumb")).cast("long").as("thumb_bytes"),
           md5(col("thumb")).as("thumb_md5"))),

@@ -122,23 +122,33 @@ private[sources] class NgsiHttpMicroBatchStream(port: Int)
     } finally exchange.close()
   }
 
-  override def initialOffset(): Offset = SeqOffset(0L)
+  override def initialOffset(): Offset =
+    buffer.synchronized { engaged = true; SeqOffset(0L) }
 
   override def latestOffset(): Offset =
-    buffer.synchronized { SeqOffset(firstSeq + buffer.size) }
+    buffer.synchronized { engaged = true; SeqOffset(firstSeq + buffer.size) }
+
+  /** True once Spark has engaged this instance for planning (initialOffset /
+    * latestOffset / plan / commit). Recovery is the one path where
+    * deserializeOffset arrives FIRST (populateStartOffsets reads the
+    * checkpoint before anything else); mid-run offset-log reads happen only
+    * after engagement and must never rebase (they would renumber
+    * uncommitted buffer entries and replay them as duplicates). */
+  private var engaged = false
 
   /** On restart with a checkpoint, the checkpointed offset is ahead of this
-    * fresh instance's numbering (which starts at 0). Rebase the sequence to
-    * the checkpointed position so post-restart notifications are delivered
-    * instead of being silently skipped by an offset-range mismatch; anything
-    * buffered before the rebase is dropped (the documented at-most-once
-    * contract across restarts). */
+    * fresh instance's numbering (which starts at 0). The first restored
+    * offset — before any planning — rebases the sequence: buffered
+    * notifications (all post-restart arrivals) keep their order but
+    * renumber to follow the checkpointed position, so nothing that arrived
+    * after the restart is lost; only the previous incarnation's unread
+    * buffer is (the documented at-most-once contract across restarts). */
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong
     buffer.synchronized {
-      if (n > firstSeq + buffer.size) {
-        buffer.clear()
-        firstSeq = n
+      if (!engaged) {
+        engaged = true
+        if (n > firstSeq) firstSeq = n
       }
     }
     SeqOffset(n)

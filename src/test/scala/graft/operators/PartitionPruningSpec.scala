@@ -13,6 +13,13 @@ class PartitionPruningSpec extends SparkSpec {
 
   test("partitioned write -> read-back with filter prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    try { runPruningCheck(dir) } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
+  private def runPruningCheck(dir: String): Unit = {
     Tables.load(spark, sfDir, "documents")
       .write.partitionBy("source").parquet(s"$dir/docs_by_source")
 

@@ -98,15 +98,20 @@ class NgsiHttpSourceSpec extends SparkSpec {
     val port = freePort()
     val stream = new NgsiHttpMicroBatchStream(port)
     try {
-      // simulate a restart: the checkpoint holds offset 100 from the
+      // notifications can arrive BEFORE Spark restores the checkpoint —
+      // they are post-restart data and must not be lost by the rebase
+      post(port, notification, Map.empty)
+      // simulate the restart: the checkpoint holds offset 100 from the
       // previous incarnation; this fresh instance has numbered from 0
       val restored = stream.deserializeOffset("100")
       assert(restored.asInstanceOf[SeqOffset].n == 100L)
-      // notifications arriving AFTER the restore must extend 100, not 0
-      post(port, notification, Map.empty)
       post(port, notification, Map.empty)
       val latest = stream.latestOffset().asInstanceOf[SeqOffset]
-      assert(latest.n == 102L, s"expected rebase to 100 + 2 arrivals, got ${latest.n}")
+      assert(latest.n == 102L,
+        s"expected rebase to 100 + 2 surviving arrivals, got ${latest.n}")
+      // a second restore call (e.g. the batch's end offset) must NOT rebase again
+      stream.deserializeOffset("101")
+      assert(stream.latestOffset().asInstanceOf[SeqOffset].n == 102L)
       val parts = stream.planInputPartitions(SeqOffset(100L), latest)
       val rows = parts.flatMap(_.asInstanceOf[NgsiHttpInputPartition].rows)
       assert(rows.length == 2)

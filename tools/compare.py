@@ -49,9 +49,14 @@ def main():
     n_ok = 0
     names = sorted(glob.glob(f"{out_dir}/*/"))
     # A query that crashed in Verify writes NO result dir — it must count as
-    # a failure, not silently shrink the denominator.
+    # a failure, not silently shrink the denominator. The manifest covers
+    # no-oracle queries too; fall back to oracle keys if it's absent.
     have = {p.rstrip("/").split("/")[-1] for p in names}
-    missing = sorted(set(oracle) - have)
+    try:
+        expected = set(open(f"{out_dir}/query_names.txt").read().split())
+    except OSError:
+        expected = set(oracle)
+    missing = sorted(expected - have)
     for name in missing:
         print(f"FAIL {name}: no result written (query crashed in Verify?)")
     n_total = len(names) + len(missing)
