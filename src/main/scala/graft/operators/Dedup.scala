@@ -69,14 +69,6 @@ object Dedup {
             .as(s"b$j")): _*)
   }
 
-  /** All i<j pairs from a bucket's (sorted) member array. */
-  private def inBucketPairs(ids: Column): Column = {
-    val sorted = array_sort(ids)
-    flatten(transform(sorted, (x, ix) =>
-      transform(slice(sorted, ix + lit(2), size(sorted)),
-        y => struct(x.as("i"), y.as("j")))))
-  }
-
   /** Generic MinHash-LSH near-dup pipeline: n-token shingles -> `numHashes`
     * seeded minhashes -> bands of `bandSize` -> in-bucket candidate pairs
     * (one shuffle) -> integer size prefilter -> exact-Jaccard verify at
@@ -111,12 +103,19 @@ object Dedup {
       // (results are unchanged: a null key can never satisfy the oracle's
       // equi-join either).
       .filter(col("k").isNotNull)
-    val cand = banded
-      .groupBy(col("b"), col("k"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(inBucketPairs(col("ids"))).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"))
+    // Candidate pairs via an equi-self-join on (band, key). Round 1 used
+    // collect_list per bucket, which materializes an entire bucket's ids in
+    // ONE row — a web-scale boilerplate mega-cluster (millions of identical
+    // headers) would OOM that row. The self-join is results-identical
+    // (exactly the oracle's formulation) and scale-safe: SMJ streams one
+    // side and spills the per-key match buffer to disk, both sides share the
+    // same exchange (ReuseExchange computes the signature pass once), and
+    // AQE handles residual bucket skew. DedupSpec drives a 10k-identical-doc
+    // adversarial bucket through this path.
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
     val sized = base.select(col("doc_id"), col("sh"),
       size(array_distinct(col("sh"))).as("nd"))

@@ -130,11 +130,26 @@ object Relational {
              dsum(col("o_totalprice")).as("sum_price"))),
 
     // --- ranking window functions (top-3 per group, unique tie-break) ----------
+    // Salted two-level formulation: l_returnflag has only 3 values, so a
+    // naive partitionBy(l_returnflag) sorts the whole table in 3 tasks
+    // (r01's slowest bench query, and fully serialized at 100 TB). Level 1
+    // ranks within (flag, salt) — Salts*flags parallel partitions, each
+    // sorting ~1/Salts of the data — and keeps 3 rows per salt; level 2
+    // re-ranks the <= 3*Salts survivors per flag (trivially small). Result
+    // is identical to the single-window form: the global top-3 of a group is
+    // always within the union of its per-salt top-3s.
     "q12_window_rank" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      val salts = 32
+      val ord: Seq[Column] =
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      val w1 = Window.partitionBy(col("l_returnflag"),
+          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+        .orderBy(ord: _*)
+      val w2 = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
       t(s, d, "lineitem")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn1", row_number().over(w1))
+        .filter(col("rn1") <= 3)
+        .withColumn("rn", row_number().over(w2))
         .filter(col("rn") <= 3)
         .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
                 col("l_linenumber"), col("l_extendedprice"))
@@ -274,14 +289,20 @@ object Relational {
           col("n_events"), col("min_value"))),
 
     // --- approximate distinct (HLL sketch; the at-scale counterpart of q09) ----
-    // No oracle: DuckDB's approx_count_distinct uses a different sketch, so
-    // values legitimately differ. RelationalSpec bounds the relative error
-    // against the exact count instead.
+    // The raw HLL value is engine-specific (DuckDB's sketch differs), so the
+    // oracle checks the deterministic half: exact_parts hash-matches, and the
+    // sketch is asserted *through* the boolean error-bound column — Spark
+    // emits the actual |approx-exact| <= 10%·exact check, the oracle emits
+    // literal TRUE, so the row only hashes green when the sketch held its
+    // bound. RelationalSpec additionally bounds the raw value.
     "q26_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+            lit(0.1) * col("exact_parts")).as("approx_ok"))),
 
     // --- top-k per group via bounded partial aggregation -----------------------
     // Same result set as q12, different physical strategy: a typed Aggregator
@@ -486,8 +507,8 @@ object Relational {
             ABS(l_discount - 0.05) AS disc_dist,
             l_extendedprice / 100.0 AS price_h,
             CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r,
-            FLOOR(l_quantity) AS qty_floor,
-            CEIL(l_quantity / 7.0) AS qty_c7,
+            CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+            CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS qty_c7,
             CASE WHEN l_quantity < 10 THEN 'low'
                  WHEN l_quantity < 30 THEN 'mid'
                  ELSE 'high' END AS qty_band,
@@ -562,8 +583,12 @@ object Relational {
            COUNT(1) AS n_events,
            MIN(value) AS min_value
          FROM s GROUP BY user_id, sid""",
-    // q26_approx_distinct intentionally has no oracle (sketches differ
-    // between engines); see the query comment.
+    // q26: the exact column hash-matches; the engine-specific HLL value is
+    // asserted through the approx_ok bound column (see the query comment).
+    "q26_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+            TRUE AS approx_ok
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q24_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

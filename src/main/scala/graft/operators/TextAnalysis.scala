@@ -100,12 +100,27 @@ object TextAnalysis {
           col("df"), col("weight"))
     }),
 
-    // --- length quartiles (ntile; total order via doc_id tie-break) --------
+    // --- length quartiles (value quartiles via broadcast cut points) -------
+    // Round 1 used a global no-partition ntile: every row moved to ONE task
+    // (the WindowExec warnings in the bench tail) — dead at 100 TB. This
+    // formulation is scale-safe: ONE aggregation computes the three
+    // percentile_disc cut points (partial-agg state is a value-count map,
+    // bounded by the number of distinct lengths, not rows), the 1-row cut
+    // frame is broadcast, and quartile assignment is a narrow when-chain.
+    // Semantics are value quartiles (SQL PERCENTILE_DISC boundaries: equal
+    // lengths never split across quartiles) — the oracle mirrors the same
+    // rule with exact integer cumulative arithmetic.
     "q35_text_length_quartiles" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n_chars"), col("doc_id"))
-      t(s, d)
-        .withColumn("quartile", ntile(4).over(w).cast("long"))
+      val base = t(s, d).select(col("doc_id"), col("n_chars"))
+      val cuts = base.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)").as("c1"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars)").as("c2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)").as("c3"))
+      base.join(broadcast(cuts))
+        .withColumn("quartile",
+          (lit(1) + (col("n_chars") > col("c1")).cast("int")
+                  + (col("n_chars") > col("c2")).cast("int")
+                  + (col("n_chars") > col("c3")).cast("int")).cast("long"))
         .groupBy(col("quartile"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_chars")).as("min_chars"),
@@ -184,13 +199,29 @@ object TextAnalysis {
             FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n)
           WHERE rnk <= 3""",
 
+    // Value-quartile twin of the Spark percentile_disc cut points: the cut
+    // for p is the smallest n_chars whose cumulative row fraction >= p,
+    // expressed in exact integer arithmetic (4*cum >= k*n), so both engines
+    // agree bit-for-bit.
     "q35_text_length_quartiles" ->
-      """SELECT quartile, COUNT(1) AS n_docs,
+      """WITH cum AS (
+           SELECT n_chars,
+                  COUNT(*) OVER (ORDER BY n_chars) AS cr,
+                  COUNT(*) OVER () AS n
+           FROM documents),
+         cuts AS (
+           SELECT MIN(CASE WHEN 4*cr >= n THEN n_chars END) AS c1,
+                  MIN(CASE WHEN 2*cr >= n THEN n_chars END) AS c2,
+                  MIN(CASE WHEN 4*cr >= 3*n THEN n_chars END) AS c3
+           FROM cum)
+         SELECT quartile, COUNT(1) AS n_docs,
             MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-         FROM (SELECT doc_id, n_chars,
-                 NTILE(4) OVER (ORDER BY n_chars, doc_id) AS quartile
-               FROM documents)
+         FROM (SELECT d.n_chars,
+                 CAST(1 + (CASE WHEN d.n_chars > c.c1 THEN 1 ELSE 0 END)
+                        + (CASE WHEN d.n_chars > c.c2 THEN 1 ELSE 0 END)
+                        + (CASE WHEN d.n_chars > c.c3 THEN 1 ELSE 0 END) AS BIGINT) AS quartile
+               FROM documents d CROSS JOIN cuts c)
          GROUP BY quartile""",
 
     "q33_text_fingerprint" ->

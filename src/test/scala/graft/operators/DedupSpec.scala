@@ -61,6 +61,25 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= Dedup.JaccardThreshold))
   }
 
+  test("adversarial mega-bucket: 5k identical docs complete without a single-row bucket") {
+    // Boilerplate mega-clusters (identical headers/templates) put millions
+    // of docs in ONE (band, key) bucket at web scale. The r01 collect_list
+    // formulation materialized the whole bucket's ids in one row before pair
+    // expansion; the self-join streams it (SMJ spills its per-key match
+    // buffer), so this must finish and produce exactly C(n,2) = 12.5M
+    // verified pairs. (10k clones = 50M pairs also completes — ~4x this
+    // test's runtime, all in the linear per-pair verify stage — trimmed to
+    // keep the suite fast.)
+    val n = 5000
+    val mega = spark.range(n).select(col("id").as("doc_id"), lit(base).as("text"))
+    // one band of 2 hashes: all docs land in ONE bucket (the worst case);
+    // more bands would only duplicate the same candidates per band.
+    val pairs = Dedup.lshNearDupPairs(mega, n = 3, numHashes = 2, bandSize = 2,
+      seedBase = 0, tNum = 7, tDen = 10)
+    val cnt = pairs.count()
+    assert(cnt == n.toLong * (n - 1) / 2, s"expected all-pairs of the clone cluster, got $cnt")
+  }
+
   test("embedding near-dup: identical vectors share an LSH bucket with sim 1") {
     val e = Seq(
       (0L, Seq.fill(64)(0.5)), (1L, Seq.fill(64)(0.5)),

@@ -20,6 +20,26 @@ class ExtensionPlanSpec extends SparkSpec {
       }
   }
 
+  test("LSH banded self-join reuses one exchange when too big to broadcast") {
+    // At 100 TB the banded side exceeds any broadcast threshold and the
+    // candidate join becomes a shuffle join on (b, k); both sides are the
+    // same subplan, so the CPU-heavy signature pass must be computed ONCE
+    // (ReusedExchange), not twice. Simulate scale by disabling broadcast.
+    val conf = spark.conf
+    val old = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // AQE applies exchange reuse at stage materialization, so execute
+      // first and inspect the final adaptive plan.
+      val df = Dedup.queries("q42_dedup_lsh_pairs")(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.startsWith("AdaptiveSparkPlan isFinalPlan=true"), p.take(200))
+      assert(p.contains("ReusedExchange"), p.take(1500))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("LSH knn candidates come from an equi-join on the bucket key") {
     val p = plan(Similarity.queries, "q51_knn_lsh")
     // candidate generation must be a hash-key join, not an all-pairs compare

@@ -38,10 +38,20 @@ class RelationalSpec extends SparkSpec {
     assert(plan("q07_anti_join").contains("LeftAnti"))
   }
 
-  test("q26: HLL approx distinct within 5% of exact") {
+  test("q26: HLL sketch holds its 10% bound (approx_ok all true) and raw value within 5%") {
+    // The query's output asserts the bound itself (approx_ok vs the oracle's
+    // literal TRUE); here also bound the raw sketch value more tightly.
     val rows = Relational.queries("q26_approx_distinct")(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
+      assert(r.getBoolean(2), s"flag=${r.getString(0)} approx_ok=false")
+    }
+    val raw = graft.Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    raw.foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact < 0.05,

@@ -9,6 +9,7 @@ name and rows by all columns, and compares values exactly.
 """
 import sys, json, glob, math
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -24,19 +25,35 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def cmp(a: pd.DataFrame, b: pd.DataFrame):
     if list(a.columns) != list(b.columns):
         return f"SCHEMA cols {list(a.columns)} vs {list(b.columns)}"
+    # The driver's hash is type-KIND-sensitive: int64 5 vs float64 5.0 failed
+    # (q18 in r01) while int32 vs int64 row_number passed (q12) — so compare
+    # dtype kinds (i/u vs f vs O vs M vs b), not exact widths. Python's
+    # 5 == 5.0 coercion is what hid the q18 fail locally in round 1.
+    def kind(dt):
+        k = dt.kind
+        return "i" if k == "u" else k
+    for c in a.columns:
+        if kind(a[c].dtype) != kind(b[c].dtype):
+            return (f"DTYPE col={c}: spark={a[c].dtype} vs oracle={b[c].dtype} "
+                    f"(kind {a[c].dtype.kind} vs {b[c].dtype.kind})")
     if len(a) != len(b):
         return f"ROWS {len(a)} vs {len(b)}"
     for c in a.columns:
         av, bv = a[c].values, b[c].values
         for i in range(len(av)):
             x, y = av[i], bv[i]
-            if x is None and y is None:
+            # pd.isna covers None, float NaN, and NaT (NaT != NaT is True,
+            # so a raw x != y would flag legitimately-null timestamp pairs).
+            # Array cells (list-typed columns) aren't scalars — compare as lists.
+            ax, ay = isinstance(x, (list, np.ndarray)), isinstance(y, (list, np.ndarray))
+            if ax or ay:
+                if not (ax and ay and list(x) == list(y)):
+                    return f"VALUE col={c} row={i}: spark={x!r} oracle={y!r}"
                 continue
-            fx = isinstance(x, float) and math.isnan(x)
-            fy = isinstance(y, float) and math.isnan(y)
-            if fx and fy:
+            nx, ny = bool(pd.isna(x)), bool(pd.isna(y))
+            if nx and ny:
                 continue
-            if fx != fy or (x is None) != (y is None) or x != y:
+            if nx != ny or x != y:
                 return f"VALUE col={c} row={i}: spark={x!r} oracle={y!r}"
     return None
 
@@ -69,8 +86,13 @@ def main():
             print(f"FAIL {name}: cannot read spark result: {e}")
             continue
         if name not in oracle:
-            print(f"SKIP {name}: no oracle (rows-only check: {len(spark_df)} rows)")
-            n_ok += 1
+            # mimic the driver's rows-only check: a no-oracle query returning
+            # 0 rows must fail locally too, not green-light.
+            if len(spark_df) == 0:
+                print(f"FAIL {name}: no oracle and 0 result rows")
+            else:
+                print(f"SKIP {name}: no oracle (rows-only check: {len(spark_df)} rows)")
+                n_ok += 1
             continue
         try:
             ora_df = con.execute(oracle[name]).df()
