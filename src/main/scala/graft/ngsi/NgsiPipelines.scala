@@ -40,6 +40,18 @@ object NgsiPipelines {
       }
   }
 
+  /** Batch replay of captured notifications: read a capture directory
+    * (parquet/JSON/CSV rows shaped like the HTTP source's output — `value`
+    * plus optional `service`/`servicePath`/`recvTime`) and run the
+    * identical parse. Because every transform here is mode-agnostic, any
+    * example pipeline re-runs over history unchanged — the backfill path
+    * the streaming-only reference lacks (`Example1.scala:17` is push-only).
+    * NgsiReplaySpec proves batch replay == streaming result on the same
+    * capture. */
+  def replayCaptured(spark: SparkSession, path: String,
+                     format: String = "parquet"): Dataset[NgsiEvent] =
+    parseEvents(spark.read.format(format).load(path))
+
   /** `flatMap(event => event.entities)` (`Example1.scala:21`) as a
     * Catalyst Generator: one row per entity, recvTime carried along. */
   def flattenEntities(events: DataFrame): DataFrame =

@@ -79,7 +79,7 @@ object Similarity {
         .select(col("query_id"), col("nn_rank"), col("vec_id"), col("sim"))
     }),
 
-    // --- IVF: per-label centroids, probe nearest list (no oracle) ----------
+    // --- IVF: learned k-means lists, probe nearest lists (no oracle) -------
     "q52_knn_ivf" -> ((s, d) => ivfTopK(embs(s, d), NumQueries, LshTopK)),
 
     // --- symmetric int8 quantization (embedding storage at scale) ----------
@@ -110,42 +110,115 @@ object Similarity {
     })
   )
 
-  /** IVF search: centroids = element-wise mean per label; each query probes
-    * only its nearest centroid's member list. Centroid build is one narrow
-    * shuffle (label,pos); probe is a broadcast of (tiny) centroids then an
-    * equi-join on the probed label. */
-  def ivfTopK(e: DataFrame, numQueries: Int, k: Int): DataFrame = {
+  /** IVF search: coarse quantization by Lloyd's k-means (learned, not the
+    * testdata's labels), then each query probes only its `nProbe` nearest
+    * centroids' inverted lists.
+    *
+    * Every stage is the shape that survives 100 TB:
+    *  - train: Lloyd's runs on a BOUNDED md5-ordered sample (nLists*256
+    *    vectors, ~1 MB) collected to the driver — model training, not a
+    *    data path; cost is independent of corpus size and of `iters`.
+    *    Fixed sample order makes every centroid bit-deterministic —
+    *    floating sums in shuffle order would make recall flap run to run.
+    *  - assign: broadcast the (tiny) centroid table, argmax-cosine per
+    *    vector via ONE hash aggregation — the corpus is scanned once and
+    *    never shuffles for assignment.
+    *  - probe/search: broadcast centroids to rank lists per query, then ONE
+    *    equi-join on the probed list id; only ~nProbe/nLists of the corpus
+    *    is scored per query.
+    * Fixed `iters` Lloyd rounds: k-means converges geometrically; 5 rounds
+    * on a seeded init is the standard IVF build trade-off.
+    * No SQL oracle by design (learned doubles are not ANSI-expressible);
+    * SimilaritySpec pins recall@k against the exact q50 baseline instead. */
+  def ivfTopK(e: DataFrame, numQueries: Int, k: Int, nLists: Int = 8,
+              iters: Int = 5, nProbe: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(e.sparkSession)
-    val cent = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("cx")))),
-        p => p.getField("cx")).as("cv"))
-      .select(col("label").as("c_label"), col("cv"))
+
+    // Training sample: k-means for a coarse quantizer is trained on a
+    // BOUNDED sample, not the corpus (the FAISS discipline — nLists*256
+    // vectors saturate centroid quality). The sample is the nLists*256
+    // smallest md5(vec_id): deterministic, value-unbiased, a TakeOrdered
+    // (no global sort). It is model-scale (nLists*256 x dim doubles, ~1 MB
+    // at the defaults), so Lloyd's rounds run ON THE DRIVER over the
+    // collected sample — zero cluster jobs per iteration. This is NOT a
+    // driver data-path: the corpus-sized work is exactly two distributed
+    // passes (the sample TakeOrdered and the final list assignment),
+    // independent of `iters`.
+    val sample: Array[(String, Array[Double])] = e
+      .select(md5(col("vec_id").cast("string")).as("so"), col("v"))
+      .orderBy(col("so")).limit(nLists * 256)
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1) // fixed fold order -> bit-deterministic centroids
+
+    // seeding: the nLists sample vectors with the smallest md5(vec_id); the
+    // list id is the first 15 hex chars of that md5 as a long.
+    def cidOf(so: String): Long = java.lang.Long.parseLong(so.take(15), 16)
+    var centers: Array[(Long, Array[Double])] =
+      sample.take(nLists).map { case (so, v) => (cidOf(so), v.clone()) }
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def nearest(cs: Array[(Long, Array[Double])], v: Array[Double]): Long =
+      cs.map { case (cid, cv) => (cos(v, cv), cid) }
+        .reduceLeft((x, y) => if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x)._2
+
+    for (_ <- 1 to iters) {
+      val byList = sample.map { case (_, v) => (nearest(centers, v), v) }
+        .groupBy(_._1)
+      // empty lists drop (standard Lloyd's); sample order is fixed, so the
+      // mean's summation order — and therefore every centroid bit — is too.
+      centers = centers.flatMap { case (cid, _) =>
+        byList.get(cid).map { members =>
+          val m = Array.fill(members.head._2.length)(0.0)
+          members.foreach { case (_, v) =>
+            var i = 0; while (i < m.length) { m(i) += v(i); i += 1 } }
+          var i = 0; while (i < m.length) { m(i) /= members.length; i += 1 }
+          (cid, m)
+        }
+      }
+    }
+
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cent = centers.toSeq.toDF("cid", "cv")
+
+    // the one corpus-wide pass: final inverted-list assignment — broadcast
+    // the (tiny) centroid table, argmax-cosine per vector via one hash
+    // aggregation (the max(struct) trick; no per-vector window), the corpus
+    // itself never shuffles beyond that single agg.
+    val lists = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"),
+        struct(cosine(col("v"), col("cv")).as("csim"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), max(col("sc")).as("best"))
+      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid"))
 
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
     val wc = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("c_label"))
+      .orderBy(col("csim").desc, col("cid"))
     val probed = q.join(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("c_label"),
+      .select(col("query_id"), col("qv"), col("cid"),
         cosine(col("qv"), col("cv")).as("csim"))
       .withColumn("crank", row_number().over(wc).cast("long"))
-      .filter(col("crank") === 1)
-      .select(col("query_id"), col("qv"), col("c_label"))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    probed.join(e, col("c_label") === col("label") && col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), col("label"),
+    probed.join(lists, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cid").as("list_id"),
         cosine(col("qv"), col("v")).as("sim"))
       .withColumn("nn_rank", row_number().over(w).cast("long"))
       .filter(col("nn_rank") <= k)
-      .select(col("query_id"), col("nn_rank"), col("vec_id"), col("label"), col("sim"))
+      .select(col("query_id"), col("nn_rank"), col("vec_id"), col("list_id"), col("sim"))
   }
 
   // ------------------------- oracle SQL twins ----------------------------

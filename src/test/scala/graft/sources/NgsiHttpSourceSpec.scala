@@ -121,6 +121,71 @@ class NgsiHttpSourceSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("soak: 8 concurrent posters, exactly-once ingest + sliding-window min") {
+    // Concurrent bursts are where the r01 review found the offset-rebase
+    // duplicate; this drives the full path (accept -> buffer -> micro-batch
+    // -> parse -> sliding-window min) under contention and asserts
+    // exactly-once WITHIN the run: every posted entity appears, none twice.
+    val port = freePort()
+    val raw = NgsiStreams.fromHttp(spark, port)
+    // example1's sliding-window min, plus a per-(window, id) event count:
+    // each entity is posted exactly once, so any replayed duplicate (same
+    // buffered row planned twice, identical recvTime -> identical windows)
+    // shows up as n > 1 — min alone cannot see duplicates of an equal value.
+    val parsed = graft.ngsi.NgsiPipelines.parseEvents(raw)
+      .withWatermark("recvTime", "30 seconds")
+    val out = graft.ngsi.NgsiPipelines.flattenEntities(parsed.toDF())
+      .select(col("recvTime"), col("id"),
+        graft.ngsi.NgsiPipelines.attrValue("temperature").cast("float").as("temperature"))
+      .groupBy(window(col("recvTime"), "5 seconds", "2 seconds"), col("id"))
+      .agg(min(col("temperature")).as("temperature_min"),
+        count(lit(1)).as("n"))
+    val q = out.writeStream.format("memory").queryName("ngsi_soak_min")
+      .outputMode(OutputMode.Update())
+      .start()
+    val threads = 8
+    val perThread = 250
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val pool = (0 until threads).map { t =>
+        new Thread(() => {
+          val client = HttpClient.newHttpClient()
+          (0 until perThread).foreach { i =>
+            val id = s"S${t}_$i"
+            val temp = (t * perThread + i).toDouble / 10.0
+            val body = notification
+              .replace("R1", id).replace("21.5", temp.toString)
+            val req = HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/notify"))
+              .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+            if (client.send(req, HttpResponse.BodyHandlers.discarding()).statusCode() != 200)
+              errors.incrementAndGet()
+          }
+        })
+      }
+      pool.foreach(_.start())
+      pool.foreach(_.join())
+      assert(errors.get() == 0, s"${errors.get()} posts failed")
+      q.processAllAvailable()
+      val rows = spark.table("ngsi_soak_min")
+        .select(col("id"), col("temperature_min"), col("n")).collect()
+      // no loss: every one of the 2000 distinct entities surfaced
+      val byId = rows.groupBy(_.getString(0))
+      assert(byId.size == threads * perThread,
+        s"expected ${threads * perThread} distinct entities, got ${byId.size}")
+      // exactly-once: one posted event per entity -> every window sees it once
+      assert(rows.forall(_.getLong(2) == 1L),
+        s"duplicate delivery: ${rows.filter(_.getLong(2) != 1L).take(5).mkString(", ")}")
+      // windowed-min semantics under load: each entity was posted exactly one
+      // value, so every window's min for it must equal that value
+      byId.foreach { case (id, rs) =>
+        val Array(t, i) = id.drop(1).split("_").map(_.toInt)
+        val expected = ((t * perThread + i).toDouble / 10.0).toFloat
+        assert(rs.forall(_.getFloat(1) == expected),
+          s"$id: got ${rs.map(_.getFloat(1)).toSet}, expected $expected")
+      }
+    } finally q.stop()
+  }
+
   test("non-POST requests are rejected, stream unaffected") {
     val port = freePort()
     val raw = NgsiStreams.fromHttp(spark, port)
