@@ -128,6 +128,51 @@ object Dedup {
       .filter(col("jac") >= lit(tNum.toDouble / tDen))
   }
 
+  /** Connected components over an undirected edge list `(i, j)` by
+    * iterative min-label propagation (the Pregel/GraphX formulation): every
+    * node starts labeled with itself, each round pushes labels across edges
+    * and keeps the min, converging in O(component diameter) rounds.
+    *
+    * Scale notes: the edge list is near-dup PAIRS — a tiny fraction of the
+    * corpus — and is materialized once (eager localCheckpoint) so the
+    * upstream LSH pipeline is not re-run per round; each round is one
+    * equi-join + one hash agg, and the per-round convergence check is a
+    * count (no data to the driver). Near-dup clusters are dense and
+    * shallow (clones of one template), so diameters are small; for
+    * adversarial high-diameter graphs swap the propagation step for
+    * alternating large-star/small-star (Kiveris et al.), which keeps the
+    * same join-agg shape but converges in O(log n) rounds. Deterministic:
+    * run to fixpoint, min() is order-free.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("i").as("src"), col("j").as("dst"))
+      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      it += 1
+      val pushed = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.union(pushed)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("component"))
+  }
+
+  private def trigramPairs(s: SparkSession, d: String): DataFrame =
+    lshNearDupPairs(docs(s, d), n = 3, numHashes = NumHashes,
+      bandSize = BandSize, seedBase = 0,
+      tNum = TrigramTNum, tDen = TrigramTDen)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- exact dedup: hash-groupBy, keep min doc_id per content hash -------
@@ -164,6 +209,24 @@ object Dedup {
       lshNearDupPairs(docs(s, d), n = 2, numHashes = BigramHashes,
         bandSize = BigramBandSize, seedBase = BigramSeedBase,
         tNum = BigramTNum, tDen = BigramTDen)),
+
+    // --- near-dup clustering: connected components over LSH pairs ----------
+    // The step after pair detection in a real dedup pipeline: transitive
+    // closure groups A~B~C into one cluster even when A and C never pair.
+    "q46_dedup_components" -> ((s, d) =>
+      connectedComponents(trigramPairs(s, d).select(col("i"), col("j")))),
+
+    // --- canonical corpus: keep one representative per near-dup cluster ----
+    // The end-to-end dedup deliverable: drop every cluster member except the
+    // min doc_id, pass untouched docs through. (Docs too short to shingle
+    // cannot pair and pass through — both engines agree.)
+    "q47_dedup_canonical" -> ((s, d) => {
+      val losers = connectedComponents(trigramPairs(s, d).select(col("i"), col("j")))
+        .filter(col("doc_id") =!= col("component"))
+        .select(col("doc_id"))
+      docs(s, d).join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
 
     // --- embedding-cosine near-dup, hyperplane-LSH-blocked -----------------
     // Norms are computed once per vector, not once per pair (same arithmetic
@@ -221,7 +284,32 @@ object Dedup {
     s"SELECT doc_id, sh, ${mhs.mkString(", ")} FROM (SELECT doc_id, $oSh AS sh FROM documents)"
   }
 
+  /** Recursive-CTE twin of [[connectedComponents]] over the trigram LSH
+    * pairs: component(id) = min id reachable from id (reachability closure
+    * is fine at oracle scale — the pair set is tiny). */
+  private val oComponents: String = {
+    val pairsSql = oLshNearDupPairs(3, NumHashes, BandSize, 0, TrigramTNum, TrigramTDen)
+    s"""pairs AS (SELECT i, j FROM ($pairsSql)),
+        edges AS (SELECT i AS src, j AS dst FROM pairs
+                  UNION ALL SELECT j AS src, i AS dst FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q46_dedup_components" ->
+      s"WITH RECURSIVE $oComponents SELECT doc_id, component FROM comp",
+
+    "q47_dedup_canonical" ->
+      s"""WITH RECURSIVE $oComponents
+          SELECT d.doc_id, d.source, d.n_chars FROM documents d
+          WHERE NOT EXISTS (SELECT 1 FROM comp c
+                            WHERE c.doc_id = d.doc_id AND c.component <> c.doc_id)""",
+
     "q40_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
          FROM documents GROUP BY 1""",

@@ -128,6 +128,22 @@ object TextAnalysis {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // --- deterministic sampling + train/valid/test split -------------------
+    // Reproducible corpus splitting at any scale: the split is a pure
+    // function of doc_id (md5 prefix compared against hex thresholds —
+    // lowercase-hex string order is the same in every engine), so it is
+    // stable across runs, engines, partitionings, and corpus growth
+    // (adding docs never reassigns existing ones). ~5% test ('00'..'0c'),
+    // ~5% valid ('0d'..'19'), rest train. Narrow, zero shuffles.
+    "q36_train_split" -> ((s, d) =>
+      t(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .select(col("doc_id"), col("source"),
+          when(col("h") < "0d", "test")
+            .when(col("h") < "1a", "valid")
+            .otherwise("train").as("split"))),
+
     // --- document fingerprinting (full-hash + shingle winnow) --------------
     "q33_text_fingerprint" -> ((s, d) => {
       val sh = shingles(toks(col("text")), 3)
@@ -223,6 +239,13 @@ object TextAnalysis {
                         + (CASE WHEN d.n_chars > c.c3 THEN 1 ELSE 0 END) AS BIGINT) AS quartile
                FROM documents d CROSS JOIN cuts c)
          GROUP BY quartile""",
+
+    "q36_train_split" ->
+      """SELECT doc_id, source,
+            CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0d' THEN 'test'
+                 WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'valid'
+                 ELSE 'train' END AS split
+         FROM documents""",
 
     "q33_text_fingerprint" ->
       s"""SELECT doc_id,

@@ -80,6 +80,31 @@ class DedupSpec extends SparkSpec {
     assert(cnt == n.toLong * (n - 1) / 2, s"expected all-pairs of the clone cluster, got $cnt")
   }
 
+  test("connected components: chain, cycle, and disjoint pair resolve to min labels") {
+    // chain 1-2-3-4 (transitive closure: 1 and 4 never pair directly),
+    // cycle 20-21-22-20, disjoint pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("q47 canonical corpus keeps exactly one representative per near-dup cluster") {
+    val comp = Dedup.queries("q46_dedup_components")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.nonEmpty, "sf0.001 has near-dup clusters")
+    val kept = Dedup.queries("q47_dedup_canonical")(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // every cluster contributes exactly its min member; all others survive
+    comp.foreach { case (id, c) =>
+      assert(kept.contains(id) == (id == c), s"doc $id component $c kept=${kept.contains(id)}")
+    }
+    assert(kept.size == total - comp.count { case (id, c) => id != c })
+  }
+
   test("embedding near-dup: identical vectors share an LSH bucket with sim 1") {
     val e = Seq(
       (0L, Seq.fill(64)(0.5)), (1L, Seq.fill(64)(0.5)),
