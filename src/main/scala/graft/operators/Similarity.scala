@@ -82,6 +82,36 @@ object Similarity {
     // --- IVF: learned k-means lists, probe nearest lists (no oracle) -------
     "q52_knn_ivf" -> ((s, d) => ivfTopK(embs(s, d), NumQueries, LshTopK)),
 
+    // --- ANN over int8-quantized vectors (the compressed search path) ------
+    // Search the 4x-compressed store directly: cosine over quantized codes.
+    // The per-vector amax scale CANCELS in the cosine (q8 = round(127 v /
+    // amax) -> cos(q8_a, q8_b) needs no dequantization), and every term is
+    // small-integer-exact in doubles (|q8| <= 127, 64-dim products/sums <<
+    // 2^53), so unlike float ANN this is fully oracle-hashable: integer dot
+    // / sqrt(int)*sqrt(int), both correctly rounded IEEE. Same broadcast
+    // shape as q50.
+    "q54_knn_quantized" -> ((s, d) => {
+      val e = embs(s, d)
+        .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+        // Spark floor() yields BIGINT — cast back so q8 is array<double>
+        // (what the native dot/norm expressions consume; values stay
+        // small-integer-exact)
+        .withColumn("q8", transform(col("v"),
+          x => floor(x * lit(127.0) / col("amax") + lit(0.5)).cast("double")))
+        .withColumn("n8", norm(col("q8")))
+        .select(col("vec_id"), col("q8"), col("n8"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("q8").as("qq8"), col("n8").as("qn8"))
+      val scored = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dot(col("qq8"), col("q8")) / (col("qn8") * col("n8"))).as("qsim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("qsim").desc, col("vec_id"))
+      scored.withColumn("nn_rank", row_number().over(w).cast("long"))
+        .filter(col("nn_rank") <= TopK)
+        .select(col("query_id"), col("nn_rank"), col("vec_id"), col("qsim"))
+    }),
+
     // --- symmetric int8 quantization (embedding storage at scale) ----------
     // 4x compression for a 100 TB embedding store. Rounding is
     // floor(x*127/amax + 0.5) — floor is exact in both engines, unlike
@@ -253,6 +283,25 @@ object Similarity {
             FROM scored)
           WHERE nn_rank <= $LshTopK""",
     // q52_knn_ivf intentionally has no oracle (see Scaladoc).
+
+    "q54_knn_quantized" ->
+      s"""WITH b AS (
+            SELECT vec_id, $oEmb AS v,
+                   list_max(list_transform($oEmb, x -> abs(x))) AS amax
+            FROM embeddings),
+          e AS (
+            SELECT vec_id,
+                   list_transform(v, x -> floor(x * 127.0 / amax + 0.5)) AS q8
+            FROM b),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   ${oCosine("q.q8", "c.q8")} AS qsim
+            FROM e q JOIN e c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id)
+          SELECT query_id, nn_rank, vec_id, qsim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY qsim DESC, vec_id) AS nn_rank
+            FROM scored)
+          WHERE nn_rank <= $TopK""",
 
     "q53_embed_quantize" ->
       s"""WITH e AS (

@@ -128,6 +128,42 @@ object TextAnalysis {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // --- Gopher-style quality filter rules ---------------------------------
+    // The standard pre-training filter chain (token count band, mean token
+    // length band, symbol ratio, repeated-n-gram ratio) as one narrow
+    // projection — every ratio is exact-rational int/int division, so both
+    // engines agree bit-for-bit, including the final boolean verdict.
+    "q37_text_gopher_rules" -> ((s, d) => {
+      val tk = toks(col("text"))
+      val sh = shingles(tk, 3)
+      t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(
+          col("doc_id"),
+          size(tk).cast("long").as("n_tok"),
+          (aggregate(transform(tk, w => length(w)), lit(0), (a, x) => a + x)
+            .cast("double") / size(tk)).as("mean_tok_len"),
+          (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+            length(col("text"))).as("sym_ratio"),
+          when(size(sh) > 0,
+            lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+            .otherwise(lit(0.0)).as("rep_ratio"))
+        .withColumn("pass",
+          col("n_tok") >= 20 && col("n_tok") <= 90 &&
+            col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0 &&
+            col("sym_ratio") < 0.1 && col("rep_ratio") < 0.2)
+    }),
+
+    // --- corpus heavy hitters: top-50 bigrams ------------------------------
+    // Two-level aggregation (map-side partial count, one keyed shuffle) +
+    // TakeOrdered for the limit — the boilerplate-discovery primitive that
+    // feeds template filters. Total order (n desc, gram) for determinism.
+    "q39_top_ngrams" -> ((s, d) =>
+      t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(explode(shingles(toks(col("text")), 2)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(50)),
+
     // --- deterministic sampling + train/valid/test split -------------------
     // Reproducible corpus splitting at any scale: the split is a pure
     // function of doc_id (md5 prefix compared against hex thresholds —
@@ -239,6 +275,29 @@ object TextAnalysis {
                         + (CASE WHEN d.n_chars > c.c3 THEN 1 ELSE 0 END) AS BIGINT) AS quartile
                FROM documents d CROSS JOIN cuts c)
          GROUP BY quartile""",
+
+    "q37_text_gopher_rules" ->
+      s"""SELECT doc_id, n_tok, mean_tok_len, sym_ratio, rep_ratio,
+            (n_tok >= 20 AND n_tok <= 90
+             AND mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+             AND sym_ratio < 0.1 AND rep_ratio < 0.2) AS pass
+          FROM (SELECT doc_id,
+                  len(tk) AS n_tok,
+                  CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+                    / len(tk) AS mean_tok_len,
+                  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                    / length(text) AS sym_ratio,
+                  CASE WHEN len(sh) > 0
+                       THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+                       ELSE 0.0 END AS rep_ratio
+                FROM (SELECT doc_id, text, $oToks AS tk,
+                        ${oShingles(oToks, 3)} AS sh
+                      FROM documents))""",
+
+    "q39_top_ngrams" ->
+      s"""SELECT gram, COUNT(1) AS n
+          FROM (SELECT unnest(${oShingles(oToks, 2)}) AS gram FROM documents)
+          GROUP BY gram ORDER BY n DESC, gram LIMIT 50""",
 
     "q36_train_split" ->
       """SELECT doc_id, source,

@@ -48,6 +48,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantized ANN preserves ranking fidelity vs full-precision brute force") {
+    def top(name: String) = Similarity.queries(name)(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val full = top("q50_knn_brute")
+    val quant = top("q54_knn_quantized")
+    // int8 cosine is a small perturbation: top-5 SETS must overlap heavily
+    val fullSets = full.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val quantSets = quant.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(fullSets.keySet == quantSets.keySet)
+    val overlap = fullSets.keys.toSeq.map { q =>
+      (fullSets(q) intersect quantSets(q)).size.toDouble / fullSets(q).size
+    }
+    assert(overlap.sum / overlap.size >= 0.8,
+      s"mean top-5 overlap ${overlap.sum / overlap.size} < 0.8")
+  }
+
   test("ivf k-means index: recall@5 vs exact brute force, monotone in nProbe") {
     // The testdata embeddings are RANDOM (max pairwise cosine ~0.5, no real
     // cluster structure), which is the worst case for IVF — recall here is a
