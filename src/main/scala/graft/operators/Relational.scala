@@ -358,6 +358,40 @@ object Relational {
                 col("sp").cast("double") / col("n")))).as("corr_qty_price"))
     }),
 
+    // --- as-of join (point-in-time lookup) -------------------------------------
+    // The canonical time-series operator Spark has no built-in for: each
+    // event picks up the latest "calibration" (rare high readings, value >
+    // 190) of the SAME user at cal_ts <= ts. Implemented the scale-safe way
+    // — union both sides tagged, one window per user ordered by (ts, tag)
+    // carrying the last non-null calibration forward — so it is ONE shuffle
+    // keyed by user (massively parallel; no inequality join, no broadcast of
+    // a time index, no per-row probe). Calibrations are deduped per (user,
+    // ts) with max(value) so the pick is total-order deterministic; ties at
+    // equal ts attach (tag sorts calibrations first), matching ASOF >=.
+    // Oracle: DuckDB's native ASOF LEFT JOIN.
+    "q48_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cal = ev.filter(col("value") > 190)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("cval"))
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          lit(null).cast("double").as("value"),
+          col("ts").as("cts"), col("cval"))
+      val left = ev.select(col("user_id"), col("ts"), lit(1).as("tag"),
+        col("value"),
+        lit(null).cast("timestamp").as("cts"),
+        lit(null).cast("double").as("cval"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.unionByName(left)
+        .withColumn("cal_ts", last(col("cts"), ignoreNulls = true).over(w))
+        .withColumn("cal_value", last(col("cval"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("user_id"), col("ts"), col("value"),
+          col("cal_ts"), col("cal_value"))
+    }),
+
     // --- grouping sets via SQL ------------------------------------------------------------------
     "q24_grouping_sets" -> ((s, d) => {
       // register only what the SQL touches (registerAll would re-read all
@@ -589,6 +623,14 @@ object Relational {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
             TRUE AS approx_ok
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q48_asof_join" ->
+      """SELECT e.user_id, e.ts, e.value, c.ts AS cal_ts, c.cval AS cal_value
+         FROM events e
+         ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS cval
+                         FROM events WHERE value > 190
+                         GROUP BY user_id, ts) c
+           ON e.user_id = c.user_id AND e.ts >= c.ts""",
 
     "q24_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
