@@ -392,6 +392,28 @@ object Relational {
           col("cal_ts"), col("cal_value"))
     }),
 
+    // --- range (interval-containment) join --------------------------------------
+    // Assign every event to the session interval that contains it. The
+    // range predicate rides on an EQUI-join key (user_id) — the scale-safe
+    // shape for interval joins whenever intervals are per-entity: one hash
+    // shuffle by user, the containment check is a post-join filter, never a
+    // cartesian/BNL. (For entity-free global intervals, bucket time into
+    // grid cells and equi-join on the cell instead.) Sessions come from the
+    // same session_window as q25, so the oracle reuses its gaps-and-islands
+    // CTE with the join layered on top.
+    "q49_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val sess = ev
+        .groupBy(session_window(col("ts"), "12 hours").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"))
+      ev.select(col("user_id"), col("ts"), col("value"))
+        .join(sess, Seq("user_id"))
+        .filter(col("ts") >= col("session_start") && col("ts") < col("session_end"))
+        .select(col("user_id"), col("ts"), col("value"), col("session_start"))
+    }),
+
     // --- grouping sets via SQL ------------------------------------------------------------------
     "q24_grouping_sets" -> ((s, d) => {
       // register only what the SQL touches (registerAll would re-read all
@@ -623,6 +645,27 @@ object Relational {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
             TRUE AS approx_ok
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q49_range_join" ->
+      """WITH m AS (
+           SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m),
+         sess AS (
+           SELECT user_id, MIN(ts) AS session_start,
+                  MAX(ts) + INTERVAL 12 HOUR AS session_end
+           FROM s GROUP BY user_id, sid)
+         SELECT e.user_id, e.ts, e.value, sess.session_start
+         FROM events e JOIN sess
+           ON e.user_id = sess.user_id
+          AND e.ts >= sess.session_start AND e.ts < sess.session_end""",
 
     "q48_asof_join" ->
       """SELECT e.user_id, e.ts, e.value, c.ts AS cal_ts, c.cval AS cal_value

@@ -153,6 +153,25 @@ object TextAnalysis {
             col("sym_ratio") < 0.1 && col("rep_ratio") < 0.2)
     }),
 
+    // --- lexical diversity: type-token ratio + Simpson index ---------------
+    // Repetitiveness features for quality filtering that stay exact-rational
+    // (entropy needs ln(), which is not bit-portable across libm builds):
+    // ttr = distinct/total, simpson = sum(c_i^2)/n^2. Two-level hash
+    // aggregation — (doc, term) counts then per-doc moments — no windows.
+    "q38_text_diversity" -> ((s, d) => {
+      val tc = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("c"))
+      tc.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_uniq"),
+          sum(col("c") * col("c")).as("c2"))
+        .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+          (col("n_uniq").cast("double") / col("n_tok")).as("ttr"),
+          (col("c2").cast("double") / (col("n_tok") * col("n_tok"))).as("simpson"))
+    }),
+
     // --- corpus heavy hitters: top-50 bigrams ------------------------------
     // Two-level aggregation (map-side partial count, one keyed shuffle) +
     // TakeOrdered for the limit — the boilerplate-discovery primitive that
@@ -293,6 +312,19 @@ object TextAnalysis {
                 FROM (SELECT doc_id, text, $oToks AS tk,
                         ${oShingles(oToks, 3)} AS sh
                       FROM documents))""",
+
+    "q38_text_diversity" ->
+      s"""SELECT doc_id, n_tok, n_uniq,
+            CAST(n_uniq AS DOUBLE) / n_tok AS ttr,
+            CAST(c2 AS DOUBLE) / (n_tok * n_tok) AS simpson
+          FROM (SELECT doc_id,
+                  CAST(SUM(c) AS BIGINT) AS n_tok,
+                  COUNT(1) AS n_uniq,
+                  CAST(SUM(c * c) AS BIGINT) AS c2
+                FROM (SELECT doc_id, term, COUNT(1) AS c
+                      FROM (SELECT doc_id, unnest($oToks) AS term FROM documents)
+                      GROUP BY doc_id, term)
+                GROUP BY doc_id)""",
 
     "q39_top_ngrams" ->
       s"""SELECT gram, COUNT(1) AS n
