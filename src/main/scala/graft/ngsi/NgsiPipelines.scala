@@ -49,8 +49,17 @@ object NgsiPipelines {
     * NgsiReplaySpec proves batch replay == streaming result on the same
     * capture. */
   def replayCaptured(spark: SparkSession, path: String,
-                     format: String = "parquet"): Dataset[NgsiEvent] =
-    parseEvents(spark.read.format(format).load(path))
+                     format: String = "parquet"): Dataset[NgsiEvent] = {
+    // header=true so CSV captures keep their column names (no-op for
+    // parquet/JSON); JSON and CSV deliver recvTime as a string, so re-cast
+    // before the typed parse (no-op when it is already a timestamp).
+    val raw = spark.read.format(format).option("header", "true").load(path)
+    val shaped =
+      if (raw.columns.contains("recvTime"))
+        raw.withColumn("recvTime", col("recvTime").cast("timestamp"))
+      else raw
+    parseEvents(shaped)
+  }
 
   /** `flatMap(event => event.entities)` (`Example1.scala:21`) as a
     * Catalyst Generator: one row per entity, recvTime carried along. */

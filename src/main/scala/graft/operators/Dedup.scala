@@ -110,8 +110,8 @@ object Dedup {
     // (exactly the oracle's formulation) and scale-safe: SMJ streams one
     // side and spills the per-key match buffer to disk, both sides share the
     // same exchange (ReuseExchange computes the signature pass once), and
-    // AQE handles residual bucket skew. DedupSpec drives a 10k-identical-doc
-    // adversarial bucket through this path.
+    // AQE handles residual bucket skew. DedupSpec drives a 5k-identical-doc
+    // adversarial bucket (12.5M verified pairs) through this path.
     val cand = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -165,6 +165,13 @@ object Dedup {
         .filter(col("lbl") < col("old")).count()
       labels = next
     }
+    // Fail loudly rather than ship partially-merged clusters: a silent
+    // non-converged return would under-merge q46/q47 with no signal.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(component diameter exceeds the cap); raise maxIters or switch " +
+          "the propagation step to large-star/small-star")
     labels.select(col("id").as("doc_id"), col("lbl").as("component"))
   }
 

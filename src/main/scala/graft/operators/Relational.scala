@@ -32,6 +32,24 @@ object Relational {
   private def oSum(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
   private def oAvg(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c)"
 
+  /** Session gap shared by q25 and q49 — ONE constant feeds the Spark
+    * `session_window` calls and the oracle's gaps-and-islands CTE so the
+    * two queries can never disagree about what a session is. */
+  private val SessionGapHours = 12
+  val SessionGap = s"$SessionGapHours hours"
+  private val oSessionIslands =
+    s"""m AS (
+         SELECT user_id, ts, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                 OR ts - LAG(ts) OVER w >= INTERVAL $SessionGapHours HOUR
+                THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       s AS (
+         SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+         FROM m)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- scans / filter / projection (pushdown-verified in RelationalSpec) --
@@ -281,7 +299,7 @@ object Relational {
     // previous event is >= 12h; session end = last event + gap, end-exclusive).
     "q25_session_window" -> ((s, d) =>
       t(s, d, "events")
-        .groupBy(session_window(col("ts"), "12 hours").as("sw"), col("user_id"))
+        .groupBy(session_window(col("ts"), SessionGap).as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), min(col("value")).as("min_value"))
         .select(col("user_id"),
           col("sw.start").as("session_start"),
@@ -404,7 +422,7 @@ object Relational {
     "q49_range_join" -> ((s, d) => {
       val ev = t(s, d, "events")
       val sess = ev
-        .groupBy(session_window(col("ts"), "12 hours").as("sw"), col("user_id"))
+        .groupBy(session_window(col("ts"), SessionGap).as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"))
@@ -622,20 +640,10 @@ object Relational {
          FROM m""",
 
     "q25_session_window" ->
-      """WITH m AS (
-           SELECT user_id, ts, value,
-             CASE WHEN LAG(ts) OVER w IS NULL
-                   OR ts - LAG(ts) OVER w >= INTERVAL 12 HOUR
-                  THEN 1 ELSE 0 END AS new_s
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-         s AS (
-           SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS UNBOUNDED PRECEDING) AS sid
-           FROM m)
+      s"""WITH $oSessionIslands
          SELECT user_id,
            MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL 12 HOUR AS session_end,
+           MAX(ts) + INTERVAL $SessionGapHours HOUR AS session_end,
            COUNT(1) AS n_events,
            MIN(value) AS min_value
          FROM s GROUP BY user_id, sid""",
@@ -647,20 +655,10 @@ object Relational {
          FROM lineitem GROUP BY l_returnflag""",
 
     "q49_range_join" ->
-      """WITH m AS (
-           SELECT user_id, ts,
-             CASE WHEN LAG(ts) OVER w IS NULL
-                   OR ts - LAG(ts) OVER w >= INTERVAL 12 HOUR
-                  THEN 1 ELSE 0 END AS new_s
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-         s AS (
-           SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS UNBOUNDED PRECEDING) AS sid
-           FROM m),
+      s"""WITH $oSessionIslands,
          sess AS (
            SELECT user_id, MIN(ts) AS session_start,
-                  MAX(ts) + INTERVAL 12 HOUR AS session_end
+                  MAX(ts) + INTERVAL $SessionGapHours HOUR AS session_end
            FROM s GROUP BY user_id, sid)
          SELECT e.user_id, e.ts, e.value, sess.session_start
          FROM events e JOIN sess

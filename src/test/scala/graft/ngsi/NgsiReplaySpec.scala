@@ -66,4 +66,27 @@ class NgsiReplaySpec extends SparkSpec with Matchers {
     batchMap should not be empty
     batchMap shouldBe streamMap
   }
+
+  test("JSON and CSV captures replay identically to parquet") {
+    val s = spark
+    import s.implicits._
+    val capture = bodies.toDF("value", "ms")
+      .select(col("value"), timestamp_millis(col("ms")).as("recvTime"))
+    def replayVia(format: String): Map[(Long, Long, String), Float] = {
+      val dir = Files.createTempDirectory(s"ngsi-capture-$format").toFile
+      dir.deleteOnExit()
+      format match {
+        case "csv" => capture.write.mode("overwrite")
+          .option("header", "true").csv(dir.getAbsolutePath)
+        case f => capture.write.mode("overwrite").format(f).save(dir.getAbsolutePath)
+      }
+      resultKey(NgsiPipelines.minTemperature(
+        NgsiPipelines.replayCaptured(s, dir.getAbsolutePath, format),
+        windowDur = "5 seconds", slide = "5 seconds").collect())
+    }
+    val viaParquet = replayVia("parquet")
+    viaParquet should not be empty
+    replayVia("json") shouldBe viaParquet
+    replayVia("csv") shouldBe viaParquet
+  }
 }

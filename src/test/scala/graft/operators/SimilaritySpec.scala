@@ -71,10 +71,10 @@ class SimilaritySpec extends SparkSpec {
     // training sample, fixed-order driver-side Lloyd sums), so these are
     // fixed values per SF, not flaky samples. Asserted with margin below
     // the measured sf0.001 values (~0.3 / ~0.5 / ~0.7 at nProbe 1/2/4).
+    val brute = Similarity.queries("q50_knn_brute")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     def recallAt(nProbe: Int): Double = {
-      val brute = Similarity.queries("q50_knn_brute")(spark, sfDir)
-        .collect().map(r => (r.getLong(0), r.getLong(2)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       val ivf = Similarity.ivfTopK(embFrame, Similarity.NumQueries, Similarity.TopK,
           nLists = 8, iters = 5, nProbe = nProbe)
         .collect().map(r => (r.getLong(0), r.getLong(2)))

@@ -44,11 +44,27 @@ def cmp(a: pd.DataFrame, b: pd.DataFrame):
             x, y = av[i], bv[i]
             # pd.isna covers None, float NaN, and NaT (NaT != NaT is True,
             # so a raw x != y would flag legitimately-null timestamp pairs).
-            # Array cells (list-typed columns) aren't scalars — compare as lists.
+            # Array cells (list-typed columns) aren't scalars — compare
+            # element-wise with the same kind- and NaN-sensitivity as
+            # scalars (a bare list(x) == list(y) would coerce 5 == 5.0 and
+            # fail matching NaNs).
             ax, ay = isinstance(x, (list, np.ndarray)), isinstance(y, (list, np.ndarray))
             if ax or ay:
-                if not (ax and ay and list(x) == list(y)):
+                if not (ax and ay) or len(x) != len(y):
                     return f"VALUE col={c} row={i}: spark={x!r} oracle={y!r}"
+                for j, (xe, ye) in enumerate(zip(x, y)):
+                    ne_x, ne_y = bool(pd.isna(xe)), bool(pd.isna(ye))
+                    if ne_x and ne_y:
+                        continue
+                    int_x = isinstance(xe, (int, np.integer)) and not isinstance(xe, bool)
+                    int_y = isinstance(ye, (int, np.integer)) and not isinstance(ye, bool)
+                    flt_x = isinstance(xe, (float, np.floating))
+                    flt_y = isinstance(ye, (float, np.floating))
+                    if int_x != int_y or flt_x != flt_y:
+                        return (f"DTYPE col={c} row={i} elem={j}: "
+                                f"spark={type(xe).__name__} vs oracle={type(ye).__name__}")
+                    if ne_x != ne_y or xe != ye:
+                        return f"VALUE col={c} row={i} elem={j}: spark={xe!r} oracle={ye!r}"
                 continue
             nx, ny = bool(pd.isna(x)), bool(pd.isna(y))
             if nx and ny:
