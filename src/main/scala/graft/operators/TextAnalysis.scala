@@ -129,29 +129,8 @@ object TextAnalysis {
     }),
 
     // --- Gopher-style quality filter rules ---------------------------------
-    // The standard pre-training filter chain (token count band, mean token
-    // length band, symbol ratio, repeated-n-gram ratio) as one narrow
-    // projection — every ratio is exact-rational int/int division, so both
-    // engines agree bit-for-bit, including the final boolean verdict.
-    "q37_text_gopher_rules" -> ((s, d) => {
-      val tk = toks(col("text"))
-      val sh = shingles(tk, 3)
-      t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
-        .select(
-          col("doc_id"),
-          size(tk).cast("long").as("n_tok"),
-          (aggregate(transform(tk, w => length(w)), lit(0), (a, x) => a + x)
-            .cast("double") / size(tk)).as("mean_tok_len"),
-          (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
-            length(col("text"))).as("sym_ratio"),
-          when(size(sh) > 0,
-            lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
-            .otherwise(lit(0.0)).as("rep_ratio"))
-        .withColumn("pass",
-          col("n_tok") >= 20 && col("n_tok") <= 90 &&
-            col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0 &&
-            col("sym_ratio") < 0.1 && col("rep_ratio") < 0.2)
-    }),
+    "q37_text_gopher_rules" -> ((s, d) =>
+      gopherRules(t(s, d).repartition(TextFns.cpuPartitions, col("doc_id")))),
 
     // --- lexical diversity: type-token ratio + Simpson index ---------------
     // Repetitiveness features for quality filtering that stay exact-rational
@@ -210,6 +189,31 @@ object TextAnalysis {
         size(array_distinct(sh)).cast("long").as("n_distinct_shingles"))
     })
   )
+
+  /** The standard pre-training filter chain (token count band, mean token
+    * length band, symbol ratio, repeated-n-gram ratio) as one narrow
+    * projection over a (doc_id, text) frame — every ratio is exact-rational
+    * int/int division, so both engines agree bit-for-bit, including the
+    * final boolean verdict. Mode-agnostic: runs unchanged on a batch frame
+    * (q37) or a streaming one (StreamingTextSpec proves batch == stream). */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val tk = toks(col("text"))
+    val sh = shingles(tk, 3)
+    docs.select(
+        col("doc_id"),
+        size(tk).cast("long").as("n_tok"),
+        (aggregate(transform(tk, w => length(w)), lit(0), (a, x) => a + x)
+          .cast("double") / size(tk)).as("mean_tok_len"),
+        (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+          length(col("text"))).as("sym_ratio"),
+        when(size(sh) > 0,
+          lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .withColumn("pass",
+        col("n_tok") >= 20 && col("n_tok") <= 90 &&
+          col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0 &&
+          col("sym_ratio") < 0.1 && col("rep_ratio") < 0.2)
+  }
 
   private val oToks = "string_split(text, ' ')"
   private val oNStop =
