@@ -103,6 +103,19 @@ object Multimodal {
           length(col("thumb")).cast("long").as("thumb_bytes"),
           md5(col("thumb")).as("thumb_md5"))),
 
+    // --- per-modality exact dedup over the binary payload ------------------
+    // The dedup family extended to media columns: one hash aggregation on
+    // (modality, md5(bytes)) — only the 16-byte digest and counts shuffle,
+    // never payload bytes. At 100 TB this is the first pass of any media
+    // pipeline (identical assets dominate crawled corpora).
+    "q63_multimodal_dedup" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), modalityCol.as("modality"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .groupBy(col("modality"), md5(col("payload")).as("payload_md5"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))),
+
     // --- frame sampling over the binary payload (every 3rd 32-byte frame) --
     "q61_multimodal_frames" -> ((s, d) =>
       docs(s, d)
@@ -135,6 +148,14 @@ object Multimodal {
                  array_to_string(list_transform(range(1, length(text) + 1, 4),
                    i -> substr(text, CAST(i AS INT), 1)), '') AS thumb
                FROM documents)""",
+
+    "q63_multimodal_dedup" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                 WHEN doc_id % 3 = 1 THEN 'audio'
+                 ELSE 'video' END AS modality,
+            md5(text) AS payload_md5,
+            MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
+         FROM documents GROUP BY 1, 2""",
 
     "q61_multimodal_frames" ->
       s"""SELECT doc_id, f, md5(substr(text, CAST(f * $FrameSize + 1 AS INT), $FrameSize)) AS frame_md5
