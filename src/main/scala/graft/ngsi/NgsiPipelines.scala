@@ -50,14 +50,24 @@ object NgsiPipelines {
     * capture. */
   def replayCaptured(spark: SparkSession, path: String,
                      format: String = "parquet"): Dataset[NgsiEvent] = {
-    // header=true so CSV captures keep their column names (no-op for
-    // parquet/JSON); JSON and CSV deliver recvTime as a string, so re-cast
-    // before the typed parse (no-op when it is already a timestamp).
-    val raw = spark.read.format(format).option("header", "true").load(path)
-    val shaped =
-      if (raw.columns.contains("recvTime"))
+    // CSV needs header=true (keep column names) and multiLine=true
+    // (notification bodies may contain embedded newlines inside the quoted
+    // field); both are no-ops for parquet and line-delimited JSON.
+    val reader = spark.read.format(format)
+    val raw = (if (format == "csv")
+      reader.option("header", "true").option("multiLine", "true")
+    else reader).load(path)
+    // Re-shape recvTime to a proper timestamp by its ARRIVED type: numeric
+    // captures are epoch millis (a bare cast would read them as SECONDS and
+    // corrupt every window), strings parse, timestamps pass through.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val shaped = raw.schema.find(_.name == "recvTime").map(_.dataType) match {
+      case Some(LongType | IntegerType | ShortType | ByteType) =>
+        raw.withColumn("recvTime", timestamp_millis(col("recvTime").cast("long")))
+      case Some(_) =>
         raw.withColumn("recvTime", col("recvTime").cast("timestamp"))
-      else raw
+      case None => raw
+    }
     parseEvents(shaped)
   }
 

@@ -109,9 +109,7 @@ object Multimodal {
     // never payload bytes. At 100 TB this is the first pass of any media
     // pipeline (identical assets dominate crawled corpora).
     "q63_multimodal_dedup" -> ((s, d) =>
-      docs(s, d)
-        .select(col("doc_id"), modalityCol.as("modality"),
-          encode(col("text"), "UTF-8").as("payload"))
+      payloads(s, d).toDF()
         .groupBy(col("modality"), md5(col("payload")).as("payload_md5"))
         .agg(min(col("doc_id")).as("keep_id"),
           count(lit(1)).as("n_copies"))),

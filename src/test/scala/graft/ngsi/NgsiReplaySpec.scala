@@ -19,7 +19,10 @@ class NgsiReplaySpec extends SparkSpec with Matchers {
     (NgsiFixtures.flatSensorAt("R1", 30.0), 0L),
     (NgsiFixtures.flatSensorAt("R1", 22.0), 1000L),
     (NgsiFixtures.flatSensorAt("R2", 45.0), 1500L),
-    (NgsiFixtures.flatSensorAt("R2", 41.5), 6000L))
+    (NgsiFixtures.flatSensorAt("R2", 41.5), 6000L),
+    // pretty-printed (embedded newlines) — a CSV capture quotes the field
+    // across lines, so replay must read with multiLine
+    (NgsiFixtures.flatSensorAt("R3", 17.5).replace(",", ",\n"), 2500L))
 
   private def resultKey(rows: Array[org.apache.spark.sql.Row]) =
     rows.map { r =>

@@ -18,7 +18,8 @@ class StreamingTextSpec extends SparkSpec with Matchers {
     implicit val sqlCtx = s.sqlContext
 
     val docs = Seq(
-      (1L, Seq.fill(30)("alpha beta gamma delta").mkString(" ")), // repetitive
+      // 80 tokens: INSIDE the 20-90 band, so only rep_ratio can fail it
+      (1L, Seq.fill(20)("alpha beta gamma delta").mkString(" ")), // repetitive
       (2L, (1 to 40).map(i => s"tok$i").mkString(" ")),           // diverse
       (3L, "short doc"),                                          // too short
       (4L, (1 to 60).map(i => s"w$i!!").mkString(" ")))           // symbol-heavy
@@ -44,8 +45,10 @@ class StreamingTextSpec extends SparkSpec with Matchers {
     val b = key(batch)
     b should have size 4
     key(streamed) shouldBe b
-    // sanity on the rules themselves
-    assert(!b(1L)._5, "repetitive doc must fail rep_ratio")
+    // sanity on the rules themselves: doc 1 is inside every band EXCEPT
+    // rep_ratio, so the failure is attributable to that rule alone
+    assert(b(1L)._1 >= 20 && b(1L)._1 <= 90)
+    assert(b(1L)._4 > 0.2 && !b(1L)._5, "repetitive doc must fail rep_ratio")
     assert(b(3L)._1 < 20 && !b(3L)._5, "short doc must fail the token band")
   }
 }
