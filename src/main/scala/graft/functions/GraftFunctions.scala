@@ -23,7 +23,9 @@ object GraftFunctions {
       args => L2Norm(args(0))),
     ("graft_minhash_sig", classOf[MinHashSignature].getName,
       args => MinHashSignature(args(0),
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])),
+    ("graft_rolling_hash", classOf[RollingHash].getName,
+      args => RollingHash(args(0), args(1).eval().asInstanceOf[Int])))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

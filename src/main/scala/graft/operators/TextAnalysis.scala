@@ -178,6 +178,27 @@ object TextAnalysis {
             .when(col("h") < "1a", "valid")
             .otherwise("train").as("split"))),
 
+    // --- rolling-hash fingerprint (true Rabin–Karp, native O(n) pass) ------
+    // q33 fingerprints at token-shingle granularity via md5; this is the
+    // byte-level counterpart: the native [[graft.functions.RollingHash]]
+    // expression emits every 16-byte window's polynomial hash in one rolling
+    // pass (whole-stage codegen'd), vs the O(n·k) per-window recompute a
+    // higher-order-function formulation would evaluate interpreted. The
+    // oracle recomputes each window's polynomial independently — identical
+    // mod-M values (text is ASCII, so DuckDB's char positions == bytes).
+    "q55_rolling_fingerprint" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val M = graft.functions.RollingHash.Mod
+      t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("doc_id"),
+          call_function("graft_rolling_hash", col("text"), lit(16)).as("rh"))
+        .select(col("doc_id"),
+          size(col("rh")).cast("long").as("n_win"),
+          array_min(col("rh")).as("min_rh"),
+          array_max(col("rh")).as("max_rh"),
+          (aggregate(col("rh"), lit(0L), (a, x) => a + x) % M).as("rh_checksum"))
+    }),
+
     // --- document fingerprinting (full-hash + shingle winnow) --------------
     "q33_text_fingerprint" -> ((s, d) => {
       val sh = shingles(toks(col("text")), 3)
@@ -213,6 +234,22 @@ object TextAnalysis {
         col("n_tok") >= 20 && col("n_tok") <= 90 &&
           col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0 &&
           col("sym_ratio") < 0.1 && col("rep_ratio") < 0.2)
+  }
+
+  /** DuckDB twin of the 16-byte rolling hash: each window's polynomial
+    * computed independently (sum of ord·B^j terms stays < 2^43 — exact in
+    * int64 — so one final mod M equals the rolling stepwise-mod value). */
+  private val oRollingHash: String = {
+    val k = 16
+    val B = graft.functions.RollingHash.Base
+    val M = graft.functions.RollingHash.Mod
+    val pows = (0 until k).map { j =>
+      var p = 1L; (0 until (k - 1 - j)).foreach(_ => p = p * B % M); p
+    }
+    val terms = (0 until k)
+      .map(j => s"CAST(ord(substr(text, CAST(i+$j AS INT), 1)) AS BIGINT) * ${pows(j)}")
+      .mkString(" + ")
+    s"list_transform(range(1, length(text) - ${k - 2}), i -> ($terms) % $M)"
   }
 
   private val oToks = "string_split(text, ' ')"
@@ -341,6 +378,14 @@ object TextAnalysis {
                  WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'valid'
                  ELSE 'train' END AS split
          FROM documents""",
+
+    "q55_rolling_fingerprint" ->
+      s"""SELECT doc_id,
+            len(rh) AS n_win,
+            list_min(rh) AS min_rh,
+            list_max(rh) AS max_rh,
+            CAST(COALESCE(list_sum(rh), 0) % ${graft.functions.RollingHash.Mod} AS BIGINT) AS rh_checksum
+          FROM (SELECT doc_id, $oRollingHash AS rh FROM documents)""",
 
     "q33_text_fingerprint" ->
       s"""SELECT doc_id,
