@@ -31,7 +31,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      operators.Curation.oracles
 }

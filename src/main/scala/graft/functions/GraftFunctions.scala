@@ -25,7 +25,9 @@ object GraftFunctions {
       args => MinHashSignature(args(0),
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])),
     ("graft_rolling_hash", classOf[RollingHash].getName,
-      args => RollingHash(args(0), args(1).eval().asInstanceOf[Int])))
+      args => RollingHash(args(0), args(1).eval().asInstanceOf[Int])),
+    ("graft_nfc", classOf[NfcNormalize].getName,
+      args => NfcNormalize(args(0))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

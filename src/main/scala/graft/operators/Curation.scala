@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import TextFns._
+
+/** Corpus-curation operators a production training-data pipeline runs after
+  * dedup/quality filtering: PII redaction, benchmark decontamination,
+  * per-stratum deterministic sampling, inverted-index construction, and
+  * Unicode canonicalization.
+  *
+  * Scale stances (100 TB):
+  *  - PII redaction and NFC normalization are narrow per-row projections —
+  *    zero shuffles, whole-stage codegen end to end.
+  *  - Decontamination exploits the real-world asymmetry: the benchmark
+  *    n-gram set is tiny (benchmark suites are MBs) while the corpus is the
+  *    100 TB side, so the benchmark grams are broadcast and the corpus
+  *    never shuffles.
+  *  - Stratified sampling and posting lists use bounded partial
+  *    aggregation ([[MinKByHash]]/[[MinKLongs]]): per-group state is capped
+  *    at k on the map side, so group size never dictates shuffle volume —
+  *    the failure mode of row_number-per-stratum and collect_list-per-term.
+  */
+object Curation {
+
+  private def t(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Redaction patterns, identical syntax in Java regex and DuckDB's RE2:
+    * character classes, bounded repetition, and ASCII \b word boundaries
+    * behave the same in both. */
+  val EmailRegex = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  val Ipv4Regex = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** The testdata corpus is clean word-salad, so PII is synthesized
+    * deterministically from (doc_id, source) — identically in the oracle —
+    * to give the redaction path real matches to find. ~1/3 of docs get an
+    * email, ~1/2 an IPv4. */
+  private val piiText = concat(
+    when(col("doc_id") % 3 === 0,
+      concat(lit("contact u"), col("doc_id").cast("string"), lit("@"),
+        col("source"), lit(".example.com "))).otherwise(lit("")),
+    when(col("doc_id") % 2 === 0,
+      concat(lit("from 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+        ((col("doc_id") * 7) % 256).cast("string"), lit(" "))).otherwise(lit("")),
+    col("text"))
+
+  /** Decontamination shingle width: wide enough that chance overlap on the
+    * synthetic vocabulary is rare, narrow enough to catch near-duplicates
+    * (real pipelines use 8-13 word grams against eval benchmarks). */
+  val DecontamN = 4
+
+  /** Benchmark slice stand-in: one source plays the eval suite. */
+  val BenchSource = "src0"
+
+  /** Raw prefix for q64: combining-mark sequences (e + U+0301, n + U+0303)
+    * that NFC folds to precomposed é / ñ — 2 codepoints in, 1 out. */
+  val NonNfcPrefix = "café niño: "
+
+  /** Redacted form of a text column: emails then IPv4s struck. */
+  def redact(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, EmailRegex, "<EMAIL>"), Ipv4Regex, "<IP>")
+
+  /** PII scan over a (doc_id, <textCol>) frame: match counts + redacted
+    * fingerprint. Narrow — one codegen'd pass, zero shuffles. */
+  def piiScan(docs: DataFrame, textCol: org.apache.spark.sql.Column): DataFrame = {
+    val red = redact(textCol)
+    docs.select(
+      col("doc_id"),
+      regexp_count(textCol, lit(EmailRegex)).cast("long").as("n_email"),
+      regexp_count(textCol, lit(Ipv4Regex)).cast("long").as("n_ip"),
+      md5(red).as("red_fp"),
+      substring(red, 1, 24).as("red_head"))
+  }
+
+  /** Benchmark decontamination over a (doc_id, source, text) frame: flags
+    * corpus docs (source != benchSource) sharing any n-gram with the
+    * benchmark slice. The corpus side stays put: distinct per-doc grams are
+    * generated narrowly, the benchmark gram set (small by nature — eval
+    * suites are MBs) is broadcast, and hit counts come from one hash
+    * aggregation keyed by doc_id. */
+  def decontaminate(docs: DataFrame, benchSource: String, n: Int): DataFrame = {
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(shingles(toks(col("text")), n))).as("gram"))
+    val benchGrams = grams.filter(col("source") === benchSource)
+      .select(col("gram")).distinct()
+    val hits = grams.filter(col("source") =!= benchSource)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+    docs.filter(col("source") =!= benchSource)
+      .select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("hits"), lit(0L)).as("n_contam_grams"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Deterministic k-per-stratum sample of a (<strata>, doc_id) frame.
+    * Sample identity is a pure function of doc_id (md5 order): reproducible
+    * across runs, engines, and partitionings, and stable under corpus
+    * growth. Bounded partial aggregation ([[MinKByHash]]) caps any
+    * stratum's map-side state at k slots. */
+  def stratifiedSample(docs: DataFrame, strata: String, k: Int): DataFrame = {
+    val mink = udaf(new MinKByHash(k))
+    docs
+      .select(col(strata), md5(col("doc_id").cast("string")).as("h"),
+        col("doc_id"))
+      .groupBy(col(strata))
+      .agg(mink(col("h"), col("doc_id")).as("sample"))
+      .select(col(strata), posexplode(col("sample")).as(Seq("pos", "r")))
+      .select(col(strata), (col("pos") + 1).cast("long").as("rank"),
+        col("r.id").as("doc_id"), col("r.h").as("h"))
+  }
+
+  /** Inverted index over a (doc_id, text) frame: exact document frequency
+    * (terms pre-deduped per doc) + a posting list capped at k ids, so a
+    * stopword-grade term costs k slots, not a single row holding every
+    * doc_id in the corpus. Postings are emitted as a canonical CSV string
+    * (the oracle gate hashes scalar cells). At scale the output would be
+    * range-partitioned by term; here one hash aggregation suffices. */
+  def invertedIndex(docs: DataFrame, k: Int): DataFrame = {
+    val mink = udaf(new MinKLongs(k))
+    docs
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), mink(col("doc_id")).as("mk"))
+      .select(col("term"), col("df"),
+        concat_ws(",", transform(col("mk"), x => x.cast("string"))).as("postings"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- PII detection + redaction ----------------------------------------
+    "q56_pii_redact" -> ((s, d) =>
+      piiScan(t(s, d).repartition(TextFns.cpuPartitions, col("doc_id")), piiText)),
+
+    // --- benchmark decontamination (n-gram overlap) -----------------------
+    "q57_decontam" -> ((s, d) => decontaminate(t(s, d), BenchSource, DecontamN)),
+
+    // --- deterministic stratified sample (k per stratum) ------------------
+    "q58_stratified_sample" -> ((s, d) => stratifiedSample(t(s, d), "source", 10)),
+
+    // --- inverted index with bounded posting lists ------------------------
+    "q59_inverted_index" -> ((s, d) =>
+      invertedIndex(t(s, d).repartition(TextFns.cpuPartitions, col("doc_id")), 8)),
+
+    // --- Unicode NFC canonicalization (native expression) -----------------
+    // Prepends a combining-mark sequence to each doc (the testdata is pure
+    // ASCII) so the normalizer has real work; the oracle applies DuckDB's
+    // nfc_normalize to the same construction and the md5 fingerprints must
+    // agree byte-for-byte. Narrow, codegen'd, zero shuffles.
+    "q64_nfc_normalize" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val raw = concat(lit(NonNfcPrefix), substring(col("text"), 1, 40))
+      val norm = call_function("graft_nfc", raw)
+      t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(
+          col("doc_id"),
+          length(raw).cast("long").as("raw_len"),
+          length(norm).cast("long").as("norm_len"),
+          md5(norm).as("norm_fp"),
+          substring(norm, 1, 10).as("norm_head"))
+    })
+  )
+
+  private val oPiiText =
+    """CASE WHEN doc_id % 3 = 0
+         THEN 'contact u' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com '
+         ELSE '' END
+       || CASE WHEN doc_id % 2 = 0
+         THEN 'from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' '
+         ELSE '' END
+       || text"""
+
+  val oracles: Map[String, String] = Map(
+
+    "q56_pii_redact" ->
+      s"""SELECT doc_id,
+            len(regexp_extract_all(pii, '$EmailRegex')) AS n_email,
+            len(regexp_extract_all(pii, '$Ipv4Regex')) AS n_ip,
+            md5(red) AS red_fp,
+            substr(red, 1, 24) AS red_head
+          FROM (SELECT doc_id,
+                  pii,
+                  regexp_replace(regexp_replace(pii, '$EmailRegex', '<EMAIL>', 'g'),
+                                 '$Ipv4Regex', '<IP>', 'g') AS red
+                FROM (SELECT doc_id, $oPiiText AS pii FROM documents))""",
+
+    "q57_decontam" ->
+      s"""WITH grams AS (
+            SELECT doc_id, source,
+              unnest(list_distinct(${oShingles(oToksFrag, DecontamN)})) AS gram
+            FROM documents),
+          bench AS (SELECT DISTINCT gram FROM grams WHERE source = '$BenchSource'),
+          hits AS (
+            SELECT g.doc_id, COUNT(1) AS hits
+            FROM grams g JOIN bench b ON g.gram = b.gram
+            WHERE g.source <> '$BenchSource'
+            GROUP BY g.doc_id)
+          SELECT d.doc_id, d.source,
+            COALESCE(h.hits, 0) AS n_contam_grams,
+            COALESCE(h.hits, 0) > 0 AS contaminated
+          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+          WHERE d.source <> '$BenchSource'""",
+
+    "q58_stratified_sample" ->
+      """SELECT source, rank, doc_id, h FROM (
+           SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+           FROM documents)
+         WHERE rank <= 10""",
+
+    "q59_inverted_index" ->
+      s"""SELECT term, COUNT(1) AS df,
+            array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',') AS postings
+          FROM (SELECT doc_id, unnest(list_distinct($oToksFrag)) AS term
+                FROM documents)
+          GROUP BY term""",
+
+    "q64_nfc_normalize" ->
+      s"""SELECT doc_id,
+            length(raw) AS raw_len,
+            length(nfc_normalize(raw)) AS norm_len,
+            md5(nfc_normalize(raw)) AS norm_fp,
+            substr(nfc_normalize(raw), 1, 10) AS norm_head
+          FROM (SELECT doc_id, '$NonNfcPrefix' || substr(text, 1, 40) AS raw
+                FROM documents)"""
+  )
+
+  private def oToksFrag: String = "string_split(text, ' ')"
+}

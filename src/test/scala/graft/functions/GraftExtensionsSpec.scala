@@ -15,7 +15,8 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // throws on malformed injection
     assert(GraftFunctions.functions.map(_._1).toSet ==
-      Set("graft_dot", "graft_l2norm", "graft_minhash_sig", "graft_rolling_hash"))
+      Set("graft_dot", "graft_l2norm", "graft_minhash_sig", "graft_rolling_hash",
+        "graft_nfc"))
   }
 
   test("imperative register is idempotent and recovers a dropped function") {

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- PII redaction ------------------------------------------------------
+
+  test("piiScan counts and strikes emails and IPv4s, leaves clean text alone") {
+    val docs = Seq(
+      (1L, "mail a.user+tag@corp.example.org and b_2@x.io now"),
+      (2L, "server at 192.168.0.1 and 10.0.255.3, port 8080"),
+      (3L, "no pii here at all"),
+      (4L, "mixed: c@d.com from 127.0.0.1")).toDF("doc_id", "text")
+    val out = Curation.piiScan(docs, col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 0L), (0L, 2L), (0L, 0L), (1L, 1L)))
+    // redacted text drops every match (fingerprint of the exact bytes)
+    val red = docs.select(Curation.redact(col("text")).as("r"))
+      .orderBy(lit(1)).collect().map(_.getString(0)).toSet
+    assert(red.contains("mail <EMAIL> and <EMAIL> now"))
+    assert(red.contains("server at <IP> and <IP>, port 8080"))
+    assert(red.contains("no pii here at all"))
+    assert(red.contains("mixed: <EMAIL> from <IP>"))
+  }
+
+  test("port numbers and version strings are not IPv4 false-positives") {
+    val docs = Seq((1L, "v1.2.3 released, see 1.2.3.4.5 and :9090")).toDF("doc_id", "text")
+    val r = Curation.piiScan(docs, col("text")).collect()(0)
+    // v1.2.3 has 3 octets (no match); 1.2.3.4.5 contains a 4-octet run that
+    // \b-boundaries DO match (standard scrubber behavior) — count it.
+    assert(r.getLong(1) == 0L && r.getLong(2) == 1L)
+  }
+
+  // --- decontamination ----------------------------------------------------
+
+  test("decontaminate flags docs sharing an n-gram with the benchmark slice") {
+    val docs = Seq(
+      (1L, "bench", "alpha beta gamma delta epsilon"),
+      (2L, "web", "zeta alpha beta gamma delta tail"),   // shares a 4-gram
+      (3L, "web", "alpha beta gamma zeta delta"),        // 3-gram only: clean at n=4
+      (4L, "web", "totally different words entirely here")).toDF("doc_id", "source", "text")
+    val out = Curation.decontaminate(docs, "bench", 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    assert(out.map(_.getBoolean(3)).toSeq == Seq(true, false, false))
+    assert(out(0).getLong(2) == 1L) // exactly the one shared 4-gram
+  }
+
+  test("decontamination plan broadcasts the benchmark gram set") {
+    val q = Curation.decontaminate(
+      graft.Tables.load(spark, sfDir, "documents"), "src0", 4)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  // --- stratified sampling ------------------------------------------------
+
+  test("stratifiedSample is deterministic, bounded at k, and md5-ordered") {
+    val docs = (1L to 40L).map(i => (s"s${i % 3}", i)).toDF("source", "doc_id")
+      .repartition(7) // partitioning must not affect the sample
+    val a = Curation.stratifiedSample(docs, "source", 5)
+      .orderBy("source", "rank").collect()
+    val b = Curation.stratifiedSample(docs.repartition(3), "source", 5)
+      .orderBy("source", "rank").collect()
+    assert(a.toSeq == b.toSeq)
+    // k per stratum, rank dense from 1
+    val bySrc = a.groupBy(_.getString(0))
+    assert(bySrc.keySet == Set("s0", "s1", "s2"))
+    bySrc.values.foreach { rows =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getLong(1)).toSeq == (1L to 5L))
+      // md5 order within the stratum
+      val hs = rows.sortBy(_.getLong(1)).map(_.getString(3)).toSeq
+      assert(hs == hs.sorted)
+    }
+    // brute-force reference: 5 smallest (md5(id), id) per stratum
+    val ref = (1L to 40L).groupBy(i => s"${i % 3}")
+      .view.mapValues(_.map(i => (TextFns.md5hex(i.toString), i)).sorted.take(5).map(_._2))
+    bySrc.foreach { case (srcName, rows) =>
+      assert(rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq ==
+        ref(srcName.stripPrefix("s")).toSeq, s"stratum $srcName")
+    }
+  }
+
+  test("a stratum smaller than k yields its full membership") {
+    val docs = Seq(("tiny", 7L), ("tiny", 9L)).toDF("source", "doc_id")
+    val out = Curation.stratifiedSample(docs, "source", 10).collect()
+    assert(out.map(_.getLong(2)).toSet == Set(7L, 9L))
+  }
+
+  // --- inverted index -----------------------------------------------------
+
+  test("invertedIndex: exact df, postings capped at k smallest doc_ids") {
+    val docs = ((1L to 30L).map(i => (i, s"common word$i")) :+
+      (100L, "common common unique")).toDF("doc_id", "text")
+    val out = Curation.invertedIndex(docs, 8).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // mega-term: df counts all 31 docs, postings only the 8 smallest
+    assert(out("common") == ((31L, (1L to 8L).mkString(","))))
+    // repeated term within one doc counts once (pre-deduped per doc)
+    assert(out("unique") == ((1L, "100")))
+    assert(out("word7") == ((1L, "7")))
+  }
+
+  test("mega-term postings stay bounded: no row grows with corpus size") {
+    // 5k docs all sharing one term: the aggregation must complete with an
+    // 8-element posting string, never a 5k-element row.
+    val docs = spark.range(1, 5001).select(col("id").as("doc_id"),
+      lit("boilerplate header").as("text"))
+    val out = Curation.invertedIndex(docs, 8)
+      .filter(col("term") === "boilerplate").collect()(0)
+    assert(out.getLong(1) == 5000L)
+    assert(out.getString(2) == (1L to 8L).mkString(","))
+  }
+}

@@ -18,8 +18,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df) > 0:
-        df = df.sort_values(by=list(df.columns), kind="mergesort",
-                            na_position="first").reset_index(drop=True)
+        # Array cells are unhashable (pandas factorize crashes mid-sort), so
+        # sort on a tuple-ized shadow frame and reorder the original rows.
+        key = df.copy()
+        for c in key.columns:
+            if key[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+                key[c] = key[c].map(
+                    lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        order = key.sort_values(by=list(key.columns), kind="mergesort",
+                                na_position="first").index
+        df = df.loc[order].reset_index(drop=True)
     return df
 
 def cmp(a: pd.DataFrame, b: pd.DataFrame):
