@@ -32,7 +32,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
-      operators.Curation.queries
+      operators.Curation.queries ++
+      operators.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
-      operators.Curation.oracles
+      operators.Curation.oracles ++
+      operators.Sketches.oracles
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import TextFns._
+
+/** Count–min sketch (CMS) heavy-hitter estimation — the mergeable
+  * fixed-size frequency sketch (Cormode & Muthukrishnan 2005) that replaces
+  * an unbounded exact (term, count) table when only heavy hitters matter.
+  *
+  * Layout: Depth hash rows × Width buckets. Each term maps to one bucket
+  * per row (seeded md5, the engine-portable hash); a bucket holds the sum
+  * of counts of every term landing in it; a term's estimate is the MIN over
+  * its Depth buckets — an overestimate by construction, tight unless the
+  * term collides in all rows.
+  *
+  * Scale shape: the exact per-term counts are a two-level hash agg; the
+  * sketch itself is Depth×Width rows (fixed, tiny) built by one keyed agg
+  * and BROADCAST back for estimation — nothing driver-side, nothing
+  * proportional to vocabulary crosses the wire twice. At 100 TB the exact
+  * count stage is the thing a production deployment would drop, feeding
+  * raw (term, 1) increments straight into the bucket agg: the partial-agg
+  * state per task is then Depth×Width cells, independent of vocabulary —
+  * that variant is what `cmsTable` computes.
+  *
+  * Determinism-for-oracle: bucket index = first 4 hex chars of the seeded
+  * md5 (via `conv`), exactly reproducible in DuckDB with strpos arithmetic;
+  * all sums are int64.
+  */
+object Sketches {
+
+  val Depth = 4
+  val Width = 16
+
+  /** Bucket index of a term column under hash row `r`: first 4 hex chars of
+    * the seeded md5, mod Width. */
+  def cmsBucket(term: Column, r: Column): Column =
+    conv(substring(md5(concat(r.cast("string"), lit("|"), term)), 1, 4), 16, 10)
+      .cast("long") % Width
+
+  /** One (r, bucket) entry per hash row per input row. */
+  private def entries(termCounts: DataFrame): DataFrame =
+    termCounts
+      .select(col("term"), col("n"),
+        explode(array((0 until Depth).map(lit): _*)).as("r"))
+      .withColumn("bucket", cmsBucket(col("term"), col("r")))
+
+  /** The Depth×Width sketch table from a (term, n) count frame. */
+  def cmsTable(termCounts: DataFrame): DataFrame =
+    entries(termCounts)
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("n")).as("bsum"))
+
+  /** Per-term CMS estimate joined against the exact count: the sketch is
+    * broadcast (Depth×Width rows), the estimate is min over hash rows. */
+  def cmsEstimates(termCounts: DataFrame): DataFrame =
+    entries(termCounts)
+      .join(broadcast(cmsTable(termCounts)), Seq("r", "bucket"))
+      .groupBy(col("term"))
+      .agg(min(col("bsum")).as("cms_est"))
+      .join(termCounts, "term")
+      .select(col("term"), col("n"), col("cms_est"),
+        (col("cms_est") === col("n")).as("tight"))
+
+  private def t(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- CMS heavy hitters over the token stream ---------------------------
+    // Width is deliberately small (16) against the testdata vocabulary so
+    // collisions actually occur and the min-over-rows bound does real work;
+    // `tight` marks terms whose estimate equals the exact count.
+    "q65_cms_heavy_hitters" -> ((s, d) => {
+      val counts = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n"))
+      cmsEstimates(counts)
+    })
+  )
+
+  /** DuckDB twin of [[cmsBucket]] (1-based substr positions). */
+  private def oBucket(term: String, r: String): String = {
+    val hx = s"md5(CAST($r AS VARCHAR) || '|' || $term)"
+    val digit = (i: Int) => s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1)"
+    s"((${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)}) % $Width)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q65_cms_heavy_hitters" ->
+      s"""WITH counts AS (
+            SELECT term, COUNT(1) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+            GROUP BY term),
+          entries AS (
+            SELECT term, n, r, ${oBucket("term", "r")} AS bucket
+            FROM counts CROSS JOIN (SELECT unnest(range(0, $Depth)) AS r)),
+          cms AS (
+            SELECT r, bucket, CAST(SUM(n) AS BIGINT) AS bsum
+            FROM entries GROUP BY r, bucket),
+          est AS (
+            SELECT e.term, MIN(c.bsum) AS cms_est
+            FROM entries e JOIN cms c ON e.r = c.r AND e.bucket = c.bucket
+            GROUP BY e.term)
+          SELECT counts.term, counts.n, est.cms_est,
+            est.cms_est = counts.n AS tight
+          FROM counts JOIN est ON counts.term = est.term"""
+  )
+}

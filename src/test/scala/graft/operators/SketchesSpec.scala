@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val counts = Seq(
+    ("alpha", 100L), ("beta", 50L), ("gamma", 25L), ("delta", 12L),
+    ("epsilon", 6L), ("zeta", 3L), ("eta", 2L), ("theta", 1L))
+    .toDF("term", "n")
+
+  test("CMS never underestimates, and min-over-rows tightens the bound") {
+    val est = Sketches.cmsEstimates(counts).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(est.size == 8)
+    est.foreach { case (term, (n, e)) =>
+      assert(e >= n, s"$term underestimated: $e < $n")
+    }
+    // per-row estimates are each >= the final min-over-rows estimate
+    val table = Sketches.cmsTable(counts).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    est.foreach { case (term, (_, e)) =>
+      val perRow = (0 until Sketches.Depth).map { r =>
+        val b = counts.filter(col("term") === term)
+          .select(Sketches.cmsBucket(col("term"), lit(r))).head().getLong(0)
+        table((r, b))
+      }
+      assert(perRow.min == e, s"$term: min(${perRow.mkString(",")}) != $e")
+    }
+  }
+
+  test("sketch size is Depth x Width regardless of vocabulary") {
+    val big = spark.range(0, 2000)
+      .select(concat(lit("w"), col("id")).as("term"), lit(1L).as("n"))
+    val table = Sketches.cmsTable(big)
+    assert(table.count() <= Sketches.Depth * Sketches.Width)
+    // total mass per hash row is conserved (each row sees every increment)
+    val mass = table.groupBy(col("r")).agg(sum(col("bsum")).as("m"))
+      .collect().map(_.getLong(1)).toSet
+    assert(mass == Set(2000L))
+  }
+
+  test("estimates are exact when no bucket collides") {
+    // two terms in a 4x16 sketch: collision in any row is unlikely but not
+    // impossible — pick terms verified to not collide in any hash row
+    val tiny = Seq(("alpha", 10L), ("beta", 20L)).toDF("term", "n")
+    val collides = (0 until Sketches.Depth).exists { r =>
+      val bs = Seq("alpha", "beta").map(t =>
+        tiny.filter(col("term") === t)
+          .select(Sketches.cmsBucket(col("term"), lit(r))).head().getLong(0))
+      bs.distinct.size == 1
+    }
+    val est = Sketches.cmsEstimates(tiny).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    if (!collides) {
+      assert(est("alpha") == ((10L, 10L, true)))
+      assert(est("beta") == ((20L, 20L, true)))
+    } else {
+      // degenerate draw: still bounded
+      est.values.foreach { case (n, e, _) => assert(e >= n) }
+    }
+  }
+
+  test("the sketch plan broadcasts the table, never shuffles it twice") {
+    val q = Sketches.cmsEstimates(counts)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+}
