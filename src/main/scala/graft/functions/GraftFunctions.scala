@@ -37,13 +37,19 @@ object GraftFunctions {
         registry.registerFunction(id, new ExpressionInfo(className, name), builder)
       }
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.CollapseNfcNormalize)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.CollapseNfcNormalize
+    }
   }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, className, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.CollapseNfcNormalize)
+  }
 }

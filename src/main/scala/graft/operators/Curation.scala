@@ -130,6 +130,34 @@ object Curation {
         concat_ws(",", transform(col("mk"), x => x.cast("string"))).as("postings"))
   }
 
+  /** Tokens per training sequence for [[packSequences]]. */
+  val SeqLen = 2048
+
+  /** Shard count per source for packing windows. Local test value; at scale
+    * this is sized so each (source, shard) slice fits one task — the window
+    * below partitions on it, so shards bound the sort, not the corpus. */
+  val PackShards = 8
+
+  /** Concatenate-and-chunk sequence packing (the standard pretraining
+    * layout): docs are laid end-to-end in deterministic (doc_id) order
+    * within a (source, shard) slice and cut into SeqLen-token sequences.
+    * Each doc is tagged with the sequence its first token falls in and its
+    * offset there. The running total is a windowed sum partitioned by
+    * (source, shard) — integer-exact, and never a global or single-task
+    * sort: shard count scales with the corpus. */
+  def packSequences(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(PackShards)).as("shard"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .withColumn("tok_end", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tok"),
+        floor((col("tok_end") - col("n_tok")) / SeqLen).cast("long").as("seq_id"),
+        ((col("tok_end") - col("n_tok")) % SeqLen).as("seq_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- PII detection + redaction ----------------------------------------
@@ -145,6 +173,9 @@ object Curation {
     // --- inverted index with bounded posting lists ------------------------
     "q59_inverted_index" -> ((s, d) =>
       invertedIndex(t(s, d).repartition(TextFns.cpuPartitions, col("doc_id")), 8)),
+
+    // --- sequence packing (concatenate-and-chunk) -------------------------
+    "q66_sequence_pack" -> ((s, d) => packSequences(t(s, d))),
 
     // --- Unicode NFC canonicalization (native expression) -----------------
     // Prepends a combining-mark sequence to each doc (the testdata is pure
@@ -219,6 +250,17 @@ object Curation {
           FROM (SELECT doc_id, unnest(list_distinct($oToksFrag)) AS term
                 FROM documents)
           GROUP BY term""",
+
+    "q66_sequence_pack" ->
+      s"""SELECT doc_id, source, shard, n_tok,
+            CAST(((tok_end - n_tok) // $SeqLen) AS BIGINT) AS seq_id,
+            CAST((tok_end - n_tok) % $SeqLen AS BIGINT) AS seq_offset
+          FROM (SELECT doc_id, source, shard, n_tok,
+                  SUM(n_tok) OVER (PARTITION BY source, shard
+                    ORDER BY doc_id) AS tok_end
+                FROM (SELECT doc_id, source, doc_id % $PackShards AS shard,
+                        len($oToksFrag) AS n_tok
+                      FROM documents))""",
 
     "q64_nfc_normalize" ->
       s"""SELECT doc_id,

@@ -107,6 +107,55 @@ class CurationSpec extends SparkSpec {
     assert(out("word7") == ((1L, "7")))
   }
 
+  // --- sequence packing ---------------------------------------------------
+
+  test("packSequences lays docs end-to-end and cuts at SeqLen boundaries") {
+    // one shard, one source: doc_ids all multiples of PackShards so the
+    // shard column is 0 and the layout is a single deterministic chain
+    val ids = (0 until 6).map(i => i.toLong * Curation.PackShards)
+    val docs = ids.map(id => (id, "s0", Seq.fill(700)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.packSequences(docs).orderBy("doc_id").collect()
+    // 700 tokens each, SeqLen=2048: starts at 0,700,1400,2100,2800,3500
+    assert(out.map(_.getLong(4)).toSeq == Seq(0L, 0L, 0L, 1L, 1L, 1L))
+    assert(out.map(_.getLong(5)).toSeq ==
+      Seq(0L, 700L, 1400L, 52L, 752L, 1452L))
+    // offsets are always inside a sequence
+    out.foreach(r => assert(r.getLong(5) >= 0 && r.getLong(5) < Curation.SeqLen))
+  }
+
+  test("packing is independent of input partitioning") {
+    val docs = (1L to 100L).map(i => (i, s"s${i % 2}", Seq.fill((i % 37 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val a = Curation.packSequences(docs.repartition(13)).orderBy("doc_id").collect()
+    val b = Curation.packSequences(docs.coalesce(1)).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  // --- streaming parity ---------------------------------------------------
+
+  test("piiScan is mode-agnostic: batch and stream rows identical") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    val docs = Seq(
+      (1L, "write to a@b.co or 10.1.2.3"),
+      (2L, "clean text"))
+    val batch = Curation.piiScan(docs.toDF("doc_id", "text"), col("text"))
+      .orderBy("doc_id").collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Curation.piiScan(
+        mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")), col("text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        mem.addData(docs: _*)
+        q.processAllAvailable()
+        s.table("pii_stream").orderBy("doc_id").collect()
+      } finally q.stop()
+    assert(batch.toSeq == streamed.toSeq)
+  }
+
   test("mega-term postings stay bounded: no row grows with corpus size") {
     // 5k docs all sharing one term: the aggregation must complete with an
     // 8-element posting string, never a 5k-element row.
