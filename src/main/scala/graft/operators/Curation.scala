@@ -177,6 +177,29 @@ object Curation {
     // --- sequence packing (concatenate-and-chunk) -------------------------
     "q66_sequence_pack" -> ((s, d) => packSequences(t(s, d))),
 
+    // --- mixture weights (per-source token budgeting) ---------------------
+    // Data mixing for a target corpus: every source gets an equal token
+    // budget (total_budget / n_sources) and a sampling weight
+    // min(1, budget/tokens) — under-represented sources keep everything,
+    // over-represented ones are downsampled proportionally. One hash agg +
+    // a broadcast 1-row frame; all ratios exact-rational so both engines
+    // agree bit-for-bit. (Real pipelines plug learned per-domain weights
+    // into the same shape.)
+    "q67_mixture_weights" -> ((s, d) => {
+      val perSource = t(s, d)
+        .select(col("source"), size(toks(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+      val totals = perSource.agg(
+        count(lit(1)).as("n_sources"), sum(col("sum_tok")).as("tot_tok"))
+      perSource.join(broadcast(totals))
+        .select(col("source"), col("n_docs"), col("sum_tok"),
+          (col("tot_tok").cast("double") /
+            (col("n_sources") * lit(2))).as("budget_tok"),
+          least(lit(1.0), col("tot_tok").cast("double") /
+            (col("n_sources") * lit(2)) / col("sum_tok")).as("weight"))
+    }),
+
     // --- Unicode NFC canonicalization (native expression) -----------------
     // Prepends a combining-mark sequence to each doc (the testdata is pure
     // ASCII) so the normalizer has real work; the oracle applies DuckDB's
@@ -250,6 +273,20 @@ object Curation {
           FROM (SELECT doc_id, unnest(list_distinct($oToksFrag)) AS term
                 FROM documents)
           GROUP BY term""",
+
+    "q67_mixture_weights" ->
+      s"""WITH per AS (
+            SELECT source, COUNT(1) AS n_docs,
+              CAST(SUM(len($oToksFrag)) AS BIGINT) AS sum_tok
+            FROM documents GROUP BY source),
+          tot AS (
+            SELECT COUNT(1) AS n_sources, CAST(SUM(sum_tok) AS BIGINT) AS tot_tok
+            FROM per)
+          SELECT source, n_docs, sum_tok,
+            CAST(tot_tok AS DOUBLE) / (n_sources * 2) AS budget_tok,
+            LEAST(CAST(1.0 AS DOUBLE),
+              CAST(tot_tok AS DOUBLE) / (n_sources * 2) / sum_tok) AS weight
+          FROM per CROSS JOIN tot""",
 
     "q66_sequence_pack" ->
       s"""SELECT doc_id, source, shard, n_tok,
