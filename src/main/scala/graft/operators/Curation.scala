@@ -28,9 +28,9 @@ object Curation {
   private def t(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
   /** Redaction patterns, identical syntax in Java regex and DuckDB's RE2:
-    * character classes, bounded repetition, and ASCII \b word boundaries
-    * behave the same in both. */
-  val EmailRegex = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+    * character classes, bounded repetition, the (?i) flag, and ASCII \b
+    * word boundaries behave the same in both. */
+  val EmailRegex = """(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
   val Ipv4Regex = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
 
   /** The testdata corpus is clean word-salad, so PII is synthesized
@@ -153,16 +153,19 @@ object Curation {
         pmod(col("doc_id"), lit(PackShards)).as("shard"),
         size(toks(col("text"))).cast("long").as("n_tok"))
       .withColumn("tok_end", sum(col("n_tok")).over(w))
+      // integer `div`, not fractional `/`: a (source, shard) running total
+      // past 2^53 would round in double space and mis-assign boundary docs
       .select(col("doc_id"), col("source"), col("shard"), col("n_tok"),
-        floor((col("tok_end") - col("n_tok")) / SeqLen).cast("long").as("seq_id"),
+        expr(s"(tok_end - n_tok) div $SeqLen").as("seq_id"),
         ((col("tok_end") - col("n_tok")) % SeqLen).as("seq_offset"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- PII detection + redaction ----------------------------------------
-    "q56_pii_redact" -> ((s, d) =>
-      piiScan(t(s, d).repartition(TextFns.cpuPartitions, col("doc_id")), piiText)),
+    // No repartition: the projection is narrow over the scan, so plan
+    // parallelism = file splits (the honest zero-shuffle shape at scale).
+    "q56_pii_redact" -> ((s, d) => piiScan(t(s, d), piiText)),
 
     // --- benchmark decontamination (n-gram overlap) -----------------------
     "q57_decontam" -> ((s, d) => decontaminate(t(s, d), BenchSource, DecontamN)),
@@ -209,7 +212,7 @@ object Curation {
       graft.functions.GraftFunctions.register(s)
       val raw = concat(lit(NonNfcPrefix), substring(col("text"), 1, 40))
       val norm = call_function("graft_nfc", raw)
-      t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      t(s, d)
         .select(
           col("doc_id"),
           length(raw).cast("long").as("raw_len"),

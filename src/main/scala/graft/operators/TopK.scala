@@ -43,52 +43,43 @@ class TopKLines(k: Int) extends Aggregator[LineRef, List[LineRef], Seq[LineRef]]
   * the sort order, the id breaks ties and identifies the row. */
 case class HashedId(h: String, id: Long)
 
-/** k smallest (h, id) pairs per group, same bounded-partial shape as
-  * [[TopKLines]]: map-side state never exceeds k rows, so a stratum of any
-  * size shuffles at most k * partitions rows — the scale-correct form of
-  * "deterministic sample of k per stratum" (vs a per-stratum row_number
-  * window, which sorts every stratum in full). */
-class MinKByHash(k: Int) extends Aggregator[HashedId, List[HashedId], Seq[HashedId]] {
+object HashedId {
+  implicit val ordering: Ordering[HashedId] =
+    Ordering.by((r: HashedId) => (r.h, r.id))
+}
 
-  private val ord: Ordering[HashedId] = Ordering.by((r: HashedId) => (r.h, r.id))
+/** k smallest elements per group under `T`'s ordering, same bounded-partial
+  * shape as [[TopKLines]]: map-side state never exceeds k rows, so a group
+  * of any size shuffles at most k * partitions rows. One implementation
+  * serves every element type (see [[MinKByHash]], [[MinKLongs]]). */
+class MinK[T: Ordering : scala.reflect.runtime.universe.TypeTag](k: Int)
+    extends Aggregator[T, List[T], Seq[T]] {
 
-  override def zero: List[HashedId] = Nil
+  private val ord = implicitly[Ordering[T]]
 
-  override def reduce(buf: List[HashedId], a: HashedId): List[HashedId] = {
+  override def zero: List[T] = Nil
+
+  /** Insert keeping the buffer sorted and bounded at k. */
+  override def reduce(buf: List[T], a: T): List[T] = {
     val (before, after) = buf.span(ord.lt(_, a))
     (before ::: a :: after).take(k)
   }
 
-  override def merge(b1: List[HashedId], b2: List[HashedId]): List[HashedId] =
+  override def merge(b1: List[T], b2: List[T]): List[T] =
     (b1 ++ b2).sorted(ord).take(k)
 
-  override def finish(buf: List[HashedId]): Seq[HashedId] = buf
+  override def finish(buf: List[T]): Seq[T] = buf
 
-  override def bufferEncoder: Encoder[List[HashedId]] =
-    ExpressionEncoder[List[HashedId]]()
-  override def outputEncoder: Encoder[Seq[HashedId]] =
-    ExpressionEncoder[Seq[HashedId]]()
+  override def bufferEncoder: Encoder[List[T]] = ExpressionEncoder[List[T]]()
+  override def outputEncoder: Encoder[Seq[T]] = ExpressionEncoder[Seq[T]]()
 }
+
+/** k smallest (h, id) pairs per group — the deterministic-sample-per-stratum
+  * primitive (vs a per-stratum row_number window, which sorts every stratum
+  * in full). */
+class MinKByHash(k: Int) extends MinK[HashedId](k)
 
 /** k smallest longs per group (bounded posting list): caps the per-term
   * state of an inverted index so a stopword-grade mega-term costs k slots,
   * not a row holding every document id in the corpus. */
-class MinKLongs(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
-
-  override def zero: List[Long] = Nil
-
-  override def reduce(buf: List[Long], a: Long): List[Long] = {
-    val (before, after) = buf.span(_ < a)
-    (before ::: a :: after).take(k)
-  }
-
-  override def merge(b1: List[Long], b2: List[Long]): List[Long] =
-    (b1 ++ b2).sorted.take(k)
-
-  override def finish(buf: List[Long]): Seq[Long] = buf
-
-  override def bufferEncoder: Encoder[List[Long]] =
-    ExpressionEncoder[List[Long]]()
-  override def outputEncoder: Encoder[Seq[Long]] =
-    ExpressionEncoder[Seq[Long]]()
-}
+class MinKLongs(k: Int) extends MinK[Long](k)

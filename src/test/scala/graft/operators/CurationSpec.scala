@@ -28,6 +28,14 @@ class CurationSpec extends SparkSpec {
     assert(red.contains("mixed: <EMAIL> from <IP>"))
   }
 
+  test("uppercase emails are caught (case-insensitive scrubbing)") {
+    val docs = Seq((1L, "write John.Doe@Corp.COM today")).toDF("doc_id", "text")
+    val r = Curation.piiScan(docs, col("text")).collect()(0)
+    assert(r.getLong(1) == 1L)
+    assert(docs.select(Curation.redact(col("text"))).head().getString(0) ==
+      "write <EMAIL> today")
+  }
+
   test("port numbers and version strings are not IPv4 false-positives") {
     val docs = Seq((1L, "v1.2.3 released, see 1.2.3.4.5 and :9090")).toDF("doc_id", "text")
     val r = Curation.piiScan(docs, col("text")).collect()(0)

@@ -39,9 +39,11 @@ class RuntimeFilterSpec extends SparkSpec {
       val plan = joined.queryExecution.optimizedPlan.toString
       assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
         s"no runtime bloom filter injected:\n${plan.take(1500)}")
-      // and the filter sits on the lineitem (fact) branch, keyed by the join key
-      assert(plan.contains("might_contain") && plan.contains("l_orderkey"),
-        plan.take(1500))
+      // the probe hashes the FACT side's join key (not the dim's): the
+      // injected predicate is might_contain(<bloom>, xxhash64(l_orderkey...))
+      assert("might_contain\\([^)]*\\]\\s*,\\s*xxhash64\\(l_orderkey".r
+        .findFirstIn(plan).isDefined,
+        s"bloom probe not keyed on the fact join key:\n${plan.take(1500)}")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
