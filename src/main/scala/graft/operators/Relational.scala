@@ -293,6 +293,42 @@ object Relational {
         .agg(davg(col("k")).as("avg_k"), max(col("k")).as("max_k"),
              min(col("k")).as("min_k"), count(lit(1)).as("n"))),
 
+    // --- events: funnel analysis (ordered conversion steps per user) -----------
+    // signup -> first view strictly after it -> first purchase strictly after
+    // that view. Three hash aggregations and two joins, all keyed by user_id
+    // — at scale every stage shuffles (user, one timestamp) pairs, never raw
+    // events, and the same partitioning is reusable across stages.
+    "q68_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      val view = ev.filter(col("event_type") === "view").as("v")
+        .join(signup, "user_id")
+        .filter(col("ts") > col("t_signup"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val purchase = ev.filter(col("event_type") === "purchase").as("p")
+        .join(view, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      signup
+        .join(view, Seq("user_id"), "left")
+        .join(purchase, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_signup"), col("t_view"), col("t_purchase"),
+          (lit(1) + col("t_view").isNotNull.cast("int")
+                  + col("t_purchase").isNotNull.cast("int")).cast("long").as("stage"))
+    }),
+
+    // --- events: fixed-width value histogram ------------------------------------
+    // Distribution profiling with deterministic bin edges: floor(value/25)
+    // is the same IEEE operation in both engines. One hash agg, bin count
+    // bounds the output, not the row count.
+    "q69_value_histogram" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(floor(col("value") / 25.0d).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))),
+
     // --- session windows (gap-based, the streaming-native grouping) -------------
     // Batch analog of `session_window`; the oracle reproduces the exact same
     // sessions with gaps-and-islands SQL (new session when the gap since the
@@ -614,6 +650,33 @@ object Relational {
          FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
                FROM events)
          GROUP BY event_type""",
+
+    "q68_funnel" ->
+      """WITH signup AS (
+           SELECT user_id, MIN(ts) AS t_signup FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         v AS (
+           SELECT e.user_id, MIN(e.ts) AS t_view
+           FROM events e JOIN signup s ON e.user_id = s.user_id
+           WHERE e.event_type = 'view' AND e.ts > s.t_signup
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, MIN(e.ts) AS t_purchase
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+           GROUP BY e.user_id)
+         SELECT s.user_id, s.t_signup, v.t_view, p.t_purchase,
+           CAST(1 + (CASE WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS stage
+         FROM signup s
+         LEFT JOIN v ON s.user_id = v.user_id
+         LEFT JOIN p ON s.user_id = p.user_id""",
+
+    "q69_value_histogram" ->
+      """SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin, COUNT(1) AS n,
+           MIN(value) AS min_v, MAX(value) AS max_v
+         FROM events GROUP BY 1""",
 
     "q28_pivot" ->
       """SELECT o_orderpriority,

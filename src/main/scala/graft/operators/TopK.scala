@@ -13,31 +13,12 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class LineRef(price: Double, okey: Long, lineno: Int)
 
-class TopKLines(k: Int) extends Aggregator[LineRef, List[LineRef], Seq[LineRef]] {
-
-  private val ord: Ordering[LineRef] =
+object LineRef {
+  implicit val ordering: Ordering[LineRef] =
     Ordering.by((r: LineRef) => (-r.price, r.okey, r.lineno))
-
-  override def zero: List[LineRef] = Nil
-
-  /** Insert keeping the buffer sorted and bounded at k. */
-  override def reduce(buf: List[LineRef], a: LineRef): List[LineRef] = {
-    val (before, after) = buf.span(ord.lt(_, a))
-    (before ::: a :: after).take(k)
-  }
-
-  override def merge(b1: List[LineRef], b2: List[LineRef]): List[LineRef] = {
-    val m = (b1 ++ b2).sorted(ord)
-    m.take(k)
-  }
-
-  override def finish(buf: List[LineRef]): Seq[LineRef] = buf
-
-  override def bufferEncoder: Encoder[List[LineRef]] =
-    ExpressionEncoder[List[LineRef]]()
-  override def outputEncoder: Encoder[Seq[LineRef]] =
-    ExpressionEncoder[Seq[LineRef]]()
 }
+
+class TopKLines(k: Int) extends MinK[LineRef](k)
 
 /** A (sort-key, id) pair for bounded per-group sampling — the hash key is
   * the sort order, the id breaks ties and identifies the row. */
