@@ -218,22 +218,45 @@ object TextAnalysis {
     * final boolean verdict. Mode-agnostic: runs unchanged on a batch frame
     * (q37) or a streaming one (StreamingTextSpec proves batch == stream). */
   def gopherRules(docs: DataFrame): DataFrame = {
-    val tk = toks(col("text"))
-    val sh = shingles(tk, 3)
+    val (nTok, meanLen, symRatio, repRatio) = gopherMetrics(col("text"))
     docs.select(
         col("doc_id"),
-        size(tk).cast("long").as("n_tok"),
-        (aggregate(transform(tk, w => length(w)), lit(0), (a, x) => a + x)
-          .cast("double") / size(tk)).as("mean_tok_len"),
-        (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
-          length(col("text"))).as("sym_ratio"),
-        when(size(sh) > 0,
-          lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
-          .otherwise(lit(0.0)).as("rep_ratio"))
+        nTok.as("n_tok"),
+        meanLen.as("mean_tok_len"),
+        symRatio.as("sym_ratio"),
+        repRatio.as("rep_ratio"))
       .withColumn("pass",
-        col("n_tok") >= 20 && col("n_tok") <= 90 &&
-          col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0 &&
-          col("sym_ratio") < 0.1 && col("rep_ratio") < 0.2)
+        gopherVerdict(col("n_tok"), col("mean_tok_len"),
+          col("sym_ratio"), col("rep_ratio")))
+  }
+
+  /** The four q37 metric expressions over a raw text column. */
+  private def gopherMetrics(text: org.apache.spark.sql.Column) = {
+    val tk = toks(text)
+    val sh = shingles(tk, 3)
+    (size(tk).cast("long"),
+     aggregate(transform(tk, w => length(w)), lit(0), (a, x) => a + x)
+       .cast("double") / size(tk),
+     length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") / length(text),
+     when(size(sh) > 0,
+       lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+       .otherwise(lit(0.0)))
+  }
+
+  private def gopherVerdict(nTok: org.apache.spark.sql.Column,
+                            meanLen: org.apache.spark.sql.Column,
+                            symRatio: org.apache.spark.sql.Column,
+                            repRatio: org.apache.spark.sql.Column) =
+    nTok >= 20 && nTok <= 90 &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symRatio < 0.1 && repRatio < 0.2
+
+  /** The q37 verdict as one boolean expression over a raw text column —
+    * reused by the end-to-end curation pipeline ([[Curation.curate]]) so the
+    * filter stage and the q37 exhibit cannot drift apart. */
+  def gopherPass(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (nTok, meanLen, symRatio, repRatio) = gopherMetrics(text)
+    gopherVerdict(nTok, meanLen, symRatio, repRatio)
   }
 
   /** DuckDB twin of the 16-byte rolling hash: each window's polynomial
