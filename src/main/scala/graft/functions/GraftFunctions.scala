@@ -37,7 +37,15 @@ object GraftFunctions {
         registry.registerFunction(id, new ExpressionInfo(className, name), builder)
       }
     }
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.CollapseNfcNormalize)) {
+    // Skip the experimental append when the rule already reached the
+    // optimizer some other way — a session built with [[GraftExtensions]]
+    // carries it via injectOptimizerRule, and appending it again would run
+    // the (idempotent but non-free) rewrite twice per plan.
+    val optimizer = spark.sessionState.optimizer
+    val alreadyActive =
+      optimizer.extendedOperatorOptimizationRules.contains(graft.plans.CollapseNfcNormalize) ||
+        spark.experimental.extraOptimizations.contains(graft.plans.CollapseNfcNormalize)
+    if (!alreadyActive) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.CollapseNfcNormalize
     }

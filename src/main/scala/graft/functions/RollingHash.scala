@@ -25,6 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class RollingHash(child: Expression, k: Int) extends UnaryExpression {
 
+  // Fail at plan time with a clear message: k = 0 would silently emit
+  // garbage window hashes and k < 0 would read past the byte array in
+  // eval/codegen (bytes(i - k)).
+  require(k >= 1, s"graft_rolling_hash window size must be >= 1, got $k")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_rolling_hash"
 

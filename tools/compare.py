@@ -23,8 +23,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         key = df.copy()
         for c in key.columns:
             if key[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+                # Null/NaN cells in an array-typed column must become tuples
+                # too (tuple vs float compares raise TypeError mid-sort), and
+                # must stay distinguishable from a genuine empty array —
+                # hence the (rank, payload) shape: nulls first, then arrays.
                 key[c] = key[c].map(
-                    lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+                    lambda v: (1,) + tuple(v)
+                    if isinstance(v, (list, np.ndarray))
+                    else ((0,) if v is None or (isinstance(v, float) and math.isnan(v))
+                          else (2, repr(v))))
         order = key.sort_values(by=list(key.columns), kind="mergesort",
                                 na_position="first").index
         df = df.loc[order].reset_index(drop=True)
