@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 object Bench {
+
+  /** Per-query repetitions. Min-of-3: this host shows 3-5x run-to-run noise
+    * (shared VM), and min-of-N is the standard estimator for the code's
+    * actual cost under external interference; three samples make a single
+    * contended window visibly recoverable where two often are not. */
+  val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,24 +27,70 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count(); () } catch { case _: Throwable => }
       }
-    // Per-query time = min of 2 runs: the host shows 3-5x run-to-run noise
-    // (shared VM), and min-of-N is the standard estimator for the code's
-    // actual cost under external interference. A query that throws reports
-    // -1 (NOT its time-to-exception, which would read as a speedup).
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      }
+    // A query that throws reports -1 (NOT its time-to-exception, which would
+    // read as a speedup). Raw per-run times are emitted alongside the min so
+    // a noisy host window is self-evident in the artifact: a real regression
+    // shows all runs slow; noise shows one slow run next to fast ones.
+    val rawTimes: Map[String, Seq[Double]] = SparkEntry.queries.map {
+      case (name, fn) =>
+        name -> (1 to Runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        }
+    }
+    val results = rawTimes.map { case (name, times) =>
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runsJson = rawTimes.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // total sums only successful queries; a -1 failure marker must not
     // subtract from (i.e. "speed up") the aggregate
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val streamingJson = streamingBench(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"streaming":$streamingJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Informational streaming micro-bench: notifications/s through the
+    * Example1 pipeline (MemoryStream -> NGSI parse -> flatten -> sliding
+    * window min -> noop sink), a fixed number of micro-batches. Tracked next
+    * to the batch numbers so streaming throughput has a per-round figure;
+    * failures degrade to an "err" field rather than sinking the batch bench. */
+  private[graft] def streamingBench(spark: SparkSession,
+                                    batches: Int = 5,
+                                    perBatch: Int = 2000): String = {
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val stream = MemoryStream[String]
+      val agg = graft.streaming.NgsiStreams.minTemperatureStream(
+        stream.toDF().select(col("value")))
+      val q = agg.writeStream
+        .format("noop")
+        .outputMode("update")
+        .start()
+      try {
+        val bodies = (0 until perBatch).map { i =>
+          s"""{"subscriptionId":"bench","data":[{"id":"R${i % 50}","type":"Room","temperature":{"type":"Float","value":${20.0 + (i % 15)},"metadata":{}}}]}"""
+        }
+        val t0 = System.nanoTime()
+        (1 to batches).foreach { _ =>
+          stream.addData(bodies)
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = batches.toLong * perBatch
+        s"""{"pipeline":"example1_min_temperature","notifications":$n,"batches":$batches,"elapsed_sec":$sec,"notifications_per_sec":${n / sec}}"""
+      } finally q.stop()
+    } catch {
+      case e: Throwable =>
+        val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ")
+        s"""{"pipeline":"example1_min_temperature","err":"$msg"}"""
+    }
   }
 }
