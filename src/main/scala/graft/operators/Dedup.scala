@@ -128,23 +128,41 @@ object Dedup {
       .filter(col("jac") >= lit(tNum.toDouble / tDen))
   }
 
-  /** Connected components over an undirected edge list `(i, j)` by
-    * iterative min-label propagation (the Pregel/GraphX formulation): every
-    * node starts labeled with itself, each round pushes labels across edges
-    * and keeps the min, converging in O(component diameter) rounds.
+  /** Connected components over an undirected edge list `(i, j)`.
+    *
+    * Two interchangeable propagation strategies (identical results, both
+    * deterministic fixpoints):
+    *  - `"label-prop"` (default): iterative min-label propagation (the
+    *    Pregel/GraphX formulation) — every node starts labeled with itself,
+    *    each round pushes labels across edges and keeps the min. Converges
+    *    in O(component diameter) rounds: the cheapest per round, and
+    *    near-dup clusters are dense and shallow (clones of one template),
+    *    so diameters are small.
+    *  - `"star"`: alternating large-star/small-star (Kiveris et al.,
+    *    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    *    round rewires strictly-larger neighbors (large-star) then smaller
+    *    neighbors (small-star) to the minimum of the closed neighborhood,
+    *    doubling the "pointer-jump" distance per round. Converges in
+    *    O(log n) rounds regardless of diameter — the safe choice for
+    *    adversarial graph shapes (long chains of pairwise-similar docs).
     *
     * Scale notes: the edge list is near-dup PAIRS — a tiny fraction of the
     * corpus — and is materialized once (eager localCheckpoint) so the
-    * upstream LSH pipeline is not re-run per round; each round is one
-    * equi-join + one hash agg, and the per-round convergence check is a
-    * count (no data to the driver). Near-dup clusters are dense and
-    * shallow (clones of one template), so diameters are small; for
-    * adversarial high-diameter graphs swap the propagation step for
-    * alternating large-star/small-star (Kiveris et al.), which keeps the
-    * same join-agg shape but converges in O(log n) rounds. Deterministic:
-    * run to fixpoint, min() is order-free.
+    * upstream LSH pipeline is not re-run per round; each round is a couple
+    * of equi-joins + hash aggs on pair-sized data, and the per-round
+    * convergence check is a count (no data to the driver). Both variants
+    * run to fixpoint and fail loudly if the iteration cap is hit.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
+                          algorithm: String = "label-prop"): DataFrame =
+    algorithm match {
+      case "label-prop" => ccLabelProp(pairs, maxIters)
+      case "star"       => ccAlternatingStars(pairs, maxIters)._1
+      case other => throw new IllegalArgumentException(
+        s"unknown connectedComponents algorithm '$other' (label-prop | star)")
+    }
+
+  private def ccLabelProp(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs
       .select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
@@ -173,6 +191,68 @@ object Dedup {
           "(component diameter exceeds the cap); raise maxIters or switch " +
           "the propagation step to large-star/small-star")
     labels.select(col("id").as("doc_id"), col("lbl").as("component"))
+  }
+
+  /** Alternating large-star/small-star CC (Kiveris et al. §3, two-phase):
+    * edges are kept oriented at the larger endpoint (src > dst); each round
+    * is one large-star (attach every strictly-larger neighbor of a node to
+    * the min of its closed neighborhood — preserves connectivity, keeps the
+    * orientation) followed by one small-star (attach a node and all its
+    * smaller neighbors to their min). The fixpoint is a forest of stars:
+    * every node points directly at its component minimum.
+    *
+    * Returns (labels, rounds) — the round count is part of the contract
+    * (DedupSpec pins O(log n) convergence on a path graph that would need
+    * O(n) label-propagation rounds). */
+  private[operators] def ccAlternatingStars(pairs: DataFrame,
+                                            maxIters: Int = 25): (DataFrame, Int) = {
+    val sym = pairs
+      .select(col("i").as("src"), col("j").as("dst"))
+      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .filter(col("src") =!= col("dst"))
+    val nodes = sym.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var edges = sym.filter(col("src") > col("dst")).distinct().localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
+      // large-star: for each node u, m = min(closed neighborhood); every
+      // neighbor v > u is rewired to (v, m). Output keeps src > dst because
+      // the emitted src is a strictly-larger neighbor of u and m <= u.
+      val nbrs = edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val lmins = nbrs.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      val large = nbrs.join(lmins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // small-star: src > dst everywhere, so per src the closed-neighborhood
+      // min is just min(dst); rewire every smaller neighbor AND src itself
+      // to it.
+      val smins = large.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val joined = large.join(smins, "src")
+      val small = joined.select(col("dst").as("src"), col("m").as("dst"))
+        .union(joined.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      // Fixpoint test on the materialized round output: both sides are
+      // distinct sets, so equal counts + empty one-way difference = equal.
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ccAlternatingStars did not converge in $maxIters rounds")
+    val labels = nodes
+      .join(edges.select(col("src").as("id"), col("dst").as("component")),
+        Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("component"), col("id")).as("component"))
+    (labels, it)
   }
 
   private def trigramPairs(s: SparkSession, d: String): DataFrame =

@@ -91,6 +91,42 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("star CC matches label-prop on chain, cycle, and disjoint pair") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(pairs, algorithm = "star").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("star CC converges in O(log n) rounds on an adversarial 10k-node path") {
+    // A 10k-node path graph has diameter 10k: min-label propagation needs
+    // ~10k rounds (it exhausts any sane cap), while alternating large/small
+    // star halves the remaining depth every round.
+    val n = 10000
+    val path = spark.range(n - 1)
+      .select(col("id").as("i"), (col("id") + 1).as("j"))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIters = 10)
+    }
+    val (labels, rounds) = Dedup.ccAlternatingStars(path, maxIters = 25)
+    assert(rounds <= 20, s"expected O(log n) rounds, took $rounds")
+    val comps = labels.select(col("component")).distinct().collect()
+    assert(comps.length == 1 && comps.head.getLong(0) == 0L)
+    assert(labels.count() == n)
+  }
+
+  test("star CC matches label-prop on the real q42 pair set") {
+    val pairs = Dedup.queries("q42_dedup_lsh_pairs")(spark, sfDir)
+      .select(col("i"), col("j"))
+    val lp = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val st = Dedup.connectedComponents(pairs, algorithm = "star").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lp == st && lp.nonEmpty)
+  }
+
   test("q47 canonical corpus keeps exactly one representative per near-dup cluster") {
     val comp = Dedup.queries("q46_dedup_components")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
