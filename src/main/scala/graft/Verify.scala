@@ -22,6 +22,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Aux exports the oracle SQL reads as tables (kept OUTSIDE outDir so
+    // result-dir globs see only real query outputs): the q52 IVF centroids,
+    // so DuckDB can recheck assignment+search under the exact centroids the
+    // Spark side trained (training is bit-deterministic per sf dir).
+    val auxDir = s"${outDir}_aux"
+    try operators.Similarity.centroidsFor(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q52_centroids")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] q52_centroids export failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,7 +45,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(operators.Similarity.AuxDirToken, auxDir))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Full query manifest so the local gate can count a crashed no-oracle
     // query as a failure instead of losing it from the denominator.

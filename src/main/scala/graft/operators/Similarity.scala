@@ -17,18 +17,18 @@ import TextFns._
   *  - q51 hyperplane-LSH: corpus and queries get a bucket key from fixed
   *    random hyperplanes; candidate generation is a shuffled equi-join on
   *    bucket — the 100 TB path (bucket count scales with corpus size).
-  *  - q52 IVF: k-means-style coarse quantization (here: per-label centroids,
-  *    since the testdata carries labels); queries probe only their nearest
-  *    centroid's inverted list. Not ANSI-SQL-expressible deterministically
-  *    (centroid averages are order-sensitive doubles), so it has no oracle —
-  *    the driver records a rows-only check; exactness is covered by
-  *    SimilaritySpec instead.
+  *  - q52 IVF: learned k-means coarse quantization; queries probe only
+  *    their nearest centroids' inverted lists. Training is spec-verified
+  *    (learned doubles are not ANSI-expressible); assignment + search run
+  *    under FIXED centroids that Verify exports to parquet, so that stage
+  *    has a full DuckDB oracle like every other query.
   */
 object Similarity {
 
   val NumQueries = 20 // vec_id < 20 are the query vectors
   val TopK = 5
   val LshTopK = 3
+  val IvfNProbe = 2 // lists probed per query (q52) — shared with the oracle
 
   /** Embeddings widened to double with the L2 norm precomputed once per
     * vector (pair scoring then divides by the two cached norms — same
@@ -79,7 +79,7 @@ object Similarity {
         .select(col("query_id"), col("nn_rank"), col("vec_id"), col("sim"))
     }),
 
-    // --- IVF: learned k-means lists, probe nearest lists (no oracle) -------
+    // --- IVF: learned k-means lists, probe nearest lists -------------------
     "q52_knn_ivf" -> ((s, d) => ivfTopK(embs(s, d), NumQueries, LshTopK)),
 
     // --- ANN over int8-quantized vectors (the compressed search path) ------
@@ -158,10 +158,24 @@ object Similarity {
     *    is scored per query.
     * Fixed `iters` Lloyd rounds: k-means converges geometrically; 5 rounds
     * on a seeded init is the standard IVF build trade-off.
-    * No SQL oracle by design (learned doubles are not ANSI-expressible);
-    * SimilaritySpec pins recall@k against the exact q50 baseline instead. */
+    * Training has no SQL twin (learned doubles are not ANSI-expressible) —
+    * SimilaritySpec pins recall@k against the exact q50 baseline; the
+    * assignment+search stage IS oracle-checked via the exported centroids. */
   def ivfTopK(e: DataFrame, numQueries: Int, k: Int, nLists: Int = 8,
-              iters: Int = 5, nProbe: Int = 2): DataFrame = {
+              iters: Int = 5, nProbe: Int = IvfNProbe): DataFrame =
+    ivfAssignTopK(e, trainCentroids(e, nLists, iters), numQueries, k, nProbe)
+
+  /** Trained centroids for a sf dir — what Verify exports to parquet for
+    * the q52 oracle (training is bit-deterministic, so re-training here
+    * reproduces exactly the centroids the q52 query used). */
+  def centroidsFor(s: SparkSession, d: String): DataFrame =
+    trainCentroids(embs(s, d))
+
+  /** Stage 1 — centroid training (spec-verified, not SQL-expressible): the
+    * learned (cid, cv) coarse-quantizer table, bit-deterministic for a given
+    * corpus. Exported to parquet by Verify so the DuckDB oracle can check
+    * stage 2 (assignment + search) under the exact same centroids. */
+  def trainCentroids(e: DataFrame, nLists: Int = 8, iters: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(e.sparkSession)
 
     // Training sample: k-means for a coarse quantizer is trained on a
@@ -214,8 +228,16 @@ object Similarity {
 
     val spark = e.sparkSession
     import spark.implicits._
-    val cent = centers.toSeq.toDF("cid", "cv")
+    centers.toSeq.toDF("cid", "cv")
+  }
 
+  /** Stage 2 — assignment + probe + search under FIXED centroids. Fully
+    * deterministic given `cent`, so (unlike training) it has an exact SQL
+    * twin: Verify exports the centroid table to parquet and the q52 oracle
+    * recomputes this whole stage in DuckDB over it. */
+  def ivfAssignTopK(e: DataFrame, cent: DataFrame, numQueries: Int, k: Int,
+                    nProbe: Int = IvfNProbe): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
     // the one corpus-wide pass: final inverted-list assignment — broadcast
     // the (tiny) centroid table, argmax-cosine per vector via one hash
     // aggregation (the max(struct) trick; no per-vector window), the corpus
@@ -253,6 +275,12 @@ object Similarity {
 
   // ------------------------- oracle SQL twins ----------------------------
 
+  /** Placeholder in the q52 oracle, replaced by Verify at dump time with the
+    * aux export directory (outDir + "_aux") where it wrote the trained
+    * centroid table — the oracle recomputes IVF assignment + search under
+    * the exact centroids the Spark side used. */
+  val AuxDirToken = "__GRAFT_AUX_DIR__"
+
   private val oEmb = "CAST(embedding AS DOUBLE[])"
 
   val oracles: Map[String, String] = Map(
@@ -282,7 +310,42 @@ object Similarity {
                         ORDER BY sim DESC, vec_id) AS nn_rank
             FROM scored)
           WHERE nn_rank <= $LshTopK""",
-    // q52_knn_ivf intentionally has no oracle (see Scaladoc).
+
+    // q52: stage 1 (centroid TRAINING) stays spec-only — learned doubles are
+    // not ANSI-expressible. Stage 2 (assignment + probe + search) is fully
+    // deterministic under fixed centroids, so the oracle reads the centroid
+    // parquet Verify exported and recomputes the whole stage: per-vector
+    // argmax-cosine list assignment (tie -> smaller cid, mirroring Spark's
+    // max(struct(csim, -cid))), per-query nProbe nearest lists, then top-k
+    // within the probed lists.
+    "q52_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
+            cent AS (SELECT cid, cv FROM '$AuxDirToken/q52_centroids/*.parquet'),
+            asg AS (
+              SELECT vec_id, v, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY csim DESC, cid) AS rk
+              FROM (SELECT x.vec_id, x.v, c.cid, ${oCosine("x.v", "c.cv")} AS csim
+                    FROM e x CROSS JOIN cent c)),
+            lists AS (SELECT vec_id, v, cid FROM asg WHERE rk = 1),
+            probed AS (
+              SELECT query_id, qv, cid FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY ${oCosine("q.v", "c.cv")} DESC, c.cid) AS crank
+                FROM e q CROSS JOIN cent c
+                WHERE q.vec_id < $NumQueries)
+              WHERE crank <= $IvfNProbe),
+            scored AS (
+              SELECT p.query_id, l.vec_id, l.cid AS list_id,
+                     ${oCosine("p.qv", "l.v")} AS sim
+              FROM probed p JOIN lists l ON p.cid = l.cid
+              WHERE p.query_id <> l.vec_id)
+          SELECT query_id, nn_rank, vec_id, list_id, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, vec_id) AS nn_rank
+            FROM scored)
+          WHERE nn_rank <= $LshTopK""",
 
     "q54_knn_quantized" ->
       s"""WITH b AS (
