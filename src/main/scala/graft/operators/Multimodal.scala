@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
-  * with typed metadata alongside. The actual image/audio decode libraries are
-  * not available in this environment, so the decode step is a clearly-marked
-  * deterministic STUB ([[decodeStub]]); everything Spark-side — schema,
-  * batched per-partition iteration, partitioning, metadata extraction, frame
-  * sampling — is real and tested (MultimodalSpec).
+  * with typed metadata alongside. Image decode is REAL for the formats the
+  * JVM ships codecs for ([[decodeImage]], pure `javax.imageio` — PNG/JPEG/
+  * GIF/BMP, no native libraries); other modalities (audio/video codecs are
+  * absent in this environment) go through the clearly-marked deterministic
+  * STUB ([[decodeStub]]) at the same plug-point. Everything Spark-side —
+  * schema, batched per-partition iteration, partitioning, metadata
+  * extraction, frame sampling — is real and tested (MultimodalSpec).
   *
   * The oracle-checked queries (q60/q61) use the text bytes of `documents` as
   * the stand-in payload so DuckDB can verify the plumbing end-to-end.
@@ -55,12 +57,51 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // real decoder init would happen once per partition, here:
+      it.map(stubFeature)
+    }
+  }
+
+  private def stubFeature(m: MediaPayload): MediaFeature = {
+    val n = m.payload.length.toLong
+    val feature = m.payload.take(8).map(b => (b & 0xff) / 255.0f)
+    MediaFeature(m.doc_id, m.modality,
+      width = (n % 640).toInt, height = (n % 480).toInt,
+      n_bytes = n, feature = feature)
+  }
+
+  /** REAL decoder for the formats the JVM ships codecs for (PNG/JPEG/GIF/BMP
+    * via `javax.imageio` — no native libraries needed): decodes the payload,
+    * emits true pixel dimensions and an up-to-8-pixel row-major luminance
+    * feature. Payloads ImageIO cannot decode (unknown format, audio/video,
+    * truncated bytes) fall back to [[stubFeature]] — the same
+    * degrade-don't-crash contract a production pipeline needs when a crawled
+    * corpus contains corrupt assets.
+    *
+    * Same `mapPartitions` shape as the stub: ImageIO's plugin registry scan
+    * happens once per JVM, and a heavier decoder (video codec, model
+    * weights) would init once per partition in the same place.
+    */
+  def decodeImage(ds: Dataset[MediaPayload]): Dataset[MediaFeature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
       it.map { m =>
-        val n = m.payload.length.toLong
-        val feature = m.payload.take(8).map(b => (b & 0xff) / 255.0f)
-        MediaFeature(m.doc_id, m.modality,
-          width = (n % 640).toInt, height = (n % 480).toInt,
-          n_bytes = n, feature = feature)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: Exception => null }
+        if (img == null) stubFeature(m)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val k = math.min(8, w.toLong * h).toInt
+          val feature = Array.tabulate(k) { i =>
+            val rgb = img.getRGB(i % w, i / w)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            ((r + g + b) / 3) / 255.0f // integer-mean luminance, exact in float
+          }
+          MediaFeature(m.doc_id, m.modality, w, h, m.payload.length.toLong, feature)
+        }
       }
     }
   }

@@ -29,6 +29,40 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(f => f.feature.forall(x => x >= 0f && x <= 1f)))
   }
 
+  test("decodeImage: real PNG decode via javax.imageio, exact pixels") {
+    import spark.implicits._
+    // 2x2 PNG with known pixels, written by the same JVM codec that will
+    // read it back (lossless format -> exact round-trip).
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // red
+    img.setRGB(1, 0, 0x00ff00) // green
+    img.setRGB(0, 1, 0x0000ff) // blue
+    img.setRGB(1, 1, 0xffffff) // white
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val notAnImage = "just text bytes".getBytes("UTF-8")
+    val ds = Seq(
+      MediaPayload(1L, "image", png),
+      MediaPayload(2L, "image", notAnImage)).toDS()
+    val out = decodeImage(ds).collect().sortBy(_.doc_id)
+
+    val decoded = out(0)
+    assert(decoded.width == 2 && decoded.height == 2)
+    assert(decoded.n_bytes == png.length.toLong)
+    // row-major integer-mean luminance: (r+g+b)/3 then /255
+    val expected = Array(255 / 3, 255 / 3, 255 / 3, 255).map(_ / 255.0f)
+    assert(decoded.feature.sameElements(expected),
+      s"got ${decoded.feature.mkString(",")}")
+
+    // undecodable payload degrades to the stub, never crashes the partition
+    val fallback = out(1)
+    assert(fallback.n_bytes == notAnImage.length.toLong)
+    assert(fallback.width == notAnImage.length % 640 &&
+      fallback.height == notAnImage.length % 480)
+  }
+
   test("frame sampling emits every 3rd 32-byte frame") {
     val out = queries("q61_multimodal_frames")(spark, sfDir).collect()
     assert(out.nonEmpty)
