@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -63,6 +65,54 @@ object Sketches {
       .join(termCounts, "term")
       .select(col("term"), col("n"), col("cms_est"),
         (col("cms_est") === col("n")).as("tight"))
+
+  /** JVM twin of [[cmsBucket]] — identical hash, identical bucket. */
+  def bucketOf(term: String, r: Int): Int =
+    Integer.parseInt(md5hex(s"$r|$term").substring(0, 4), 16) % Width
+
+  /** The CMS as a MERGEABLE FIXED-SIZE accumulator: one flat
+    * `Array[Long]` of Depth*Width cells. `reduce` increments one bucket
+    * per hash row; `merge` is a cell-wise add — which is what makes the
+    * sketch composable everywhere state composes: map-side partials,
+    * shuffle merges, streaming state across micro-batches, cross-shard /
+    * cross-day sketch unions. Per-task and per-stream state is Depth*Width
+    * cells regardless of vocabulary — the property the scaladoc above
+    * promises for the 100 TB variant, here as an operator. */
+  object CmsAggregate extends Aggregator[String, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](Depth * Width)
+    override def reduce(b: Array[Long], term: String): Array[Long] = {
+      var r = 0
+      while (r < Depth) { b(r * Width + bucketOf(term, r)) += 1L; r += 1 }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Mode-agnostic sketch build from RAW terms (column `term`): one typed
+    * aggregation over [[CmsAggregate]]. On a stream this is the
+    * streaming-safe CMS — per-term exact counts would be vocabulary-sized
+    * state, while this holds exactly Depth*Width cells per state-store key
+    * and merges across micro-batches (complete/update output). Emits a
+    * single row `cells: array<bigint>`; [[cellsToTable]] unflattens.
+    * StreamingFunnelCmsSpec pins batch==stream over the same terms. */
+  def cmsFromTerms(terms: DataFrame): DataFrame =
+    terms.agg(udaf(CmsAggregate, Encoders.STRING)(col("term")).as("cells"))
+
+  /** Flat cell array -> (r, bucket, bsum) rows (non-empty buckets only —
+    * the shape [[cmsTable]] emits). */
+  def cellsToTable(cells: Seq[Long]): Seq[(Int, Int, Long)] =
+    cells.zipWithIndex.collect {
+      case (n, i) if n != 0L => (i / Width, i % Width, n)
+    }
 
   private def t(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 

@@ -85,6 +85,68 @@ object StatefulOps {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  case class FunnelProgress(tSignup: Option[java.sql.Timestamp],
+                            tView: Option[java.sql.Timestamp],
+                            tPurchase: Option[java.sql.Timestamp])
+  case class FunnelRow(user_id: Long, t_signup: java.sql.Timestamp,
+                       t_view: java.sql.Timestamp, t_purchase: java.sql.Timestamp,
+                       stage: Long)
+
+  /** Streaming twin of the batch funnel (q68, `Relational`): per-user
+    * signup -> first view strictly after it -> first purchase strictly
+    * after that view. State is three optional timestamps per user — O(1),
+    * never an event buffer — and a user emits an updated row only on the
+    * batches where their funnel actually advanced (Update-mode output;
+    * users without a signup emit nothing, like the batch query).
+    *
+    * Exactness contract: identical to the batch funnel when each user's
+    * events are fed in event-time order ACROSS batches (the log-replay
+    * shape; intra-batch order is free — each group sorts its batch). With
+    * O(1) state, cross-batch event-time regressions can only be healed by
+    * buffering events, which is precisely what this operator exists to
+    * avoid; feed from a time-ordered log or widen batches until order
+    * holds. StreamingFunnelCmsSpec pins batch==stream on the real events
+    * table replayed in timestamp order. */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   idleTimeout: Option[String] = Some("1 hour")): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelRow](
+        OutputMode.Update(), timeoutConf) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (uid, batch, state) =>
+          idleTimeout.foreach(state.setTimeoutDuration)
+          val before = state.getOption.getOrElse(FunnelProgress(None, None, None))
+          var st = before
+          batch.toSeq.sortWith((a, b) => a.ts.compareTo(b.ts) < 0).foreach { e =>
+            e.event_type match {
+              case "signup" if st.tSignup.isEmpty =>
+                st = st.copy(tSignup = Some(e.ts))
+              case "view" if st.tSignup.nonEmpty && st.tView.isEmpty &&
+                  e.ts.after(st.tSignup.get) =>
+                st = st.copy(tView = Some(e.ts))
+              case "purchase" if st.tView.nonEmpty && st.tPurchase.isEmpty &&
+                  e.ts.after(st.tView.get) =>
+                st = st.copy(tPurchase = Some(e.ts))
+              case _ =>
+            }
+          }
+          if (st == before) Iterator.empty
+          else {
+            state.update(st)
+            val stage = 1L + (if (st.tView.isDefined) 1L else 0L) +
+              (if (st.tPurchase.isDefined) 1L else 0L)
+            Iterator.single(FunnelRow(uid, st.tSignup.orNull,
+              st.tView.orNull, st.tPurchase.orNull, stage))
+          }
+      }
+  }
+
   case class KeyedValue(key: String, value: Float)
   case class RunningMin(key: String, min: Float)
 

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.operators.{Relational, Sketches, TextFns}
+import StatefulOps._
+
+/** Batch==stream parity for the newest curation operators (funnel, CMS),
+  * extending the proof StreamingTextSpec gives for gopherRules: the same
+  * semantics hold whether the events arrive as a table or as a replayed
+  * log of micro-batches. */
+class StreamingFunnelCmsSpec extends SparkSpec with Matchers {
+
+  test("streaming funnel matches the batch funnel on a ts-ordered replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val batchRows = Relational.queries("q68_funnel")(s, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getTimestamp(1), Option(r.getTimestamp(2)).orNull,
+          Option(r.getTimestamp(3)).orNull, r.getLong(4))).toMap
+    assert(batchRows.nonEmpty)
+
+    // replay the events table as a time-ordered log in three micro-batches
+    val log = graft.Tables.load(s, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .orderBy(col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .collect()
+      .map { case (u, t, ts) => FunnelEvent(u, t, ts) }
+    val chunks = log.grouped((log.length + 2) / 3).toSeq
+
+    val mem = MemoryStream[FunnelEvent]
+    val q = funnelStream(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    val streamed =
+      try {
+        chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+        s.table("funnel_stream").collect()
+      } finally q.stop()
+
+    // update-mode emissions are strictly stage-increasing per user, so the
+    // max-stage row is each user's final funnel state
+    val finalRows = streamed
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4)))
+      .groupBy(_._1).map { case (u, rows) => u -> {
+        val last = rows.maxBy(_._5)
+        (last._2, last._3, last._4, last._5)
+      } }
+    finalRows should have size batchRows.size.toLong
+    finalRows.foreach { case (u, got) =>
+      assert(got == batchRows(u), s"user $u: stream=$got batch=${batchRows(u)}")
+    }
+  }
+
+  test("streaming CMS matches the batch sketch and the merge law holds") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val docs = graft.Tables.load(s, sfDir, "documents")
+    val terms = docs.select(explode(TextFns.toks(col("text"))).as("term"))
+    val batchTable = Sketches.cmsTable(
+        terms.groupBy(col("term")).agg(count(lit(1)).as("n")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+    val raw = terms.as[String].collect()
+    val mem = MemoryStream[String]
+    val q = Sketches.cmsFromTerms(mem.toDF().select(col("value").as("term")))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    val cells =
+      try {
+        raw.grouped((raw.length + 2) / 3).foreach { c =>
+          mem.addData(c.toSeq); q.processAllAvailable()
+        }
+        s.table("cms_stream").collect() match {
+          case Array(row) => row.getSeq[Long](0)
+          case other => fail(s"expected one complete-mode row, got ${other.length}")
+        }
+      } finally q.stop()
+    val streamTable = Sketches.cellsToTable(cells)
+      .map { case (r, b, n) => (r, b.toLong, n) }.toSet
+    assert(streamTable == batchTable)
+
+    // merge law: chunked reduce + merge == one-pass reduce (the property
+    // that makes partial aggregation and cross-batch state sound)
+    val onePass = raw.foldLeft(Sketches.CmsAggregate.zero)(Sketches.CmsAggregate.reduce)
+    val merged = raw.grouped(997)
+      .map(c => c.foldLeft(Sketches.CmsAggregate.zero)(Sketches.CmsAggregate.reduce))
+      .reduce(Sketches.CmsAggregate.merge)
+    assert(onePass.sameElements(merged))
+  }
+}
