@@ -34,10 +34,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics and scale notes:
   *  - Like the reference's Netty server, ingest is a single listener and
-  *    durability is the process lifetime: offsets are NOT replayable across
-  *    driver restarts (the reference has the same at-most-once property).
-  *    For replayable ingest, front this with a durable log and read that
-  *    instead; this source is the parity piece for broker push.
+  *    offsets are NOT replayable across driver restarts (the reference has
+  *    the same at-most-once property). The optional `captureDir` option
+  *    upgrades this: every notification is appended (+fsync) to a JSON-lines
+  *    capture log in that directory BEFORE it is acked, so an ack means
+  *    durably-on-disk, and a restart replays the full history with
+  *    [[graft.ngsi.NgsiPipelines.replayCaptured]](dir, format="json") — the
+  *    standard log-tee shape (capture log + columnar compaction later)
+  *    rather than a bespoke two-phase source. NgsiHttpSourceSpec proves
+  *    kill+restart with the tee loses zero acked events.
   *  - Rows are shipped to executors inside the planned partition (the same
   *    pattern as Spark's own socket source). Parsing/windowing downstream is
   *    fully distributed; the listener is only the accept path.
@@ -49,9 +54,15 @@ class NgsiHttpSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     NgsiHttpSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new NgsiHttpTable(Option(properties.get("port")).map(_.toInt)
-      .getOrElse(throw new IllegalArgumentException("ngsi-http source requires a 'port' option")))
+                        properties: util.Map[String, String]): Table = {
+    // properties arrive with original-case keys; DSv2 options are
+    // case-insensitive by contract, so normalize before lookup
+    val opts = new CaseInsensitiveStringMap(properties)
+    new NgsiHttpTable(
+      Option(opts.get("port")).map(_.toInt)
+        .getOrElse(throw new IllegalArgumentException("ngsi-http source requires a 'port' option")),
+      Option(opts.get("capturedir")))
+  }
 }
 
 object NgsiHttpSource {
@@ -62,7 +73,8 @@ object NgsiHttpSource {
     StructField("recvTime", TimestampType)))
 }
 
-private[sources] class NgsiHttpTable(port: Int) extends Table with SupportsRead {
+private[sources] class NgsiHttpTable(port: Int, captureDir: Option[String])
+    extends Table with SupportsRead {
   override def name(): String = s"ngsi-http:$port"
   override def schema(): StructType = NgsiHttpSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -74,7 +86,7 @@ private[sources] class NgsiHttpTable(port: Int) extends Table with SupportsRead 
         override def toBatch: Batch =
           throw new UnsupportedOperationException("ngsi-http is streaming-only")
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new NgsiHttpMicroBatchStream(port)
+          new NgsiHttpMicroBatchStream(port, captureDir)
       }
     }
 }
@@ -87,13 +99,46 @@ private[sources] case class SeqOffset(n: Long) extends Offset {
 private[sources] final case class BufferedNotification(
     body: String, service: String, servicePath: String, recvTimeMicros: Long)
 
-private[sources] class NgsiHttpMicroBatchStream(port: Int)
+private[sources] class NgsiHttpMicroBatchStream(
+    port: Int, captureDir: Option[String] = None)
     extends MicroBatchStream {
 
   // Ring buffer of accepted-but-uncommitted notifications. `firstSeq` is the
   // sequence number of buffer(0); lock is the buffer itself.
   private val buffer = new ArrayBuffer[BufferedNotification]()
   private var firstSeq = 0L
+
+  // Durable-ingest tee: one JSON-lines capture file per source incarnation
+  // (append-only, so restarts add a new file to the same directory and
+  // replayCaptured reads them all). Opened lazily on the first notification.
+  private var captureOut: java.io.FileOutputStream = null
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Append + fsync one accepted notification BEFORE it is acked: once the
+    * poster sees 200, the event is on disk and survives any driver kill.
+    * recvTime is epoch millis — the numeric shape `replayCaptured` already
+    * dispatches on. Per-record fsync is the durable-ack contract; a
+    * throughput-focused deployment would batch syncs (group commit) at the
+    * cost of widening the ack-vs-durable window. */
+  private def capture(rec: BufferedNotification): Unit = captureDir.foreach { dir =>
+    if (captureOut == null) {
+      new java.io.File(dir).mkdirs()
+      captureOut = new java.io.FileOutputStream(
+        new java.io.File(dir, s"capture-${java.util.UUID.randomUUID()}.json"), true)
+    }
+    val line = s"""{"value":"${jsonEsc(rec.body)}","service":"${jsonEsc(rec.service)}","servicePath":"${jsonEsc(rec.servicePath)}","recvTime":${rec.recvTimeMicros / 1000L}}""" + "\n"
+    captureOut.write(line.getBytes(StandardCharsets.UTF_8))
+    captureOut.flush()
+    captureOut.getFD.sync()
+  }
 
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
@@ -114,7 +159,10 @@ private[sources] class NgsiHttpMicroBatchStream(port: Int)
           Option(h.getFirst("Fiware-Service")).getOrElse(""),
           Option(h.getFirst("Fiware-ServicePath")).getOrElse(""),
           System.currentTimeMillis() * 1000L)
-        buffer.synchronized { buffer += rec }
+        buffer.synchronized {
+          capture(rec) // durable first: 200 must imply on-disk when teeing
+          buffer += rec
+        }
         exchange.sendResponseHeaders(200, -1)
       } else {
         exchange.sendResponseHeaders(405, -1)
@@ -191,7 +239,10 @@ private[sources] class NgsiHttpMicroBatchStream(port: Int)
     }
   }
 
-  override def stop(): Unit = server.stop(0)
+  override def stop(): Unit = {
+    server.stop(0)
+    if (captureOut != null) captureOut.close()
+  }
 }
 
 private[sources] case class NgsiHttpInputPartition(

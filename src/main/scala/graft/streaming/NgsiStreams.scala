@@ -22,12 +22,18 @@ object NgsiStreams {
 
   /** The reference's `env.addSource(new OrionSource(port))`
     * (`Example1.scala:17`): an unbounded stream of NGSI notifications
-    * pushed over HTTP. See [[graft.sources.NgsiHttpSource]]. */
-  def fromHttp(spark: org.apache.spark.sql.SparkSession, port: Int): DataFrame =
-    spark.readStream
+    * pushed over HTTP. See [[graft.sources.NgsiHttpSource]].
+    *
+    * `captureDir` enables the durable-ingest tee: every acked notification
+    * is also fsynced to a JSON-lines capture log there, replayable after a
+    * restart with [[graft.ngsi.NgsiPipelines.replayCaptured]]. */
+  def fromHttp(spark: org.apache.spark.sql.SparkSession, port: Int,
+               captureDir: Option[String] = None): DataFrame = {
+    val r = spark.readStream
       .format("graft.sources.NgsiHttpSource")
       .option("port", port)
-      .load()
+    captureDir.fold(r)(d => r.option("captureDir", d)).load()
+  }
 
   /** Example1 streaming: body stream -> windowed per-entity min. */
   def minTemperatureStream(raw: DataFrame,

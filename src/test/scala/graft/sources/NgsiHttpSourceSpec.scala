@@ -186,6 +186,52 @@ class NgsiHttpSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("durable-ingest tee: kill + restart loses zero acked notifications") {
+    val dir = java.nio.file.Files.createTempDirectory("ngsi_capture").toString
+
+    // incarnation 1: 8 acks, then the query is killed
+    val port1 = freePort()
+    val q1 = NgsiStreams.fromHttp(spark, port1, captureDir = Some(dir))
+      .writeStream.format("memory").queryName("ngsi_tee1")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      (1 to 5).foreach { i =>
+        assert(post(port1, notification.replace("R1", s"A$i"),
+          Map("Fiware-Service" -> "tee")) == 200)
+      }
+      q1.processAllAvailable()
+      // acked but possibly never planned into a micro-batch before the kill
+      (1 to 3).foreach { i =>
+        assert(post(port1, notification.replace("R1", s"B$i"), Map.empty) == 200)
+      }
+    } finally q1.stop()
+
+    // incarnation 2 ("restart"): same capture dir, new port, 2 more acks
+    val port2 = freePort()
+    val q2 = NgsiStreams.fromHttp(spark, port2, captureDir = Some(dir))
+      .writeStream.format("memory").queryName("ngsi_tee2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      (1 to 2).foreach { i =>
+        assert(post(port2, notification.replace("R1", s"C$i"), Map.empty) == 200)
+      }
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // the replay path sees every acked notification across both lifetimes,
+    // including any the killed stream never processed
+    val replayed = graft.ngsi.NgsiPipelines
+      .replayCaptured(spark, dir, format = "json")
+    val entities = graft.ngsi.NgsiPipelines.flattenEntities(replayed.toDF())
+      .select(col("id"), col("service"), col("recvTime")).collect()
+    assert(entities.length == 10, s"replayed ${entities.length} of 10 acked")
+    val ids = entities.map(_.getString(0)).toSet
+    assert(ids == ((1 to 5).map(i => s"A$i") ++ (1 to 3).map(i => s"B$i")
+      ++ (1 to 2).map(i => s"C$i")).toSet)
+    assert(entities.count(_.getString(1) == "tee") == 5)
+    assert(entities.forall(_.getAs[java.sql.Timestamp]("recvTime") != null))
+  }
+
   test("non-POST requests are rejected, stream unaffected") {
     val port = freePort()
     val raw = NgsiStreams.fromHttp(spark, port)
