@@ -160,7 +160,70 @@ object Curation {
         ((col("tok_end") - col("n_tok")) % SeqLen).as("seq_offset"))
   }
 
+  /** End-to-end curation — the composition the individual operators exist
+    * for, in the order a production training-data pipeline runs them:
+    *
+    *   1. exact dedup: keep the min doc_id per content hash (q40's rule);
+    *   2. near-dup canonical: LSH pairs + connected components over the
+    *      exact-deduped survivors, drop every cluster non-minimum (q42/q46/
+    *      q47 machinery);
+    *   3. quality filter: [[TextAnalysis.gopherPass]] on the raw text;
+    *   4. benchmark decontamination: drop survivors sharing any
+    *      [[DecontamN]]-gram with the benchmark slice (taken from the FULL
+    *      original corpus — the eval suite is external data and is not
+    *      itself curated) plus the benchmark slice itself (q57's rule);
+    *   5. split assignment + PII-redacted fingerprint (q36 + q56 rules).
+    *
+    * Emits one row per surviving doc: (doc_id, source, split, n_tok,
+    * red_fp). Scale shape is inherited stage by stage from the operators it
+    * composes: hash-agg dedup (digests shuffle, not text), bucketed LSH
+    * (never all-pairs), pair-sized CC, narrow quality/redaction passes, and
+    * a broadcast benchmark gram set. Oracle-checked end to end as q70. */
+  def curate(docs: DataFrame): DataFrame = {
+    // 1. exact dedup — semi join against the per-hash winners
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val dd = docs.join(exactKeep, Seq("doc_id"), "left_semi")
+    // 2. near-dup canonical over the deduped survivors
+    val pairs = Dedup.lshNearDupPairs(dd, n = 3,
+        numHashes = Dedup.NumHashes, bandSize = Dedup.BandSize, seedBase = 0,
+        tNum = Dedup.TrigramTNum, tDen = Dedup.TrigramTDen)
+      .select(col("i"), col("j"))
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    val canon = dd.join(losers, Seq("doc_id"), "left_anti")
+    // 3. quality filter
+    val qual = canon.filter(TextAnalysis.gopherPass(col("text")))
+    // 4. decontamination — benchmark grams from the ORIGINAL corpus
+    val benchGrams = docs.filter(col("source") === BenchSource)
+      .select(explode(array_distinct(shingles(toks(col("text")), DecontamN)))
+        .as("gram"))
+      .distinct()
+    val contaminated = qual.filter(col("source") =!= BenchSource)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(toks(col("text")), DecontamN))).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .select(col("doc_id"))
+      .distinct()
+    val clean = qual.filter(col("source") =!= BenchSource)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // 5. split + redacted fingerprint
+    clean.select(
+      col("doc_id"), col("source"),
+      when(md5(col("doc_id").cast("string")) < "0d", "test")
+        .when(md5(col("doc_id").cast("string")) < "1a", "valid")
+        .otherwise("train").as("split"),
+      size(toks(col("text"))).cast("long").as("n_tok"),
+      md5(redact(piiText)).as("red_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- the end-to-end curation pipeline ---------------------------------
+    "q70_curation_pipeline" -> ((s, d) => curate(t(s, d))),
 
     // --- PII detection + redaction ----------------------------------------
     // No repartition: the projection is narrow over the scan, so plan
@@ -232,6 +295,55 @@ object Curation {
        || text"""
 
   val oracles: Map[String, String] = Map(
+
+    // Stage-by-stage mirror of [[curate]]: every CTE reuses the SQL fragment
+    // already hash-proven for the operator it composes (q40 dedup rule, the
+    // q42/q46 LSH+CC machinery via Dedup.oComponents over the deduped CTE,
+    // q37 gopher metrics, q57 gram overlap, q36 split, q56 redaction).
+    "q70_curation_pipeline" ->
+      s"""WITH RECURSIVE
+            keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            dd AS (SELECT d.* FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
+            ${Dedup.oComponents("dd")},
+            canon AS (SELECT dd.* FROM dd
+                      WHERE NOT EXISTS (SELECT 1 FROM comp c
+                                        WHERE c.doc_id = dd.doc_id
+                                          AND c.component <> c.doc_id)),
+            qm AS (SELECT doc_id,
+                     len(tk) AS n_tok,
+                     CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+                       / len(tk) AS mean_tok_len,
+                     CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / length(text) AS sym_ratio,
+                     CASE WHEN len(sh) > 0
+                          THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+                          ELSE 0.0 END AS rep_ratio
+                   FROM (SELECT doc_id, text, $oToksFrag AS tk,
+                           ${oShingles(oToksFrag, 3)} AS sh FROM canon)),
+            qual AS (SELECT c.* FROM canon c JOIN qm m ON c.doc_id = m.doc_id
+                     WHERE m.n_tok >= 20 AND m.n_tok <= 90
+                       AND m.mean_tok_len >= 3.0 AND m.mean_tok_len <= 10.0
+                       AND m.sym_ratio < 0.1 AND m.rep_ratio < 0.2),
+            bench AS (SELECT DISTINCT gram FROM
+                        (SELECT unnest(${oShingles(oToksFrag, DecontamN)}) AS gram
+                         FROM documents WHERE source = '$BenchSource')),
+            contam AS (SELECT DISTINCT g.doc_id FROM
+                         (SELECT doc_id,
+                            unnest(list_distinct(${oShingles(oToksFrag, DecontamN)})) AS gram
+                          FROM qual WHERE source <> '$BenchSource') g
+                       JOIN bench b ON g.gram = b.gram),
+            clean AS (SELECT q.* FROM qual q
+                      WHERE q.source <> '$BenchSource'
+                        AND NOT EXISTS (SELECT 1 FROM contam c
+                                        WHERE c.doc_id = q.doc_id))
+          SELECT doc_id, source,
+            CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0d' THEN 'test'
+                 WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'valid'
+                 ELSE 'train' END AS split,
+            CAST(len($oToksFrag) AS BIGINT) AS n_tok,
+            md5(regexp_replace(regexp_replace($oPiiText, '$EmailRegex', '<EMAIL>', 'g'),
+                               '$Ipv4Regex', '<IP>', 'g')) AS red_fp
+          FROM clean""",
 
     "q56_pii_redact" ->
       s"""SELECT doc_id,

@@ -338,9 +338,11 @@ object Dedup {
   private val oSh = oShingles(oToks, 3)
 
   /** DuckDB mirror of [[lshNearDupPairs]] (no size prefilter — it is implied
-    * by the jaccard threshold, so results are identical). */
+    * by the jaccard threshold, so results are identical). `from` lets the
+    * pipeline oracle (q70) run it over a CTE instead of the raw table. */
   def oLshNearDupPairs(n: Int, numHashes: Int, bandSize: Int,
-                       seedBase: Int, tNum: Int, tDen: Int): String = {
+                       seedBase: Int, tNum: Int, tDen: Int,
+                       from: String = "documents"): String = {
     val numBands = numHashes / bandSize
     val sigCols = (0 until numHashes)
       .map(i => s"${oMinhash("sh", seedBase + i)} AS mh$i").mkString(", ")
@@ -348,7 +350,7 @@ object Dedup {
       val cat = (0 until bandSize).map(r => s"mh${j * bandSize + r}").mkString(" || ")
       s"SELECT doc_id, $j AS b, md5($cat) AS k FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH base AS (SELECT doc_id, ${oShingles(oToks, n)} AS sh FROM documents),
+    s"""WITH base AS (SELECT doc_id, ${oShingles(oToks, n)} AS sh FROM $from),
           sig AS (SELECT doc_id, $sigCols FROM base),
           banded AS ($bandedSql),
           cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
@@ -373,9 +375,11 @@ object Dedup {
 
   /** Recursive-CTE twin of [[connectedComponents]] over the trigram LSH
     * pairs: component(id) = min id reachable from id (reachability closure
-    * is fine at oracle scale — the pair set is tiny). */
-  private val oComponents: String = {
-    val pairsSql = oLshNearDupPairs(3, NumHashes, BandSize, 0, TrigramTNum, TrigramTDen)
+    * is fine at oracle scale — the pair set is tiny). Emit inside a
+    * WITH RECURSIVE prefix; `from` as in [[oLshNearDupPairs]]. */
+  private[operators] def oComponents(from: String = "documents"): String = {
+    val pairsSql = oLshNearDupPairs(3, NumHashes, BandSize, 0, TrigramTNum,
+      TrigramTDen, from)
     s"""pairs AS (SELECT i, j FROM ($pairsSql)),
         edges AS (SELECT i AS src, j AS dst FROM pairs
                   UNION ALL SELECT j AS src, i AS dst FROM pairs),
@@ -389,10 +393,10 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q46_dedup_components" ->
-      s"WITH RECURSIVE $oComponents SELECT doc_id, component FROM comp",
+      s"WITH RECURSIVE ${oComponents()} SELECT doc_id, component FROM comp",
 
     "q47_dedup_canonical" ->
-      s"""WITH RECURSIVE $oComponents
+      s"""WITH RECURSIVE ${oComponents()}
           SELECT d.doc_id, d.source, d.n_chars FROM documents d
           WHERE NOT EXISTS (SELECT 1 FROM comp c
                             WHERE c.doc_id = d.doc_id AND c.component <> c.doc_id)""",
