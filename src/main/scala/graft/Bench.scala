@@ -51,7 +51,17 @@ object Bench {
     // subtract from (i.e. "speed up") the aggregate
     val total = results.values.filter(_ >= 0).sum
     val streamingJson = streamingBench(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"streaming":$streamingJson,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"streaming":$streamingJson,"sf":"$sfDir"}"""
+    // The driver captures only the TAIL of stdout, and the full line (with
+    // the per-run map) has twice been long enough to truncate the total out
+    // of the artifact. Persist the full JSON to a file, then print it, then
+    // print a compact summary (no runs map) LAST so the final stdout line is
+    // always a complete, parseable total regardless of tail-capture size.
+    val out = java.nio.file.Paths.get("bench_out.json")
+    java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
+    println(fullJson)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 
