@@ -180,14 +180,26 @@ object Curation {
     * (never all-pairs), pair-sized CC, narrow quality/redaction passes, and
     * a broadcast benchmark gram set. Oracle-checked end to end as q70. */
   def curate(docs: DataFrame): DataFrame = {
-    // 1. exact dedup — semi join against the per-hash winners
+    // 1. exact dedup — semi join against the per-hash winners. The
+    // survivors feed three later stages (LSH pairs, the canonical
+    // anti-join, both decontam scans), so they are tokenized ONCE and
+    // materialized eagerly (localCheckpoint) rather than re-deriving the
+    // md5-groupBy semi-join and the token split per consumer. At 100 TB
+    // this is the standard stage boundary: each pipeline stage persists its
+    // survivor set (a strict subset of its input) before fan-out.
     val exactKeep = docs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val dd = docs.join(exactKeep, Seq("doc_id"), "left_semi")
-    // 2. near-dup canonical over the deduped survivors
-    val pairs = Dedup.lshNearDupPairs(dd, n = 3,
+      .repartition(TextFns.cpuPartitions, col("doc_id"))
+      .select(col("doc_id"), col("source"), col("text"),
+        toks(col("text")).as("tk"))
+      .localCheckpoint(true)
+    // 2. near-dup canonical over the deduped survivors — shingles come from
+    // the checkpointed token arrays, not a fresh text scan
+    val pairs = Dedup.lshPairsFromShingles(
+        dd.select(col("doc_id"), shingles(col("tk"), 3).as("sh")),
         numHashes = Dedup.NumHashes, bandSize = Dedup.BandSize, seedBase = 0,
         tNum = Dedup.TrigramTNum, tDen = Dedup.TrigramTDen)
       .select(col("i"), col("j"))
@@ -195,16 +207,19 @@ object Curation {
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id"))
     val canon = dd.join(losers, Seq("doc_id"), "left_anti")
-    // 3. quality filter
+    // 3. quality filter — materialized once: the decontam stage scans the
+    // qualified survivors twice (gram hits + the keep-side anti-join)
     val qual = canon.filter(TextAnalysis.gopherPass(col("text")))
-    // 4. decontamination — benchmark grams from the ORIGINAL corpus
+      .localCheckpoint(true)
+    // 4. decontamination — benchmark grams from the ORIGINAL corpus (the
+    // eval suite is external data and is not itself curated)
     val benchGrams = docs.filter(col("source") === BenchSource)
       .select(explode(array_distinct(shingles(toks(col("text")), DecontamN)))
         .as("gram"))
       .distinct()
     val contaminated = qual.filter(col("source") =!= BenchSource)
       .select(col("doc_id"),
-        explode(array_distinct(shingles(toks(col("text")), DecontamN))).as("gram"))
+        explode(array_distinct(shingles(col("tk"), DecontamN))).as("gram"))
       .join(broadcast(benchGrams), "gram")
       .select(col("doc_id"))
       .distinct()
@@ -216,7 +231,7 @@ object Curation {
       when(md5(col("doc_id").cast("string")) < "0d", "test")
         .when(md5(col("doc_id").cast("string")) < "1a", "valid")
         .otherwise("train").as("split"),
-      size(toks(col("text"))).cast("long").as("n_tok"),
+      size(col("tk")).cast("long").as("n_tok"),
       md5(redact(piiText)).as("red_fp"))
   }
 

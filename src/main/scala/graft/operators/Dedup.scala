@@ -77,14 +77,23 @@ object Dedup {
     */
   def lshNearDupPairs(docsDf: DataFrame, n: Int, numHashes: Int, bandSize: Int,
                       seedBase: Int, tNum: Int, tDen: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(docsDf.sparkSession)
-    val numBands = numHashes / bandSize
     // The raw text is tiny but the signature projection is CPU-heavy
     // (md5 per shingle per hash); hash-distributing rows before it lets the
     // pass use every core even when the scan is a single split. The native
     // MinHashSignature expression computes all seeded mins in one array pass.
     val base = docsDf.repartition(TextFns.cpuPartitions, col("doc_id"))
       .select(col("doc_id"), shingles(toks(col("text")), n).as("sh"))
+    lshPairsFromShingles(base, numHashes, bandSize, seedBase, tNum, tDen)
+  }
+
+  /** The same pipeline from a pre-shingled `(doc_id, sh)` frame — for
+    * callers that already hold a token/shingle projection (the q70
+    * composition tokenizes once and feeds several stages from it) so the
+    * shingling is not re-derived from raw text. */
+  def lshPairsFromShingles(base: DataFrame, numHashes: Int, bandSize: Int,
+                           seedBase: Int, tNum: Int, tDen: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(base.sparkSession)
+    val numBands = numHashes / bandSize
     val sig = base
       .withColumn("mhs", minhashSig(col("sh"), numHashes, seedBase))
       .select(
@@ -131,20 +140,27 @@ object Dedup {
   /** Connected components over an undirected edge list `(i, j)`.
     *
     * Two interchangeable propagation strategies (identical results, both
-    * deterministic fixpoints):
-    *  - `"label-prop"` (default): iterative min-label propagation (the
-    *    Pregel/GraphX formulation) — every node starts labeled with itself,
-    *    each round pushes labels across edges and keeps the min. Converges
-    *    in O(component diameter) rounds: the cheapest per round, and
-    *    near-dup clusters are dense and shallow (clones of one template),
-    *    so diameters are small.
+    * deterministic fixpoints), plus an adaptive default:
+    *  - `"label-prop"`: iterative min-label propagation (the Pregel/GraphX
+    *    formulation) — every node starts labeled with itself, each round
+    *    pushes labels across edges and keeps the min. Converges in
+    *    O(component diameter) rounds: the cheapest per round, and the
+    *    near-dup graphs this pipeline feeds it are dense and shallow
+    *    (clones of one template), so diameters are small — but a long
+    *    chain of pairwise-similar docs needs O(n) rounds.
     *  - `"star"`: alternating large-star/small-star (Kiveris et al.,
     *    "Connected Components in MapReduce and Beyond", SoCC'14) — each
     *    round rewires strictly-larger neighbors (large-star) then smaller
     *    neighbors (small-star) to the minimum of the closed neighborhood,
     *    doubling the "pointer-jump" distance per round. Converges in
-    *    O(log n) rounds regardless of diameter — the safe choice for
-    *    adversarial graph shapes (long chains of pairwise-similar docs).
+    *    O(log n) rounds regardless of graph shape, at ~2x label-prop's
+    *    per-round cost.
+    *  - `"auto"` (default): label-prop for up to maxIters/2 rounds — the
+    *    fast path for the cluster shapes dedup actually produces — then,
+    *    if still moving (the diameter signature), switches to star for the
+    *    O(log n) bound instead of grinding out diameter rounds. Worst case
+    *    is maxIters/2 cheap wasted rounds; the cap can never be blown by
+    *    graph shape.
     *
     * Scale notes: the edge list is near-dup PAIRS — a tiny fraction of the
     * corpus — and is materialized once (eager localCheckpoint) so the
@@ -154,15 +170,28 @@ object Dedup {
     * run to fixpoint and fail loudly if the iteration cap is hit.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
-                          algorithm: String = "label-prop"): DataFrame =
+                          algorithm: String = "auto"): DataFrame =
     algorithm match {
-      case "label-prop" => ccLabelProp(pairs, maxIters)
+      case "auto" =>
+        // Materialize the pair set before trying label-prop so a fallback
+        // to star re-reads checkpointed pairs instead of re-running the
+        // (typically expensive) upstream LSH pipeline.
+        val p = pairs.localCheckpoint(true)
+        ccLabelProp(p, maxIters / 2, failOnCap = false)
+          .getOrElse(ccAlternatingStars(p, maxIters)._1)
+      case "label-prop" =>
+        ccLabelProp(pairs, maxIters, failOnCap = true).get
       case "star"       => ccAlternatingStars(pairs, maxIters)._1
       case other => throw new IllegalArgumentException(
-        s"unknown connectedComponents algorithm '$other' (label-prop | star)")
+        s"unknown connectedComponents algorithm '$other' (auto | label-prop | star)")
     }
 
-  private def ccLabelProp(pairs: DataFrame, maxIters: Int): DataFrame = {
+  /** Min-label propagation to fixpoint. Returns None if the round cap is
+    * hit with labels still moving (so `"auto"` can switch strategy) — or
+    * throws when `failOnCap`: a silent partially-merged return would
+    * under-merge q46/q47 with no signal. */
+  private def ccLabelProp(pairs: DataFrame, maxIters: Int,
+                          failOnCap: Boolean): Option[DataFrame] = {
     val edges = pairs
       .select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
@@ -183,14 +212,14 @@ object Dedup {
         .filter(col("lbl") < col("old")).count()
       labels = next
     }
-    // Fail loudly rather than ship partially-merged clusters: a silent
-    // non-converged return would under-merge q46/q47 with no signal.
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          "(component diameter exceeds the cap); raise maxIters or switch " +
-          "the propagation step to large-star/small-star")
-    labels.select(col("id").as("doc_id"), col("lbl").as("component"))
+    if (changed > 0) {
+      if (failOnCap)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds " +
+            "(component diameter exceeds the cap); raise maxIters or switch " +
+            "the propagation step to large-star/small-star")
+      None
+    } else Some(labels.select(col("id").as("doc_id"), col("lbl").as("component")))
   }
 
   /** Alternating large-star/small-star CC (Kiveris et al. §3, two-phase):

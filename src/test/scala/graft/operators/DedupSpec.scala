@@ -103,24 +103,28 @@ class DedupSpec extends SparkSpec {
   test("star CC converges in O(log n) rounds on an adversarial 10k-node path") {
     // A 10k-node path graph has diameter 10k: min-label propagation needs
     // ~10k rounds (it exhausts any sane cap), while alternating large/small
-    // star halves the remaining depth every round.
+    // star — the DEFAULT — halves the remaining depth every round.
     val n = 10000
     val path = spark.range(n - 1)
       .select(col("id").as("i"), (col("id") + 1).as("j"))
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(path, maxIters = 10)
+      Dedup.connectedComponents(path, maxIters = 10, algorithm = "label-prop")
     }
     val (labels, rounds) = Dedup.ccAlternatingStars(path, maxIters = 25)
     assert(rounds <= 20, s"expected O(log n) rounds, took $rounds")
     val comps = labels.select(col("component")).distinct().collect()
     assert(comps.length == 1 && comps.head.getLong(0) == 0L)
     assert(labels.count() == n)
+    // The default entry point must survive the same adversarial shape.
+    val viaDefault = Dedup.connectedComponents(path)
+      .select(col("component")).distinct().collect()
+    assert(viaDefault.length == 1 && viaDefault.head.getLong(0) == 0L)
   }
 
   test("star CC matches label-prop on the real q42 pair set") {
     val pairs = Dedup.queries("q42_dedup_lsh_pairs")(spark, sfDir)
       .select(col("i"), col("j"))
-    val lp = Dedup.connectedComponents(pairs).collect()
+    val lp = Dedup.connectedComponents(pairs, algorithm = "label-prop").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val st = Dedup.connectedComponents(pairs, algorithm = "star").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
