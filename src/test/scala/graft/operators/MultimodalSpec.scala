@@ -63,6 +63,125 @@ class MultimodalSpec extends SparkSpec {
       fallback.height == notAnImage.length % 480)
   }
 
+  test("decodeImage: real JPEG decode via javax.imageio") {
+    import spark.implicits._
+    // JPEG is lossy, so pin a uniform mid-gray 4x4 (DC-only content — the
+    // codec preserves it to within a quantization step) and assert exact
+    // dimensions + near-exact luminance.
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpg = bos.toByteArray
+    val out = decodeImage(Seq(MediaPayload(1L, "image", jpg)).toDS()).collect()
+    assert(out.length == 1)
+    assert(out.head.width == 4 && out.head.height == 4)
+    assert(out.head.n_bytes == jpg.length.toLong)
+    assert(out.head.feature.length == 8)
+    out.head.feature.foreach(f =>
+      assert(math.abs(f - 128 / 255.0f) < 0.02f, s"luminance drifted: $f"))
+  }
+
+  test("decodeImage: truncated PNG degrades to the stub, never crashes") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    // Valid signature + header, body cut off mid-stream: the decoder must
+    // degrade this row (and only this row) to the stub.
+    val truncated = png.take(png.length / 2)
+    val ds = Seq(
+      MediaPayload(1L, "image", png),
+      MediaPayload(2L, "image", truncated)).toDS()
+    val out = decodeImage(ds).collect().sortBy(_.doc_id)
+    assert(out(0).width == 16 && out(0).height == 16)
+    assert(out(1).n_bytes == truncated.length.toLong)
+    assert(out(1).width == truncated.length % 640 &&
+      out(1).height == truncated.length % 480,
+      "truncated payload must carry the stub's byte-derived dimensions")
+  }
+
+  test("decodeAudio: real WAV decode via javax.sound.sampled, exact samples") {
+    import spark.implicits._
+    // 16-bit signed mono WAV at 8 kHz with known samples, written by the
+    // same JVM codec that reads it back (PCM is lossless -> exact).
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 1, -1, 12345, 777, -777)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) => // little-endian
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val notAudio = "just text bytes".getBytes("UTF-8")
+    val ds = Seq(
+      MediaPayload(1L, "audio", wav),
+      MediaPayload(2L, "audio", notAudio),
+      MediaPayload(3L, "audio", wav.take(wav.length / 2))).toDS().repartition(2)
+    val out = decodeAudio(ds).collect().sortBy(_.doc_id)
+
+    val decoded = out(0)
+    assert(decoded.sample_rate == 8000 && decoded.channels == 1 && decoded.bits == 16)
+    assert(decoded.n_frames == samples.length.toLong)
+    assert(decoded.n_bytes == wav.length.toLong)
+    val expected = samples.take(8).map(_ / 32768.0f)
+    assert(decoded.feature.sameElements(expected),
+      s"got ${decoded.feature.mkString(",")} want ${expected.mkString(",")}")
+
+    // non-audio bytes and a truncated container both degrade structurally
+    out.drop(1).foreach { f =>
+      assert(f.sample_rate == 0 && f.channels == 0 && f.n_frames == 0L,
+        s"doc ${f.doc_id} should carry the degrade marker")
+      assert(f.feature.length == math.min(8, f.n_bytes))
+    }
+  }
+
+  test("decodeAudio: stereo picks channel 0; 8-bit unsigned normalizes") {
+    import spark.implicits._
+    // stereo 16-bit: frames are [L, R]; channel 0 must be the L samples
+    val l = Array[Short](100, -200, 300, -400)
+    val r = Array[Short](9999, 9999, 9999, 9999)
+    val stereoBytes = new Array[Byte](l.length * 4)
+    for (i <- l.indices) {
+      stereoBytes(4 * i) = (l(i) & 0xff).toByte
+      stereoBytes(4 * i + 1) = ((l(i) >> 8) & 0xff).toByte
+      stereoBytes(4 * i + 2) = (r(i) & 0xff).toByte
+      stereoBytes(4 * i + 3) = ((r(i) >> 8) & 0xff).toByte
+    }
+    val stereoFmt = new javax.sound.sampled.AudioFormat(44100f, 16, 2, true, false)
+    val bos1 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(stereoBytes), stereoFmt, l.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos1)
+    // 8-bit unsigned mono: 0 -> -1.0, 128 -> 0.0, 255 -> 127/128
+    val u8 = Array[Int](0, 128, 255, 64).map(_.toByte)
+    val u8Fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, 11025f, 8, 1, 1, 11025f, false)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(u8), u8Fmt, u8.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos2)
+    val ds = Seq(
+      MediaPayload(1L, "audio", bos1.toByteArray),
+      MediaPayload(2L, "audio", bos2.toByteArray)).toDS()
+    val out = decodeAudio(ds).collect().sortBy(_.doc_id)
+    assert(out(0).channels == 2 && out(0).sample_rate == 44100)
+    assert(out(0).feature.sameElements(l.map(_ / 32768.0f)))
+    assert(out(1).channels == 1 && out(1).bits == 8)
+    assert(out(1).feature.sameElements(
+      Array(0, 128, 255, 64).map(v => (v - 128) / 128.0f)))
+  }
+
   test("frame sampling emits every 3rd 32-byte frame") {
     val out = queries("q61_multimodal_frames")(spark, sfDir).collect()
     assert(out.nonEmpty)
