@@ -33,16 +33,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *   value STRING, service STRING, servicePath STRING, recvTime TIMESTAMP
   *
   * Semantics and scale notes:
-  *  - Like the reference's Netty server, ingest is a single listener and
-  *    offsets are NOT replayable across driver restarts (the reference has
-  *    the same at-most-once property). The optional `captureDir` option
-  *    upgrades this: every notification is appended (+fsync) to a JSON-lines
-  *    capture log in that directory BEFORE it is acked, so an ack means
-  *    durably-on-disk, and a restart replays the full history with
-  *    [[graft.ngsi.NgsiPipelines.replayCaptured]](dir, format="json") — the
-  *    standard log-tee shape (capture log + columnar compaction later)
-  *    rather than a bespoke two-phase source. NgsiHttpSourceSpec proves
-  *    kill+restart with the tee loses zero acked events.
+  *  - Like the reference's Netty server, ingest is a single listener and,
+  *    without options, offsets are NOT replayable across driver restarts
+  *    (the reference has the same at-most-once property). The optional
+  *    `captureDir` option upgrades this to durable at-least-once: every
+  *    notification is appended (+fsync) to a JSON-lines capture log in that
+  *    directory BEFORE it is acked, so an ack means durably-on-disk — and
+  *    offsets become RESUMABLE: a restarted source numbers the prior
+  *    capture history as sequence [0, N) and serves the gap between the
+  *    restored checkpoint offset and N straight through
+  *    `planInputPartitions`, so the restarted streaming query recovers
+  *    every acked-but-unprocessed event transparently (a fresh query with
+  *    no checkpoint replays the log from the start). The batch-side
+  *    [[graft.ngsi.NgsiPipelines.replayCaptured]](dir, format="json")
+  *    remains for offline compaction. NgsiHttpSourceSpec proves kill +
+  *    restart loses zero acked events on both paths.
   *  - Rows are shipped to executors inside the planned partition (the same
   *    pattern as Spark's own socket source). Parsing/windowing downstream is
   *    fully distributed; the listener is only the accept path.
@@ -103,10 +108,44 @@ private[sources] class NgsiHttpMicroBatchStream(
     port: Int, captureDir: Option[String] = None)
     extends MicroBatchStream {
 
+  // Resumable history: everything captured by PREVIOUS incarnations of this
+  // source (same captureDir), loaded once at construction in capture-file
+  // name order (file names are timestamped, so lexicographic = arrival
+  // order). History occupies global sequence numbers [prevBase, prevEnd);
+  // the live buffer numbers from prevEnd. A restarted query's checkpoint
+  // offset n <= prevEnd, so planInputPartitions serves [n, prevEnd) from
+  // history — the acked-but-never-planned tail — and everything past it
+  // from the live buffer: restart recovery is transparent to the streaming
+  // query, no separate batch replay. Committed history is trimmed.
+  private val prevCaptured = new ArrayBuffer[BufferedNotification]()
+  private var prevBase = 0L
+  private val prevEnd: Long = {
+    captureDir.foreach { dir =>
+      val d = new java.io.File(dir)
+      val files = Option(d.listFiles((_, n) =>
+        n.startsWith("capture-") && n.endsWith(".json"))).getOrElse(Array.empty)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      files.sortBy(_.getName).foreach { f =>
+        java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+          if (line.nonEmpty) {
+            val node = mapper.readTree(line)
+            prevCaptured += BufferedNotification(
+              node.get("value").asText(),
+              node.get("service").asText(),
+              node.get("servicePath").asText(),
+              node.get("recvTime").asLong() * 1000L)
+          }
+        }
+      }
+    }
+    prevCaptured.length.toLong
+  }
+
   // Ring buffer of accepted-but-uncommitted notifications. `firstSeq` is the
-  // sequence number of buffer(0); lock is the buffer itself.
+  // sequence number of buffer(0); lock is the buffer itself. Live numbering
+  // continues after the durable history.
   private val buffer = new ArrayBuffer[BufferedNotification]()
-  private var firstSeq = 0L
+  private var firstSeq = prevEnd
 
   // Durable-ingest tee: one JSON-lines capture file per source incarnation
   // (append-only, so restarts add a new file to the same directory and
@@ -131,8 +170,10 @@ private[sources] class NgsiHttpMicroBatchStream(
   private def capture(rec: BufferedNotification): Unit = captureDir.foreach { dir =>
     if (captureOut == null) {
       new java.io.File(dir).mkdirs()
+      // zero-padded timestamp prefix: lexicographic file-name order across
+      // incarnations = arrival order, which the resume path relies on
       captureOut = new java.io.FileOutputStream(
-        new java.io.File(dir, s"capture-${java.util.UUID.randomUUID()}.json"), true)
+        new java.io.File(dir, f"capture-${System.currentTimeMillis()}%015d-${System.nanoTime()}%019d.json"), true)
     }
     val line = s"""{"value":"${jsonEsc(rec.body)}","service":"${jsonEsc(rec.service)}","servicePath":"${jsonEsc(rec.servicePath)}","recvTime":${rec.recvTimeMicros / 1000L}}""" + "\n"
     captureOut.write(line.getBytes(StandardCharsets.UTF_8))
@@ -206,9 +247,19 @@ private[sources] class NgsiHttpMicroBatchStream(
     val s = start.asInstanceOf[SeqOffset].n
     val e = end.asInstanceOf[SeqOffset].n
     val rows = buffer.synchronized {
+      // a range can straddle the durable history and the live buffer
+      // (exactly the recovery batch after a restart)
+      val hist =
+        if (s < prevEnd && e > s) {
+          val lo = math.max(s, prevBase)
+          val hi = math.min(e, prevEnd)
+          if (hi > lo)
+            prevCaptured.slice((lo - prevBase).toInt, (hi - prevBase).toInt)
+          else ArrayBuffer.empty[BufferedNotification]
+        } else ArrayBuffer.empty[BufferedNotification]
       val from = math.max(0L, s - firstSeq).toInt
       val until = math.max(0L, e - firstSeq).toInt
-      buffer.slice(from, until).toArray
+      (hist ++ buffer.slice(from, until)).toArray
     }
     if (rows.isEmpty) Array.empty
     else Array(NgsiHttpInputPartition(rows))
@@ -233,6 +284,11 @@ private[sources] class NgsiHttpMicroBatchStream(
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[SeqOffset].n
     buffer.synchronized {
+      val dropHist = (math.min(e, prevEnd) - prevBase).toInt
+      if (dropHist > 0) {
+        prevCaptured.remove(0, math.min(dropHist, prevCaptured.size))
+        prevBase = math.min(e, prevEnd)
+      }
       val drop = math.max(0L, e - firstSeq).toInt
       buffer.remove(0, math.min(drop, buffer.size))
       firstSeq = math.max(firstSeq, e)

@@ -232,6 +232,65 @@ class NgsiHttpSourceSpec extends SparkSpec {
     assert(entities.forall(_.getAs[java.sql.Timestamp]("recvTime") != null))
   }
 
+  test("resumable offsets: restarted streaming query recovers acked events from the capture log") {
+    val dir = java.nio.file.Files.createTempDirectory("ngsi_resume_cap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ngsi_resume_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ngsi_resume_out").toString + "/sink"
+
+    def startQuery(port: Int) =
+      NgsiStreams.fromHttp(spark, port, captureDir = Some(dir))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+
+    // the source (and its listener) is instantiated lazily when the query
+    // plans its first batch; wait for the bind before posting
+    def postRetrying(port: Int, body: String): Int = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var last: Option[Int] = None
+      while (last.isEmpty && System.nanoTime() < deadline) {
+        try last = Some(post(port, body, Map.empty))
+        catch { case _: java.net.ConnectException => Thread.sleep(100) }
+      }
+      last.getOrElse(throw new IllegalStateException(s"port $port never came up"))
+    }
+
+    // incarnation 1: 5 processed acks, then 3 acked-but-never-planned, kill
+    val port1 = freePort()
+    val q1 = startQuery(port1)
+    try {
+      assert(postRetrying(port1, notification.replace("R1", "A1")) == 200)
+      (2 to 5).foreach { i =>
+        assert(post(port1, notification.replace("R1", s"A$i"), Map.empty) == 200)
+      }
+      q1.processAllAvailable()
+      (1 to 3).foreach { i =>
+        assert(post(port1, notification.replace("R1", s"B$i"), Map.empty) == 200)
+      }
+    } finally q1.stop()
+
+    // incarnation 2: SAME checkpoint — the restarted streaming query alone
+    // (no batch replay) must surface the B events from the durable log
+    val port2 = freePort()
+    val q2 = startQuery(port2)
+    try {
+      assert(postRetrying(port2, notification.replace("R1", "C1")) == 200)
+      assert(post(port2, notification.replace("R1", "C2"), Map.empty) == 200)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val ids = graft.ngsi.NgsiPipelines
+      .flattenEntities(graft.ngsi.NgsiPipelines.parseEvents(
+        spark.read.schema(NgsiHttpSource.Schema).parquet(out)).toDF())
+      .select(col("id")).collect().map(_.getString(0)).toSeq
+    val expected = (1 to 5).map(i => s"A$i") ++ (1 to 3).map(i => s"B$i") ++
+      (1 to 2).map(i => s"C$i")
+    // exactly-once end to end: offsets dedup the committed prefix, the file
+    // sink dedups re-attempted batches — every acked id appears once
+    assert(ids.sorted == expected.sorted,
+      s"restart recovery mismatch: got ${ids.sorted.mkString(",")}")
+  }
+
   test("non-POST requests are rejected, stream unaffected") {
     val port = freePort()
     val raw = NgsiStreams.fromHttp(spark, port)
