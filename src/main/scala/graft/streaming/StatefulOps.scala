@@ -122,28 +122,92 @@ object StatefulOps {
         case (uid, batch, state) =>
           idleTimeout.foreach(state.setTimeoutDuration)
           val before = state.getOption.getOrElse(FunnelProgress(None, None, None))
-          var st = before
-          batch.toSeq.sortWith((a, b) => a.ts.compareTo(b.ts) < 0).foreach { e =>
-            e.event_type match {
-              case "signup" if st.tSignup.isEmpty =>
-                st = st.copy(tSignup = Some(e.ts))
-              case "view" if st.tSignup.nonEmpty && st.tView.isEmpty &&
-                  e.ts.after(st.tSignup.get) =>
-                st = st.copy(tView = Some(e.ts))
-              case "purchase" if st.tView.nonEmpty && st.tPurchase.isEmpty &&
-                  e.ts.after(st.tView.get) =>
-                st = st.copy(tPurchase = Some(e.ts))
-              case _ =>
-            }
-          }
+          val st = advanceFunnel(before, batch.toSeq)
           if (st == before) Iterator.empty
           else {
             state.update(st)
-            val stage = 1L + (if (st.tView.isDefined) 1L else 0L) +
-              (if (st.tPurchase.isDefined) 1L else 0L)
-            Iterator.single(FunnelRow(uid, st.tSignup.orNull,
-              st.tView.orNull, st.tPurchase.orNull, stage))
+            Iterator.single(funnelRow(uid, st))
           }
+      }
+  }
+
+  /** Fold a batch of events (sorted here by event time) into the funnel
+    * progress — the single definition of the stage-advance rule shared by
+    * both streaming variants. */
+  private def advanceFunnel(start: FunnelProgress,
+                            events: Seq[FunnelEvent]): FunnelProgress = {
+    var st = start
+    events.sortWith((a, b) => a.ts.compareTo(b.ts) < 0).foreach { e =>
+      e.event_type match {
+        case "signup" if st.tSignup.isEmpty =>
+          st = st.copy(tSignup = Some(e.ts))
+        case "view" if st.tSignup.nonEmpty && st.tView.isEmpty &&
+            e.ts.after(st.tSignup.get) =>
+          st = st.copy(tView = Some(e.ts))
+        case "purchase" if st.tView.nonEmpty && st.tPurchase.isEmpty &&
+            e.ts.after(st.tView.get) =>
+          st = st.copy(tPurchase = Some(e.ts))
+        case _ =>
+      }
+    }
+    st
+  }
+
+  private def funnelRow(uid: Long, st: FunnelProgress): FunnelRow = {
+    val stage = 1L + (if (st.tView.isDefined) 1L else 0L) +
+      (if (st.tPurchase.isDefined) 1L else 0L)
+    FunnelRow(uid, st.tSignup.orNull, st.tView.orNull, st.tPurchase.orNull, stage)
+  }
+
+  /** Watermark-buffered funnel state: folded progress + the events still
+    * inside the disorder horizon (ts above the current watermark). */
+  case class FunnelBufState(progress: FunnelProgress, held: List[FunnelEvent])
+
+  /** Disorder-tolerant twin of [[funnelStream]]: exact under ANY arrival
+    * order of on-time events, not just cross-batch event-time order.
+    *
+    * Mechanics: events newer than the watermark are HELD in state (an event
+    * with a smaller timestamp may still arrive); once the watermark passes
+    * an event's timestamp nothing older can arrive (Spark drops it as late
+    * upstream), so held events at or below the watermark fold into the O(1)
+    * progress in event-time order and leave state. An event-time timeout is
+    * registered at the newest held timestamp, so buffered events fold and
+    * emit when the watermark passes them even if the user never appears in
+    * another batch.
+    *
+    * State is watermark-bounded by construction: per user, only events
+    * inside the `delay` horizon are ever buffered — the knob trades
+    * disorder tolerance for state size, and the 100 TB sizing is
+    * (events/sec within delay) x per-event bytes per active user, not the
+    * stream's history. Update-mode output like [[funnelStream]]: a user
+    * emits only on watermark passages where their funnel advanced, and
+    * emitted stages strictly increase per user.
+    *
+    * StreamingFunnelCmsSpec pins batch==stream on the real events table
+    * replayed with every timestamp-bucket shuffled (worst-case disorder
+    * within the horizon). */
+  def funnelStreamWatermarked(events: Dataset[FunnelEvent],
+                              delay: String = "1 hour"): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withWatermark("ts", delay)
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBufState, FunnelRow](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, batch, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          val old = state.getOption
+            .getOrElse(FunnelBufState(FunnelProgress(None, None, None), Nil))
+          val all = old.held ++ batch // batch is empty on a timeout call
+          val (ripe, held) = all.partition(_.ts.getTime <= wm)
+          val st = advanceFunnel(old.progress, ripe)
+          state.update(FunnelBufState(st, held))
+          if (held.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(held.map(_.ts.getTime).max, wm + 1L))
+          if (st == old.progress) Iterator.empty
+          else Iterator.single(funnelRow(uid, st))
       }
   }
 

@@ -59,6 +59,89 @@ class StreamingFunnelCmsSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("watermarked funnel matches batch under shuffled-within-horizon replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val batchRows = Relational.queries("q68_funnel")(s, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getTimestamp(1), Option(r.getTimestamp(2)).orNull,
+          Option(r.getTimestamp(3)).orNull, r.getLong(4))).toMap
+    assert(batchRows.nonEmpty)
+
+    // replay the events table bucketed by day with EVERY bucket internally
+    // shuffled (seeded) — worst-case disorder inside the watermark horizon;
+    // the 49h delay exceeds any possible regression across adjacent buckets
+    val log = graft.Tables.load(s, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .collect()
+      .map { case (u, t, ts) => FunnelEvent(u, t, ts) }
+    val rnd = new scala.util.Random(42)
+    val buckets = log.groupBy(_.ts.getTime / (24L * 3600 * 1000)).toSeq
+      .sortBy(_._1)
+      .map { case (_, evs) => rnd.shuffle(evs.toSeq) }
+    assert(buckets.size > 3, "expected a multi-day event log")
+
+    val mem = MemoryStream[FunnelEvent]
+    val q = funnelStreamWatermarked(mem.toDS(), delay = "49 hours")
+      .writeStream.format("memory").queryName("funnel_wm_stream")
+      .outputMode("update").start()
+    val streamed =
+      try {
+        buckets.foreach { b => mem.addData(b); q.processAllAvailable() }
+        // sentinel far past the horizon: pushes the watermark over every
+        // held event so the buffered tail folds and emits via timeouts
+        val maxTs = log.map(_.ts.getTime).max
+        mem.addData(Seq(FunnelEvent(-1L, "noop",
+          new java.sql.Timestamp(maxTs + 80L * 3600 * 1000))))
+        q.processAllAvailable()
+        s.table("funnel_wm_stream").collect()
+      } finally q.stop()
+
+    val finalRows = streamed
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4)))
+      .groupBy(_._1).map { case (u, rows) => u -> {
+        val last = rows.maxBy(_._5)
+        (last._2, last._3, last._4, last._5)
+      } }
+    finalRows should have size batchRows.size.toLong
+    finalRows.foreach { case (u, got) =>
+      assert(got == batchRows(u), s"user $u: stream=$got batch=${batchRows(u)}")
+    }
+  }
+
+  test("watermarked funnel heals a view arriving before its signup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+    val mem = MemoryStream[FunnelEvent]
+    val q = funnelStreamWatermarked(mem.toDS(), delay = "1 hour")
+      .writeStream.format("memory").queryName("funnel_heal")
+      .outputMode("update").start()
+    try {
+      // the view (t=10) arrives a batch BEFORE the signup (t=5): the plain
+      // funnelStream would discard it (no signup yet) and stop at stage 1
+      mem.addData(Seq(FunnelEvent(7L, "view", ts(10))))
+      q.processAllAvailable()
+      mem.addData(Seq(FunnelEvent(7L, "signup", ts(5)),
+        FunnelEvent(7L, "purchase", ts(20))))
+      q.processAllAvailable()
+      mem.addData(Seq(FunnelEvent(-1L, "noop", ts(600)))) // flush horizon
+      q.processAllAvailable()
+      val last = s.table("funnel_heal").collect()
+        .filter(_.getLong(0) == 7L).maxBy(_.getLong(4))
+      assert(last.getLong(4) == 3L,
+        s"expected full funnel after healing, got stage ${last.getLong(4)}")
+      assert(last.getTimestamp(1) == ts(5) && last.getTimestamp(2) == ts(10) &&
+        last.getTimestamp(3) == ts(20))
+    } finally q.stop()
+  }
+
   test("streaming CMS matches the batch sketch and the merge law holds") {
     val s = spark
     import s.implicits._
