@@ -97,6 +97,42 @@ object Curation {
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — the 100 TB shape of [[decontaminate]]:
+    * instead of broadcasting the benchmark GRAM SET (which grows with the
+    * eval suite), broadcast a FIXED-SIZE Bloom filter of it
+    * ([[Sketches.BloomAggregate]], BloomWords int64 words regardless of
+    * benchmark size) and probe each corpus gram's K bits narrowly. No
+    * false negatives — every truly contaminated doc is flagged — and false
+    * positives at the dialed rate over-flag only (the safe direction for
+    * decontamination). The probe is pure codegen (`bit_get` over the
+    * broadcast words); the corpus never shuffles. Oracle-exact: DuckDB
+    * rebuilds the identical bit set, so hits (FPs included) match
+    * hash-for-hash. */
+  def bloomDecontaminate(docs: DataFrame, benchSource: String, n: Int): DataFrame = {
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(shingles(toks(col("text")), n))).as("gram"))
+    val bloom = grams.filter(col("source") === benchSource)
+      .agg(udaf(Sketches.BloomAggregate, org.apache.spark.sql.Encoders.STRING)(
+        col("gram")).as("words"))
+    val pos = array((0 until Sketches.BloomHashes)
+      .map(r => Sketches.bloomPos(col("gram"), lit(r))): _*)
+    val hits = grams.filter(col("source") =!= benchSource)
+      .join(broadcast(bloom))
+      .select(col("doc_id"),
+        forall(pos, p => call_function("bit_get",
+          element_at(col("words"), (p / 64).cast("int") + 1),
+          (p % 64).cast("int")) === 1).as("hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("hit").cast("long")).as("n_bloom_hits"))
+    docs.filter(col("source") =!= benchSource)
+      .select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"),
+        (coalesce(col("n_bloom_hits"), lit(0L)) > 0).as("bloom_contaminated"))
+  }
+
   /** Deterministic k-per-stratum sample of a (<strata>, doc_id) frame.
     * Sample identity is a pure function of doc_id (md5 order): reproducible
     * across runs, engines, and partitionings, and stable under corpus
@@ -248,6 +284,10 @@ object Curation {
     // --- benchmark decontamination (n-gram overlap) -----------------------
     "q57_decontam" -> ((s, d) => decontaminate(t(s, d), BenchSource, DecontamN)),
 
+    // --- Bloom-filter decontamination (fixed-size broadcast) --------------
+    "q71_bloom_decontam" -> ((s, d) =>
+      bloomDecontaminate(t(s, d), BenchSource, DecontamN)),
+
     // --- deterministic stratified sample (k per stratum) ------------------
     "q58_stratified_sample" -> ((s, d) => stratifiedSample(t(s, d), "source", 10)),
 
@@ -386,6 +426,30 @@ object Curation {
           SELECT d.doc_id, d.source,
             COALESCE(h.hits, 0) AS n_contam_grams,
             COALESCE(h.hits, 0) > 0 AS contaminated
+          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+          WHERE d.source <> '$BenchSource'""",
+
+    "q71_bloom_decontam" ->
+      s"""WITH grams AS (
+            SELECT doc_id, source,
+              unnest(list_distinct(${oShingles(oToksFrag, DecontamN)})) AS gram
+            FROM documents),
+          gpos AS (
+            SELECT doc_id, source, gram, ${Sketches.oBloomPos("gram", "r")} AS pos
+            FROM grams CROSS JOIN (SELECT unnest(range(0, ${Sketches.BloomHashes})) AS r)),
+          bloom AS (SELECT DISTINCT pos FROM gpos WHERE source = '$BenchSource'),
+          ghit AS (
+            SELECT doc_id, gram, BOOL_AND(pos IN (SELECT pos FROM bloom)) AS hit
+            FROM gpos WHERE source <> '$BenchSource'
+            GROUP BY doc_id, gram),
+          hits AS (
+            SELECT doc_id, COUNT(1) AS n_grams,
+              CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+            FROM ghit GROUP BY doc_id)
+          SELECT d.doc_id, d.source,
+            COALESCE(h.n_grams, 0) AS n_grams,
+            COALESCE(h.n_bloom_hits, 0) AS n_bloom_hits,
+            COALESCE(h.n_bloom_hits, 0) > 0 AS bloom_contaminated
           FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
           WHERE d.source <> '$BenchSource'""",
 

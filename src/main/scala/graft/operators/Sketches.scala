@@ -97,6 +97,66 @@ object Sketches {
       ExpressionEncoder[Array[Long]]()
   }
 
+  // ------------------------- Bloom filter --------------------------------
+
+  /** Bloom-filter sizing: BloomBits bits (BloomWords int64 words), K seeded
+    * hash positions per element. 4096 bits is the TEST size (small enough
+    * that the sf0.01 benchmark set exercises real collisions); the 100 TB
+    * deployment dials BloomBits to the target FP rate — the structure stays
+    * a fixed-size array either way. */
+  val BloomBits = 4096
+  val BloomWords: Int = BloomBits / 64
+  val BloomHashes = 4
+
+  /** Bit position of an element under hash row `r`: first 4 hex chars of
+    * the seeded md5 (16 bits, uniform over a power-of-two modulus), mod
+    * BloomBits — same engine-portable construction as [[cmsBucket]]. */
+  def bloomPos(x: Column, r: Column): Column =
+    conv(substring(md5(concat(r.cast("string"), lit("|"), x)), 1, 4), 16, 10)
+      .cast("long") % BloomBits
+
+  /** JVM twin of [[bloomPos]] — identical hash, identical bit. */
+  def bloomPosOf(x: String, r: Int): Int =
+    Integer.parseInt(md5hex(s"$r|$x").substring(0, 4), 16) % BloomBits
+
+  /** The Bloom filter as a MERGEABLE FIXED-SIZE accumulator (same
+    * discipline as [[CmsAggregate]]): one flat `Array[Long]` of BloomWords
+    * words; `reduce` sets K bits, `merge` is a word-wise OR. No false
+    * negatives by construction; false positives at the dialed rate are part
+    * of the operator's semantics (and of its oracle — DuckDB rebuilds the
+    * identical bit set, so both engines agree exactly, FPs included).
+    * Composable wherever state composes: map-side partials, streaming
+    * state, cross-shard unions. */
+  object BloomAggregate extends Aggregator[String, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](BloomWords)
+    override def reduce(b: Array[Long], x: String): Array[Long] = {
+      var r = 0
+      while (r < BloomHashes) {
+        val p = bloomPosOf(x, r)
+        b(p / 64) = b(p / 64) | (1L << (p % 64))
+        r += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) = a(i) | b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** JVM membership probe (for specs and driver-side checks). */
+  def bloomContains(words: Array[Long], x: String): Boolean =
+    (0 until BloomHashes).forall { r =>
+      val p = bloomPosOf(x, r)
+      (words(p / 64) >> (p % 64) & 1L) == 1L
+    }
+
   /** Mode-agnostic sketch build from RAW terms (column `term`): one typed
     * aggregation over [[CmsAggregate]]. On a stream this is the
     * streaming-safe CMS — per-term exact counts would be vocabulary-sized
@@ -129,6 +189,14 @@ object Sketches {
       cmsEstimates(counts)
     })
   )
+
+  /** DuckDB twin of [[bloomPos]] (1-based substr positions; 16-bit hex
+    * prefix mod BloomBits — exact in both engines). */
+  def oBloomPos(x: String, r: String): String = {
+    val hx = s"md5(CAST($r AS VARCHAR) || '|' || $x)"
+    val digit = (i: Int) => s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1)"
+    s"((${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)}) % $BloomBits)"
+  }
 
   /** DuckDB twin of [[cmsBucket]] (1-based substr positions). */
   private def oBucket(term: String, r: String): String = {

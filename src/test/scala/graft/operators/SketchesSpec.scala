@@ -70,4 +70,39 @@ class SketchesSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
+
+  test("Bloom filter: no false negatives, fixed size, merge law") {
+    val inserted = (0 until 500).map(i => s"gram $i of the benchmark")
+    val onePass = inserted.foldLeft(Sketches.BloomAggregate.zero)(
+      Sketches.BloomAggregate.reduce)
+    assert(onePass.length == Sketches.BloomWords)
+    // THE bloom property: every inserted element tests positive
+    inserted.foreach(x => assert(Sketches.bloomContains(onePass, x)))
+    // chunked reduce + word-wise OR merge == one-pass (partial-agg law)
+    val merged = inserted.grouped(97)
+      .map(c => c.foldLeft(Sketches.BloomAggregate.zero)(Sketches.BloomAggregate.reduce))
+      .reduce(Sketches.BloomAggregate.merge)
+    assert(onePass.sameElements(merged))
+    // at 500 elements x 4 hashes in 4096 bits, absent keys mostly miss —
+    // and any that hit are exactly the dialed FP behavior, not corruption
+    val absentHits = (0 until 500)
+      .count(i => Sketches.bloomContains(onePass, s"unseen $i"))
+    assert(absentHits < 250, s"FP rate implausible: $absentHits/500")
+  }
+
+  test("bloom decontamination never misses a true contamination (q57 vs q71)") {
+    val exact = Curation.queries("q57_decontam")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val bloom = Curation.queries("q71_bloom_decontam")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(bloom.keySet == exact.keySet)
+    // no false negatives: everything q57 flags, q71 flags
+    val missed = exact.collect { case (id, true) if !bloom(id) => id }
+    assert(missed.isEmpty, s"bloom missed true contaminations: $missed")
+    // and the broadcast side is the fixed-size words array, not a gram set
+    val plan = Curation.queries("q71_bloom_decontam")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(800))
+  }
 }
