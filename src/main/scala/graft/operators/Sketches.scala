@@ -174,9 +174,108 @@ object Sketches {
       case (n, i) if n != 0L => (i / Width, i % Width, n)
     }
 
+  // ---------------------- histogram quantile sketch ----------------------
+
+  /** Equi-width histogram resolution for [[q74]]: 256 buckets. At 100 TB
+    * the histogram is THE mergeable quantile structure: per-task state is a
+    * fixed Array[Long](HistBuckets) regardless of row count, partials merge
+    * by cell-wise add (map-side combine, streaming state, cross-shard
+    * unions), and the quantile answer is read off the cumulative counts
+    * with a guaranteed bucket-width error bound — unlike exact
+    * percentile_disc, whose partial-agg state grows with distinct values. */
+  val HistBuckets = 256
+
+  /** Bucket of a double value within [lo, hi] — floor of the affine map,
+    * clamped so v = hi lands in the last bucket. The expression shape
+    * (((v - lo) / (hi - lo)) * B) is pinned left-to-right so Spark and
+    * DuckDB run the identical IEEE-754 op sequence. */
+  def histBucket(v: Column, lo: Column, hi: Column): Column =
+    least(floor((v - lo) / (hi - lo) * HistBuckets), lit(HistBuckets - 1L))
+      .cast("long")
+
+  /** JVM twin of [[histBucket]] for the mergeable accumulator. */
+  def histBucketOf(v: Double, lo: Double, hi: Double): Int =
+    math.min(math.floor((v - lo) / (hi - lo) * HistBuckets), (HistBuckets - 1).toDouble).toInt
+
+  /** The histogram as a MERGEABLE FIXED-SIZE accumulator (same discipline
+    * as [[CmsAggregate]]/[[BloomAggregate]]): HistBuckets int64 cells,
+    * `reduce` increments one, `merge` is cell-wise add. The streaming-safe
+    * quantile state: per-key state-store entries hold HistBuckets cells
+    * forever, independent of stream length. Batch==stream is pinned by
+    * `SketchesSpec`. Range [lo, hi) is fixed at construction — the
+    * streaming deployment dials it from a prior profiling pass. */
+  class HistogramAggregate(lo: Double, hi: Double)
+      extends Aggregator[Double, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](HistBuckets)
+    override def reduce(b: Array[Long], v: Double): Array[Long] = {
+      b(histBucketOf(v, lo, hi)) += 1L; b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Percentiles the q74 exhibit reads off the histogram. */
+  val HistPercentiles: Seq[Int] = Seq(25, 50, 75, 90, 99)
+
   private def t(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- histogram quantile sketch over the events value stream ------------
+    // Two passes over events (exact min/max/percentile profile, then the
+    // bucket agg — both two-level hash aggs with O(1)-ish state), after
+    // which everything is HistBuckets rows. The cumulative counts are built
+    // WITHOUT a global window (CatalogPlanSpec bans the single-task sort):
+    // each bucket explodes its count onto every cumulative position >= its
+    // index — HistBuckets²/2 tiny rows worst case, then one hash agg.
+    // `bound_ok` pins the sketch's guarantee: the EXACT percentile_disc
+    // value must land in the very bucket the sketch selected.
+    "q74_quantile_hist" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val stats = ev.agg(
+        min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("n"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("x25"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").as("x50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("x75"),
+        expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY value)").as("x90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("x99"))
+      val hist = ev.join(broadcast(stats))
+        .select(histBucket(col("value"), col("lo"), col("hi")).as("idx"))
+        .groupBy(col("idx")).agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .select(explode(sequence(col("idx"), lit(HistBuckets - 1L))).as("cidx"),
+          col("cnt"))
+        .groupBy(col("cidx")).agg(sum(col("cnt")).as("cum"))
+      val ps = { import s.implicits._; HistPercentiles.toDF("p") }
+      val qidx = cum.join(broadcast(ps))
+        .join(broadcast(stats))
+        .filter(col("cum") * 100 >= col("p") * col("n"))
+        .groupBy(col("p")).agg(min(col("cidx")).as("qidx"))
+      qidx.join(broadcast(stats))
+        .withColumn("exact_q",
+          when(col("p") === 25, col("x25")).when(col("p") === 50, col("x50"))
+            .when(col("p") === 75, col("x75")).when(col("p") === 90, col("x90"))
+            .otherwise(col("x99")))
+        .select(
+          col("p").cast("long").as("p"),
+          col("qidx"),
+          (col("lo") + col("qidx") * ((col("hi") - col("lo")) / HistBuckets))
+            .as("est_lo"),
+          (col("lo") + (col("qidx") + 1) * ((col("hi") - col("lo")) / HistBuckets))
+            .as("est_hi"),
+          col("exact_q"),
+          (histBucket(col("exact_q"), col("lo"), col("hi")) === col("qidx"))
+            .as("bound_ok"))
+    }),
     // --- CMS heavy hitters over the token stream ---------------------------
     // Width is deliberately small (16) against the testdata vocabulary so
     // collisions actually occur and the min-over-rows bound does real work;
@@ -206,6 +305,45 @@ object Sketches {
   }
 
   val oracles: Map[String, String] = Map(
+    // DuckDB rebuilds the identical histogram; its cumulative step may use
+    // a window (the Spark side avoids one only because of the single-task
+    // plan audit). The affine bucket map is written with the same
+    // parenthesization so both engines run the same IEEE-754 sequence.
+    "q74_quantile_hist" -> {
+      val b = HistBuckets
+      val bucket = (v: String) =>
+        s"CAST(LEAST(FLOOR((($v - s.lo) / (s.hi - s.lo)) * $b), ${b - 1}) AS BIGINT)"
+      s"""WITH s AS (
+            SELECT MIN(value) AS lo, MAX(value) AS hi, COUNT(1) AS n,
+              PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY value) AS x25,
+              PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY value) AS x50,
+              PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY value) AS x75,
+              PERCENTILE_DISC(0.90) WITHIN GROUP (ORDER BY value) AS x90,
+              PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY value) AS x99
+            FROM events),
+          hist AS (
+            SELECT ${bucket("e.value")} AS idx, COUNT(1) AS cnt
+            FROM events e CROSS JOIN s GROUP BY 1),
+          cum AS (
+            SELECT idx, SUM(cnt) OVER (ORDER BY idx) AS cum FROM hist),
+          ps AS (SELECT unnest(${HistPercentiles.mkString("[", ", ", "]")}) AS p),
+          qi AS (
+            SELECT ps.p, MIN(cum.idx) AS qidx
+            FROM cum CROSS JOIN ps CROSS JOIN s
+            WHERE cum.cum * 100 >= ps.p * s.n
+            GROUP BY ps.p)
+          SELECT CAST(qi.p AS BIGINT) AS p, qi.qidx,
+            s.lo + qi.qidx * ((s.hi - s.lo) / $b) AS est_lo,
+            s.lo + (qi.qidx + 1) * ((s.hi - s.lo) / $b) AS est_hi,
+            CASE WHEN qi.p = 25 THEN s.x25 WHEN qi.p = 50 THEN s.x50
+                 WHEN qi.p = 75 THEN s.x75 WHEN qi.p = 90 THEN s.x90
+                 ELSE s.x99 END AS exact_q,
+            ${bucket("""(CASE WHEN qi.p = 25 THEN s.x25 WHEN qi.p = 50 THEN s.x50
+                 WHEN qi.p = 75 THEN s.x75 WHEN qi.p = 90 THEN s.x90
+                 ELSE s.x99 END)""")} = qi.qidx AS bound_ok
+          FROM qi CROSS JOIN s"""
+    },
+
     "q65_cms_heavy_hitters" ->
       s"""WITH counts AS (
             SELECT term, COUNT(1) AS n

@@ -199,6 +199,59 @@ object TextAnalysis {
           (aggregate(col("rh"), lit(0L), (a, x) => a + x) % M).as("rh_checksum"))
     }),
 
+    // --- within-doc repetition signals (Gopher repetition-removal) ---------
+    // The repetition family of quality filters: fraction of duplicate
+    // tokens, mass of the single most frequent token, and mass of the most
+    // frequent bigram — the signals Rae et al. (Gopher, 2021) threshold to
+    // drop boilerplate/template pages. Everything is computed per row from
+    // the token array (O(distinct·n) per doc, bounded by doc length), so
+    // the pass is NARROW: zero shuffles, scales with bytes scanned. All
+    // ratios are exact-rational int/int divisions.
+    "q72_repetition_ratio" -> ((s, d) => {
+      val tk = toks(col("text"))
+      val bg = shingles(tk, 2)
+      val topTok = array_max(transform(array_distinct(tk),
+        x => size(filter(tk, y => y === x))))
+      val topBg = when(size(bg) > 0,
+        array_max(transform(array_distinct(bg),
+          x => size(filter(bg, y => y === x))))).otherwise(lit(0))
+      t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(
+          col("doc_id"),
+          size(tk).cast("long").as("n_tok"),
+          (lit(1.0) - size(array_distinct(tk)).cast("double") / size(tk))
+            .as("dup_tok_frac"),
+          (topTok.cast("double") / size(tk)).as("top_tok_frac"),
+          when(size(bg) > 0, topBg.cast("double") / size(bg))
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
+        .withColumn("pass_repetition",
+          col("dup_tok_frac") <= 0.8 && col("top_tok_frac") < 0.2 &&
+            col("top_bigram_frac") < 0.18)
+    }),
+
+    // --- cross-corpus n-gram novelty ---------------------------------------
+    // For each doc: how much of its distinct 4-gram set is unique to it vs
+    // shared with other docs — the memorization/boilerplate axis that
+    // within-doc signals (q72) cannot see. Scale shape: grams are reduced
+    // to md5 DIGESTS before they ever shuffle (a gram is ~4 tokens of text;
+    // the digest is 32 bytes flat), then two hash aggregations — per-(doc,
+    // gram) distinct, then gram df — and one digest-keyed join back.
+    // Nothing driver-side; skewed mega-grams cost one counter row each.
+    "q73_ngram_novelty" -> ((s, d) => {
+      val pairs = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(toks(col("text")), 4))).as("gram"))
+        .select(col("doc_id"), md5(col("gram")).as("g"))
+      val df_ = pairs.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      pairs.join(df_, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"),
+          max(col("df")).as("max_df"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"), col("max_df"),
+          (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+    }),
+
     // --- document fingerprinting (full-hash + shingle winnow) --------------
     "q33_text_fingerprint" -> ((s, d) => {
       val sh = shingles(toks(col("text")), 3)
@@ -409,6 +462,43 @@ object TextAnalysis {
             list_max(rh) AS max_rh,
             CAST(COALESCE(list_sum(rh), 0) % ${graft.functions.RollingHash.Mod} AS BIGINT) AS rh_checksum
           FROM (SELECT doc_id, $oRollingHash AS rh FROM documents)""",
+
+    "q72_repetition_ratio" ->
+      s"""SELECT doc_id, n_tok, dup_tok_frac, top_tok_frac, top_bigram_frac,
+            (dup_tok_frac <= 0.8 AND top_tok_frac < 0.2
+             AND top_bigram_frac < 0.18) AS pass_repetition
+          FROM (SELECT doc_id,
+                  len(tk) AS n_tok,
+                  1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                    AS dup_tok_frac,
+                  CAST(list_max(list_transform(list_distinct(tk),
+                      x -> len(list_filter(tk, y -> y = x)))) AS DOUBLE)
+                    / len(tk) AS top_tok_frac,
+                  CASE WHEN len(bg) > 0
+                       THEN CAST(list_max(list_transform(list_distinct(bg),
+                              x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+                            / len(bg)
+                       ELSE 0.0 END AS top_bigram_frac
+                FROM (SELECT doc_id, $oToks AS tk,
+                        ${oShingles(oToks, 2)} AS bg
+                      FROM documents))""",
+
+    "q73_ngram_novelty" ->
+      s"""WITH pairs AS (
+            SELECT doc_id, md5(gram) AS g
+            FROM (SELECT doc_id,
+                    unnest(list_distinct(${oShingles(oToks, 4)})) AS gram
+                  FROM documents)),
+          dfc AS (SELECT g, COUNT(1) AS df FROM pairs GROUP BY g)
+          SELECT p.doc_id,
+            COUNT(1) AS n_grams,
+            CAST(SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_novel,
+            MAX(dfc.df) AS max_df,
+            CAST(SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(1) AS novelty
+          FROM pairs p JOIN dfc ON p.g = dfc.g
+          GROUP BY p.doc_id""",
 
     "q33_text_fingerprint" ->
       s"""SELECT doc_id,

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the round-5 corpus-hygiene operators on constructed inputs with
+  * hand-computed answers, then on the driver testdata for the properties
+  * that motivated each one (q75 catching what q40 cannot).
+  */
+class RepetitionNoveltySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("srcX"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private def runOn(name: String, docs: org.apache.spark.sql.DataFrame) = {
+    // the queries read Tables.load(dir, "documents"); route the constructed
+    // frame through a temp parquet dir so the query path stays untouched
+    val dir = java.nio.file.Files.createTempDirectory("repnov").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (TextAnalysis.queries ++ Dedup.queries)(name)(spark, dir)
+  }
+
+  test("q72: hand-computed repetition fractions on constructed docs") {
+    val out = runOn("q72_repetition_ratio", docsOf(
+      1L -> "a a a a",            // all one token
+      2L -> "a b c d",            // no repetition
+      3L -> "x y x y x y"))       // alternating bigram loop
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+
+    // doc 1: 4 toks, 1 distinct -> dup 0.75; top tok 4/4; bigrams all "a a"
+    assert(out(1L) == ((4L, 0.75, 1.0, 1.0, false)))
+    // doc 2: zero repetition, but at 4 tokens the top-token mass (1/4) is
+    // above the 0.2 gate — short docs fail, as in the Gopher length band
+    assert(out(2L) == ((4L, 0.0, 0.25, 1.0 / 3, false)))
+    // doc 3: 6 toks {x,y} -> dup 2/3; top tok 3/6; bigrams: "x y"x3, "y x"x2
+    assert(out(3L) == ((6L, 1.0 - 2.0 / 6, 0.5, 3.0 / 5, false)))
+    // and an ordinary diverse doc passes the gate
+    val pass = runOn("q72_repetition_ratio", docsOf(
+      9L -> (0 until 40).map(i => s"w$i").mkString(" ")))
+      .collect().head
+    assert(pass.getBoolean(5), "diverse doc must pass the repetition gate")
+  }
+
+  test("q73: novelty is 1.0 for a unique doc, 0.0 for a clone pair") {
+    val base = (0 until 12).map(i => s"t$i").mkString(" ")
+    val out = runOn("q73_ngram_novelty", docsOf(
+      1L -> base,                 // clone A
+      2L -> base,                 // clone B: every 4-gram shared
+      3L -> (100 until 112).map(i => s"u$i").mkString(" ")))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+
+    // 12 tokens -> 9 distinct 4-grams each
+    assert(out(1L) == ((9L, 0L, 2L, 0.0)))
+    assert(out(2L) == ((9L, 0L, 2L, 0.0)))
+    assert(out(3L) == ((9L, 9L, 1L, 1.0)))
+  }
+
+  test("q73: grams shuffle as digests, not strings") {
+    val plan = TextAnalysis.queries("q73_ngram_novelty")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // the df aggregate and the join key are the md5 column `g`
+    assert(plan.contains("md5"), plan.take(600))
+  }
+
+  test("q75: catches truncation dups that exact dedup (q40) misses") {
+    // constructed: doc 2 is doc 1 truncated mid-way past the 128-char mark
+    val long = (0 until 60).map(i => s"tok$i").mkString(" ")
+    assert(long.length > 200)
+    val out = runOn("q75_prefix_dup", docsOf(
+      1L -> long,
+      2L -> long.take(180),
+      3L -> "something else entirely"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSet == Set((1L, 2L, true), (2L, 2L, false)),
+      s"got: ${out.mkString(", ")}")
+
+    // the motivating property, on the real testdata: prefix groups exist
+    // while full-content dup groups do not
+    val prefixRows = Dedup.queries("q75_prefix_dup")(spark, sfDir).count()
+    val exactDupGroups = Dedup.queries("q40_dedup_exact")(spark, sfDir)
+      .filter(col("n_copies") > 1).count()
+    assert(prefixRows > 0, "testdata has prefix-dup groups")
+    assert(exactDupGroups == 0L,
+      "q40 finds no exact dups here — q75's catch is strictly additive")
+  }
+
+  test("q75: only digests reach the aggregation (no full-text shuffle)") {
+    val plan = Dedup.queries("q75_prefix_dup")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(plan.contains("md5") && plan.contains("substring"), plan.take(600))
+  }
+}

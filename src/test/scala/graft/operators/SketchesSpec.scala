@@ -90,6 +90,74 @@ class SketchesSpec extends SparkSpec {
     assert(absentHits < 250, s"FP rate implausible: $absentHits/500")
   }
 
+  test("histogram aggregate: merge law, fixed size, matches the q74 bucket agg") {
+    val lo = 0.0; val hi = 100.0
+    val agg = new Sketches.HistogramAggregate(lo, hi)
+    val values = (0 until 5000).map(i => (i * 37 % 9973) / 99.73)
+    val onePass = values.foldLeft(agg.zero)(agg.reduce)
+    assert(onePass.length == Sketches.HistBuckets)
+    assert(onePass.sum == values.length.toLong)
+    // chunked reduce + cell-wise-add merge == one pass (partial-agg law)
+    val merged = values.grouped(313)
+      .map(c => c.foldLeft(agg.zero)(agg.reduce))
+      .reduce(agg.merge)
+    assert(onePass.sameElements(merged))
+    // the declarative groupBy histogram and the typed accumulator agree
+    val viaGroupBy = values.toDF("value")
+      .select(Sketches.histBucket(col("value"), lit(lo), lit(hi)).as("idx"))
+      .groupBy(col("idx")).count()
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    onePass.zipWithIndex.foreach { case (n, i) =>
+      assert(viaGroupBy.getOrElse(i, 0L) == n, s"bucket $i: $n")
+    }
+  }
+
+  test("q74: exact percentile lands in the sketch-selected bucket, every p") {
+    val rows = Sketches.queries("q74_quantile_hist")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(rows.map(_._1).sorted.toSeq == Sketches.HistPercentiles.map(_.toLong))
+    rows.foreach { case (p, qidx, estLo, estHi, exact, boundOk) =>
+      assert(boundOk, s"p$p: exact $exact outside bucket $qidx")
+      assert(estLo <= exact && exact <= estHi,
+        s"p$p: exact $exact not in [$estLo, $estHi]")
+      assert(estHi - estLo > 0, s"p$p: degenerate bucket width")
+    }
+    // quantile estimates are monotone in p
+    val byP = rows.sortBy(_._1)
+    byP.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"bucket index not monotone: p${a._1} -> p${b._1}")
+    }
+  }
+
+  test("histogram is streaming state: MemoryStream replay == batch cells") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val values = graft.Tables.load(s, sfDir, "events")
+      .select(col("value")).as[Double].collect()
+    val lo = values.min; val hi = values.max
+    val agg = new Sketches.HistogramAggregate(lo, hi)
+    val batchCells = values.foldLeft(agg.zero)(agg.reduce)
+
+    val mem = MemoryStream[Double]
+    val q = mem.toDS().toDF("value")
+      .agg(udaf(agg, org.apache.spark.sql.Encoders.scalaDouble)(col("value"))
+        .as("cells"))
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    val streamedCells =
+      try {
+        values.grouped((values.length + 3) / 4)
+          .foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+        s.table("hist_stream").collect().head.getSeq[Long](0).toArray
+      } finally q.stop()
+    assert(streamedCells.sameElements(batchCells),
+      "streaming histogram state diverged from the batch fold")
+  }
+
   test("bloom decontamination never misses a true contamination (q57 vs q71)") {
     val exact = Curation.queries("q57_decontam")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
