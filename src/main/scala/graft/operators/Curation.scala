@@ -247,6 +247,11 @@ object Curation {
     // qualified survivors twice (gram hits + the keep-side anti-join)
     val qual = canon.filter(TextAnalysis.gopherPass(col("text")))
       .localCheckpoint(true)
+    // qual's eager checkpoint supersedes the stage-1 survivors: every
+    // remaining stage reads qual or the raw corpus, so dd's pinned blocks
+    // are dead — drop them now rather than waiting for a driver full-GC
+    // (repeated pipeline runs otherwise accumulate until CC slows down)
+    dd.unpersist()
     // 4. decontamination — benchmark grams from the ORIGINAL corpus (the
     // eval suite is external data and is not itself curated)
     val benchGrams = docs.filter(col("source") === BenchSource)

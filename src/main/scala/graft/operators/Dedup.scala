@@ -177,8 +177,12 @@ object Dedup {
         // to star re-reads checkpointed pairs instead of re-running the
         // (typically expensive) upstream LSH pipeline.
         val p = pairs.localCheckpoint(true)
-        ccLabelProp(p, maxIters / 2, failOnCap = false)
+        val res = ccLabelProp(p, maxIters / 2, failOnCap = false)
           .getOrElse(ccAlternatingStars(p, maxIters)._1)
+        // both variants return frames backed by their own (eager)
+        // checkpoints, so the pair snapshot's blocks are dead
+        p.unpersist()
+        res
       case "label-prop" =>
         ccLabelProp(pairs, maxIters, failOnCap = true).get
       case "star"       => ccAlternatingStars(pairs, maxIters)._1
@@ -210,9 +214,16 @@ object Dedup {
         .localCheckpoint(true)
       changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
         .filter(col("lbl") < col("old")).count()
+      // superseded round: drop its checkpoint blocks eagerly (see the
+      // matching note in ccAlternatingStars)
+      labels.unpersist()
       labels = next
     }
+    // the result (if any) is itself checkpointed, so the edge blocks are
+    // dead either way
+    edges.unpersist()
     if (changed > 0) {
+      labels.unpersist()
       if (failOnCap)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIters rounds " +
@@ -271,6 +282,12 @@ object Dedup {
       // distinct sets, so equal counts + empty one-way difference = equal.
       converged = small.count() == edges.count() &&
         small.except(edges).isEmpty
+      // The superseded round's checkpoint blocks are dead from here on;
+      // drop them NOW instead of waiting for a driver full-GC to trigger
+      // the ContextCleaner — in a long session (or the bench's repeated
+      // runs) the pinned blocks otherwise accumulate until memory
+      // pressure shows up as monotonically slowing CC queries.
+      edges.unpersist()
       edges = small
     }
     if (!converged)
@@ -281,6 +298,9 @@ object Dedup {
         Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint(true)
+    nodes.unpersist()
+    edges.unpersist()
     (labels, it)
   }
 
@@ -297,6 +317,76 @@ object Dedup {
         .groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("keep_id"),
           count(lit(1)).as("n_copies"))),
+
+    // --- containment dedup (doc-inside-doc; what Jaccard can't see) --------
+    // A short doc quoted/embedded inside a long one has high CONTAINMENT
+    // (|A∩B|/|A|) but low Jaccard — invisible to q42/q44. Blocking:
+    // candidate pairs share one of the contained side's two smallest RARE
+    // shingle digests, where "rare" is an integer-rational df bound
+    // (df·20 <= n_docs). The df pre-pass is what keeps this scale-sane: a
+    // boilerplate shingle shared by half the corpus never becomes a block
+    // key, so bucket size is bounded by the df ceiling, not by shingle
+    // popularity. Containment recall is preserved: if A ⊆ B, A's rare
+    // digests are rare and present in B. Verification touches candidates
+    // only (exact set intersect over the two digest arrays). Everything
+    // shuffles as 32-byte digests; the per-doc window is partitioned by
+    // doc (never global).
+    "q78_containment_dedup" -> ((s, d) => {
+      val base = docs(s, d)
+        .repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("doc_id"),
+          array_sort(array_distinct(
+            transform(shingles(toks(col("text")), 3), x => md5(x)))).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val ex = base.select(col("doc_id"), explode(col("sh")).as("h"))
+      val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val nDocs = base.agg(count(lit(1)).as("n_docs"))
+      val rare = ex.join(dfc, "h").join(broadcast(nDocs))
+        .filter(col("df") * 20 <= col("n_docs"))
+        .select(col("doc_id"), col("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("h"))
+      val bot = rare
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("doc_id").as("a"), col("h"))
+      val cand = bot
+        .join(rare.select(col("doc_id").as("b"), col("h")), "h")
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b")).distinct()
+      cand
+        .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+        .select(col("a").as("contained"), col("b").as("container"),
+          size(col("sha")).cast("long").as("n_sh"),
+          (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(col("sha"))).as("containment"))
+        .filter(col("containment") >= 0.8)
+    }),
+
+    // --- cross-source leakage matrix (where do near-dups come from?) -------
+    // The provenance view of the q42 pair list: which source pairs share
+    // near-duplicate content — the signal that tells a curation run whether
+    // a crawl slice is mirroring another (and that benchmark text leaked
+    // into a training source, the q57 failure mode, shows up as a hot
+    // cell). Shape: everything downstream of the (already bucketed) LSH
+    // pair list is PAIR-sized, not corpus-sized — two id-keyed joins to
+    // attach sources, one hash agg on the canonicalized (src_lo, src_hi)
+    // cell. least/greatest folds the undirected pair into one cell.
+    "q77_source_leakage" -> ((s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      trigramPairs(s, d)
+        .join(src.select(col("doc_id").as("i"), col("source").as("src_i")), "i")
+        .join(src.select(col("doc_id").as("j"), col("source").as("src_j")), "j")
+        .select(least(col("src_i"), col("src_j")).as("src_lo"),
+          greatest(col("src_i"), col("src_j")).as("src_hi"),
+          col("j"), col("jac"))
+        .groupBy(col("src_lo"), col("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("j")).as("n_dup_docs"),
+          min(col("jac")).as("min_jac"),
+          max(col("jac")).as("max_jac"))
+    }),
 
     // --- prefix-fingerprint dedup (truncation / re-crawl duplicates) -------
     // Re-crawls and connection drops produce documents that agree on a long
@@ -454,6 +544,57 @@ object Dedup {
     "q40_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
          FROM documents GROUP BY 1""",
+
+    "q78_containment_dedup" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+              list_sort(list_distinct(list_transform(
+                ${oShingles(oToks, 3)}, x -> md5(x)))) AS sh
+            FROM documents
+            WHERE len(${oShingles(oToks, 3)}) > 0),
+          ex AS (SELECT doc_id, unnest(sh) AS h FROM base),
+          dfc AS (SELECT h, COUNT(1) AS df FROM ex GROUP BY h),
+          n AS (SELECT COUNT(1) AS n_docs FROM base),
+          rare AS (
+            SELECT ex.doc_id, ex.h
+            FROM ex JOIN dfc ON ex.h = dfc.h CROSS JOIN n
+            WHERE dfc.df * 20 <= n.n_docs),
+          bot AS (
+            SELECT doc_id AS a, h FROM (
+              SELECT doc_id, h,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+              FROM rare)
+            WHERE rn <= 2),
+          cand AS (
+            SELECT DISTINCT bot.a, r.doc_id AS b
+            FROM bot JOIN rare r ON bot.h = r.h
+            WHERE bot.a <> r.doc_id)
+          SELECT cand.a AS contained, cand.b AS container,
+            len(ba.sh) AS n_sh,
+            CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE) / len(ba.sh)
+              AS containment
+          FROM cand
+          JOIN base ba ON cand.a = ba.doc_id
+          JOIN base bb ON cand.b = bb.doc_id
+          WHERE CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE) / len(ba.sh)
+            >= 0.8""",
+
+    "q77_source_leakage" -> {
+      val pairsSql = oLshNearDupPairs(3, NumHashes, BandSize, 0, TrigramTNum,
+        TrigramTDen)
+      s"""WITH pairs AS (SELECT i, j, jac FROM ($pairsSql)),
+            lab AS (
+              SELECT LEAST(di.source, dj.source) AS src_lo,
+                     GREATEST(di.source, dj.source) AS src_hi,
+                     pairs.j, pairs.jac
+              FROM pairs
+              JOIN documents di ON pairs.i = di.doc_id
+              JOIN documents dj ON pairs.j = dj.doc_id)
+          SELECT src_lo, src_hi, COUNT(1) AS n_pairs,
+            COUNT(DISTINCT j) AS n_dup_docs,
+            MIN(jac) AS min_jac, MAX(jac) AS max_jac
+          FROM lab GROUP BY src_lo, src_hi"""
+    },
 
     "q75_prefix_dup" ->
       """WITH fp AS (

@@ -329,6 +329,27 @@ object Relational {
           min(col("value")).as("min_v"),
           max(col("value")).as("max_v"))),
 
+    // --- events: weekly retention cohort matrix ----------------------------------
+    // The product-analytics staple: users grouped by first-seen week, each
+    // cell = how many of that cohort were active k weeks later. Shape: two
+    // hash aggs + one user-keyed join — the same user_id partitioning
+    // serves both sides, and only (user, week) pairs shuffle, never raw
+    // events. The offset division is exact (week-truncated timestamps
+    // differ by day multiples of 7), so both engines agree bit-for-bit.
+    "q79_retention_cohorts" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(col("w")).as("cohort_week"))
+      ev.join(cohorts, "user_id")
+        .select(col("cohort_week"), col("user_id"),
+          (datediff(col("w").cast("date"), col("cohort_week").cast("date")) / 7)
+            .cast("long").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // --- session windows (gap-based, the streaming-native grouping) -------------
     // Batch analog of `session_window`; the oracle reproduces the exact same
     // sessions with gaps-and-islands SQL (new session when the gap since the
@@ -677,6 +698,18 @@ object Relational {
       """SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin, COUNT(1) AS n,
            MIN(value) AS min_v, MAX(value) AS max_v
          FROM events GROUP BY 1""",
+
+    "q79_retention_cohorts" ->
+      """WITH ev AS (
+           SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS w FROM events),
+         cohort AS (
+           SELECT user_id, MIN(w) AS cohort_week FROM ev GROUP BY user_id)
+         SELECT c.cohort_week,
+           CAST(datediff('day', CAST(c.cohort_week AS DATE), CAST(ev.w AS DATE))
+                / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT ev.user_id) AS n_users
+         FROM ev JOIN cohort c ON ev.user_id = c.user_id
+         GROUP BY 1, 2""",
 
     "q28_pivot" ->
       """SELECT o_orderpriority,

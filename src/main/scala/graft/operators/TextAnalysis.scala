@@ -252,6 +252,36 @@ object TextAnalysis {
           (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
     }),
 
+    // --- collocation mining (rational-lift bigram association) -------------
+    // The boilerplate/phrase-discovery primitive: bigrams whose observed
+    // count beats the independence expectation. Score is the LIFT
+    // c_ab·N / (c_a·c_b) — the monotone rational core of PMI without the
+    // ln() (not bit-portable across libm builds; same trade as q34's idf).
+    // Shape: two two-level hash aggs (unigram, bigram) + two vocab-keyed
+    // equi-joins + a broadcast 1-row total; min-count floor keeps noise
+    // pairs out and the top-50 total order (lift desc, bigram) makes the
+    // limit deterministic. Int64 products stay exact below 2^53 here; a
+    // 100 TB run widens the product to decimal before the double divide.
+    "q76_collocations" -> ((s, d) => {
+      val base = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      val uni = base.select(explode(toks(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val bi = base.select(explode(shingles(toks(col("text")), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+        .withColumn("a", split(col("g"), " ").getItem(0))
+        .withColumn("b", split(col("g"), " ").getItem(1))
+      val n = uni.agg(sum(col("c")).as("n_tok"))
+      bi.join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+        .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+        .join(broadcast(n))
+        .filter(col("c_ab") >= 5)
+        .select(col("g").as("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+          ((col("c_ab") * col("n_tok")).cast("double") /
+            (col("c_a") * col("c_b"))).as("lift"))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(50)
+    }),
+
     // --- document fingerprinting (full-hash + shingle winnow) --------------
     "q33_text_fingerprint" -> ((s, d) => {
       val sh = shingles(toks(col("text")), 3)
@@ -499,6 +529,24 @@ object TextAnalysis {
               / COUNT(1) AS novelty
           FROM pairs p JOIN dfc ON p.g = dfc.g
           GROUP BY p.doc_id""",
+
+    "q76_collocations" ->
+      s"""WITH uni AS (
+            SELECT w, COUNT(1) AS c
+            FROM (SELECT unnest($oToks) AS w FROM documents) GROUP BY w),
+          bi AS (
+            SELECT g, COUNT(1) AS c_ab
+            FROM (SELECT unnest(${oShingles(oToks, 2)}) AS g FROM documents)
+            GROUP BY g),
+          n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni)
+          SELECT bi.g AS bigram, bi.c_ab, ua.c AS c_a, ub.c AS c_b,
+            CAST(bi.c_ab * n.n_tok AS DOUBLE) / (ua.c * ub.c) AS lift
+          FROM bi
+          JOIN uni ua ON string_split(bi.g, ' ')[1] = ua.w
+          JOIN uni ub ON string_split(bi.g, ' ')[2] = ub.w
+          CROSS JOIN n
+          WHERE bi.c_ab >= 5
+          ORDER BY lift DESC, bigram LIMIT 50""",
 
     "q33_text_fingerprint" ->
       s"""SELECT doc_id,

@@ -95,6 +95,81 @@ class RepetitionNoveltySpec extends SparkSpec {
       "q40 finds no exact dups here — q75's catch is strictly additive")
   }
 
+  test("q76: lift separates a welded phrase from independent co-occurrence") {
+    // "alpha beta" always adjacent (welded); filler tokens are iid noise.
+    // Repeat the welded pair enough times to clear the min-count floor.
+    val docs = docsOf((0L until 8L).map { i =>
+      i -> s"alpha beta f${i}a f${i}b alpha beta f${i}c f${i}d alpha beta"
+    }: _*)
+    val out = runOn("q76_collocations", docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    assert(out.contains("alpha beta"), s"welded pair missing: ${out.keys}")
+    val (cAb, lift) = out("alpha beta")
+    assert(cAb == 24L)
+    // c_a = c_b = 24, N = 80 tokens -> lift = 24*80/(24*24) = 10/3
+    assert(lift == 24.0 * 80 / (24 * 24), s"lift=$lift")
+    // nothing outscores the welded pair
+    assert(out.values.forall(_._2 <= lift), "welded pair must rank first")
+  }
+
+  test("q77: clone pair across sources shows up as one leakage cell") {
+    val base = (0 until 30).map(i => s"c$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("leak").toString
+    Seq((1L, base, "en", "srcA", base.length.toLong),
+        (2L, base, "en", "srcB", base.length.toLong),
+        (3L, (100 until 130).map(i => s"z$i").mkString(" "), "en", "srcC", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("q77_source_leakage")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+    assert(out.toSeq == Seq((("srcA", "srcB"), (1L, 1L, 1.0, 1.0))),
+      s"got: ${out.mkString(", ")}")
+  }
+
+  test("q78: finds doc-inside-doc that Jaccard-threshold dedup misses") {
+    // contained = the first third of container: containment ~1.0 for the
+    // small side, Jaccard ~1/3 (far below the q42/q44 0.7 threshold)
+    val big = (0 until 60).map(i => s"p$i").mkString(" ")
+    val small = (0 until 20).map(i => s"p$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    // 40 unrelated filler docs so the df*20 <= n_docs rarity bound is
+    // satisfiable (with a 3-doc corpus nothing can be "rare")
+    val filler = (0L until 40L).map(k =>
+      (10L + k) -> (0 until 20).map(i => s"f${k}x$i").mkString(" "))
+    docsOf((Seq(1L -> big, 2L -> small,
+        3L -> (100 until 160).map(i => s"q$i").mkString(" ")) ++ filler): _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.queries("q78_containment_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // doc 2's 18 trigrams are all inside doc 1 -> containment 1.0;
+    // the reverse direction (1 contained in 2) must NOT qualify
+    assert(rows.toSet == Set((2L, 1L, 1.0)), s"got: ${rows.mkString(", ")}")
+
+    // and the pair is invisible to the Jaccard pipeline at its threshold
+    val jacPairs = Dedup.queries("q42_dedup_lsh_pairs")(spark, dir).collect()
+    assert(jacPairs.isEmpty, "Jaccard dedup must not see the containment pair")
+  }
+
+  test("q79: cohort matrix on a constructed two-cohort event log") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("cohort").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    // week A = 2024-01-01 (Mon); week B = 2024-01-08
+    Seq(
+      (1L, ts(1), 10L, "view", 1.0, "{}"),   // u10 cohort A, active wk0
+      (2L, ts(9), 10L, "view", 1.0, "{}"),   // u10 active wk1
+      (3L, ts(2), 11L, "view", 1.0, "{}"),   // u11 cohort A, active wk0 only
+      (4L, ts(8), 12L, "view", 1.0, "{}"))   // u12 cohort B, active wk0
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Relational.queries("q79_retention_cohorts")(s, dir).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out == Set(("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L)), s"got: $out")
+  }
+
   test("q75: only digests reach the aggregation (no full-text shuffle)") {
     val plan = Dedup.queries("q75_prefix_dup")(spark, sfDir)
       .queryExecution.optimizedPlan.toString.toLowerCase
