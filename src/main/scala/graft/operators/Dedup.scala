@@ -332,27 +332,36 @@ object Dedup {
     // shuffles as 32-byte digests; the per-doc window is partitioned by
     // doc (never global).
     "q78_containment_dedup" -> ((s, d) => {
+      // the digest projection (md5 per shingle) is the CPU cost center and
+      // has FOUR consumers (df pass, corpus count, both verify sides) —
+      // materialize it once; at 100 TB this is a stage-boundary persist
       val base = docs(s, d)
         .repartition(TextFns.cpuPartitions, col("doc_id"))
         .select(col("doc_id"),
           array_sort(array_distinct(
             transform(shingles(toks(col("text")), 3), x => md5(x)))).as("sh"))
         .filter(size(col("sh")) > 0)
-      val ex = base.select(col("doc_id"), explode(col("sh")).as("h"))
+        .localCheckpoint(true)
+      val ex = base.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("h"))
       val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val nDocs = base.agg(count(lit(1)).as("n_docs"))
       val rare = ex.join(dfc, "h").join(broadcast(nDocs))
         .filter(col("df") * 20 <= col("n_docs"))
-        .select(col("doc_id"), col("h"))
+        .select(col("doc_id"), col("n"), col("h"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("h"))
       val bot = rare
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2)
-        .select(col("doc_id").as("a"), col("h"))
+        .select(col("doc_id").as("a"), col("n").as("na"), col("h"))
+      // size prefilter: containment >= 0.8 forces |A| <= 1.25|B|
+      // (|A∩B| <= |B|), so wildly-mismatched candidates are provably
+      // non-qualifying — dropping them here cannot change the output
       val cand = bot
-        .join(rare.select(col("doc_id").as("b"), col("h")), "h")
-        .filter(col("a") =!= col("b"))
+        .join(rare.select(col("doc_id").as("b"), col("n").as("nb"), col("h")),
+          "h")
+        .filter(col("a") =!= col("b") && col("na") * 4 <= col("nb") * 5)
         .select(col("a"), col("b")).distinct()
       cand
         .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")

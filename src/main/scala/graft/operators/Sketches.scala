@@ -186,16 +186,21 @@ object Sketches {
   val HistBuckets = 256
 
   /** Bucket of a double value within [lo, hi] — floor of the affine map,
-    * clamped so v = hi lands in the last bucket. The expression shape
+    * clamped on BOTH ends: v = hi lands in the last bucket, and values
+    * outside a dialed [lo, hi) (the streaming deployment profiles the
+    * range up front; live data can exceed it) saturate into the edge
+    * buckets instead of crashing the accumulator. The expression shape
     * (((v - lo) / (hi - lo)) * B) is pinned left-to-right so Spark and
     * DuckDB run the identical IEEE-754 op sequence. */
   def histBucket(v: Column, lo: Column, hi: Column): Column =
-    least(floor((v - lo) / (hi - lo) * HistBuckets), lit(HistBuckets - 1L))
-      .cast("long")
+    greatest(least(floor((v - lo) / (hi - lo) * HistBuckets),
+      lit(HistBuckets - 1L)), lit(0L)).cast("long")
 
   /** JVM twin of [[histBucket]] for the mergeable accumulator. */
   def histBucketOf(v: Double, lo: Double, hi: Double): Int =
-    math.min(math.floor((v - lo) / (hi - lo) * HistBuckets), (HistBuckets - 1).toDouble).toInt
+    math.max(0,
+      math.min(math.floor((v - lo) / (hi - lo) * HistBuckets),
+        (HistBuckets - 1).toDouble).toInt)
 
   /** The histogram as a MERGEABLE FIXED-SIZE accumulator (same discipline
     * as [[CmsAggregate]]/[[BloomAggregate]]): HistBuckets int64 cells,
@@ -312,7 +317,7 @@ object Sketches {
     "q74_quantile_hist" -> {
       val b = HistBuckets
       val bucket = (v: String) =>
-        s"CAST(LEAST(FLOOR((($v - s.lo) / (s.hi - s.lo)) * $b), ${b - 1}) AS BIGINT)"
+        s"CAST(GREATEST(LEAST(FLOOR((($v - s.lo) / (s.hi - s.lo)) * $b), ${b - 1}), 0) AS BIGINT)"
       s"""WITH s AS (
             SELECT MIN(value) AS lo, MAX(value) AS hi, COUNT(1) AS n,
               PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY value) AS x25,

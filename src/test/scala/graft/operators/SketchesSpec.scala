@@ -112,6 +112,18 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("histogram saturates out-of-range values into edge buckets") {
+    // the streaming deployment dials [lo, hi) from a profiling pass; live
+    // data outside the dialed range must degrade, never crash
+    val agg = new Sketches.HistogramAggregate(0.0, 10.0)
+    val cells = List(-5.0, -0.001, 0.0, 9.99, 10.0, 1e9)
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(cells(0) == 3L, "below-range + exact-lo land in bucket 0")
+    assert(cells(Sketches.HistBuckets - 1) == 3L,
+      "at-hi + above-range land in the last bucket")
+    assert(cells.sum == 6L)
+  }
+
   test("q74: exact percentile lands in the sketch-selected bucket, every p") {
     val rows = Sketches.queries("q74_quantile_hist")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
