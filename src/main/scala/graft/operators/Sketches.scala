@@ -285,6 +285,57 @@ object Sketches {
     // Width is deliberately small (16) against the testdata vocabulary so
     // collisions actually occur and the min-over-rows bound does real work;
     // `tight` marks terms whose estimate equals the exact count.
+    // --- per-group histogram quantiles (the sketch, composed per key) ------
+    // q74 profiles ONE distribution; real profiling is per key (per
+    // event type / per source / per feature). Same structure, one extra
+    // grouping column everywhere: per-group exact profile agg, per-group
+    // bucket agg (state per task = groups × 256 cells, the per-key
+    // mergeable shape `HistogramAggregate` carries into streaming), and
+    // the read-off stays ≤ groups × 256 rows. Per-group ranges keep each
+    // histogram's resolution matched to its own spread. Degenerate groups
+    // (all values equal → lo == hi) are excluded up front: the affine
+    // bucket map is undefined there, and the exact profile already says
+    // everything about a constant distribution.
+    "q80_group_quantiles" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val stats = ev.groupBy(col("event_type")).agg(
+        min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("n"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").as("x50"),
+        expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY value)").as("x90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("x99"))
+        .filter(col("lo") < col("hi"))
+      val hist = ev.join(broadcast(stats), "event_type")
+        .select(col("event_type"),
+          histBucket(col("value"), col("lo"), col("hi")).as("idx"))
+        .groupBy(col("event_type"), col("idx")).agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .select(col("event_type"),
+          explode(sequence(col("idx"), lit(HistBuckets - 1L))).as("cidx"),
+          col("cnt"))
+        .groupBy(col("event_type"), col("cidx")).agg(sum(col("cnt")).as("cum"))
+      val ps = { import s.implicits._; Seq(50, 90, 99).toDF("p") }
+      val qidx = cum.join(broadcast(ps))
+        .join(broadcast(stats.select(col("event_type"), col("n"))), "event_type")
+        .filter(col("cum") * 100 >= col("p") * col("n"))
+        .groupBy(col("event_type"), col("p")).agg(min(col("cidx")).as("qidx"))
+      qidx.join(broadcast(stats), "event_type")
+        .withColumn("exact_q",
+          when(col("p") === 50, col("x50")).when(col("p") === 90, col("x90"))
+            .otherwise(col("x99")))
+        .select(
+          col("event_type"),
+          col("p").cast("long").as("p"),
+          col("qidx"),
+          (col("lo") + col("qidx") * ((col("hi") - col("lo")) / HistBuckets))
+            .as("est_lo"),
+          (col("lo") + (col("qidx") + 1) * ((col("hi") - col("lo")) / HistBuckets))
+            .as("est_hi"),
+          col("exact_q"),
+          (histBucket(col("exact_q"), col("lo"), col("hi")) === col("qidx"))
+            .as("bound_ok"))
+    }),
+
     "q65_cms_heavy_hitters" -> ((s, d) => {
       val counts = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
         .select(explode(toks(col("text"))).as("term"))
@@ -347,6 +398,43 @@ object Sketches {
                  WHEN qi.p = 75 THEN s.x75 WHEN qi.p = 90 THEN s.x90
                  ELSE s.x99 END)""")} = qi.qidx AS bound_ok
           FROM qi CROSS JOIN s"""
+    },
+
+    "q80_group_quantiles" -> {
+      val b = HistBuckets
+      val bucket = (v: String) =>
+        s"CAST(GREATEST(LEAST(FLOOR((($v - s.lo) / (s.hi - s.lo)) * $b), ${b - 1}), 0) AS BIGINT)"
+      s"""WITH s AS (
+            SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+              COUNT(1) AS n,
+              PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY value) AS x50,
+              PERCENTILE_DISC(0.90) WITHIN GROUP (ORDER BY value) AS x90,
+              PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY value) AS x99
+            FROM events GROUP BY event_type
+            HAVING MIN(value) < MAX(value)),
+          hist AS (
+            SELECT s.event_type, ${bucket("e.value")} AS idx, COUNT(1) AS cnt
+            FROM events e JOIN s ON e.event_type = s.event_type
+            GROUP BY 1, 2),
+          cum AS (
+            SELECT event_type, idx,
+              SUM(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cum
+            FROM hist),
+          ps AS (SELECT unnest([50, 90, 99]) AS p),
+          qi AS (
+            SELECT cum.event_type, ps.p, MIN(cum.idx) AS qidx
+            FROM cum CROSS JOIN ps
+            JOIN s ON cum.event_type = s.event_type
+            WHERE cum.cum * 100 >= ps.p * s.n
+            GROUP BY 1, 2)
+          SELECT qi.event_type, CAST(qi.p AS BIGINT) AS p, qi.qidx,
+            s.lo + qi.qidx * ((s.hi - s.lo) / $b) AS est_lo,
+            s.lo + (qi.qidx + 1) * ((s.hi - s.lo) / $b) AS est_hi,
+            CASE WHEN qi.p = 50 THEN s.x50 WHEN qi.p = 90 THEN s.x90
+                 ELSE s.x99 END AS exact_q,
+            ${bucket("""(CASE WHEN qi.p = 50 THEN s.x50 WHEN qi.p = 90 THEN s.x90
+                 ELSE s.x99 END)""")} = qi.qidx AS bound_ok
+          FROM qi JOIN s ON qi.event_type = s.event_type"""
     },
 
     "q65_cms_heavy_hitters" ->

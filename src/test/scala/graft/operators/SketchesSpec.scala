@@ -142,6 +142,22 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("q80: per-group sketch quantiles hold the bucket bound in every group") {
+    val rows = Sketches.queries("q80_group_quantiles")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    val groups = rows.map(_._1).distinct
+    assert(groups.size >= 2, s"need multiple groups, got $groups")
+    groups.foreach { g =>
+      assert(rows.count(_._1 == g) == 3, s"$g must carry p50/p90/p99")
+    }
+    rows.foreach { case (g, p, estLo, estHi, exact, boundOk) =>
+      assert(boundOk, s"$g p$p: exact $exact outside its bucket")
+      assert(estLo <= exact && exact <= estHi, s"$g p$p bound violated")
+    }
+  }
+
   test("histogram is streaming state: MemoryStream replay == batch cells") {
     val s = spark
     import s.implicits._
