@@ -186,6 +186,40 @@ class SketchesSpec extends SparkSpec {
       "streaming histogram state diverged from the batch fold")
   }
 
+  test("per-key histogram is streaming state: grouped replay == batch folds") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val rows = graft.Tables.load(s, sfDir, "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    // fixed dialed range (the streaming deployment's profiling-pass output)
+    val agg = new Sketches.HistogramAggregate(0.0, 500.0)
+    val batchCells: Map[String, Array[Long]] = rows.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).foldLeft(agg.zero)(agg.reduce) }
+
+    val mem = MemoryStream[(String, Double)]
+    val q = mem.toDS().toDF("event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(udaf(agg, org.apache.spark.sql.Encoders.scalaDouble)(col("value"))
+        .as("cells"))
+      .writeStream.format("memory").queryName("hist_grouped_stream")
+      .outputMode("complete").start()
+    val streamed =
+      try {
+        rows.grouped((rows.length + 2) / 3)
+          .foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+        s.table("hist_grouped_stream").collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+      } finally q.stop()
+    assert(streamed.keySet == batchCells.keySet)
+    streamed.foreach { case (k, cells) =>
+      assert(cells.sameElements(batchCells(k)), s"group $k diverged")
+    }
+  }
+
   test("bloom decontamination never misses a true contamination (q57 vs q71)") {
     val exact = Curation.queries("q57_decontam")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
