@@ -45,6 +45,39 @@ object Similarity {
   private def pairSim(qv: Column, qn: Column, cv: Column, cn: Column): Column =
     dot(qv, cv) / (qn * cn)
 
+  // ---------------------- JL random projection (q81/q82) -------------------
+
+  /** Projected dimensionality for the Johnson–Lindenstrauss sketch: 64 -> 16
+    * doubles per vector (4× less ANN arithmetic and shuffle). */
+  val ProjDim = 16
+
+  /** EmbDim × EmbDim fixed pseudo-random projection rows, derived from md5
+    * exactly like [[TextFns.hyperplanes]] (integer − 127.5: exact in binary64
+    * AND in its decimal SQL rendering, so the oracle embeds the same
+    * literals). A projection to d dims uses the first d rows; the full
+    * square is tabulated so specs can measure the distortion-vs-dim curve.
+    * Unnormalized is fine for cosine work: a global scale cancels, and the
+    * JL cosine-distortion guarantee needs only row independence. */
+  val jlPlanes: Array[Array[Double]] =
+    Array.tabulate(EmbDim, EmbDim) { (o, k) =>
+      Integer.parseInt(md5hex(s"jl$o-$k").substring(0, 2), 16) - 127.5
+    }
+
+  /** The projected vector as ProjDim codegen'd dot products (narrow). */
+  def jlProject(v: Column): Column =
+    array(jlPlanes.take(ProjDim).toIndexedSeq.map { row =>
+      dot(v, array(row.toIndexedSeq.map(lit): _*))
+    }: _*)
+
+  /** DuckDB twin of one projected coordinate. */
+  private def oJlDot(e: String, o: Int): String = {
+    val litArr = jlPlanes(o).mkString("[", ", ", "]")
+    s"list_sum(list_transform(range(1, ${EmbDim + 1}), k -> ($e)[k] * ($litArr)[k]))"
+  }
+
+  private def oJlProject(e: String): String =
+    (0 until ProjDim).map(o => oJlDot(e, o)).mkString("[", ", ", "]")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- brute-force cosine top-k (baseline) -------------------------------
@@ -81,6 +114,44 @@ object Similarity {
 
     // --- IVF: learned k-means lists, probe nearest lists -------------------
     "q52_knn_ivf" -> ((s, d) => ivfTopK(embs(s, d), NumQueries, LshTopK)),
+
+    // --- Johnson–Lindenstrauss projection (dimensionality reduction) -------
+    // 64 -> 16 dims via fixed pseudo-random planes: the cheap pre-pass that
+    // cuts every downstream ANN stage's arithmetic and shuffle bytes 4×
+    // while approximately preserving cosines (distortion bounded by JL; the
+    // preservation is spec-measured, the values oracle-hashed). Narrow:
+    // ProjDim codegen'd dot products per row, zero shuffles.
+    "q81_jl_project" -> ((s, d) =>
+      embs(s, d).select(col("vec_id"), col("label"),
+        jlProject(col("v")).as("pv"))),
+
+    // --- ANN in the projected space (the compressed search shape) ----------
+    // Same broadcast shape as q50 over 4×-smaller vectors; sims are
+    // projected-space cosines (deterministic — oracle-hashed). What JL
+    // guarantees — and what SimilaritySpec pins — is bounded COSINE
+    // DISTORTION shrinking as ~1/sqrt(dim); top-k fidelity then depends on
+    // the corpus's similarity gaps exceeding that distortion. This
+    // testdata's embeddings are near-isotropic (exact top-1..top-5 sims
+    // span ~0.07), so projected ranking diverges here by construction —
+    // the rank-faithful compression tier on gap-less data is q54's int8
+    // path (spec-pinned ≥0.8 top-5 overlap), while q82 carries the
+    // projection pipeline end-to-end for corpora whose neighbors are
+    // actually separated.
+    "q82_knn_projected" -> ((s, d) => {
+      val e = embs(s, d).select(col("vec_id"), jlProject(col("v")).as("pv"))
+        .withColumn("pn", norm(col("pv")))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("pv").as("qv"),
+          col("pn").as("qn"))
+      val scored = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          pairSim(col("qv"), col("qn"), col("pv"), col("pn")).as("sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("nn_rank", row_number().over(w).cast("long"))
+        .filter(col("nn_rank") <= LshTopK)
+        .select(col("query_id"), col("nn_rank"), col("vec_id"), col("sim"))
+    }),
 
     // --- ANN over int8-quantized vectors (the compressed search path) ------
     // Search the 4x-compressed store directly: cosine over quantized codes.
@@ -295,6 +366,25 @@ object Similarity {
                         ORDER BY sim DESC, vec_id) AS nn_rank
             FROM scored)
           WHERE nn_rank <= $TopK""",
+
+    "q81_jl_project" ->
+      s"""SELECT vec_id, label, ${oJlProject(oEmb)} AS pv FROM embeddings""",
+
+    "q82_knn_projected" ->
+      s"""WITH e AS (SELECT vec_id, ${oJlProject(oEmb)} AS pv FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     (list_sum(list_transform(range(1, ${ProjDim + 1}),
+                        k -> (q.pv)[k] * (c.pv)[k]))
+                      / (sqrt(list_sum(list_transform(q.pv, x -> x * x)))
+                         * sqrt(list_sum(list_transform(c.pv, x -> x * x)))))
+                       AS sim
+              FROM e q JOIN e c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id)
+          SELECT query_id, nn_rank, vec_id, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, vec_id) AS nn_rank
+            FROM scored)
+          WHERE nn_rank <= $LshTopK""",
 
     "q51_knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, $oEmb AS v, ${oLshBucket(oEmb)} AS bucket

@@ -20,7 +20,8 @@ class CatalogPlanSpec extends SparkSpec {
   // whose broadcast side is a no-grouping-key aggregate (a computed 1-row
   // scalar, e.g. q20's avg price or q34's corpus doc count) is sanctioned
   // structurally — that shape is really a filter against a constant.
-  private val bnlAllowed = Set("q50_knn_brute", "q54_knn_quantized")
+  private val bnlAllowed =
+    Set("q50_knn_brute", "q54_knn_quantized", "q82_knn_projected")
 
   // Sanctioned build sides: a no-grouping-key aggregate (1-row scalar) or a
   // LocalTableScan (driver-local literal model state, e.g. q52's learned

@@ -92,4 +92,37 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 >= 0.6, s"recall@5 nProbe=4 = $r4 (expected >= 0.6)")
     assert(r1 <= r2 && r2 <= r4, s"recall must be monotone in nProbe: $r1, $r2, $r4")
   }
+
+  test("JL projection: cosine distortion is bounded and shrinks with dim") {
+    // the property JL actually guarantees (and all a projection CAN
+    // guarantee on near-isotropic data — see the q82 scaladoc): projected
+    // cosines track exact cosines within a distortion that falls ~1/sqrt(d)
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>")).as[Array[Double]]
+      .collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def proj(v: Array[Double], dim: Int): Array[Double] =
+      Array.tabulate(dim)(o => Similarity.jlPlanes(o).zip(v).map(p => p._1 * p._2).sum)
+    val pairs = (0 until 500 by 7).flatMap(i => (3 until 500 by 31).map(j => (i, j)))
+      .filter { case (i, j) => i != j }.take(400)
+    def meanDistortion(dim: Int): Double = {
+      val ds = pairs.map { case (i, j) =>
+        math.abs(cos(vecs(i), vecs(j)) - cos(proj(vecs(i), dim), proj(vecs(j), dim)))
+      }
+      ds.sum / ds.size
+    }
+    val d16 = meanDistortion(16)
+    val d32 = meanDistortion(32)
+    val d48 = meanDistortion(48)
+    assert(d16 < 0.3, s"16-dim mean |cos distortion| = $d16 (JL bound blown)")
+    assert(d16 > d32 && d32 > d48,
+      s"distortion must shrink with dim: $d16, $d32, $d48")
+  }
 }
