@@ -107,6 +107,80 @@ object Multimodal {
     }
   }
 
+  /** Decoded video container metadata. `us_per_frame`/`n_frames`/`width`/
+    * `height` come from a real RIFF-AVI header parse; a payload that is not
+    * a parseable AVI carries us_per_frame = 0 and the stub's byte-derived
+    * dimensions (structural degrade marker, same contract as audio). */
+  case class VideoFeature(doc_id: Long, modality: String,
+                          width: Int, height: Int, n_frames: Long,
+                          us_per_frame: Long, n_bytes: Long)
+
+  private def stubVideoFeature(m: MediaPayload): VideoFeature = {
+    val n = m.payload.length.toLong
+    VideoFeature(m.doc_id, m.modality, (n % 640).toInt, (n % 480).toInt,
+      n_frames = 0L, us_per_frame = 0L, n_bytes = n)
+  }
+
+  /** REAL video container parse at the metadata level: a pure byte-level
+    * RIFF-AVI walk (no codec, no native libraries — the JVM ships no video
+    * codec, so FRAME decode stays behind the stub plug-point, but the
+    * container header is plain bytes and parsing it is what a 100 TB
+    * ingest's metadata pass actually does first). Walks top-level RIFF
+    * chunks, descends into `LIST hdrl`, and reads the `avih` MainAVIHeader:
+    * dwMicroSecPerFrame, dwTotalFrames, dwWidth, dwHeight. Anything that is
+    * not a well-formed AVI — wrong magic, truncated chunk, missing avih —
+    * degrades to [[stubVideoFeature]], never crashes the partition.
+    */
+  def decodeVideo(ds: Dataset[MediaPayload]): Dataset[VideoFeature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(it => it.map { m =>
+      parseAviHeader(m.payload) match {
+        case Some((usPerFrame, nFrames, w, h)) =>
+          VideoFeature(m.doc_id, m.modality, w, h, nFrames, usPerFrame,
+            m.payload.length.toLong)
+        case None => stubVideoFeature(m)
+      }
+    })
+  }
+
+  /** (usPerFrame, totalFrames, width, height) from a RIFF-AVI byte array,
+    * or None if the bytes are not a well-formed AVI header. */
+  private[operators] def parseAviHeader(b: Array[Byte]): Option[(Long, Long, Int, Int)] = {
+    def u32(off: Int): Long =
+      if (off + 4 > b.length) -1L
+      else (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      if (off + 4 > b.length) ""
+      else new String(b, off, 4, "US-ASCII")
+    if (b.length < 24 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    // walk top-level chunks looking for LIST/hdrl, then avih inside it
+    var pos = 12
+    while (pos + 8 <= b.length) {
+      val id = fourcc(pos)
+      val size = u32(pos + 4)
+      if (size < 0) return None
+      if (id == "LIST" && fourcc(pos + 8) == "hdrl") {
+        var sub = pos + 12
+        val end = math.min(pos + 8 + size, b.length.toLong).toInt
+        while (sub + 8 <= end) {
+          val sid = fourcc(sub)
+          val ssize = u32(sub + 4)
+          if (ssize < 0) return None
+          if (sid == "avih" && ssize >= 40 && sub + 8 + 40 <= b.length) {
+            val base = sub + 8
+            return Some((u32(base), u32(base + 16),
+              u32(base + 32).toInt, u32(base + 36).toInt))
+          }
+          sub += 8 + ssize.toInt + (ssize.toInt & 1) // chunks are word-aligned
+        }
+        return None // hdrl without a usable avih
+      }
+      pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
   /** Decoded audio: true container metadata + a small amplitude feature.
     * `sample_rate`/`channels`/`bits`/`n_frames` come from the real header;
     * `feature` is the first up-to-8 channel-0 samples normalized to [-1, 1].

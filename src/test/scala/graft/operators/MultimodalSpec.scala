@@ -197,4 +197,48 @@ class MultimodalSpec extends SparkSpec {
       assert(n == (nf + FrameStride - 1) / FrameStride)
     }
   }
+
+  test("decodeVideo: real RIFF-AVI header parse, exact container metadata") {
+    import spark.implicits._
+    // hand-built minimal AVI: RIFF/'AVI ' + LIST/hdrl + avih(56 bytes)
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val avih = new java.io.ByteArrayOutputStream()
+    avih.write(u32(33367L))            // dwMicroSecPerFrame (~29.97 fps)
+    avih.write(u32(0)); avih.write(u32(0)); avih.write(u32(0))
+    avih.write(u32(2400L))             // dwTotalFrames
+    avih.write(u32(0)); avih.write(u32(1)); avih.write(u32(0))
+    avih.write(u32(1920L))             // dwWidth
+    avih.write(u32(1080L))             // dwHeight
+    (0 until 4).foreach(_ => avih.write(u32(0)))
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("hdrl".getBytes("US-ASCII"))
+    body.write("avih".getBytes("US-ASCII")); body.write(u32(56L))
+    body.write(avih.toByteArray)
+    val riff = new java.io.ByteArrayOutputStream()
+    riff.write("AVI ".getBytes("US-ASCII"))
+    riff.write("LIST".getBytes("US-ASCII")); riff.write(u32(body.size().toLong))
+    riff.write(body.toByteArray)
+    val file = new java.io.ByteArrayOutputStream()
+    file.write("RIFF".getBytes("US-ASCII")); file.write(u32(riff.size().toLong))
+    file.write(riff.toByteArray)
+    val avi = file.toByteArray
+
+    val ds = Seq(
+      MediaPayload(1L, "video", avi),
+      MediaPayload(2L, "video", "not a container".getBytes("UTF-8")),
+      MediaPayload(3L, "video", avi.take(30))).toDS().repartition(2)
+    val out = decodeVideo(ds).collect().sortBy(_.doc_id)
+
+    assert(out(0).width == 1920 && out(0).height == 1080)
+    assert(out(0).n_frames == 2400L && out(0).us_per_frame == 33367L)
+    assert(out(0).n_bytes == avi.length.toLong)
+    // non-AVI bytes and a truncated header both degrade structurally
+    out.drop(1).foreach { f =>
+      assert(f.us_per_frame == 0L && f.n_frames == 0L,
+        s"doc ${f.doc_id} should carry the degrade marker")
+      assert(f.width == (f.n_bytes % 640).toInt)
+    }
+  }
 }
