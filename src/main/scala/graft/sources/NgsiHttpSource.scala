@@ -189,22 +189,39 @@ private[sources] class NgsiHttpMicroBatchStream(
     s
   }
 
+  // Boundary validation: the notification contract is JSON (the broker
+  // never sends anything else), so anything unparseable is rejected HERE
+  // with 400 — never buffered, never captured. This is what keeps the
+  // downstream typed parse strict: one garbage POST to a public port must
+  // not become a task exception that kills a 24/7 streaming query, and
+  // must not poison the durable capture log either.
+  @transient private lazy val validator =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def isJson(body: String): Boolean =
+    try { validator.readTree(body); true }
+    catch { case _: Exception => false }
+
   private def handle(exchange: HttpExchange): Unit = {
     try {
       if (exchange.getRequestMethod.equalsIgnoreCase("POST")) {
         val body = new String(exchange.getRequestBody.readAllBytes(),
           StandardCharsets.UTF_8)
-        val h = exchange.getRequestHeaders
-        val rec = BufferedNotification(
-          body,
-          Option(h.getFirst("Fiware-Service")).getOrElse(""),
-          Option(h.getFirst("Fiware-ServicePath")).getOrElse(""),
-          System.currentTimeMillis() * 1000L)
-        buffer.synchronized {
-          capture(rec) // durable first: 200 must imply on-disk when teeing
-          buffer += rec
+        if (!isJson(body)) {
+          exchange.sendResponseHeaders(400, -1)
+        } else {
+          val h = exchange.getRequestHeaders
+          val rec = BufferedNotification(
+            body,
+            Option(h.getFirst("Fiware-Service")).getOrElse(""),
+            Option(h.getFirst("Fiware-ServicePath")).getOrElse(""),
+            System.currentTimeMillis() * 1000L)
+          buffer.synchronized {
+            capture(rec) // durable first: 200 must imply on-disk when teeing
+            buffer += rec
+          }
+          exchange.sendResponseHeaders(200, -1)
         }
-        exchange.sendResponseHeaders(200, -1)
       } else {
         exchange.sendResponseHeaders(405, -1)
       }

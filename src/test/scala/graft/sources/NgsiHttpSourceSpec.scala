@@ -291,6 +291,31 @@ class NgsiHttpSourceSpec extends SparkSpec {
       s"restart recovery mismatch: got ${ids.sorted.mkString(",")}")
   }
 
+  test("malformed JSON is rejected 400 at the boundary; the stream survives") {
+    val port = freePort()
+    val raw = NgsiStreams.fromHttp(spark, port)
+    val q = raw.writeStream
+      .format("memory").queryName("ngsi_http_badjson")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // garbage a public port WILL receive: not-JSON, truncated JSON, binary
+      assert(post(port, "this is not json", Map.empty) == 400)
+      assert(post(port, """{"data": [ {"id": """, Map.empty) == 400)
+      assert(post(port, " ", Map.empty) == 400)
+      // the pipeline keeps working afterwards — the crash mode this guards
+      // against is a poisoned buffer entry killing the whole query at parse
+      assert(post(port, notification, Map.empty) == 200)
+      q.processAllAvailable()
+      val rows = spark.table("ngsi_http_badjson").collect()
+      assert(rows.length == 1, s"only the valid notification may flow: ${rows.length}")
+      // and the typed parse over the surviving row is clean
+      val parsed = graft.ngsi.NgsiPipelines.parseEvents(
+        spark.table("ngsi_http_badjson")).collect()
+      assert(parsed.head.entities.nonEmpty)
+    } finally q.stop()
+  }
+
   test("non-POST requests are rejected, stream unaffected") {
     val port = freePort()
     val raw = NgsiStreams.fromHttp(spark, port)
