@@ -166,6 +166,60 @@ object Curation {
         concat_ws(",", transform(col("mk"), x => x.cast("string"))).as("postings"))
   }
 
+  /** Chunk width / stride (tokens) for [[chunkDocs]]. Overlap = 8 tokens. */
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  /** Overlapping token-window chunking — the retrieval/embedding-prep twin
+    * of [[packSequences]] (which packs docs end-to-end; this splits each doc
+    * in place). Chunk starts are 1, 1+stride, 1+2·stride, … up to
+    * n − (len − stride), so every token lands in ≥1 chunk, interior chunks
+    * are full-width, and only the final chunk may run short. Per-row
+    * `sequence`+`explode` — a narrow projection whose output is bounded by
+    * n_tok/stride rows per doc, no shuffle at all; at 100 TB this runs
+    * entirely inside the scan stage. The chunk fingerprint (md5 of the
+    * joined window) is what a downstream chunk-level dedup or embedding
+    * cache would key on. */
+  def chunkDocs(docs: DataFrame, chunkLen: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && chunkLen >= stride,
+      s"need 1 <= stride <= chunkLen, got len=$chunkLen stride=$stride")
+    docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(1),
+          greatest(lit(1), col("n") - lit(chunkLen - stride)),
+          lit(stride))).as("s"))
+      .select(col("doc_id"),
+        col("s").cast("long").as("chunk_start"),
+        least(lit(chunkLen), col("n") - col("s") + 1).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", slice(col("tk"), col("s"), lit(chunkLen)))).as("chunk_md5"))
+  }
+
+  /** Deterministic WEIGHTED sample, k per stratum — the biased counterpart
+    * of [[stratifiedSample]] for mixtures that should favor long documents
+    * (e.g. sampling held-out eval docs proportional to length). The
+    * Efraimidis–Spirakis exponential-race is replaced by its integer
+    * surrogate: priority = hash(doc_id) div weight, smallest k win — a doc
+    * with twice the weight halves its expected priority, selection is a
+    * pure function of (doc_id, weight) (reproducible across runs, engines,
+    * partitionings), and every comparison is exact int64 (no libm pow/ln,
+    * which are not bit-portable across engines). Same bounded-partial
+    * shape as [[stratifiedSample]]: [[MinKWeighted]] caps any stratum's
+    * map-side state at k slots. */
+  def weightedSample(docs: DataFrame, strata: String, weight: String, k: Int): DataFrame = {
+    val mink = udaf(new MinKWeighted(k))
+    docs
+      .select(col(strata), col("doc_id"),
+        expr(s"cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)" +
+          s" div greatest($weight, 1)").as("pri"))
+      .groupBy(col(strata))
+      .agg(mink(col("pri"), col("doc_id")).as("sample"))
+      .select(col(strata), posexplode(col("sample")).as(Seq("pos", "r")))
+      .select(col(strata), (col("pos") + 1).cast("long").as("rank"),
+        col("r.id").as("doc_id"), col("r.pri").as("pri"))
+  }
+
   /** Tokens per training sequence for [[packSequences]]. */
   val SeqLen = 2048
 
@@ -295,6 +349,13 @@ object Curation {
 
     // --- deterministic stratified sample (k per stratum) ------------------
     "q58_stratified_sample" -> ((s, d) => stratifiedSample(t(s, d), "source", 10)),
+
+    // --- deterministic weighted sample (length-biased, k per stratum) -----
+    "q84_weighted_sample" -> ((s, d) =>
+      weightedSample(t(s, d), "source", "n_chars", 5)),
+
+    // --- overlapping token-window chunking --------------------------------
+    "q83_chunk_overlap" -> ((s, d) => chunkDocs(t(s, d), ChunkLen, ChunkStride)),
 
     // --- inverted index with bounded posting lists ------------------------
     "q59_inverted_index" -> ((s, d) =>
@@ -465,6 +526,29 @@ object Curation {
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
            FROM documents)
          WHERE rank <= 10""",
+
+    "q84_weighted_sample" ->
+      """SELECT source, rank, doc_id, pri FROM (
+           SELECT source, doc_id, pri,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rank
+           FROM (SELECT source, doc_id,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     // greatest(n_chars, 1) AS pri
+                 FROM documents))
+         WHERE rank <= 5""",
+
+    "q83_chunk_overlap" ->
+      s"""WITH tk AS (SELECT doc_id, $oToksFrag AS t FROM documents),
+          st AS (SELECT doc_id, t, len(t) AS n,
+                   unnest(generate_series(1,
+                     greatest(1, len(t) - ${ChunkLen - ChunkStride}),
+                     $ChunkStride)) AS s
+                 FROM tk)
+          SELECT doc_id,
+            CAST(s AS BIGINT) AS chunk_start,
+            CAST(least($ChunkLen, n - s + 1) AS BIGINT) AS chunk_len,
+            md5(array_to_string(t[s:least(s + ${ChunkLen - 1}, n)], ' ')) AS chunk_md5
+          FROM st""",
 
     "q59_inverted_index" ->
       s"""SELECT term, COUNT(1) AS df,

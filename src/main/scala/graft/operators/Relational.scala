@@ -186,6 +186,35 @@ object Relational {
                 col("o_totalprice"), col("prev_price"), col("running_spend"))
     }),
 
+    // --- window frames + distribution functions ---------------------------------
+    // The rest of the window catalog q12/q13 don't touch: ntile, cume_dist,
+    // percent_rank, a bounded moving frame (2 PRECEDING..CURRENT), and
+    // first/last_value over the full-partition frame. Every window is
+    // partitioned by o_custkey (high cardinality — no global-window
+    // single-task collapse at scale) and totally ordered (price desc,
+    // orderkey tie-break), so the distribution ratios are deterministic
+    // int/int divisions. The moving sum runs in DECIMAL(18,2) (exact; the
+    // 3-row double fold would be engine-order-dependent) and only the final
+    // value is cast back.
+    "q86_window_frames" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wMov = w.rowsBetween(-2, Window.currentRow)
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .withColumn("tile", ntile(4).over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("mov3_spend",
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wMov)
+            .cast("double"))
+        .withColumn("best_order", first(col("o_orderkey")).over(wAll))
+        .withColumn("worst_order", last(col("o_orderkey")).over(wAll))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("tile"), col("cd"), col("pr"), col("mov3_spend"),
+          col("best_order"), col("worst_order"))
+    }),
+
     // --- global sort + limit (top-k) --------------------------------------------
     "q14_topk" -> ((s, d) =>
       t(s, d, "orders")
@@ -599,6 +628,23 @@ object Relational {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "q86_window_frames" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(ntile(4) OVER w AS INT) AS tile,
+            cume_dist() OVER w AS cd,
+            percent_rank() OVER w AS pr,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+              PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3_spend,
+            first_value(o_orderkey) OVER (
+              PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS best_order,
+            last_value(o_orderkey) OVER (
+              PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS worst_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",
 
     "q14_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

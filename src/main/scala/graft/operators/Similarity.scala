@@ -78,6 +78,42 @@ object Similarity {
   private def oJlProject(e: String): String =
     (0 until ProjDim).map(o => oJlDot(e, o)).mkString("[", ", ", "]")
 
+  /** Per-label centroid outliers over a (vec_id, label, embedding) frame —
+    * the anomaly axis of embedding curation: vectors far from their class
+    * centroid are label-noise / outlier candidates (the SemDeDup-family
+    * prune step). Determinism at hash-gate strictness comes from working in
+    * an exact integer space: elements are quantized q = floor(1024·x)
+    * (float→double widening is exact, floor is portable), the centroid is
+    * kept as the exact rational (Σq, n), and the squared distance is the
+    * integer d2 = Σ_pos (q·n − Σq)² = n²·‖v − c‖² — same ranking as the
+    * float distance, zero engine-order-dependent float folds.
+    *
+    * Scale shape: posexplode → hash agg on (label, pos) with map-side
+    * partials (the shuffle after combine is labels×dims cells, not
+    * rows×dims), the labels×dims centroid table broadcast back (KBs), one
+    * narrow per-vector agg, then [[MinKWeighted]] bounded top-k per label —
+    * never a per-label sort. At 1e9+ rows per label the q·n products
+    * approach int64 range; the DECIMAL(38) headroom switch is mechanical. */
+  def centroidOutliers(embeddings: DataFrame, k: Int): DataFrame = {
+    val q = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(col("x").cast("double") * lit(1024.0)).cast("long").as("q"))
+    val cent = q.groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+    val d2 = q.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("q") * col("cnt") - col("sq")) *
+        (col("q") * col("cnt") - col("sq"))).as("d2num"))
+    val mink = udaf(new MinKWeighted(k))
+    d2.groupBy(col("label"))
+      .agg(mink(-col("d2num"), col("vec_id")).as("worst"))
+      .select(col("label"), posexplode(col("worst")).as(Seq("p", "r")))
+      .select(col("label"), (col("p") + 1).cast("long").as("nn_rank"),
+        col("r.id").as("vec_id"), (-col("r.pri")).as("d2num"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- brute-force cosine top-k (baseline) -------------------------------
@@ -152,6 +188,12 @@ object Similarity {
         .filter(col("nn_rank") <= LshTopK)
         .select(col("query_id"), col("nn_rank"), col("vec_id"), col("sim"))
     }),
+
+    // --- per-label centroid outliers (embedding-quality filtering) ---------
+    "q87_centroid_outliers" -> ((s, d) =>
+      centroidOutliers(
+        Tables.load(s, d, "embeddings")
+          .repartition(TextFns.cpuPartitions, col("vec_id")), TopK)),
 
     // --- ANN over int8-quantized vectors (the compressed search path) ------
     // Search the 4x-compressed store directly: cosine over quantized codes.
@@ -365,6 +407,28 @@ object Similarity {
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY sim DESC, vec_id) AS nn_rank
             FROM scored)
+          WHERE nn_rank <= $TopK""",
+
+    "q87_centroid_outliers" ->
+      s"""WITH q AS (
+            SELECT vec_id, label, pos,
+                   CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS q
+            FROM (SELECT vec_id, label, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS pos
+                  FROM embeddings)),
+          cent AS (
+            SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sq, COUNT(1) AS cnt
+            FROM q GROUP BY label, pos),
+          d2 AS (
+            SELECT q.vec_id, q.label,
+                   CAST(SUM((q.q * cent.cnt - cent.sq)
+                            * (q.q * cent.cnt - cent.sq)) AS BIGINT) AS d2num
+            FROM q JOIN cent ON q.label = cent.label AND q.pos = cent.pos
+            GROUP BY q.vec_id, q.label)
+          SELECT label, nn_rank, vec_id, d2num FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                        ORDER BY d2num DESC, vec_id) AS nn_rank
+            FROM d2)
           WHERE nn_rank <= $TopK""",
 
     "q81_jl_project" ->

@@ -229,6 +229,30 @@ object TextAnalysis {
             col("top_bigram_frac") < 0.18)
     }),
 
+    // --- linear quality classifier (fasttext-style, fixed weights) ---------
+    // The shape of a production learned quality filter (a linear model over
+    // cheap lexical features) with FIXED public integer weights, so the
+    // decision is reproducible and oracle-exact: score = 2·uniq +
+    // min(tok, 64) − 3·stop − 4·digit − bias, keep iff score > 0. All
+    // features are per-row integer counts off the token array — a narrow
+    // zero-shuffle pass; at 100 TB this is a scan-stage filter exactly like
+    // q37's hand-set Gopher rules, but with the weights where a trained
+    // model would plug in.
+    "q85_quality_classifier" -> ((s, d) => {
+      val tk = toks(col("text"))
+      t(s, d)
+        .select(
+          col("doc_id"),
+          size(tk).cast("long").as("n_tok"),
+          size(array_distinct(tk)).cast("long").as("n_uniq"),
+          size(filter(tk, w => array_contains(stopArr, w))).cast("long").as("n_stop"),
+          size(filter(tk, w => w.rlike("^[0-9]+$"))).cast("long").as("n_digit"))
+        .withColumn("score",
+          lit(2L) * col("n_uniq") + least(col("n_tok"), lit(64L)) -
+            lit(3L) * col("n_stop") - lit(4L) * col("n_digit") - lit(90L))
+        .withColumn("keep_doc", col("score") > 0)
+    }),
+
     // --- cross-corpus n-gram novelty ---------------------------------------
     // For each doc: how much of its distinct 4-gram set is unique to it vs
     // shared with other docs — the memorization/boilerplate axis that
@@ -512,6 +536,21 @@ object TextAnalysis {
                 FROM (SELECT doc_id, $oToks AS tk,
                         ${oShingles(oToks, 2)} AS bg
                       FROM documents))""",
+
+    "q85_quality_classifier" ->
+      s"""SELECT doc_id, n_tok, n_uniq, n_stop, n_digit,
+            2 * n_uniq + least(n_tok, 64) - 3 * n_stop - 4 * n_digit - 90
+              AS score,
+            (2 * n_uniq + least(n_tok, 64) - 3 * n_stop - 4 * n_digit - 90) > 0
+              AS keep_doc
+          FROM (SELECT doc_id,
+                  CAST(len(t) AS BIGINT) AS n_tok,
+                  CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+                  CAST(len(list_filter(t, w -> list_contains($oStopList, w)))
+                    AS BIGINT) AS n_stop,
+                  CAST(len(list_filter(t, w -> regexp_full_match(w, '[0-9]+')))
+                    AS BIGINT) AS n_digit
+                FROM (SELECT doc_id, $oToks AS t FROM documents))""",
 
     "q73_ngram_novelty" ->
       s"""WITH pairs AS (

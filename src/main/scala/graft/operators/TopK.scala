@@ -60,6 +60,21 @@ class MinK[T: Ordering : scala.reflect.runtime.universe.TypeTag](k: Int)
   * in full). */
 class MinKByHash(k: Int) extends MinK[HashedId](k)
 
+/** A (priority, id) pair for bounded per-group selection under an integer
+  * priority — weighted sampling (priority = hash div weight) and outlier
+  * top-k (priority = negated distance) both reduce to "k smallest longs,
+  * id tie-break". */
+case class WeightedId(pri: Long, id: Long)
+
+object WeightedId {
+  implicit val ordering: Ordering[WeightedId] =
+    Ordering.by((r: WeightedId) => (r.pri, r.id))
+}
+
+/** k smallest (pri, id) pairs per group: same bounded-partial shape as
+  * [[MinKByHash]] — any group shuffles at most k * partitions rows. */
+class MinKWeighted(k: Int) extends MinK[WeightedId](k)
+
 /** k smallest longs per group (bounded posting list): caps the per-term
   * state of an inverted index so a stopword-grade mega-term costs k slots,
   * not a row holding every document id in the corpus. */

@@ -164,6 +164,61 @@ class CurationSpec extends SparkSpec {
     assert(batch.toSeq == streamed.toSeq)
   }
 
+  // --- chunking -----------------------------------------------------------
+
+  test("chunkDocs: stride coverage — every token chunked, interiors full-width") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 toks: 3 full + short
+      (2L, (1 to 32).map(i => s"w$i").mkString(" ")),  // exactly one full chunk
+      (3L, "a b c"),                                   // short doc: one short chunk
+      (4L, (1 to 33).map(i => s"w$i").mkString(" "))   // 1 token past a boundary
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, 32, 24).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      }
+    assert(out(1L) == Seq((1L, 32L), (25L, 32L), (49L, 32L), (73L, 28L)))
+    assert(out(2L) == Seq((1L, 32L)))
+    assert(out(3L) == Seq((1L, 3L)))
+    assert(out(4L) == Seq((1L, 32L), (25L, 9L)))
+    // coverage invariant: chunks start at 1 and the last chunk reaches n
+    assert(out.values.forall(cs => cs.head._1 == 1L))
+  }
+
+  test("chunkDocs fingerprints are the md5 of the exact window text") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, 4, 2).collect()
+      .map(r => (r.getLong(1), r.getString(3))).sortBy(_._1)
+    // n=5, len=4, stride=2: starts run to n-(len-stride)=3 — the chunk at 3
+    // already covers token 5, so no start-5 sliver is emitted
+    assert(out.toSeq == Seq(
+      (1L, TextFns.md5hex("a b c d")),
+      (3L, TextFns.md5hex("c d e"))))
+  }
+
+  // --- weighted sampling --------------------------------------------------
+
+  test("weightedSample favors heavy rows and matches a JVM-side recompute") {
+    val docs = spark.range(1, 1001).select(
+      col("id").as("doc_id"), lit("s").as("source"),
+      // half the corpus weight 1, half weight 1000
+      when(col("id") % 2 === 0, 1000L).otherwise(1L).as("n_chars"))
+    val out = Curation.weightedSample(docs, "source", "n_chars", 20)
+      .orderBy("rank").collect()
+    assert(out.length == 20)
+    // exact JVM recompute of the integer priority race
+    val expected = (1L until 1001L).map { id =>
+      val u = java.lang.Long.parseLong(TextFns.md5hex(id.toString).substring(0, 15), 16)
+      val w = if (id % 2 == 0) 1000L else 1L
+      (u / w, id)
+    }.sorted.take(20)
+    assert(out.map(r => (r.getLong(3), r.getLong(2))).toSeq == expected)
+    // the length bias is real: weight-1000 rows should dominate the sample
+    val heavy = out.count(_.getLong(2) % 2 == 0)
+    assert(heavy >= 18, s"only $heavy/20 sampled rows were heavy")
+  }
+
   test("mega-term postings stay bounded: no row grows with corpus size") {
     // 5k docs all sharing one term: the aggregation must complete with an
     // 8-element posting string, never a 5k-element row.

@@ -72,4 +72,31 @@ class RelationalSpec extends SparkSpec {
       .count()
     assert(overlapping == 0L)
   }
+
+  test("q86: distribution functions and frames match a brute-force recompute") {
+    val rows = Relational.queries("q86_window_frames")(spark, sfDir).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    assert(byCust.size > 1, "need multiple customer partitions")
+    // recompute the largest partition entirely in plain Scala
+    val part = byCust.maxBy(_._2.length)._2
+      .sortBy(r => (-r.getDouble(2), r.getLong(1)))
+    val n = part.length
+    assert(n >= 4, "largest customer should have a few orders")
+    val cents = part.map(r => math.round(r.getDouble(2) * 100))
+    part.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(4) == (i + 1).toDouble / n, s"cume_dist row $i")
+      assert(r.getDouble(5) == i.toDouble / (n - 1), s"percent_rank row $i")
+      assert(r.getLong(7) == part.head.getLong(1), "best_order")
+      assert(r.getLong(8) == part.last.getLong(1), "worst_order")
+      // moving 3-row frame, recomputed in exact integer cents
+      val mov = cents.slice(math.max(0, i - 2), i + 1).sum
+      assert(r.getDouble(6) == mov / 100.0, s"mov3_spend row $i")
+      // ntile: first (n mod 4) tiles get ceil(n/4) rows, the rest floor
+      val big = n % 4; val size0 = n / 4 + (if (big > 0) 1 else 0)
+      val expTile =
+        if (big == 0 || i < big * size0) i / size0 + 1
+        else (i - big * size0) / (n / 4) + big + 1
+      assert(r.getInt(3) == expTile, s"ntile row $i of $n")
+    }
+  }
 }

@@ -125,4 +125,27 @@ class SimilaritySpec extends SparkSpec {
     assert(d16 > d32 && d32 > d48,
       s"distortion must shrink with dim: $d16, $d32, $d48")
   }
+
+  test("centroidOutliers: planted far vectors rank first; tight clusters score 0") {
+    import spark.implicits._
+    // labels 0/1: 20 near-identical vectors + one planted far point.
+    // label 2: all vectors identical -> centroid == vector -> d2num == 0.
+    val rows =
+      (for { lab <- 0 to 1; i <- 0 to 20 } yield {
+        val base = if (lab == 0) 0.1f else -0.2f
+        val v = if (i == 20) Seq.fill(4)(0.9f)
+                else Seq.fill(4)(base + i * 0.001f)
+        (lab * 100L + i, lab, v)
+      }) ++ (0 to 4).map(i => (300L + i, 2, Seq.fill(4)(0.25f)))
+    val out = Similarity.centroidOutliers(
+      rows.toDF("vec_id", "label", "embedding"), 3).collect()
+    val rank1 = out.filter(_.getLong(1) == 1L)
+      .map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(rank1(0) == 20L, s"label 0 worst outlier was ${rank1(0)}")
+    assert(rank1(1) == 120L, s"label 1 worst outlier was ${rank1(1)}")
+    // identical vectors are exactly on their centroid — integer-exact zero
+    assert(out.filter(_.getInt(0) == 2).forall(_.getLong(3) == 0L))
+    // bounded output: k per label, never the whole label
+    assert(out.count(_.getInt(0) == 0) == 3)
+  }
 }
