@@ -27,7 +27,9 @@ object GraftFunctions {
     ("graft_rolling_hash", classOf[RollingHash].getName,
       args => RollingHash(args(0), args(1).eval().asInstanceOf[Int])),
     ("graft_nfc", classOf[NfcNormalize].getName,
-      args => NfcNormalize(args(0))))
+      args => NfcNormalize(args(0))),
+    ("graft_sorted_intersect_count", classOf[SortedIntersectCount].getName,
+      args => SortedIntersectCount(args(0), args(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

