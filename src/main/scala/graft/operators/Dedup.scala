@@ -415,6 +415,36 @@ object Dedup {
           max(col("jac")).as("max_jac"))
     }),
 
+    // --- source-level MinHash similarity matrix ----------------------------
+    // The CORPUS-granularity twin of q77: estimated vocabulary Jaccard
+    // between every source pair, from per-source MinHash signatures. Uses
+    // the union law of MinHash — min over docs of each signature slot IS
+    // the signature of the union of their shingle sets — so a whole
+    // source's vocabulary sketch is one elementwise-min aggregation, and
+    // the pairwise comparison runs on sources×NumHashes rows (KBs),
+    // never on documents. At 100 TB: one signature pass (embarrassingly
+    // parallel), one hash agg with map-side combine down to
+    // sources×hashes, and a self-join of a table the size of the source
+    // list. Agreement fraction n_agree/NumHashes is the standard unbiased
+    // Jaccard estimate; over sf-scale vocabularies with 8 hashes it is a
+    // coarse (±1/8) but deterministic diagnostic.
+    "q88_source_similarity" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val sig = docs(s, d)
+        .repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("source"), shingles(toks(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("mhs", minhashSig(col("sh"), NumHashes, 0))
+        .select(col("source"), posexplode(col("mhs")).as(Seq("pos", "mh")))
+        .groupBy(col("source"), col("pos"))
+        .agg(min(col("mh")).as("mh"))
+      sig.as("x").join(sig.as("y"),
+          col("x.pos") === col("y.pos") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(sum(when(col("x.mh") === col("y.mh"), 1L).otherwise(0L)).as("n_agree"))
+        .withColumn("est_jaccard", col("n_agree").cast("double") / NumHashes)
+    }),
+
     // --- prefix-fingerprint dedup (truncation / re-crawl duplicates) -------
     // Re-crawls and connection drops produce documents that agree on a long
     // prefix and then diverge or truncate — invisible to q40's full-content
@@ -623,6 +653,27 @@ object Dedup {
             COUNT(DISTINCT j) AS n_dup_docs,
             MIN(jac) AS min_jac, MAX(jac) AS max_jac
           FROM lab GROUP BY src_lo, src_hi"""
+    },
+
+    "q88_source_similarity" -> {
+      val mhArr = (0 until NumHashes).map(i => oMinhash("sh", i))
+        .mkString("[", ", ", "]")
+      s"""WITH base AS (
+            SELECT source, ${oShingles(oToks, 3)} AS sh FROM documents
+            WHERE len(${oShingles(oToks, 3)}) > 0),
+          persig AS (
+            SELECT source, unnest($mhArr) AS mh,
+                   generate_subscripts($mhArr, 1) AS pos
+            FROM base),
+          sig AS (SELECT source, pos, MIN(mh) AS mh
+                  FROM persig GROUP BY source, pos)
+          SELECT x.source AS src_a, y.source AS src_b,
+            CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_agree,
+            CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE)
+              / $NumHashes AS est_jaccard
+          FROM sig x JOIN sig y ON x.pos = y.pos AND x.source < y.source
+          GROUP BY 1, 2"""
     },
 
     "q75_prefix_dup" ->

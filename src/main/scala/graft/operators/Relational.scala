@@ -392,6 +392,96 @@ object Relational {
           col("sw.end").as("session_end"),
           col("n_events"), col("min_value"))),
 
+    // --- interval union / coverage per user -------------------------------------
+    // Each event opens a fixed 60 s activity interval; the query computes the
+    // union of those intervals per user — the interval-algebra primitive
+    // behind "active seconds", ad attribution windows, and sensor-uptime
+    // reports. Classic sweep: an event starts a new island iff its start
+    // exceeds the max end among all PRECEDING events (same user, event-time
+    // order, event_id tie-break), islands are numbered by a running sum of
+    // the starts, and each island contributes max(end)−min(start). All
+    // arithmetic is int64 microseconds (unix_micros — no timestamp-to-double
+    // round-trip), so coverage is engine-exact. The windows are per-user
+    // (high cardinality, never global) with explicit ROWS frames; at 100 TB
+    // this is one shuffle on user_id, then two linear passes.
+    "q89_interval_union" -> ((s, d) => {
+      val horizonUs = 60L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("st"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("st"))
+        .withColumn("en", col("st") + lit(horizonUs))
+        .withColumn("prev_max_en",
+          max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_isl",
+          when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L)
+            .otherwise(0L))
+        .withColumn("isl",
+          sum(col("new_isl")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("n_ev"), min(col("st")).as("a"),
+          max(col("en")).as("b"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"), sum(col("n_ev")).as("n_events"),
+          sum(col("b") - col("a")).as("covered_us"))
+    }),
+
+    // --- hourly-rate anomaly flags (integer-exact z-score) ----------------------
+    // Per user: hourly event counts, flagged when the count sits more than 3
+    // standard deviations from that user's own mean rate. The z² > 9 test is
+    // algebraically cleared of divisions — (c·n − s)² > 9·(n·ss − s²) with
+    // n = #hours, s = Σc, ss = Σc² — so the flag is a pure int64 comparison:
+    // no float variance fold, no engine-order dependence, no sqrt. Shape:
+    // one hash agg to hours, one user-sized agg, one user-keyed join (the
+    // stats side is |users| rows — AQE broadcasts it when small). Counts are
+    // per-user-hour so the int64 products are safe far past 100 TB.
+    "q90_rate_anomaly" -> ((s, d) => {
+      val hc = t(s, d, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("c"))
+      val st = hc.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("ss"))
+      hc.join(st, "user_id")
+        .select(col("user_id"), col("hour"), col("c"), col("n"),
+          ((col("c") * col("n") - col("s")) * (col("c") * col("n") - col("s")) >
+            lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+            .as("is_spike"))
+    }),
+
+    // --- exact per-group median via value histogram -----------------------------
+    // Exact order statistics WITHOUT sorting rows: collapse orders to a
+    // (priority, price-in-cents) count histogram first (hash agg with
+    // map-side combine), then walk the cumulative counts to pick the
+    // rank-(n+1)/2 and rank-(n/2+1) values — avg of the two is the textbook
+    // median for both parities. The per-priority window runs over DISTINCT
+    // price points, not orders, so a 100 TB orders table costs one shuffle
+    // of histogram cells bounded by the price domain. Cents are extracted
+    // through DECIMAL(18,2) (exact), and the only division is the final
+    // /200.0 — a single IEEE op, bit-identical across engines.
+    "q91_group_median" -> ((s, d) => {
+      val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")
+      val hist = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"), cents.as("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("o_orderpriority"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("lo", expr("(n + 1) div 2"))
+        .withColumn("hi", expr("n div 2 + 1"))
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("n")).as("n_orders"),
+          min(when(col("cum") >= col("lo"), col("cents"))).as("v_lo"),
+          min(when(col("cum") >= col("hi"), col("cents"))).as("v_hi"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          ((col("v_lo") + col("v_hi")).cast("double") / 200.0)
+            .as("median_price"))
+    }),
+
     // --- approximate distinct (HLL sketch; the at-scale counterpart of q09) ----
     // The raw HLL value is engine-specific (DuckDB's sketch differs), so the
     // oracle checks the deterministic half: exact_parts hash-matches, and the
@@ -789,6 +879,69 @@ object Relational {
            COUNT(1) AS n_events,
            MIN(value) AS min_value
          FROM s GROUP BY user_id, sid""",
+    "q89_interval_union" ->
+      """WITH ev AS (
+           SELECT user_id, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS st,
+             CAST(epoch_us(ts) AS BIGINT) + 60000000 AS en
+           FROM events),
+         isl AS (
+           SELECT user_id, event_id, st, en,
+             CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+                  THEN 1 ELSE 0 END AS new_isl
+           FROM (SELECT *,
+                   MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_max_en
+                 FROM ev)),
+         num AS (
+           SELECT user_id, st, en,
+             SUM(new_isl) OVER (PARTITION BY user_id ORDER BY st, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM isl),
+         grp AS (
+           SELECT user_id, isl, COUNT(1) AS n_ev,
+                  MIN(st) AS a, MAX(en) AS b
+           FROM num GROUP BY user_id, isl)
+         SELECT user_id, COUNT(1) AS n_intervals,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(SUM(b - a) AS BIGINT) AS covered_us
+         FROM grp GROUP BY user_id""",
+
+    "q90_rate_anomaly" ->
+      """WITH hc AS (
+           SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(1) AS c
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT user_id, COUNT(1) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+           FROM hc GROUP BY user_id)
+         SELECT hc.user_id, hc.hour, hc.c, st.n,
+           (hc.c * st.n - st.s) * (hc.c * st.n - st.s)
+             > 9 * (st.n * st.ss - st.s * st.s) AS is_spike
+         FROM hc JOIN st ON hc.user_id = st.user_id""",
+
+    "q91_group_median" ->
+      """WITH hist AS (
+           SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             COUNT(1) AS cnt
+           FROM orders GROUP BY 1, 2),
+         cum AS (
+           SELECT o_orderpriority, cents, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+           FROM hist)
+         SELECT o_orderpriority, MAX(n) AS n_orders,
+           CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+              + MIN(CASE WHEN cum >= n // 2 + 1 THEN cents END) AS DOUBLE)
+             / 200.0 AS median_price
+         FROM cum GROUP BY o_orderpriority""",
+
     // q26: the exact column hash-matches; the engine-specific HLL value is
     // asserted through the approx_ok bound column (see the query comment).
     "q26_approx_distinct" ->

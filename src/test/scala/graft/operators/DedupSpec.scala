@@ -145,6 +145,35 @@ class DedupSpec extends SparkSpec {
     assert(kept.size == total - comp.count { case (id, c) => id != c })
   }
 
+  test("q88: source signatures obey the MinHash union law (JVM recompute)") {
+    val out = Dedup.queries("q88_source_similarity")(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    // per-source signature ground truth: min seeded-md5 over the UNION of
+    // the source's shingle sets (the union law the query relies on)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sig = docs.groupBy(_._1).flatMap { case (src, rows) =>
+      val sh = rows.flatMap { case (_, text) =>
+        val tk = text.split(" ")
+        if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq.empty
+      }.toSet
+      if (sh.isEmpty) None
+      else Some(src -> (0 until Dedup.NumHashes).map(seed =>
+        sh.map(x => md5hex(s"$seed|$x")).min))
+    }
+    val expected = (for {
+      a <- sig.keys.toSeq; b <- sig.keys.toSeq if a < b
+    } yield (a, b) ->
+      sig(a).zip(sig(b)).count { case (x, y) => x == y }.toLong).toMap
+    assert(out.map(o => o._1 -> o._2).toMap == expected)
+    // estimate is the exact rational n/NumHashes
+    out.foreach { case (_, n, est) =>
+      assert(est == n.toDouble / Dedup.NumHashes)
+    }
+  }
+
   test("embedding near-dup: identical vectors share an LSH bucket with sim 1") {
     val e = Seq(
       (0L, Seq.fill(64)(0.5)), (1L, Seq.fill(64)(0.5)),

@@ -73,6 +73,69 @@ class RelationalSpec extends SparkSpec {
     assert(overlapping == 0L)
   }
 
+  test("q89: interval coverage equals a JVM sweep recompute") {
+    val out = Relational.queries("q89_interval_union")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val iv = rows.sortBy(r => (r._3, r._2))
+        .map(r => (r._3, r._3 + 60000000L))
+      // linear sweep: merge overlapping/touching-start intervals
+      var islands = List.empty[(Long, Long, Long)] // (a, b, n_ev)
+      iv.foreach { case (a, b) =>
+        islands match {
+          case (ia, ib, n) :: rest if a <= ib =>
+            islands = (ia, math.max(ib, b), n + 1) :: rest
+          case _ => islands = (a, b, 1L) :: islands
+        }
+      }
+      u -> (islands.size.toLong, iv.size.toLong,
+        islands.map(i => i._2 - i._1).sum)
+    }
+    assert(out == expected)
+  }
+
+  test("q90: spike flags match an exact BigInt z-squared recompute") {
+    val rows = Relational.queries("q90_rate_anomaly")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, hrs) =>
+      val cs = hrs.map(h => BigInt(h._3))
+      val n = BigInt(hrs.length)
+      val s = cs.sum
+      val ss = cs.map(c => c * c).sum
+      hrs.foreach { case (u, hour, c, nOut, spike) =>
+        assert(nOut == hrs.length.toLong)
+        val lhs = (BigInt(c) * n - s).pow(2)
+        val rhs = 9 * (n * ss - s * s)
+        assert(spike == (lhs > rhs), s"user $u hour $hour")
+      }
+    }
+  }
+
+  test("q91: histogram median equals a sort-based JVM recompute") {
+    val out = Relational.queries("q91_group_median")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0),
+        java.math.BigDecimal.valueOf(r.getDouble(1))
+          .movePointRight(2).longValueExact()))
+    val expected = orders.groupBy(_._1).map { case (p, rs) =>
+      val v = rs.map(_._2).sorted
+      val n = v.length
+      val lo = v((n + 1) / 2 - 1)
+      val hi = v(n / 2)
+      p -> (n.toLong, (lo + hi).toDouble / 200.0)
+    }
+    assert(out == expected)
+  }
+
   test("q86: distribution functions and frames match a brute-force recompute") {
     val rows = Relational.queries("q86_window_frames")(spark, sfDir).collect()
     val byCust = rows.groupBy(_.getLong(0))
