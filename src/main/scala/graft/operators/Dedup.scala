@@ -304,6 +304,36 @@ object Dedup {
     (labels, it)
   }
 
+  /** Sparse TF-vector cosine pairs from a df-capped inverted index (the
+    * APSS / prefix-filtering shape behind q93 — see the query comment for
+    * the scale contract). Input needs (doc_id, text). */
+  def sparseCosinePairs(docs: DataFrame, dfCap: Int, minCos: Double): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("term"))
+    // three consumers (norms + both self-join sides): materialize once
+    val tfr = tf.join(dft, "term")
+      .select(col("doc_id"), col("term"), col("tf"))
+      .localCheckpoint(true)
+    val n2 = tfr.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
+    val p = tfr.as("x").join(tfr.as("y"),
+        col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(sum(col("x.tf") * col("y.tf")).as("dot"),
+        count(lit(1)).as("n_shared"))
+    p.join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2a")), "doc_a")
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("dot"),
+        (col("dot").cast("double") / (sqrt(col("n2a")) * sqrt(col("n2b"))))
+          .as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   private def trigramPairs(s: SparkSession, d: String): DataFrame =
     lshNearDupPairs(docs(s, d), n = 3, numHashes = NumHashes,
       bandSize = BandSize, seedBase = 0,
@@ -444,6 +474,25 @@ object Dedup {
         .agg(sum(when(col("x.mh") === col("y.mh"), 1L).otherwise(0L)).as("n_agree"))
         .withColumn("est_jaccard", col("n_agree").cast("double") / NumHashes)
     }),
+
+    // --- sparse TF cosine all-pairs (APSS / prefix-filtering family) -------
+    // The SPARSE counterpart of the dense ANN tiers (q50–q52): weighted
+    // cosine over term-frequency vectors, computed entirely from a
+    // df-capped inverted index — the all-pairs-similarity-search shape.
+    // Terms with df < 2 can form no pair; terms with df > DfCap are
+    // non-discriminative and are EXCLUDED FROM THE SIMILARITY SUBSPACE
+    // (dot and norms alike, so the metric stays a true cosine over the
+    // discriminative-term subspace). That cap is the whole scale story:
+    // per-term pair volume is ≤ DfCap², so candidate volume is bounded by
+    // #terms × DfCap² no matter how big the corpus — the quadratic term
+    // never touches corpus size (same invariant as the LSH tiers, achieved
+    // by df-filtering instead of banding). dot/norms are exact int64; the
+    // only float ops are the final two sqrts and one divide, order-pinned
+    // identically in the oracle.
+    "q93_sparse_cosine" -> ((s, d) =>
+      sparseCosinePairs(
+        docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id")),
+        dfCap = 64, minCos = 0.5)),
 
     // --- prefix-fingerprint dedup (truncation / re-crawl duplicates) -------
     // Re-crawls and connection drops produce documents that agree on a long
@@ -675,6 +724,30 @@ object Dedup {
           FROM sig x JOIN sig y ON x.pos = y.pos AND x.source < y.source
           GROUP BY 1, 2"""
     },
+
+    "q93_sparse_cosine" ->
+      s"""WITH tf AS (
+            SELECT doc_id, term, COUNT(1) AS tf
+            FROM (SELECT doc_id, unnest($oToks) AS term FROM documents)
+            GROUP BY 1, 2),
+          dft AS (SELECT term FROM tf GROUP BY term
+                  HAVING COUNT(1) BETWEEN 2 AND 64),
+          tfr AS (SELECT tf.doc_id, tf.term, tf.tf
+                  FROM tf JOIN dft ON tf.term = dft.term),
+          n2 AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+                 FROM tfr GROUP BY doc_id),
+          p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                  CAST(SUM(x.tf * y.tf) AS BIGINT) AS dot,
+                  COUNT(1) AS n_shared
+                FROM tfr x JOIN tfr y
+                  ON x.term = y.term AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+          SELECT p.doc_a, p.doc_b, p.n_shared, p.dot,
+            CAST(p.dot AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+          FROM p
+          JOIN n2 na ON p.doc_a = na.doc_id
+          JOIN n2 nb ON p.doc_b = nb.doc_id
+          WHERE CAST(p.dot AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.5""",
 
     "q75_prefix_dup" ->
       """WITH fp AS (

@@ -449,6 +449,29 @@ object Relational {
             .as("is_spike"))
     }),
 
+    // --- event-transition matrix (sequence mining) ------------------------------
+    // P(next event type | current event type) over per-user event streams —
+    // the first-order Markov view of user behavior (and the input to
+    // next-action models / funnel discovery). One lead() window per user
+    // (high-cardinality partition, unique (ts, event_id) order), then a
+    // hash agg on type pairs — the output is #types² cells regardless of
+    // corpus size, and the probability is the exact rational n/total
+    // (int/int division, no order-dependent float folds).
+    "q92_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val totals = trans.groupBy(col("from_type"))
+        .agg(sum(col("n_trans")).as("n_from"))
+      trans.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          (col("n_trans").cast("double") / col("n_from")).as("prob"))
+    }),
+
     // --- exact per-group median via value histogram -----------------------------
     // Exact order statistics WITHOUT sorting rows: collapse orders to a
     // (priority, price-in-cents) count histogram first (hash agg with
@@ -921,6 +944,22 @@ object Relational {
            (hc.c * st.n - st.s) * (hc.c * st.n - st.s)
              > 9 * (st.n * st.ss - st.s * st.s) AS is_spike
          FROM hc JOIN st ON hc.user_id = st.user_id""",
+
+    "q92_event_transitions" ->
+      """WITH trans AS (
+           SELECT event_type AS from_type, to_type, COUNT(1) AS n_trans
+           FROM (SELECT event_type,
+                   LEAD(event_type, 1) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS to_type
+                 FROM events)
+           WHERE to_type IS NOT NULL
+           GROUP BY 1, 2),
+         tot AS (
+           SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+           FROM trans GROUP BY from_type)
+         SELECT trans.from_type, trans.to_type, trans.n_trans,
+           CAST(trans.n_trans AS DOUBLE) / tot.n_from AS prob
+         FROM trans JOIN tot ON trans.from_type = tot.from_type""",
 
     "q91_group_median" ->
       """WITH hist AS (

@@ -174,6 +174,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q93: sparse cosine finds weighted overlap; mega-terms are out of the subspace") {
+    // docs 1/2: identical rare-term content -> cosine exactly 1.
+    // docs 3/4: overlap only on the term "common", which appears in ALL
+    // docs (df = 6 > dfCap = 5) -> no candidate pair at all.
+    // doc 5/6: partial rare overlap -> 0 < cos < 1, hand-computable.
+    val docs = Seq(
+      (1L, "alpha beta gamma common"),
+      (2L, "alpha beta gamma common"),
+      (3L, "delta delta common"),
+      (4L, "epsilon common"),
+      (5L, "zeta zeta eta common"),
+      (6L, "zeta eta common")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sparseCosinePairs(docs, dfCap = 5, minCos = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // identical docs: dot = |v|² = 3, cos = 3/(√3·√3) — which in IEEE is
+    // 1.0000000000000002, the exact double both engines produce
+    assert(out((1L, 2L)) ==
+      ((3L, 3L, 3.0 / (math.sqrt(3.0) * math.sqrt(3.0)))))
+    // doc5 = {zeta:2, eta:1}, doc6 = {zeta:1, eta:1}: dot = 3,
+    // |5|² = 5, |6|² = 2 -> cos = 3/sqrt(10)
+    val (n56, d56, c56) = out((5L, 6L))
+    assert(n56 == 2L && d56 == 3L)
+    assert(c56 == 3.0 / (math.sqrt(5.0) * math.sqrt(2.0)))
+    // "common" (df 6 > cap) forms no pair and is absent from the dot of
+    // pairs that DO exist (1-2 dot is 3, not 4)
+    assert(!out.contains((3L, 4L)))
+  }
+
   test("embedding near-dup: identical vectors share an LSH bucket with sim 1") {
     val e = Seq(
       (0L, Seq.fill(64)(0.5)), (1L, Seq.fill(64)(0.5)),

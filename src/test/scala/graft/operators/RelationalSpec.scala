@@ -136,6 +136,28 @@ class RelationalSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("q92: transition matrix equals a JVM recompute; probs sum to 1 per row") {
+    val out = Relational.queries("q92_event_transitions")(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }
+    val expected = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out.view.mapValues(_._1).toMap == expected)
+    // exact rational probabilities, each from-row summing to exactly 1
+    val fromTotals = expected.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    out.foreach { case ((f, t), (n, p)) =>
+      assert(p == n.toDouble / fromTotals(f), s"($f -> $t)")
+    }
+  }
+
   test("q86: distribution functions and frames match a brute-force recompute") {
     val rows = Relational.queries("q86_window_frames")(spark, sfDir).collect()
     val byCust = rows.groupBy(_.getLong(0))
