@@ -211,6 +211,50 @@ object StatefulOps {
       }
   }
 
+  case class TransEvent(user_id: Long, event_type: String,
+                        ts: java.sql.Timestamp, event_id: Long)
+  case class LastEvent(ts: java.sql.Timestamp, event_id: Long,
+                       event_type: String)
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of the batch transition matrix (q92, `Relational`):
+    * per-user state is the LAST event only — O(1), never a buffer — and
+    * each arriving event emits exactly one (from, to) pair against its
+    * predecessor in (ts, event_id) order, so downstream
+    * counting/probability is a plain streaming aggregation over the
+    * emitted pairs. Same ordering contract as [[funnelStream]]: exact when
+    * each user's events arrive in event-time order ACROSS batches
+    * (intra-batch order is free — each group sorts its batch);
+    * `StreamingFunnelCmsSpec` pins batch==stream on the real events table
+    * replayed in timestamp order. */
+  def transitionStream(events: Dataset[TransEvent],
+                       idleTimeout: Option[String] = Some("1 hour")): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (uid, batch, state) =>
+          idleTimeout.foreach(state.setTimeoutDuration)
+          val sorted = batch.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            c < 0 || (c == 0 && a.event_id < b.event_id)
+          }
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            last.foreach(l => out += Transition(uid, l.event_type, e.event_type))
+            last = Some(LastEvent(e.ts, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class KeyedValue(key: String, value: Float)
   case class RunningMin(key: String, min: Float)
 

@@ -59,6 +59,40 @@ class StreamingFunnelCmsSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("streaming transitions match the batch q92 matrix on a ts-ordered replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val batchCounts = Relational.queries("q92_event_transitions")(s, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batchCounts.nonEmpty)
+
+    val log = graft.Tables.load(s, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .collect()
+      .map { case (u, t, ts, id) => TransEvent(u, t, ts, id) }
+    val chunks = log.grouped((log.length + 2) / 3).toSeq
+
+    val mem = MemoryStream[TransEvent]
+    val q = transitionStream(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+        s.table("trans_stream").collect()
+      } finally q.stop()
+
+    val streamCounts = streamed
+      .map(r => (r.getString(1), r.getString(2)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(streamCounts == batchCounts)
+  }
+
   test("watermarked funnel matches batch under shuffled-within-horizon replay") {
     val s = spark
     import s.implicits._
