@@ -505,6 +505,40 @@ object Relational {
             .as("median_price"))
     }),
 
+    // --- per-type winsorization (outlier clamp at exact p05/p95) ----------------
+    // Numeric-column curation: clamp each event's value to its event-type's
+    // exact 5th/95th percentile — the standard robustification pass before
+    // a value column feeds training or monitoring. Cut values come from the
+    // q91 histogram walk (cumulative counts over DISTINCT cents per type,
+    // ceil-rank semantics), so no row-level sort exists anywhere; the
+    // per-type cut table is a handful of rows and broadcasts back across
+    // the raw events for a narrow clamp. All rank arithmetic is integer
+    // (ceil(q·n) as (q·n + 99) div 100); cents are exact via DECIMAL.
+    "q95_winsorize" -> ((s, d) => {
+      val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), cents.as("c"))
+      val hist = ev.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val cuts = hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("lo_r", expr("(5 * n + 99) div 100"))
+        .withColumn("hi_r", expr("(95 * n + 99) div 100"))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= col("lo_r"), col("c"))).as("c_lo"),
+          min(when(col("cum") >= col("hi_r"), col("c"))).as("c_hi"))
+      ev.join(broadcast(cuts), "event_type")
+        .select(col("event_id"), col("event_type"),
+          (col("c").cast("double") / 100.0).as("value"),
+          (least(greatest(col("c"), col("c_lo")), col("c_hi"))
+            .cast("double") / 100.0).as("value_w"),
+          (col("c") < col("c_lo") || col("c") > col("c_hi")).as("clipped"))
+    }),
+
     // --- approximate distinct (HLL sketch; the at-scale counterpart of q09) ----
     // The raw HLL value is engine-specific (DuckDB's sketch differs), so the
     // oracle checks the deterministic half: exact_parts hash-matches, and the
@@ -944,6 +978,33 @@ object Relational {
            (hc.c * st.n - st.s) * (hc.c * st.n - st.s)
              > 9 * (st.n * st.ss - st.s * st.s) AS is_spike
          FROM hc JOIN st ON hc.user_id = st.user_id""",
+
+    "q95_winsorize" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         hist AS (
+           SELECT event_type, c, COUNT(1) AS cnt
+           FROM ev GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, c, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM hist),
+         cuts AS (
+           SELECT event_type,
+             MIN(CASE WHEN cum >= (5 * n + 99) // 100 THEN c END) AS c_lo,
+             MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN c END) AS c_hi
+           FROM cum GROUP BY event_type)
+         SELECT ev.event_id, ev.event_type,
+           CAST(ev.c AS DOUBLE) / 100.0 AS value,
+           CAST(least(greatest(ev.c, cuts.c_lo), cuts.c_hi) AS DOUBLE) / 100.0
+             AS value_w,
+           ev.c < cuts.c_lo OR ev.c > cuts.c_hi AS clipped
+         FROM ev JOIN cuts ON ev.event_type = cuts.event_type""",
 
     "q92_event_transitions" ->
       """WITH trans AS (

@@ -195,6 +195,34 @@ object Similarity {
         Tables.load(s, d, "embeddings")
           .repartition(TextFns.cpuPartitions, col("vec_id")), TopK)),
 
+    // --- semantic decontamination (embedding-space benchmark overlap) ------
+    // The SEMANTIC member of the decontamination family: q57/q71 catch
+    // verbatim benchmark text by n-gram overlap; this catches paraphrased
+    // leakage by embedding similarity. Benchmark = label 0 (the held-out
+    // suite), corpus = everything else; a corpus vector is contaminated iff
+    // it shares a hyperplane-LSH bucket with a benchmark vector at cosine
+    // ≥ 0.4 (the q45 near-dup threshold — bucket-blocked, so recall follows
+    // the same LSH contract as q45/q51). Scale shape mirrors q57: the
+    // benchmark side is small by nature and BROADCASTS with its buckets and
+    // norms precomputed; the corpus streams through map-side — it never
+    // shuffles, and the output keeps all corpus rows with a boolean flag
+    // (the keep-set is the anti-join, the drop-set the semi-join, both
+    // derivable downstream without re-scoring).
+    "q94_semantic_decontam" -> ((s, d) => {
+      val e = embs(s, d).withColumn("bucket", lshBucket(col("v")))
+      val bench = e.filter(col("label") === 0)
+        .select(col("bucket").as("b_bucket"), col("v").as("bv"),
+          col("nrm").as("bn"))
+      val corpus = e.filter(col("label") =!= 0)
+      val hits = corpus.join(broadcast(bench),
+          col("bucket") === col("b_bucket"))
+        .filter(pairSim(col("v"), col("nrm"), col("bv"), col("bn")) >= 0.4)
+        .select(col("vec_id")).distinct()
+      corpus.join(hits.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("hit"), lit(false)).as("contaminated"))
+    }),
+
     // --- ANN over int8-quantized vectors (the compressed search path) ------
     // Search the 4x-compressed store directly: cosine over quantized codes.
     // The per-vector amax scale CANCELS in the cosine (q8 = round(127 v /
@@ -430,6 +458,19 @@ object Similarity {
                         ORDER BY d2num DESC, vec_id) AS nn_rank
             FROM d2)
           WHERE nn_rank <= $TopK""",
+
+    "q94_semantic_decontam" ->
+      s"""WITH e AS (
+            SELECT vec_id, label, $oEmb AS v, ${oLshBucket(oEmb)} AS bucket
+            FROM embeddings),
+          bench AS (SELECT * FROM e WHERE label = 0),
+          corpus AS (SELECT * FROM e WHERE label <> 0),
+          hits AS (
+            SELECT DISTINCT c.vec_id
+            FROM corpus c JOIN bench b ON c.bucket = b.bucket
+            WHERE ${oCosine("c.v", "b.v")} >= 0.4)
+          SELECT c.vec_id, c.label, h.vec_id IS NOT NULL AS contaminated
+          FROM corpus c LEFT JOIN hits h ON c.vec_id = h.vec_id""",
 
     "q81_jl_project" ->
       s"""SELECT vec_id, label, ${oJlProject(oEmb)} AS pv FROM embeddings""",

@@ -158,6 +158,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q95: winsorize cuts equal sort-based ceil-rank percentiles; clamp is tight") {
+    val rows = Relational.queries("q95_winsorize")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (tpe, evs) =>
+      val cents = evs.map(e => math.round(e._3 * 100)).sorted
+      val n = cents.length
+      val cLo = cents(((5 * n + 99) / 100 - 1).toInt)
+      val cHi = cents(((95 * n + 99) / 100 - 1).toInt)
+      evs.foreach { case (id, _, v, w, clipped) =>
+        val c = math.round(v * 100)
+        val expW = math.min(math.max(c, cLo), cHi)
+        assert(w == expW / 100.0, s"event $id of $tpe")
+        assert(clipped == (c < cLo || c > cHi), s"event $id of $tpe")
+      }
+      // the clamp is tight: some value actually sits at each cut
+      assert(evs.exists(e => math.round(e._4 * 100) == cLo) &&
+        evs.exists(e => math.round(e._4 * 100) == cHi))
+    }
+  }
+
   test("q86: distribution functions and frames match a brute-force recompute") {
     val rows = Relational.queries("q86_window_frames")(spark, sfDir).collect()
     val byCust = rows.groupBy(_.getLong(0))

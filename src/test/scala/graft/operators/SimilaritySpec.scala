@@ -126,6 +126,36 @@ class SimilaritySpec extends SparkSpec {
       s"distortion must shrink with dim: $d16, $d32, $d48")
   }
 
+  test("q94: flagged set is exactly the brute-force bucket-and-cosine recompute") {
+    val out = Similarity.queries("q94_semantic_decontam")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // JVM brute force over the same contract: same buckets, same cosine
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def bucket(v: Array[Double]): Int =
+      (0 until TextFns.NumPlanes).map { b =>
+        val d = v.zip(TextFns.hyperplanes(b)).foldLeft(0.0) {
+          case (acc, (x, p)) => acc + x * p
+        }
+        if (d >= 0) 1 << b else 0
+      }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val bench = vecs.filter(_._2 == 0)
+    val expected = vecs.filter(_._2 != 0).map { case (id, _, v) =>
+      id -> bench.exists { case (_, _, bv) =>
+        bucket(v) == bucket(bv) && cos(v, bv) >= 0.4
+      }
+    }.toMap
+    assert(out == expected)
+    assert(out.size == vecs.count(_._2 != 0))
+  }
+
   test("centroidOutliers: planted far vectors rank first; tight clusters score 0") {
     import spark.implicits._
     // labels 0/1: 20 near-identical vectors + one planted far point.
