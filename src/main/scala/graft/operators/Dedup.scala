@@ -494,6 +494,31 @@ object Dedup {
         docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id")),
         dfCap = 64, minCos = 0.5)),
 
+    // --- edit-distance verification tier (fuzzy near-dup) ------------------
+    // Character-level Levenshtein over the ALREADY-BUCKETED q42 pair list —
+    // the verification metric for OCR-noise / typo-class duplicates, where
+    // token-level Jaccard under-reads similarity (a single-char typo kills
+    // three trigram shingles but costs edit distance 1). Cost is strictly
+    // pair-sized: the corpus never self-joins, texts are attached to
+    // candidate pairs by two id-keyed joins, and the O(len²) DP runs once
+    // per surviving pair (at 100 TB the pair list is the small relation by
+    // the q42 contract; a production run would bound it further with
+    // Spark's thresholded levenshtein overload). Both engines implement
+    // classic insert/delete/substitute Levenshtein — integer-exact — and
+    // the normalized similarity divides by the exact max length once.
+    "q96_edit_distance" -> ((s, d) => {
+      val txt = docs(s, d).select(col("doc_id"), col("text"))
+      trigramPairs(s, d)
+        .join(txt.select(col("doc_id").as("i"), col("text").as("ti")), "i")
+        .join(txt.select(col("doc_id").as("j"), col("text").as("tj")), "j")
+        .select(col("i"), col("j"), col("jac"),
+          levenshtein(col("ti"), col("tj")).cast("long").as("edit_dist"),
+          greatest(length(col("ti")), length(col("tj"))).cast("long")
+            .as("max_len"))
+        .withColumn("edit_sim",
+          lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
+    }),
+
     // --- prefix-fingerprint dedup (truncation / re-crawl duplicates) -------
     // Re-crawls and connection drops produce documents that agree on a long
     // prefix and then diverge or truncate — invisible to q40's full-content
@@ -723,6 +748,20 @@ object Dedup {
               / $NumHashes AS est_jaccard
           FROM sig x JOIN sig y ON x.pos = y.pos AND x.source < y.source
           GROUP BY 1, 2"""
+    },
+
+    "q96_edit_distance" -> {
+      val pairsSql = oLshNearDupPairs(3, NumHashes, BandSize, 0, TrigramTNum,
+        TrigramTDen)
+      s"""WITH pairs AS (SELECT i, j, jac FROM ($pairsSql))
+          SELECT pairs.i, pairs.j, pairs.jac,
+            CAST(levenshtein(di.text, dj.text) AS BIGINT) AS edit_dist,
+            CAST(greatest(len(di.text), len(dj.text)) AS BIGINT) AS max_len,
+            1.0 - CAST(levenshtein(di.text, dj.text) AS DOUBLE)
+                  / greatest(len(di.text), len(dj.text)) AS edit_sim
+          FROM pairs
+          JOIN documents di ON pairs.i = di.doc_id
+          JOIN documents dj ON pairs.j = dj.doc_id"""
     },
 
     "q93_sparse_cosine" ->

@@ -505,6 +505,31 @@ object Relational {
             .as("median_price"))
     }),
 
+    // --- time-grid densification (gap-fill) -------------------------------------
+    // Regularize each user's event stream onto a dense hourly grid between
+    // their first and last activity — the resample step every downstream
+    // time-series model (rate anomaly q90 included) implicitly assumes, made
+    // explicit with zero-filled gap hours. Shape: hourly counts are one hash
+    // agg; the grid is a per-user `sequence`+`explode` bounded by the span
+    // (never a calendar cross-join); the left join back is keyed on
+    // (user, hour) — the same key the counts already shuffled on. Gap hours
+    // dominate the output only as much as the data is sparse, and every
+    // value is an exact integer.
+    "q97_time_gridfill" -> ((s, d) => {
+      val hc = t(s, d, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("c"))
+      val grid = hc.groupBy(col("user_id"))
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("hour"))
+      grid.join(hc, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("c"), lit(0L)).as("n_events"),
+          col("c").isNull.as("filled"))
+    }),
+
     // --- per-type winsorization (outlier clamp at exact p05/p95) ----------------
     // Numeric-column curation: clamp each event's value to its event-type's
     // exact 5th/95th percentile — the standard robustification pass before
@@ -978,6 +1003,21 @@ object Relational {
            (hc.c * st.n - st.s) * (hc.c * st.n - st.s)
              > 9 * (st.n * st.ss - st.s * st.s) AS is_spike
          FROM hc JOIN st ON hc.user_id = st.user_id""",
+
+    "q97_time_gridfill" ->
+      """WITH hc AS (
+           SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(1) AS c
+           FROM events GROUP BY 1, 2),
+         grid AS (
+           SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+           FROM (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+                 FROM hc GROUP BY user_id))
+         SELECT grid.user_id, grid.hour,
+           CAST(coalesce(hc.c, 0) AS BIGINT) AS n_events,
+           hc.c IS NULL AS filled
+         FROM grid LEFT JOIN hc
+           ON grid.user_id = hc.user_id AND grid.hour = hc.hour""",
 
     "q95_winsorize" ->
       """WITH ev AS (

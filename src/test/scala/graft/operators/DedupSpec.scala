@@ -205,6 +205,37 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((3L, 4L)))
   }
 
+  test("q96: edit distance on the pair list matches a JVM Levenshtein recompute") {
+    val rows = Dedup.queries("q96_edit_distance")(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(3), r.getLong(4),
+        r.getDouble(5))))
+    assert(rows.nonEmpty, "sf0.001 has near-dup pairs")
+    val txt = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Long = {
+      val prev = Array.tabulate(b.length + 1)(_.toLong)
+      val cur = new Array[Long](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i.toLong
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    rows.foreach { case ((i, j), (d, m, sim)) =>
+      val (a, b) = (txt(i), txt(j))
+      assert(d == lev(a, b), s"pair ($i,$j)")
+      assert(m == math.max(a.length, b.length).toLong)
+      assert(sim == 1.0 - d.toDouble / m)
+      // near-dup pairs from the trigram tier should be character-close too
+      assert(sim > 0.5, s"pair ($i,$j) sim=$sim")
+    }
+  }
+
   test("embedding near-dup: identical vectors share an LSH bucket with sim 1") {
     val e = Seq(
       (0L, Seq.fill(64)(0.5)), (1L, Seq.fill(64)(0.5)),

@@ -180,6 +180,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q97: grid is dense per user; filled hours are zero; counts round-trip") {
+    val rows = Relational.queries("q97_time_gridfill")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val hourMs = 3600L * 1000
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val hours = g.map(_._2).sorted
+      // dense: every hour between first and last present exactly once
+      assert((hours.head to hours.last by hourMs).toSeq == hours.toSeq)
+      g.foreach { case (_, _, n, filled) =>
+        assert(filled == (n == 0L), s"user $u")
+      }
+    }
+    // total events preserved by the fill
+    val total = rows.map(_._3).sum
+    assert(total == graft.Tables.load(spark, sfDir, "events").count())
+  }
+
   test("q86: distribution functions and frames match a brute-force recompute") {
     val rows = Relational.queries("q86_window_frames")(spark, sfDir).collect()
     val byCust = rows.groupBy(_.getLong(0))
