@@ -390,12 +390,13 @@ object Dedup {
         .select(col("h"))
       val rare = ex.join(dfcRare, "h")
         .select(col("doc_id"), col("n"), col("h"))
-      // 2 smallest rare digests per doc as a bounded hash agg (map-side
-      // partials, no per-doc sort pass — `sh` was array_sort'ed, but the
-      // h-keyed join scrambles order, so sort the <=2-element slice here)
+      // 2 smallest rare digests per doc via the bounded MinKLongs partial:
+      // aggregation state is 2 slots regardless of how many rare digests a
+      // long doc carries (collect_list would buffer them all)
+      val mink2 = udaf(new MinKLongs(2))
       val bot = rare
         .groupBy(col("doc_id"), col("n"))
-        .agg(slice(array_sort(collect_list(col("h"))), 1, 2).as("hs"))
+        .agg(mink2(col("h")).as("hs"))
         .select(col("doc_id").as("a"), col("n").as("na"),
           explode(col("hs")).as("h"))
       // size prefilter: containment >= 0.8 forces |A| <= 1.25|B|
