@@ -505,6 +505,27 @@ object Relational {
             .as("median_price"))
     }),
 
+    // --- correlated EXISTS / NOT EXISTS subqueries ------------------------------
+    // SQL-level subquery support, distinct from the API-level semi/anti
+    // joins (q06/q07): Catalyst must DECORRELATE both predicates into
+    // joins — EXISTS → left-semi, NOT EXISTS → left-anti — or the plan
+    // degenerates into a per-row subquery loop. The spec asserts the
+    // decorrelated shape (one semi + one anti join, no nested-loop over
+    // orders); at 100 TB both joins shuffle on the correlation key like
+    // any equi-join. Same SQL text runs on both engines.
+    "q98_exists_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice < 5000)""")
+    }),
+
     // --- time-grid densification (gap-fill) -------------------------------------
     // Regularize each user's event stream onto a dense hourly grid between
     // their first and last activity — the resample step every downstream
@@ -1003,6 +1024,15 @@ object Relational {
            (hc.c * st.n - st.s) * (hc.c * st.n - st.s)
              > 9 * (st.n * st.ss - st.s * st.s) AS is_spike
          FROM hc JOIN st ON hc.user_id = st.user_id""",
+
+    "q98_exists_subquery" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice < 5000)""",
 
     "q97_time_gridfill" ->
       """WITH hc AS (

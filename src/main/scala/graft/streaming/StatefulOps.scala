@@ -255,6 +255,54 @@ object StatefulOps {
       }
   }
 
+  case class CoverageEvent(user_id: Long, st_us: Long, event_id: Long)
+  case class CoverageState(lastEndUs: Long, coveredUs: Long,
+                           nIntervals: Long, nEvents: Long)
+  case class CoverageRow(user_id: Long, n_intervals: Long, n_events: Long,
+                         covered_us: Long)
+
+  /** Streaming twin of the batch interval union (q89, `Relational`): each
+    * event opens a fixed `horizonUs` activity interval and the state folds
+    * the union incrementally — O(1) per user (last interval end + three
+    * counters), never an interval buffer. Because interval width is
+    * constant and events arrive time-ordered, the union's frontier is just
+    * the previous end: an event either opens a new island (start > frontier)
+    * or extends the current one by `start + horizon − frontier`. Emits the
+    * updated per-user coverage row each batch the user appears in (Update
+    * mode). Same ordering contract as [[funnelStream]]; parity with batch
+    * q89 is spec-pinned on a ts-ordered replay of the real events table. */
+  def coverageStream(events: Dataset[CoverageEvent],
+                     horizonUs: Long = 60L * 1000000L,
+                     idleTimeout: Option[String] = Some("1 hour")): Dataset[CoverageRow] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CoverageState, CoverageRow](
+        OutputMode.Update(), timeoutConf) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (uid, batch, state) =>
+          idleTimeout.foreach(state.setTimeoutDuration)
+          val sorted = batch.toSeq.sortBy(e => (e.st_us, e.event_id))
+          var st = state.getOption.getOrElse(CoverageState(Long.MinValue, 0L, 0L, 0L))
+          sorted.foreach { e =>
+            val end = e.st_us + horizonUs
+            st =
+              if (e.st_us > st.lastEndUs)
+                CoverageState(end, st.coveredUs + horizonUs,
+                  st.nIntervals + 1, st.nEvents + 1)
+              else
+                CoverageState(math.max(st.lastEndUs, end),
+                  st.coveredUs + math.max(0L, end - st.lastEndUs),
+                  st.nIntervals, st.nEvents + 1)
+          }
+          state.update(st)
+          Iterator.single(CoverageRow(uid, st.nIntervals, st.nEvents, st.coveredUs))
+      }
+  }
+
   case class KeyedValue(key: String, value: Float)
   case class RunningMin(key: String, min: Float)
 

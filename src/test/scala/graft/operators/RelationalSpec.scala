@@ -180,6 +180,26 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q98: correlated EXISTS/NOT EXISTS decorrelate to semi and anti joins") {
+    val p = plan("q98_exists_subquery")
+    assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must decorrelate to an anti join")
+    // behavior: equals the explicit semi/anti DataFrame formulation
+    val sql = Relational.queries("q98_exists_subquery")(spark, sfDir).collect()
+      .map(_.getLong(0)).sorted
+    val cust = graft.Tables.load(spark, sfDir, "customer")
+    val ord = graft.Tables.load(spark, sfDir, "orders")
+    val api = cust
+      .join(ord.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .join(ord.filter(col("o_totalprice") < 5000)
+        .select(col("o_custkey").as("k2")), col("c_custkey") === col("k2"),
+        "left_anti")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).sorted
+    assert(sql.toSeq == api.toSeq && sql.nonEmpty)
+  }
+
   test("q97: grid is dense per user; filled hours are zero; counts round-trip") {
     val rows = Relational.queries("q97_time_gridfill")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),

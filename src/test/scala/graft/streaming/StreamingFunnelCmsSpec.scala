@@ -93,6 +93,44 @@ class StreamingFunnelCmsSpec extends SparkSpec with Matchers {
     assert(streamCounts == batchCounts)
   }
 
+  test("streaming coverage matches the batch q89 interval union on a ts-ordered replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val batchRows = Relational.queries("q89_interval_union")(s, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(batchRows.nonEmpty)
+
+    val log = graft.Tables.load(s, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+      .orderBy(col("unix_micros(ts)"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .map { case (u, st, id) => CoverageEvent(u, st, id) }
+    val chunks = log.grouped((log.length + 2) / 3).toSeq
+
+    val mem = MemoryStream[CoverageEvent]
+    val q = coverageStream(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("coverage_stream")
+      .outputMode("update").start()
+    val streamed =
+      try {
+        chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+        s.table("coverage_stream").collect()
+      } finally q.stop()
+
+    // n_events grows monotonically, so the max-n_events row is final state
+    val finalRows = streamed
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (u, rows) => u -> {
+        val last = rows.maxBy(_._3)
+        (last._2, last._3, last._4)
+      } }
+    assert(finalRows == batchRows)
+  }
+
   test("watermarked funnel matches batch under shuffled-within-horizon replay") {
     val s = spark
     import s.implicits._
