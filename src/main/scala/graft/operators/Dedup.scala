@@ -495,6 +495,24 @@ object Dedup {
         docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id")),
         dfCap = 64, minCos = 0.5)),
 
+    // --- dedup diagnostics: cluster-size distribution ----------------------
+    // The report a dedup run ships with: how many near-dup clusters exist
+    // at each size, how many docs they absorb, and what fraction of each
+    // cluster survives canonicalization (always 1/size — pinned here so
+    // the column is oracle-checked). Everything downstream of the CC
+    // labels is CLUSTER-sized: one hash agg to (component → size), one to
+    // (size → how many clusters). The output is at most
+    // O(max cluster size) rows — a report, not a dataset.
+    "q99_cluster_sizes" -> ((s, d) => {
+      val sizes = connectedComponents(trigramPairs(s, d).select(col("i"), col("j")))
+        .groupBy(col("component")).agg(count(lit(1)).as("csize"))
+      sizes.groupBy(col("csize"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("csize")).as("docs_absorbed"))
+        .withColumn("survivor_frac",
+          lit(1.0).cast("double") / col("csize"))
+    }),
+
     // --- edit-distance verification tier (fuzzy near-dup) ------------------
     // Character-level Levenshtein over the ALREADY-BUCKETED q42 pair list —
     // the verification metric for OCR-noise / typo-class duplicates, where
@@ -750,6 +768,15 @@ object Dedup {
           FROM sig x JOIN sig y ON x.pos = y.pos AND x.source < y.source
           GROUP BY 1, 2"""
     },
+
+    "q99_cluster_sizes" ->
+      s"""WITH RECURSIVE ${oComponents()},
+          sizes AS (SELECT component, COUNT(1) AS csize
+                    FROM comp GROUP BY component)
+          SELECT csize, COUNT(1) AS n_clusters,
+            CAST(SUM(csize) AS BIGINT) AS docs_absorbed,
+            CAST(1.0 AS DOUBLE) / csize AS survivor_frac
+          FROM sizes GROUP BY csize""",
 
     "q96_edit_distance" -> {
       val pairsSql = oLshNearDupPairs(3, NumHashes, BandSize, 0, TrigramTNum,

@@ -505,6 +505,35 @@ object Relational {
             .as("median_price"))
     }),
 
+    // --- per-group Pearson correlation from exact integer moments ---------------
+    // corr(quantity, price) per return flag WITHOUT the engine-specific
+    // float accumulation of corr()/covar(): all five moment sums run in
+    // exact 128-bit integer space (Spark DECIMAL(38,0) ≙ DuckDB HUGEINT —
+    // quantities are small ints, prices exact cents, so Σy² ~ 1e19 needs
+    // more than int64 but nowhere near 38 digits), and the one float step
+    // is the final num/(sqrt·sqrt) with its operation order pinned in the
+    // oracle. One hash agg with map-side partials; output is #groups rows.
+    "q100_group_correlation" -> ((s, d) => {
+      val D = DecimalType(38, 0)
+      val base = t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").cast(D).as("x"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").cast(D).as("y"))
+      base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast(D).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+               .cast("double")))).as("corr_qty_price"))
+    }),
+
     // --- correlated EXISTS / NOT EXISTS subqueries ------------------------------
     // SQL-level subquery support, distinct from the API-level semi/anti
     // joins (q06/q07): Catalyst must DECORRELATE both predicates into
@@ -1024,6 +1053,24 @@ object Relational {
            (hc.c * st.n - st.s) * (hc.c * st.n - st.s)
              > 9 * (st.n * st.ss - st.s * st.s) AS is_spike
          FROM hc JOIN st ON hc.user_id = st.user_id""",
+
+    "q100_group_correlation" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+             CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS x,
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS HUGEINT) AS y
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag, CAST(COUNT(1) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+           FROM b GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+         FROM m""",
 
     "q98_exists_subquery" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer c

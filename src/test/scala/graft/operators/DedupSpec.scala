@@ -205,6 +205,20 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((3L, 4L)))
   }
 
+  test("q99: cluster-size histogram is consistent with the q46 component labels") {
+    val comp = Dedup.queries("q46_dedup_components")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.nonEmpty)
+    val expected = comp.groupBy(_._2).values.map(_.length)
+      .groupBy(identity).map { case (sz, cs) =>
+        sz.toLong -> (cs.size.toLong, (sz * cs.size).toLong, 1.0 / sz)
+      }
+    val out = Dedup.queries("q99_cluster_sizes")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == expected)
+  }
+
   test("q96: edit distance on the pair list matches a JVM Levenshtein recompute") {
     val rows = Dedup.queries("q96_edit_distance")(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(3), r.getLong(4),

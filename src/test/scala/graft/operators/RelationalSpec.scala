@@ -200,6 +200,31 @@ class RelationalSpec extends SparkSpec {
     assert(sql.toSeq == api.toSeq && sql.nonEmpty)
   }
 
+  test("q100: exact-moment correlation equals a BigInt recompute; |r| <= 1") {
+    val out = Relational.queries("q100_group_correlation")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.nonEmpty)
+    val rows = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getString(0), BigInt(r.getDouble(1).toLong),
+        BigInt(java.math.BigDecimal.valueOf(r.getDouble(2))
+          .movePointRight(2).longValueExact())))
+    val expected = rows.groupBy(_._1).map { case (f, rs) =>
+      val n = BigInt(rs.length)
+      val sx = rs.map(_._2).sum; val sy = rs.map(_._3).sum
+      val sxx = rs.map(r => r._2 * r._2).sum
+      val syy = rs.map(r => r._3 * r._3).sum
+      val sxy = rs.map(r => r._2 * r._3).sum
+      val r = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      f -> (rs.length.toLong, r)
+    }
+    assert(out == expected)
+    out.values.foreach { case (_, r) => assert(math.abs(r) <= 1.0 + 1e-12) }
+  }
+
   test("q97: grid is dense per user; filled hours are zero; counts round-trip") {
     val rows = Relational.queries("q97_time_gridfill")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
