@@ -439,10 +439,15 @@ object Relational {
       val hc = t(s, d, "events")
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("c"))
-      val st = hc.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
-          sum(col("c") * col("c")).as("ss"))
-      hc.join(st, "user_id")
+      // per-user stats as full-frame window aggs over the (small) hourly
+      // table: a groupBy+self-join formulation would recompute hc's whole
+      // subtree — scanning events twice — where this scans once and runs
+      // the window over user×hour cells
+      val w = Window.partitionBy(col("user_id"))
+      hc
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("c")).over(w))
+        .withColumn("ss", sum(col("c") * col("c")).over(w))
         .select(col("user_id"), col("hour"), col("c"), col("n"),
           ((col("c") * col("n") - col("s")) * (col("c") * col("n") - col("s")) >
             lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
@@ -566,9 +571,12 @@ object Relational {
     // dominate the output only as much as the data is sparse, and every
     // value is an exact integer.
     "q97_time_gridfill" -> ((s, d) => {
+      // materialized once: both the span derivation and the left join read
+      // it, and recomputing it means scanning events twice
       val hc = t(s, d, "events")
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val grid = hc.groupBy(col("user_id"))
         .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
         .select(col("user_id"),
