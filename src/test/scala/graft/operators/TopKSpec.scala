@@ -43,3 +43,33 @@ object TopKSpec extends Properties("TopKLines") {
     agg.merge(b, agg.zero) == b && agg.merge(agg.zero, b) == b
   }
 }
+
+/** Same laws for the (priority, id) variant behind weighted sampling (q84)
+  * and centroid outliers (q87) — narrow priority range forces frequent
+  * ties so the id tie-break is actually exercised. */
+object MinKWeightedSpec extends Properties("MinKWeighted") {
+
+  private val agg = new MinKWeighted(3)
+
+  private val wGen = for {
+    p <- Gen.chooseNum(0L, 20L)
+    i <- Gen.chooseNum(0L, 100L)
+  } yield WeightedId(p, i)
+
+  private val ws = Gen.listOf(wGen)
+
+  private def fold(xs: List[WeightedId]) = xs.foldLeft(agg.zero)(agg.reduce)
+
+  property("reduce+merge over arbitrary splits == 3 smallest of full sort") =
+    Prop.forAll(ws, Gen.chooseNum(1, 5)) { (xs, nSplits) =>
+      val expected = xs.sorted.take(3)
+      val chunks = if (xs.isEmpty) Seq(List.empty[WeightedId])
+        else xs.grouped(math.max(1, xs.length / nSplits)).toSeq
+      val merged = chunks.map(fold).foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == expected
+    }
+
+  property("buffer never exceeds k") = Prop.forAll(ws) { xs =>
+    fold(xs).lengthCompare(3) <= 0
+  }
+}
