@@ -220,6 +220,28 @@ object Curation {
         col("r.id").as("doc_id"), col("r.pri").as("pri"))
   }
 
+  /** Deterministic span-corruption preview (T5-style denoising prep): for
+    * every token position, the mask decision is a pure function of
+    * (doc_id, position) — first hex char of md5("mask|doc_id|i") < '4', a
+    * 25% rate — so the corruption pattern is reproducible across runs,
+    * engines, and partitionings (the same property q36 gives the split).
+    * Emits the masked positions, not the rewritten text: the boundary list
+    * is what a denoising data loader consumes, and keeping it positional
+    * makes the operator one narrow zero-shuffle projection (runs in the
+    * scan stage at any scale). */
+  def spanCorruption(docs: DataFrame): DataFrame = {
+    val tk = toks(col("text"))
+    val masked = filter(
+      sequence(lit(1), size(tk)),
+      i => substring(md5(concat_ws("",
+        lit("mask|"), col("doc_id").cast("string"), lit("|"),
+        i.cast("string"))), 1, 1) < "4")
+    docs.select(col("doc_id"),
+      size(tk).cast("long").as("n_tok"),
+      size(masked).cast("long").as("n_masked"),
+      concat_ws(",", transform(masked, x => x.cast("string"))).as("masked_idx"))
+  }
+
   /** Tokens per training sequence for [[packSequences]]. */
   val SeqLen = 2048
 
@@ -356,6 +378,9 @@ object Curation {
 
     // --- overlapping token-window chunking --------------------------------
     "q83_chunk_overlap" -> ((s, d) => chunkDocs(t(s, d), ChunkLen, ChunkStride)),
+
+    // --- deterministic span-corruption preview (denoising prep) -----------
+    "q102_span_corruption" -> ((s, d) => spanCorruption(t(s, d))),
 
     // --- inverted index with bounded posting lists ------------------------
     "q59_inverted_index" -> ((s, d) =>
@@ -536,6 +561,19 @@ object Curation {
                      // greatest(n_chars, 1) AS pri
                  FROM documents))
          WHERE rank <= 5""",
+
+    "q102_span_corruption" ->
+      s"""WITH tk AS (SELECT doc_id, $oToksFrag AS t FROM documents),
+          m AS (SELECT doc_id, len(t) AS n_tok,
+                  list_filter(range(1, len(t) + 1),
+                    i -> substr(md5('mask|' || doc_id || '|' || i), 1, 1) < '4')
+                    AS masked
+                FROM tk)
+          SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+            CAST(len(masked) AS BIGINT) AS n_masked,
+            array_to_string(list_transform(masked, x -> CAST(x AS VARCHAR)), ',')
+              AS masked_idx
+          FROM m""",
 
     "q83_chunk_overlap" ->
       s"""WITH tk AS (SELECT doc_id, $oToksFrag AS t FROM documents),

@@ -495,6 +495,25 @@ object Dedup {
         docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id")),
         dfCap = 64, minCos = 0.5)),
 
+    // --- leakage-safe train/valid split -------------------------------------
+    // q36 splits by doc hash — which puts two near-duplicates on OPPOSITE
+    // sides of the split boundary and leaks training text into validation.
+    // This variant assigns the SPLIT BY NEAR-DUP CLUSTER: every doc in a
+    // CC cluster inherits the cluster's hash, so a near-dup family lands
+    // wholly in train or wholly in valid (spec-pinned: no q42 pair ever
+    // crosses the split). Unpaired docs are their own cluster. Cost beyond
+    // the already-audited CC labels is one left join + a narrow hash —
+    // same md5-prefix rule as q36 so the expected 90/10 mix is preserved
+    // under the same portability contract.
+    "q103_leakage_safe_split" -> ((s, d) => {
+      val comp = connectedComponents(trigramPairs(s, d).select(col("i"), col("j")))
+      docs(s, d).join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        .select(col("doc_id"), col("source"), col("cluster"),
+          when(md5(col("cluster").cast("string")) < "1a", "valid")
+            .otherwise("train").as("split"))
+    }),
+
     // --- dedup diagnostics: cluster-size distribution ----------------------
     // The report a dedup run ships with: how many near-dup clusters exist
     // at each size, how many docs they absorb, and what fraction of each
@@ -768,6 +787,15 @@ object Dedup {
           FROM sig x JOIN sig y ON x.pos = y.pos AND x.source < y.source
           GROUP BY 1, 2"""
     },
+
+    "q103_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${oComponents()}
+          SELECT d.doc_id, d.source,
+            coalesce(c.component, d.doc_id) AS cluster,
+            CASE WHEN md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR))
+                      < '1a'
+                 THEN 'valid' ELSE 'train' END AS split
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
 
     "q99_cluster_sizes" ->
       s"""WITH RECURSIVE ${oComponents()},

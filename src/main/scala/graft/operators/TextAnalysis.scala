@@ -17,6 +17,9 @@ import TextFns._
   */
 object TextAnalysis {
 
+  /** Corpus-derived vocabulary size for the q101 OOV rate. */
+  val VocabK = 256
+
   /** Tiny English stopword list; enough for the heuristic language ID. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private val stopArr = array(Stopwords.map(lit): _*)
@@ -161,6 +164,35 @@ object TextAnalysis {
         .groupBy(col("gram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram"))
         .limit(50)),
+
+    // --- vocabulary coverage / OOV rate -------------------------------------
+    // The vocab-management signal: derive the top-VocabK terms from the
+    // corpus itself (count desc, term asc — deterministic), then score
+    // every doc's out-of-vocabulary fraction against it. A doc full of
+    // OOV tokens is noise/foreign/garbled relative to the corpus the
+    // tokenizer will be trained on. Shape: one term-count hash agg, a
+    // TakeOrdered(VocabK) (bounded — never a global sort of the vocab),
+    // then the vocab BROADCASTS back over the exploded tokens for a
+    // left join + per-doc agg: token traffic shuffles once, keyed by doc.
+    // The fraction is the exact rational n_oov/n_tok.
+    "q101_oov_rate" -> ((s, d) => {
+      val vocab = t(s, d)
+        .repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(VocabK)
+        .select(col("term"), lit(true).as("in_vocab"))
+      t(s, d)
+        .repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_frac",
+          col("n_oov").cast("double") / col("n_tok"))
+    }),
 
     // --- deterministic sampling + train/valid/test split -------------------
     // Reproducible corpus splitting at any scale: the split is a pure
@@ -501,6 +533,21 @@ object TextAnalysis {
       s"""SELECT gram, COUNT(1) AS n
           FROM (SELECT unnest(${oShingles(oToks, 2)}) AS gram FROM documents)
           GROUP BY gram ORDER BY n DESC, gram LIMIT 50""",
+
+    "q101_oov_rate" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($oToks) AS term FROM documents),
+          vocab AS (
+            SELECT term FROM (
+              SELECT term, COUNT(1) AS cnt FROM tok GROUP BY term)
+            ORDER BY cnt DESC, term LIMIT $VocabK)
+          SELECT tok.doc_id, COUNT(1) AS n_tok,
+            CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_oov,
+            CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(1) AS oov_frac
+          FROM tok LEFT JOIN vocab v ON tok.term = v.term
+          GROUP BY tok.doc_id""",
 
     "q36_train_split" ->
       """SELECT doc_id, source,

@@ -197,6 +197,26 @@ class CurationSpec extends SparkSpec {
       (3L, TextFns.md5hex("c d e"))))
   }
 
+  test("q102: mask positions are the exact per-(doc,index) md5 race") {
+    val docs = Seq(
+      (7L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (8L, "solo")
+    ).toDF("doc_id", "text")
+    val out = Curation.spanCorruption(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    def expectedIdx(id: Long, n: Int) =
+      (1 to n).filter(i => TextFns.md5hex(s"mask|$id|$i").head < '4')
+    val e7 = expectedIdx(7L, 40)
+    assert(out(7L) == ((40L, e7.size.toLong, e7.mkString(","))))
+    val e8 = expectedIdx(8L, 1)
+    assert(out(8L) == ((1L, e8.size.toLong, e8.mkString(","))))
+    // determinism across invocations (pure function of doc_id, position)
+    val again = Curation.spanCorruption(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again(7L) == out(7L)._3)
+  }
+
   // --- weighted sampling --------------------------------------------------
 
   test("weightedSample favors heavy rows and matches a JVM-side recompute") {

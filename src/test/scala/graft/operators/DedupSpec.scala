@@ -205,6 +205,26 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((3L, 4L)))
   }
 
+  test("q103: no near-dup pair ever crosses the train/valid split") {
+    val split = Dedup.queries("q103_leakage_safe_split")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = Dedup.queries("q42_dedup_lsh_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (i, j) =>
+      assert(split(i) == split(j), s"pair ($i,$j) crosses the split")
+    }
+    // every doc is assigned, and both sides are populated
+    assert(split.size == spark.read.parquet(s"$sfDir/documents.parquet").count())
+    assert(split.values.toSet == Set("train", "valid"))
+    // q36's doc-hash split DOES leak across at least one near-dup pair on
+    // this corpus — the failure mode q103 exists to remove
+    val q36 = TextAnalysis.queries("q36_train_split")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(pairs.exists { case (i, j) => q36(i) != q36(j) },
+      "expected q36 to exhibit cross-split leakage on the clone clusters")
+  }
+
   test("q99: cluster-size histogram is consistent with the q46 component labels") {
     val comp = Dedup.queries("q46_dedup_components")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -17,6 +17,28 @@ class RepetitionNoveltySpec extends SparkSpec {
       .withColumn("source", lit("srcX"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
+  test("q101: OOV rate equals a JVM recompute of the top-K vocab contract") {
+    val out = TextAnalysis.queries("q101_oov_rate")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (t, v) => (t, v.length) }
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(TextAnalysis.VocabK).map(_._1).toSet
+    val expected = docs.map { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val oov = tk.count(!vocab.contains(_)).toLong
+      id -> (tk.length.toLong, oov, oov.toDouble / tk.length)
+    }.toMap
+    assert(out == expected)
+    // OOV mass appears exactly when the corpus vocabulary exceeds VocabK
+    assert(out.values.exists(_._3 > 0.0) == (counts.size > TextAnalysis.VocabK),
+      s"distinct terms = ${counts.size}, VocabK = ${TextAnalysis.VocabK}")
+  }
+
   private def runOn(name: String, docs: org.apache.spark.sql.DataFrame) = {
     // the queries read Tables.load(dir, "documents"); route the constructed
     // frame through a temp parquet dir so the query path stays untouched
