@@ -510,6 +510,50 @@ object Relational {
             .as("median_price"))
     }),
 
+    // --- value-distribution drift between time halves ---------------------------
+    // The drift monitor: does each event type's value distribution change
+    // between the first and second half of the observation window? Values
+    // are binned into 16 fixed per-type buckets (integer affine map over
+    // the type's full-range cents, q74-style), counted per (type, half,
+    // bin), and compared by L1 distance. The distance is kept exact as the
+    // integer Σ|n_old·T_new − n_new·T_old| and only the final division by
+    // T_old·T_new is float, so the statistic hash-matches. drift ∈ [0, 2]:
+    // 0 = identical distributions, 2 = disjoint support. Shape: one bounds
+    // agg broadcast back, one hash agg to (type, bin) cells with both
+    // halves pivoted into columns, one 16-rows-per-type rollup.
+    "q104_value_drift" -> ((s, d) => {
+      val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+      val ev = t(s, d, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          cents.as("c"))
+      val span = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+      val binned = ev.join(broadcast(span))
+        .join(broadcast(bounds), "event_type")
+        .select(col("event_type"),
+          // integer midpoint halving: second half iff 2·us >= t0 + t1
+          (col("us") * 2 >= col("t0") + col("t1")).as("is_new"),
+          least(lit(15L),
+            expr("((c - cmin) * 16) div (cmax - cmin + 1)")).as("bin"))
+      val cells = binned.groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("n_old"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+      // per-type totals as window aggs over the 16-cell partitions (a
+      // groupBy+join would recompute the whole binning pipeline)
+      val w = Window.partitionBy(col("event_type"))
+      cells
+        .withColumn("t_old", sum(col("n_old")).over(w))
+        .withColumn("t_new", sum(col("n_new")).over(w))
+        .groupBy(col("event_type"))
+        .agg(max(col("t_old")).as("n_old_total"),
+          max(col("t_new")).as("n_new_total"),
+          sum(abs(col("n_old") * col("t_new") - col("n_new") * col("t_old")))
+            .as("l1_num"))
+        .withColumn("drift", col("l1_num").cast("double") /
+          (col("n_old_total") * col("n_new_total")))
+    }),
+
     // --- per-group Pearson correlation from exact integer moments ---------------
     // corr(quantity, price) per return flag WITHOUT the engine-specific
     // float accumulation of corr()/covar(): all five moment sums run in
@@ -1061,6 +1105,38 @@ object Relational {
            (hc.c * st.n - st.s) * (hc.c * st.n - st.s)
              > 9 * (st.n * st.ss - st.s * st.s) AS is_spike
          FROM hc JOIN st ON hc.user_id = st.user_id""",
+
+    "q104_value_drift" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         span AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM ev),
+         bounds AS (SELECT event_type, MIN(c) AS cmin, MAX(c) AS cmax
+                    FROM ev GROUP BY 1),
+         binned AS (
+           SELECT ev.event_type,
+             (ev.us * 2 >= span.t0 + span.t1) AS is_new,
+             least(15, ((ev.c - bounds.cmin) * 16)
+                       // (bounds.cmax - bounds.cmin + 1)) AS bin
+           FROM ev CROSS JOIN span
+           JOIN bounds ON ev.event_type = bounds.event_type),
+         cells AS (
+           SELECT event_type, bin,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_old,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+           FROM binned GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, n_old, n_new,
+             CAST(SUM(n_old) OVER (PARTITION BY event_type) AS BIGINT) AS t_old,
+             CAST(SUM(n_new) OVER (PARTITION BY event_type) AS BIGINT) AS t_new
+           FROM cells)
+         SELECT event_type, MAX(t_old) AS n_old_total,
+           MAX(t_new) AS n_new_total,
+           CAST(SUM(abs(n_old * t_new - n_new * t_old)) AS BIGINT) AS l1_num,
+           CAST(SUM(abs(n_old * t_new - n_new * t_old)) AS DOUBLE)
+             / (MAX(t_old) * MAX(t_new)) AS drift
+         FROM tot GROUP BY event_type""",
 
     "q100_group_correlation" ->
       """WITH b AS (

@@ -200,6 +200,35 @@ class RelationalSpec extends SparkSpec {
     assert(sql.toSeq == api.toSeq && sql.nonEmpty)
   }
 
+  test("q104: drift equals an exact JVM recompute and sits in [0, 2]") {
+    val out = Relational.queries("q104_value_drift")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.nonEmpty)
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val t0 = ev.map(_._2).min; val t1 = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).map { case (tpe, rows) =>
+      val cmin = rows.map(_._3).min; val cmax = rows.map(_._3).max
+      def bin(c: Long) = math.min(15L, (c - cmin) * 16 / (cmax - cmin + 1))
+      val (nw, od) = rows.partition(r => r._2 * 2 >= t0 + t1)
+      val hOld = od.groupBy(r => bin(r._3)).view.mapValues(_.length.toLong)
+      val hNew = nw.groupBy(r => bin(r._3)).view.mapValues(_.length.toLong)
+      val tOld = od.length.toLong; val tNew = nw.length.toLong
+      val l1 = (0L to 15L).map { b =>
+        math.abs(hOld.getOrElse(b, 0L) * tNew - hNew.getOrElse(b, 0L) * tOld)
+      }.sum
+      tpe -> (tOld, tNew, l1, l1.toDouble / (tOld * tNew))
+    }
+    assert(out == expected)
+    out.values.foreach { case (_, _, _, drift) =>
+      assert(drift >= 0.0 && drift <= 2.0)
+    }
+  }
+
   test("q100: exact-moment correlation equals a BigInt recompute; |r| <= 1") {
     val out = Relational.queries("q100_group_correlation")(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
