@@ -27,6 +27,26 @@ object Relational {
 
   /** Exact order-independent sum of a 2-decimal double column. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Histogram rank walk shared by q91 (median) and q95 (winsorize cuts):
+    * cumulative counts over the DISTINCT values of each group — never a
+    * row-level sort — then, for every requested rank expression over the
+    * group total `n`, the smallest value whose cumulative count reaches
+    * it. `hist` must be (groupCol, valueCol, cnt). */
+  private def histRankWalk(hist: DataFrame, groupCol: String, valueCol: String,
+                           ranks: Seq[(String, String)]): DataFrame = {
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val rankCols = ranks.map { case (name, rankExpr) =>
+      min(when(col("cum") >= expr(rankExpr), col(valueCol))).as(name)
+    }
+    cum.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), rankCols: _*)
+  }
   /** Exact-numerator average (double division of exact decimal sum). */
   private def davg(c: Column): Column = dsum(c) / count(c)
   private def oSum(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
@@ -493,19 +513,9 @@ object Relational {
       val hist = t(s, d, "orders")
         .groupBy(col("o_orderpriority"), cents.as("cents"))
         .agg(count(lit(1)).as("cnt"))
-      val wCum = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("o_orderpriority"))
-      hist
-        .withColumn("cum", sum(col("cnt")).over(wCum))
-        .withColumn("n", sum(col("cnt")).over(wAll))
-        .withColumn("lo", expr("(n + 1) div 2"))
-        .withColumn("hi", expr("n div 2 + 1"))
-        .groupBy(col("o_orderpriority"))
-        .agg(max(col("n")).as("n_orders"),
-          min(when(col("cum") >= col("lo"), col("cents"))).as("v_lo"),
-          min(when(col("cum") >= col("hi"), col("cents"))).as("v_hi"))
-        .select(col("o_orderpriority"), col("n_orders"),
+      histRankWalk(hist, "o_orderpriority", "cents",
+        Seq("v_lo" -> "(n + 1) div 2", "v_hi" -> "n div 2 + 1"))
+        .select(col("o_orderpriority"), col("n").as("n_orders"),
           ((col("v_lo") + col("v_hi")).cast("double") / 200.0)
             .as("median_price"))
     }),
@@ -523,14 +533,20 @@ object Relational {
     // halves pivoted into columns, one 16-rows-per-type rollup.
     "q104_value_drift" -> ((s, d) => {
       val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+      val D = DecimalType(38, 0)
       val ev = t(s, d, "events")
         .select(col("event_type"), unix_micros(col("ts")).as("us"),
           cents.as("c"))
-      val span = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+      // one aggregating scan carries both the per-type value bounds and the
+      // per-type time extent; the GLOBAL extent is then a second-level agg
+      // over the #types-row table, never another pass over events
       val bounds = ev.groupBy(col("event_type"))
-        .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+        .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"),
+          min(col("us")).as("u0"), max(col("us")).as("u1"))
+      val span = bounds.agg(min(col("u0")).as("t0"), max(col("u1")).as("t1"))
       val binned = ev.join(broadcast(span))
-        .join(broadcast(bounds), "event_type")
+        .join(broadcast(bounds.select(col("event_type"), col("cmin"),
+          col("cmax"))), "event_type")
         .select(col("event_type"),
           // integer midpoint halving: second half iff 2·us >= t0 + t1
           (col("us") * 2 >= col("t0") + col("t1")).as("is_new"),
@@ -540,7 +556,9 @@ object Relational {
         .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("n_old"),
           sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
       // per-type totals as window aggs over the 16-cell partitions (a
-      // groupBy+join would recompute the whole binning pipeline)
+      // groupBy+join would recompute the whole binning pipeline); the
+      // cross products run in DECIMAL(38,0) like q100 — n·T exceeds int64
+      // once a type holds ~3e9 events per half
       val w = Window.partitionBy(col("event_type"))
       cells
         .withColumn("t_old", sum(col("n_old")).over(w))
@@ -548,10 +566,18 @@ object Relational {
         .groupBy(col("event_type"))
         .agg(max(col("t_old")).as("n_old_total"),
           max(col("t_new")).as("n_new_total"),
-          sum(abs(col("n_old") * col("t_new") - col("n_new") * col("t_old")))
-            .as("l1_num"))
-        .withColumn("drift", col("l1_num").cast("double") /
-          (col("n_old_total") * col("n_new_total")))
+          sum(abs(col("n_old").cast(D) * col("t_new").cast(D) -
+            col("n_new").cast(D) * col("t_old").cast(D))).as("l1_num_d"))
+        // a type living entirely in one half has no counterpart
+        // distribution: drift pins to the disjoint-support maximum 2.0.
+        // The numerator stays internal (decimal) — emitting it as int64
+        // would re-introduce the overflow the decimal math avoids.
+        .select(col("event_type"), col("n_old_total"), col("n_new_total"),
+          when(col("n_old_total") === 0L || col("n_new_total") === 0L,
+            lit(2.0))
+            .otherwise(col("l1_num_d").cast("double") /
+              (col("n_old_total").cast(D) * col("n_new_total").cast(D))
+                .cast("double")).as("drift"))
     }),
 
     // --- per-group Pearson correlation from exact integer moments ---------------
@@ -647,17 +673,10 @@ object Relational {
         .select(col("event_id"), col("event_type"), cents.as("c"))
       val hist = ev.groupBy(col("event_type"), col("c"))
         .agg(count(lit(1)).as("cnt"))
-      val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("event_type"))
-      val cuts = hist
-        .withColumn("cum", sum(col("cnt")).over(wCum))
-        .withColumn("n", sum(col("cnt")).over(wAll))
-        .withColumn("lo_r", expr("(5 * n + 99) div 100"))
-        .withColumn("hi_r", expr("(95 * n + 99) div 100"))
-        .groupBy(col("event_type"))
-        .agg(min(when(col("cum") >= col("lo_r"), col("c"))).as("c_lo"),
-          min(when(col("cum") >= col("hi_r"), col("c"))).as("c_hi"))
+      val cuts = histRankWalk(hist, "event_type", "c",
+        Seq("c_lo" -> "(5 * n + 99) div 100",
+          "c_hi" -> "(95 * n + 99) div 100"))
+        .select(col("event_type"), col("c_lo"), col("c_hi"))
       ev.join(broadcast(cuts), "event_type")
         .select(col("event_id"), col("event_type"),
           (col("c").cast("double") / 100.0).as("value"),
@@ -1111,9 +1130,10 @@ object Relational {
            SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
            FROM events),
-         span AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM ev),
-         bounds AS (SELECT event_type, MIN(c) AS cmin, MAX(c) AS cmax
+         bounds AS (SELECT event_type, MIN(c) AS cmin, MAX(c) AS cmax,
+                      MIN(us) AS u0, MAX(us) AS u1
                     FROM ev GROUP BY 1),
+         span AS (SELECT MIN(u0) AS t0, MAX(u1) AS t1 FROM bounds),
          binned AS (
            SELECT ev.event_type,
              (ev.us * 2 >= span.t0 + span.t1) AS is_new,
@@ -1133,9 +1153,11 @@ object Relational {
            FROM cells)
          SELECT event_type, MAX(t_old) AS n_old_total,
            MAX(t_new) AS n_new_total,
-           CAST(SUM(abs(n_old * t_new - n_new * t_old)) AS BIGINT) AS l1_num,
-           CAST(SUM(abs(n_old * t_new - n_new * t_old)) AS DOUBLE)
-             / (MAX(t_old) * MAX(t_new)) AS drift
+           CASE WHEN MAX(t_old) = 0 OR MAX(t_new) = 0 THEN CAST(2.0 AS DOUBLE)
+                ELSE CAST(SUM(abs(CAST(n_old AS HUGEINT) * t_new
+                                  - CAST(n_new AS HUGEINT) * t_old)) AS DOUBLE)
+                     / CAST(CAST(MAX(t_old) AS HUGEINT) * MAX(t_new) AS DOUBLE)
+           END AS drift
          FROM tot GROUP BY event_type""",
 
     "q100_group_correlation" ->

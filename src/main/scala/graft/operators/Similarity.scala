@@ -218,7 +218,11 @@ object Similarity {
           col("bucket") === col("b_bucket"))
         .filter(pairSim(col("v"), col("nrm"), col("bv"), col("bn")) >= 0.4)
         .select(col("vec_id")).distinct()
-      corpus.join(hits.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      // hits is bounded by the benchmark's similarity reach — broadcast it
+      // so the flagging join keeps the documented corpus-never-shuffles
+      // shape instead of a sort-merge join on vec_id
+      corpus.join(broadcast(hits.withColumn("hit", lit(true))),
+          Seq("vec_id"), "left")
         .select(col("vec_id"), col("label"),
           coalesce(col("hit"), lit(false)).as("contaminated"))
     }),

@@ -270,10 +270,16 @@ object StatefulOps {
     * or extends the current one by `start + horizon − frontier`. Emits the
     * updated per-user coverage row each batch the user appears in (Update
     * mode). Same ordering contract as [[funnelStream]]; parity with batch
-    * q89 is spec-pinned on a ts-ordered replay of the real events table. */
+    * q89 is spec-pinned on a ts-ordered replay of the real events table.
+    *
+    * Unlike the funnel/dedup states, this state is CUMULATIVE — eviction
+    * does not just forget an edge, it silently zeroes the user's lifetime
+    * coverage and makes emitted counters regress. So the default is NO
+    * idle timeout; pass one only when downstream tolerates
+    * counter resets (e.g. sessions-scoped coverage). */
   def coverageStream(events: Dataset[CoverageEvent],
                      horizonUs: Long = 60L * 1000000L,
-                     idleTimeout: Option[String] = Some("1 hour")): Dataset[CoverageRow] = {
+                     idleTimeout: Option[String] = None): Dataset[CoverageRow] = {
     import events.sparkSession.implicits._
     val timeoutConf = if (idleTimeout.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()

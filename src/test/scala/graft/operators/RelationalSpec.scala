@@ -203,7 +203,7 @@ class RelationalSpec extends SparkSpec {
   test("q104: drift equals an exact JVM recompute and sits in [0, 2]") {
     val out = Relational.queries("q104_value_drift")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(out.nonEmpty)
     val ev = graft.Tables.load(spark, sfDir, "events")
       .select(col("event_type"), unix_micros(col("ts")),
@@ -219,12 +219,15 @@ class RelationalSpec extends SparkSpec {
       val hNew = nw.groupBy(r => bin(r._3)).view.mapValues(_.length.toLong)
       val tOld = od.length.toLong; val tNew = nw.length.toLong
       val l1 = (0L to 15L).map { b =>
-        math.abs(hOld.getOrElse(b, 0L) * tNew - hNew.getOrElse(b, 0L) * tOld)
+        (BigInt(hOld.getOrElse(b, 0L)) * tNew -
+          BigInt(hNew.getOrElse(b, 0L)) * tOld).abs
       }.sum
-      tpe -> (tOld, tNew, l1, l1.toDouble / (tOld * tNew))
+      val drift = if (tOld == 0 || tNew == 0) 2.0
+        else l1.toDouble / (BigInt(tOld) * BigInt(tNew)).toDouble
+      tpe -> (tOld, tNew, drift)
     }
     assert(out == expected)
-    out.values.foreach { case (_, _, _, drift) =>
+    out.values.foreach { case (_, _, drift) =>
       assert(drift >= 0.0 && drift <= 2.0)
     }
   }
