@@ -497,6 +497,28 @@ object Relational {
           (col("n_trans").cast("double") / col("n_from")).as("prob"))
     }),
 
+    // --- top event paths (3-step sequence mining) -------------------------------
+    // The path-discovery extension of q92's transition matrix: the 25 most
+    // travelled 3-step event sequences, with how many users ever walk each
+    // path. Two lead() offsets over the same per-user window (one shuffle,
+    // one sort serves both), then a hash agg on the path triple — at most
+    // #types³ cells — and a bounded TakeOrdered(25). n_users is an exact
+    // distinct count over the path's walkers; ordering is total
+    // (n_paths desc, then the three steps) so the cut is deterministic.
+    "q105_event_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("step2", lead(col("event_type"), 1).over(w))
+        .withColumn("step3", lead(col("event_type"), 2).over(w))
+        .filter(col("step3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+        .agg(count(lit(1)).as("n_paths"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+        .limit(25)
+    }),
+
     // --- exact per-group median via value histogram -----------------------------
     // Exact order statistics WITHOUT sorting rows: collapse orders to a
     // (priority, price-in-cents) count histogram first (hash agg with
@@ -1244,6 +1266,18 @@ object Relational {
          SELECT trans.from_type, trans.to_type, trans.n_trans,
            CAST(trans.n_trans AS DOUBLE) / tot.n_from AS prob
          FROM trans JOIN tot ON trans.from_type = tot.from_type""",
+
+    "q105_event_paths" ->
+      """SELECT step1, step2, step3, COUNT(1) AS n_paths,
+            COUNT(DISTINCT user_id) AS n_users
+         FROM (SELECT user_id, event_type AS step1,
+                 LEAD(event_type, 1) OVER w AS step2,
+                 LEAD(event_type, 2) OVER w AS step3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         WHERE step3 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY n_paths DESC, step1, step2, step3 LIMIT 25""",
 
     "q91_group_median" ->
       """WITH hist AS (

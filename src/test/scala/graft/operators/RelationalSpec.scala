@@ -200,6 +200,30 @@ class RelationalSpec extends SparkSpec {
     assert(sql.toSeq == api.toSeq && sql.nonEmpty)
   }
 
+  test("q105: top paths equal a JVM sliding-window recompute") {
+    val out = Relational.queries("q105_event_paths")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 25)
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val walks = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val seq = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      seq.sliding(3).filter(_.length == 3)
+        .map(p => (u, (p(0), p(1), p(2)))).toSeq
+    }
+    val expected = walks.groupBy(_._2).map { case (p, ws) =>
+      (p, ws.size.toLong, ws.map(_._1).distinct.size.toLong)
+    }.toSeq
+      .sortBy { case ((s1, s2, s3), n, _) => (-n, s1, s2, s3) }
+      .take(25)
+      .map { case ((s1, s2, s3), n, u) => (s1, s2, s3, n, u) }
+    assert(out.toSeq == expected)
+  }
+
   test("q104: drift equals an exact JVM recompute and sits in [0, 2]") {
     val out = Relational.queries("q104_value_drift")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
