@@ -107,6 +107,51 @@ object Multimodal {
     }
   }
 
+  case class ImageHash(doc_id: Long, decoded: Boolean, ahash: Long)
+
+  /** Perceptual average-hash (aHash) over REAL decoded pixels — the
+    * image-side near-dup signal exact byte hashing (q63) cannot see: the
+    * same picture re-encoded (PNG vs BMP, different compressor settings)
+    * has different bytes but the same pixels, hence the same aHash.
+    * Classic recipe, integer-exact end to end: nearest-neighbor resample
+    * to an 8×8 grid, integer-mean luminance per cell, bit b set iff
+    * cell_b · 64 > Σcells (strict — avoids the all-equal pathological
+    * image setting every bit). Undecodable payloads degrade to
+    * `decoded = false, ahash = 0`, never a crash. Hash dedup downstream
+    * is the q40 shape: group by the 64-bit hash, only 8-byte keys
+    * shuffle; Hamming-near matches bucket by hash bands exactly like
+    * SimHash (q43). */
+  def imageAHash(ds: Dataset[MediaPayload]): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: Exception => null }
+        if (img == null) ImageHash(m.doc_id, decoded = false, ahash = 0L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          // nearest-neighbor 8x8 resample; integer-mean luminance per cell
+          val cells = Array.tabulate(64) { i =>
+            val cx = ((i % 8).toLong * w / 8).toInt
+            val cy = ((i / 8).toLong * h / 8).toInt
+            val rgb = img.getRGB(cx, cy)
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          }
+          val total = cells.map(_.toLong).sum
+          var hash = 0L
+          var b = 0
+          while (b < 64) {
+            if (cells(b).toLong * 64 > total) hash |= (1L << b)
+            b += 1
+          }
+          ImageHash(m.doc_id, decoded = true, ahash = hash)
+        }
+      }
+    }
+  }
+
   /** Decoded video container metadata. `us_per_frame`/`n_frames`/`width`/
     * `height` come from a real RIFF-AVI header parse; a payload that is not
     * a parseable AVI carries us_per_frame = 0 and the stub's byte-derived

@@ -63,6 +63,41 @@ class MultimodalSpec extends SparkSpec {
       fallback.height == notAnImage.length % 480)
   }
 
+  test("imageAHash: re-encoded pixels hash identically; different pixels differ") {
+    import spark.implicits._
+    // a 16x16 half-dark/half-light gradient — content with real structure
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = if (x < 8) 16 * y / 2 else 128 + x * 4
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(i: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(i, fmt, bos)); bos.toByteArray
+    }
+    val png = enc(img, "png")
+    val bmp = enc(img, "bmp")
+    assert(!png.sameElements(bmp), "the two encodings must differ as bytes")
+    // an inverted copy: same dimensions, different pixels
+    val inv = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      inv.setRGB(x, y, ~img.getRGB(x, y) & 0xffffff)
+    val out = imageAHash(Seq(
+      MediaPayload(1L, "image", png),
+      MediaPayload(2L, "image", bmp),
+      MediaPayload(3L, "image", enc(inv, "png")),
+      MediaPayload(4L, "image", "not an image".getBytes("UTF-8"))).toDS())
+      .collect().map(h => h.doc_id -> h).toMap
+    // exact byte dedup (q63's md5) CANNOT pair 1 and 2; aHash does
+    assert(out(1L).decoded && out(2L).decoded)
+    assert(out(1L).ahash == out(2L).ahash, "re-encode must not change aHash")
+    assert(out(1L).ahash != 0L)
+    assert(out(3L).ahash != out(1L).ahash, "inverted image must differ")
+    assert(!out(4L).decoded && out(4L).ahash == 0L, "degrade, never crash")
+  }
+
   test("decodeImage: real JPEG decode via javax.imageio") {
     import spark.implicits._
     // JPEG is lossy, so pin a uniform mid-gray 4x4 (DC-only content — the
