@@ -514,6 +514,28 @@ object Dedup {
             .otherwise("train").as("split"))
     }),
 
+    // --- quality-aware canonicalization -------------------------------------
+    // q47 keeps each cluster's MIN doc_id — the arbitrary-but-stable rule.
+    // Real curation keeps the best member: here the LONGEST doc (n_chars
+    // desc, doc_id tie-break), the usual proxy when near-dups are
+    // truncations or partial re-crawls of one another. Emits every doc
+    // with its cluster and an is_canonical flag (the keep-set and the
+    // drop-set are both one filter away). Cost beyond the audited CC
+    // labels: one left join + a row_number over clusters — partitioned by
+    // cluster id (high cardinality; singleton docs are their own
+    // partition), never global.
+    "q106_canonical_longest" -> ((s, d) => {
+      val comp = connectedComponents(trigramPairs(s, d).select(col("i"), col("j")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs(s, d).join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        .withColumn("is_canonical", row_number().over(w) === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("cluster"),
+          col("is_canonical"))
+    }),
+
     // --- dedup diagnostics: cluster-size distribution ----------------------
     // The report a dedup run ships with: how many near-dup clusters exist
     // at each size, how many docs they absorb, and what fraction of each
@@ -796,6 +818,15 @@ object Dedup {
                       < '1a'
                  THEN 'valid' ELSE 'train' END AS split
           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+
+    "q106_canonical_longest" ->
+      s"""WITH RECURSIVE ${oComponents()}
+          SELECT doc_id, source, n_chars, cluster,
+            ROW_NUMBER() OVER (PARTITION BY cluster
+              ORDER BY n_chars DESC, doc_id) = 1 AS is_canonical
+          FROM (SELECT d.doc_id, d.source, d.n_chars,
+                  coalesce(c.component, d.doc_id) AS cluster
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)""",
 
     "q99_cluster_sizes" ->
       s"""WITH RECURSIVE ${oComponents()},

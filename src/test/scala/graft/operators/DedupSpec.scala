@@ -225,6 +225,26 @@ class DedupSpec extends SparkSpec {
       "expected q36 to exhibit cross-split leakage on the clone clusters")
   }
 
+  test("q106: the longest cluster member is canonical; exactly one per cluster") {
+    val rows = Dedup.queries("q106_canonical_longest")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._3).foreach { case (cl, members) =>
+      val canon = members.filter(_._4)
+      assert(canon.length == 1, s"cluster $cl")
+      // the flagged member is the (n_chars desc, doc_id asc) max
+      val best = members.minBy(m => (-m._2, m._1))
+      assert(canon.head._1 == best._1, s"cluster $cl")
+    }
+    // multi-member clusters exist AND at least one canonical pick differs
+    // from q47's min-id rule (the policy change is observable)
+    val multi = rows.groupBy(_._3).filter(_._2.length > 1)
+    assert(multi.nonEmpty)
+    assert(multi.exists { case (_, ms) =>
+      ms.filter(_._4).head._1 != ms.map(_._1).min
+    }, "expected some cluster whose longest member is not its min-id member")
+  }
+
   test("q99: cluster-size histogram is consistent with the q46 component labels") {
     val comp = Dedup.queries("q46_dedup_components")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
