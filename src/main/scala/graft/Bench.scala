@@ -31,14 +31,26 @@ object Bench {
     // read as a speedup). Raw per-run times are emitted alongside the min so
     // a noisy host window is self-evident in the artifact: a real regression
     // shows all runs slow; noise shows one slow run next to fast ones.
-    val rawTimes: Map[String, Seq[Double]] = SparkEntry.queries.map {
-      case (name, fn) =>
-        name -> (1 to Runs).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+    //
+    // Each of the three passes times the queries in a DIFFERENT (seeded,
+    // reproducible) order: a contended window on the shared host then lands
+    // on different queries in different passes, so min-of-3 actually
+    // suppresses it. With the old query-major loop the same neighbors
+    // contended in all three runs (round 5: q11/q27 read 3-6x their
+    // clean-JVM cost purely from run ordering).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to Runs).foreach { run =>
+      new scala.util.Random(run).shuffle(names).foreach { name =>
+        val t0 = System.nanoTime()
+        val t =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 }
-        }
+        samples(name) = samples(name) :+ t
+      }
     }
+    val rawTimes: Map[String, Seq[Double]] = names.map(n => n -> samples(n)).toMap
     val results = rawTimes.map { case (name, times) =>
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
@@ -53,15 +65,16 @@ object Bench {
     val streamingJson = streamingBench(spark)
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"streaming":$streamingJson,"sf":"$sfDir"}"""
-    // The driver captures only the TAIL of stdout, and the full line (with
-    // the per-run map) has twice been long enough to truncate the total out
-    // of the artifact. Persist the full JSON to a file, then print it, then
-    // print a compact summary (no runs map) LAST so the final stdout line is
-    // always a complete, parseable total regardless of tail-capture size.
+    // The driver captures only the TAIL of stdout, and any line that embeds
+    // a per-query map (~4 KB at 100+ queries) has twice been long enough to
+    // get head-truncated out of the artifact. Persist the full JSON to a
+    // file, print it, then print a SHORT final line — total only, NO
+    // per-query map — so the last stdout line is always complete and
+    // parseable regardless of tail-capture size.
     val out = java.nio.file.Paths.get("bench_out.json")
     java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
     println(fullJson)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 

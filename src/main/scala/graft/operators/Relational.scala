@@ -35,7 +35,13 @@ object Relational {
     * it. `hist` must be (groupCol, valueCol, cnt). */
   private def histRankWalk(hist: DataFrame, groupCol: String, valueCol: String,
                            ranks: Seq[(String, String)]): DataFrame = {
-    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    // asc_nulls_last: Spark's bare ascending sort puts NULLs FIRST while the
+    // oracle's (DuckDB) ASC default is NULLS LAST — on a nullable value
+    // column (q95 walks events.value) the cumulative ranks would otherwise
+    // shift between engines. Nulls-last keeps every non-null cum count
+    // identical in both, and a rank landing in the null tail yields NULL in
+    // both (MIN skips nulls on each side).
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol).asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(groupCol))
     val cum = hist
@@ -572,8 +578,14 @@ object Relational {
         .select(col("event_type"),
           // integer midpoint halving: second half iff 2·us >= t0 + t1
           (col("us") * 2 >= col("t0") + col("t1")).as("is_new"),
+          // the bin numerator (c - cmin) * 16 runs in DECIMAL(38,0) like the
+          // L1 cross products below: in int64 it would silently wrap (Spark,
+          // non-ANSI) where DuckDB raises, once the per-type cents range
+          // exceeds ~5.8e17 — reachable with DECIMAL(18,2)-scale values.
+          // `div` is integral divide (BIGINT result) in both engines.
           least(lit(15L),
-            expr("((c - cmin) * 16) div (cmax - cmin + 1)")).as("bin"))
+            expr("((cast(c as decimal(38,0)) - cmin) * 16) div (cmax - cmin + 1)"))
+            .as("bin"))
       val cells = binned.groupBy(col("event_type"), col("bin"))
         .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("n_old"),
           sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
@@ -664,11 +676,17 @@ object Relational {
     // value is an exact integer.
     "q97_time_gridfill" -> ((s, d) => {
       // materialized once: both the span derivation and the left join read
-      // it, and recomputing it means scanning events twice
+      // it, and recomputing it means scanning events twice. LAZY checkpoint
+      // (eager=false): building the DataFrame stays plan-only (no job at
+      // construction — the Explain dev loop would otherwise execute the
+      // full upstream); the first action materializes, later reads reuse.
+      // Caveat: localCheckpoint blocks are not fault-tolerant — on a real
+      // cluster an executor loss kills the query; a production run at scale
+      // would use reliable checkpoint() or persist(DISK_ONLY) replicated.
       val hc = t(s, d, "events")
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val grid = hc.groupBy(col("user_id"))
         .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
         .select(col("user_id"),
@@ -1159,8 +1177,8 @@ object Relational {
          binned AS (
            SELECT ev.event_type,
              (ev.us * 2 >= span.t0 + span.t1) AS is_new,
-             least(15, ((ev.c - bounds.cmin) * 16)
-                       // (bounds.cmax - bounds.cmin + 1)) AS bin
+             least(15, CAST(((CAST(ev.c AS HUGEINT) - bounds.cmin) * 16)
+                       // (bounds.cmax - bounds.cmin + 1) AS BIGINT)) AS bin
            FROM ev CROSS JOIN span
            JOIN bounds ON ev.event_type = bounds.event_type),
          cells AS (

@@ -156,10 +156,16 @@ object Similarity {
     // cuts every downstream ANN stage's arithmetic and shuffle bytes 4×
     // while approximately preserving cosines (distortion bounded by JL; the
     // preservation is spec-measured, the values oracle-hashed). Narrow:
-    // ProjDim codegen'd dot products per row, zero shuffles.
+    // ProjDim codegen'd dot products per row, zero shuffles. Output is the
+    // projection POSEXPLODED to (vec_id, label, pos, value) scalar rows —
+    // the driver's comparator hashes scalar cells only (an array<double>
+    // column crashed its sort in round 5), and the long format is also the
+    // layout a downstream columnar store wants.
     "q81_jl_project" -> ((s, d) =>
       embs(s, d).select(col("vec_id"), col("label"),
-        jlProject(col("v")).as("pv"))),
+        posexplode(jlProject(col("v"))).as(Seq("p", "value")))
+        .select(col("vec_id"), col("label"),
+          (col("p") + 1).cast("long").as("pos"), col("value"))),
 
     // --- ANN in the projected space (the compressed search shape) ----------
     // Same broadcast shape as q50 over 4×-smaller vectors; sims are
@@ -477,7 +483,12 @@ object Similarity {
           FROM corpus c LEFT JOIN hits h ON c.vec_id = h.vec_id""",
 
     "q81_jl_project" ->
-      s"""SELECT vec_id, label, ${oJlProject(oEmb)} AS pv FROM embeddings""",
+      s"""WITH p AS (SELECT vec_id, label, ${oJlProject(oEmb)} AS pv
+                     FROM embeddings)
+          SELECT vec_id, label, CAST(pos AS BIGINT) AS pos, value
+          FROM (SELECT vec_id, label, unnest(pv) AS value,
+                       generate_subscripts(pv, 1) AS pos
+                FROM p)""",
 
     "q82_knn_projected" ->
       s"""WITH e AS (SELECT vec_id, ${oJlProject(oEmb)} AS pv FROM embeddings),

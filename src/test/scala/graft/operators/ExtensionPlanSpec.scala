@@ -11,13 +11,24 @@ class ExtensionPlanSpec extends SparkSpec {
                    name: String): String =
     m(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  // q42 is memoized+checkpointed in the query map (shared near-dup
+  // lineage), so its QUERY plan is a checkpoint scan; the LSH plan shape
+  // is asserted on the un-memoized pipeline it wraps.
+  private def trigramPipeline =
+    Dedup.lshNearDupPairs(graft.Tables.load(spark, sfDir, "documents"),
+      n = 3, numHashes = Dedup.NumHashes, bandSize = Dedup.BandSize,
+      seedBase = 0, tNum = Dedup.TrigramTNum, tDen = Dedup.TrigramTDen)
+
   test("near-dup pipelines never plan a cartesian or nested-loop join") {
-    Seq("q42_dedup_lsh_pairs", "q44_dedup_ngram_jaccard", "q45_dedup_embcos")
-      .foreach { q =>
-        val p = plan(Dedup.queries, q)
-        assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
-        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(600)}")
-      }
+    val plans = Seq(
+      "q42 (un-memoized trigram pipeline)" ->
+        trigramPipeline.queryExecution.executedPlan.toString,
+      "q44_dedup_ngram_jaccard" -> plan(Dedup.queries, "q44_dedup_ngram_jaccard"),
+      "q45_dedup_embcos" -> plan(Dedup.queries, "q45_dedup_embcos"))
+    plans.foreach { case (q, p) =>
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(600)}")
+    }
   }
 
   test("LSH banded self-join reuses one exchange when too big to broadcast") {
@@ -31,7 +42,7 @@ class ExtensionPlanSpec extends SparkSpec {
     try {
       // AQE applies exchange reuse at stage materialization, so execute
       // first and inspect the final adaptive plan.
-      val df = Dedup.queries("q42_dedup_lsh_pairs")(spark, sfDir)
+      val df = trigramPipeline
       df.collect()
       val p = df.queryExecution.executedPlan.toString
       assert(p.startsWith("AdaptiveSparkPlan isFinalPlan=true"), p.take(200))
