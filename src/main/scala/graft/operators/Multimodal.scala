@@ -152,6 +152,118 @@ object Multimodal {
     }
   }
 
+  case class ImagePHash(doc_id: Long, decoded: Boolean, phash: Long)
+
+  /** DCT-based perceptual hash (pHash) — the next rung above [[imageAHash]]
+    * on the image-dedup ladder: aHash catches re-encodes (same pixels,
+    * different bytes); pHash ALSO catches resizes, because the signal lives
+    * in the lowest spatial frequencies, which survive rescaling. Classic
+    * recipe: box-filter the luminance onto a 32×32 grid (area averaging —
+    * an integer-upscaled copy reduces to the identical grid, which the spec
+    * pins), 2-D DCT-II by row-column decomposition, keep the top-left 8×8
+    * coefficient block minus the DC term (63 low-frequency coefficients —
+    * DC is overall brightness, deliberately dropped), set bit i iff
+    * coefficient i exceeds the median of the 63 (median-split makes the
+    * hash contrast-invariant; 63 odd → the median is a single exact sorted
+    * element, no averaging). Undecodable payloads degrade to
+    * `decoded = false, phash = 0`, never a crash.
+    *
+    * Spec-only, like aHash: pixel decoding is not oracle-expressible, so it
+    * stays off the query board. Downstream dedup is the q40/q43 shape:
+    * 8-byte keys group exactly, Hamming-near matches bucket by bit-bands.
+    * The DCT basis table is built once per PARTITION (the decoder-init
+    * amortization `mapPartitions` exists for). */
+  def imagePHash(ds: Dataset[MediaPayload]): Dataset[ImagePHash] = {
+    import ds.sparkSession.implicits._
+    val N = 32
+    ds.mapPartitions { it =>
+      // cos basis: basis(k)(n) = cos(pi/N * (n + 1/2) * k) — per partition
+      val basis = Array.tabulate(N, N) { (k, n) =>
+        math.cos(math.Pi / N * (n + 0.5) * k)
+      }
+      it.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: Exception => null }
+        if (img == null) ImagePHash(m.doc_id, decoded = false, phash = 0L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          // area-average (box-filter) luminance onto the N×N grid: cell
+          // (gy, gx) averages the pixel block [gx·w/N, (gx+1)·w/N) ×
+          // [gy·h/N, (gy+1)·h/N) (≥1 px by construction of the bounds)
+          val lum = Array.ofDim[Double](N, N)
+          var gy = 0
+          while (gy < N) {
+            val y0 = (gy.toLong * h / N).toInt
+            val y1 = math.max(y0 + 1, ((gy + 1).toLong * h / N).toInt)
+            var gx = 0
+            while (gx < N) {
+              val x0 = (gx.toLong * w / N).toInt
+              val x1 = math.max(x0 + 1, ((gx + 1).toLong * w / N).toInt)
+              var s = 0L
+              var y = y0
+              while (y < math.min(y1, h)) {
+                var x = x0
+                while (x < math.min(x1, w)) {
+                  val rgb = img.getRGB(x, y)
+                  s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                  x += 1
+                }
+                y += 1
+              }
+              val cnt = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+              lum(gy)(gx) = if (cnt > 0) s.toDouble / cnt else 0.0
+              gx += 1
+            }
+            gy += 1
+          }
+          // 2-D DCT-II, row-column: rows first, then columns; only the
+          // first 8 output rows/cols are ever read, so compute just those
+          val K = 8
+          val rows = Array.ofDim[Double](N, K)
+          var y = 0
+          while (y < N) {
+            var u = 0
+            while (u < K) {
+              var s = 0.0
+              var x = 0
+              while (x < N) { s += lum(y)(x) * basis(u)(x); x += 1 }
+              rows(y)(u) = s
+              u += 1
+            }
+            y += 1
+          }
+          val coefs = new Array[Double](K * K)
+          var v = 0
+          while (v < K) {
+            var u = 0
+            while (u < K) {
+              var s = 0.0
+              var yy = 0
+              while (yy < N) { s += rows(yy)(u) * basis(v)(yy); yy += 1 }
+              coefs(v * K + u) = s
+              u += 1
+            }
+            v += 1
+          }
+          // drop DC (index 0), median-split the remaining 63
+          val ac = coefs.drop(1)
+          val sorted = ac.clone()
+          java.util.Arrays.sort(sorted)
+          val med = sorted(ac.length / 2) // 63 values -> exact element 31
+          var hash = 0L
+          var i = 0
+          while (i < ac.length) {
+            if (ac(i) > med) hash |= (1L << i)
+            i += 1
+          }
+          ImagePHash(m.doc_id, decoded = true, phash = hash)
+        }
+      }
+    }
+  }
+
   /** Decoded video container metadata. `us_per_frame`/`n_frames`/`width`/
     * `height` come from a real RIFF-AVI header parse; a payload that is not
     * a parseable AVI carries us_per_frame = 0 and the stub's byte-derived

@@ -227,6 +227,100 @@ object Sketches {
       ExpressionEncoder[Array[Long]]()
   }
 
+  // ------------------------- HyperLogLog ---------------------------------
+
+  /** HLL sizing: 64 registers (p = 6 — small enough that the sf-scale test
+    * vocabularies exercise real register collisions, the q65-width
+    * discipline), rho capped by a 12-nibble (48-bit) hash tail. The 100 TB
+    * deployment dials the register count for the target error
+    * (1.04/sqrt(m)); the structure stays a fixed array either way. */
+  val HllRegisters = 64
+  val HllTailNibbles = 12
+  val HllMaxRho: Int = 4 * HllTailNibbles + 1 // all-zero tail
+
+  /** 2^(HllMaxRho) as an exact double/long scale: the register harmonic sum
+    * runs as the INTEGER Σ 2^(maxRho - M_j) (≤ 64·2^49 < 2^55 — int64-exact
+    * and order-independent, where a float Σ 2^-M_j could round), and the
+    * estimate divides it back out by this exact power of two. */
+  val HllPowScale = 562949953421312L // 1L << 49
+
+  /** Standard HLL bias constant for m = 64 (Flajolet et al. 2007). */
+  val HllAlpha64 = 0.709
+
+  /** Register index of an element: first 2 md5 hex chars mod m — uniform
+    * (256 is a multiple of 64) and reproducible digit-for-digit in DuckDB. */
+  def hllIdxOf(x: String): Int =
+    Integer.parseInt(md5hex(x).substring(0, 2), 16) % HllRegisters
+
+  /** rho = position of the first 1-bit in the 48-bit hash tail (1-based),
+    * HllMaxRho when the tail is all zeros. Computed by a HEX-STRING walk —
+    * count leading '0' nibbles, then the zero bits inside the first nonzero
+    * nibble — the same arithmetic both engines run (no float log2, whose
+    * libm rounding is not contractually identical across engines). */
+  def hllRhoOf(x: String): Int = {
+    val tail = md5hex(x).substring(2, 2 + HllTailNibbles)
+    var z = 0
+    while (z < HllTailNibbles && tail.charAt(z) == '0') z += 1
+    if (z == HllTailNibbles) HllMaxRho
+    else {
+      val d = Character.digit(tail.charAt(z), 16)
+      val nibz = if (d == 1) 3 else if (d <= 3) 2 else if (d <= 7) 1 else 0
+      4 * z + nibz + 1
+    }
+  }
+
+  /** The HLL as a MERGEABLE FIXED-SIZE accumulator (the discipline of
+    * [[CmsAggregate]]/[[BloomAggregate]]/[[HistogramAggregate]]): m int64
+    * registers, `reduce` maxes one register, `merge` is element-wise max —
+    * the union law that makes cross-shard / cross-day / streaming distinct
+    * counting composable with bounded state. Registers (not a float
+    * estimate) are the carried state AND the finish value: estimates are
+    * read off with [[hllSumPow]]/[[hllEstimate]], and two sketches union
+    * losslessly (max is idempotent, commutative, associative — the
+    * merge-law spec pins it). */
+  object HllAggregate extends Aggregator[String, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](HllRegisters)
+    override def reduce(b: Array[Long], x: String): Array[Long] = {
+      val i = hllIdxOf(x)
+      val r = hllRhoOf(x).toLong
+      if (r > b(i)) b(i) = r
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Integer harmonic numerator Σ 2^(maxRho − M_j) over all m registers —
+    * exact, order-independent. */
+  def hllSumPow(regs: Seq[Long]): Long =
+    regs.map(m => 1L << (HllMaxRho - m.toInt)).sum
+
+  /** Raw HLL estimate α·m²·2^maxRho / sumPow — one float multiply chain
+    * with pinned order (the 2^49 factor is an exact power-of-two scale). */
+  def hllEstimate(sumPow: Long): Double =
+    HllAlpha64 * (HllRegisters.toDouble * HllRegisters) * HllPowScale / sumPow
+
+  /** Estimate with the standard small-range (linear-counting) correction:
+    * raw ≤ 2.5m with empty registers → m·ln(m/V). JVM-side READER, not a
+    * gated column: ln is not contractually bit-identical across engines,
+    * so the query emits raw_est + the regime inputs (v_zero, sum_pow) and
+    * consumers apply the correction — the same split as q52 (train
+    * spec-side, assign oracle-side). */
+  def hllCorrected(sumPow: Long, vZero: Long): Double = {
+    val raw = hllEstimate(sumPow)
+    if (raw <= 2.5 * HllRegisters && vZero > 0)
+      HllRegisters * math.log(HllRegisters.toDouble / vZero)
+    else raw
+  }
+
   /** Percentiles the q74 exhibit reads off the histogram. */
   val HistPercentiles: Seq[Int] = Seq(25, 50, 75, 90, 99)
 
@@ -342,6 +436,62 @@ object Sketches {
         .groupBy(col("term"))
         .agg(count(lit(1)).as("n"))
       cmsEstimates(counts)
+    }),
+
+    // --- HLL distinct-count sketch per source ------------------------------
+    // Cross-shard distinct counting with bounded state: per-source vocabulary
+    // cardinality via 64 HLL registers. This is the COLUMN-EXPRESSION twin of
+    // [[HllAggregate]] (SketchesSpec pins register-level agreement + the
+    // merge law): register index/rho come from the engine-portable md5 hex
+    // walk, the per-(source, register) max is one hash agg with map-side
+    // partials, and everything downstream is sources×64 rows. The register
+    // harmonic sum stays the exact int64 Σ 2^(49−M) — no float accumulation
+    // anywhere, so the raw estimate is ONE pinned multiply chain and the
+    // whole row (exact count, zero registers, sum, estimate, 3σ-ish bound
+    // flag) hash-matches the oracle. At 100 TB: the exact n_exact column is
+    // the audit the sketch replaces — a deployment drops it and keeps the
+    // fixed-size registers (the q26/q71 pattern).
+    "q107_hll_distinct" -> ((s, d) => {
+      val tk = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("source"), explode(toks(col("text"))).as("term"))
+        .distinct()
+      val reg = tk
+        .withColumn("h", md5(col("term")))
+        .withColumn("idx",
+          conv(substring(col("h"), 1, 2), 16, 10).cast("long") % HllRegisters)
+        .withColumn("tl", substring(col("h"), 3, HllTailNibbles))
+        .withColumn("z4", length(regexp_extract(col("tl"), "^0*", 0)))
+        .withColumn("d", expr("substring(tl, z4 + 1, 1)"))
+        .withColumn("rho",
+          when(col("z4") === HllTailNibbles, lit(HllMaxRho))
+            .otherwise(col("z4") * 4 +
+              when(col("d") === "1", 3)
+                .when(col("d").isin("2", "3"), 2)
+                .when(col("d").isin("4", "5", "6", "7"), 1)
+                .otherwise(0) + 1))
+        .groupBy(col("source"), col("idx"))
+        .agg(max(col("rho")).cast("long").as("m"))
+      val sk = reg.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_regs"),
+          sum(expr(s"shiftleft(cast(1 as bigint), cast($HllMaxRho - m as int))"))
+            .as("pp"))
+        .select(col("source"),
+          (lit(HllRegisters.toLong) - col("n_regs")).as("v_zero"),
+          (col("pp") + (lit(HllRegisters.toLong) - col("n_regs")) * HllPowScale)
+            .as("sum_pow"))
+      val exact = tk.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      sk.join(exact, "source")
+        .withColumn("raw_est",
+          lit(HllAlpha64) * lit(HllRegisters.toDouble * HllRegisters) *
+            lit(HllPowScale.toDouble) / col("sum_pow"))
+        .select(col("source"), col("n_exact"), col("v_zero"), col("sum_pow"),
+          col("raw_est"),
+          // raw HLL is known-biased below ~2.5m (that regime belongs to the
+          // linear-counting correction, applied reader-side — hllCorrected);
+          // the flag only judges the estimator inside its own regime
+          (col("raw_est") <= lit(2.5 * HllRegisters) ||
+            abs(col("raw_est") - col("n_exact").cast("double")) <=
+              lit(0.4) * col("n_exact").cast("double")).as("est_ok"))
     })
   )
 
@@ -435,6 +585,53 @@ object Sketches {
             ${bucket("""(CASE WHEN qi.p = 50 THEN s.x50 WHEN qi.p = 90 THEN s.x90
                  ELSE s.x99 END)""")} = qi.qidx AS bound_ok
           FROM qi JOIN s ON qi.event_type = s.event_type"""
+    },
+
+    "q107_hll_distinct" -> {
+      val d1 = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)"
+      val d2 = "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+      s"""WITH tk AS (
+            SELECT DISTINCT source, term FROM (
+              SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents)),
+          hx AS (SELECT source, md5(term) AS h FROM tk),
+          rr AS (
+            SELECT source,
+              CAST(($d1 * 16 + $d2) % $HllRegisters AS BIGINT) AS idx,
+              length(regexp_extract(substr(h, 3, $HllTailNibbles), '^0*')) AS z4,
+              substr(h, 3, $HllTailNibbles) AS tl
+            FROM hx),
+          rho AS (
+            SELECT source, idx,
+              CASE WHEN z4 = $HllTailNibbles THEN $HllMaxRho
+                   ELSE 4 * z4 +
+                     CASE WHEN substr(tl, z4 + 1, 1) = '1' THEN 3
+                          WHEN substr(tl, z4 + 1, 1) IN ('2', '3') THEN 2
+                          WHEN substr(tl, z4 + 1, 1) IN ('4', '5', '6', '7') THEN 1
+                          ELSE 0 END + 1
+              END AS rho
+            FROM rr),
+          reg AS (
+            SELECT source, idx, CAST(MAX(rho) AS BIGINT) AS m
+            FROM rho GROUP BY source, idx),
+          sk AS (
+            SELECT source,
+              CAST($HllRegisters - COUNT(1) AS BIGINT) AS v_zero,
+              CAST(SUM(CAST(1 AS BIGINT) << ($HllMaxRho - m))
+                   + ($HllRegisters - COUNT(1)) * $HllPowScale AS BIGINT)
+                AS sum_pow
+            FROM reg GROUP BY source),
+          ex AS (SELECT source, COUNT(1) AS n_exact FROM tk GROUP BY source),
+          est AS (
+            SELECT sk.source, ex.n_exact, sk.v_zero, sk.sum_pow,
+              (CAST($HllAlpha64 AS DOUBLE) * ${HllRegisters.toDouble * HllRegisters}
+               * ${HllPowScale.toDouble}) / sk.sum_pow AS raw_est
+            FROM sk JOIN ex ON sk.source = ex.source)
+          SELECT source, n_exact, v_zero, sum_pow, raw_est,
+            (raw_est <= ${2.5 * HllRegisters}
+             OR abs(raw_est - CAST(n_exact AS DOUBLE))
+                <= 0.4 * CAST(n_exact AS DOUBLE)) AS est_ok
+          FROM est"""
     },
 
     "q65_cms_heavy_hitters" ->

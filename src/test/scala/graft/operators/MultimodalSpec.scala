@@ -98,6 +98,45 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(4L).decoded && out(4L).ahash == 0L, "degrade, never crash")
   }
 
+  test("imagePHash: survives re-encode AND integer upscale; unrelated differs") {
+    import spark.implicits._
+    // 32x32 with real 2-D structure (diagonal gradient + a bright block)
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = math.min(255, 3 * x + 2 * y + (if (x >= 20 && y < 10) 90 else 0))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    // 2x nearest-neighbor upscale: every source pixel becomes a 2x2 block,
+    // so the 32-cell box filter reduces it to the IDENTICAL luminance grid
+    // — the resize robustness aHash lacks, pinned exactly
+    val up = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) up.setRGB(x, y, img.getRGB(x / 2, y / 2))
+    val inv = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      inv.setRGB(x, y, ~img.getRGB(x, y) & 0xffffff)
+    def enc(i: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(i, fmt, bos)); bos.toByteArray
+    }
+    val out = imagePHash(Seq(
+      MediaPayload(1L, "image", enc(img, "png")),
+      MediaPayload(2L, "image", enc(img, "bmp")),
+      MediaPayload(3L, "image", enc(up, "png")),
+      MediaPayload(4L, "image", enc(inv, "png")),
+      MediaPayload(5L, "image", "not an image".getBytes("UTF-8"))).toDS())
+      .collect().map(h => h.doc_id -> h).toMap
+    assert(out(1L).decoded && out(1L).phash != 0L)
+    assert(out(1L).phash == out(2L).phash, "re-encode must not change pHash")
+    assert(out(1L).phash == out(3L).phash, "2x upscale must not change pHash")
+    // aHash CANNOT see through the resize when sampling points shift; pHash
+    // keying on low frequencies is the point of the DCT tier
+    assert(out(4L).phash != out(1L).phash, "inverted image must differ")
+    assert(!out(5L).decoded && out(5L).phash == 0L, "degrade, never crash")
+  }
+
   test("decodeImage: real JPEG decode via javax.imageio") {
     import spark.implicits._
     // JPEG is lossy, so pin a uniform mid-gray 4x4 (DC-only content — the

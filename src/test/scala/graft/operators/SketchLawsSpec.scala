@@ -56,6 +56,35 @@ object SketchLawsSpec extends Properties("SketchAggregates") {
         .sameElements(bloomFold(xs))
     }
 
+  // --- HLL ----------------------------------------------------------------
+
+  private def hllFold(xs: List[String]) =
+    xs.foldLeft(Sketches.HllAggregate.zero)(Sketches.HllAggregate.reduce)
+
+  property("hll: any partition split = sequential fold") =
+    Prop.forAll(terms, Gen.chooseNum(0, 100)) { (xs, cut) =>
+      val k = cut % (xs.size + 1)
+      val (l, r) = xs.splitAt(k)
+      Sketches.HllAggregate.merge(hllFold(l), hllFold(r))
+        .sameElements(hllFold(xs))
+    }
+
+  property("hll: merge is idempotent, commutative, zero is identity") =
+    Prop.forAll(terms, terms) { (x, y) =>
+      Sketches.HllAggregate.merge(hllFold(x), hllFold(x))
+        .sameElements(hllFold(x)) &&
+      Sketches.HllAggregate.merge(hllFold(x), hllFold(y))
+        .sameElements(Sketches.HllAggregate.merge(hllFold(y), hllFold(x))) &&
+      Sketches.HllAggregate.merge(hllFold(x), Sketches.HllAggregate.zero)
+        .sameElements(hllFold(x))
+    }
+
+  property("hll: insert-again never changes registers (distinct semantics)") =
+    Prop.forAll(terms) { xs =>
+      hllFold(xs ++ xs).sameElements(hllFold(xs)) &&
+      hllFold(xs.reverse).sameElements(hllFold(xs))
+    }
+
   // --- Histogram ----------------------------------------------------------
 
   private val hist = new Sketches.HistogramAggregate(0.0, 100.0)

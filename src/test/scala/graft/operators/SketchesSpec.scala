@@ -220,6 +220,40 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hll: typed aggregator registers == q107 column-expression registers") {
+    // The q107 pipeline computes registers with portable SQL expressions;
+    // HllAggregate computes them JVM-side. Same md5, same hex walk — the
+    // sketches must agree register-for-register, so the typed/streaming
+    // path and the oracle-gated path can never drift apart.
+    val tk = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val typed: Map[String, Array[Long]] = tk.groupBy(col("source"))
+      .agg(udaf(Sketches.HllAggregate, org.apache.spark.sql.Encoders.STRING)(
+        col("term")).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val fromQuery = Sketches.queries("q107_hll_distinct")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    assert(typed.keySet == fromQuery.keySet)
+    typed.foreach { case (src, regs) =>
+      val (nExact, vZero, sumPow, rawEst, estOk) = fromQuery(src)
+      assert(regs.count(_ == 0L) == vZero, s"$src zero-register mismatch")
+      assert(Sketches.hllSumPow(regs.toIndexedSeq) == sumPow,
+        s"$src harmonic-sum mismatch")
+      assert(Sketches.hllEstimate(sumPow) == rawEst, s"$src estimate mismatch")
+      // gated flag agrees with a JVM recompute of the same expression
+      assert(estOk == (rawEst <= 2.5 * Sketches.HllRegisters ||
+        math.abs(rawEst - nExact) <= 0.4 * nExact))
+      // estimate quality: the CORRECTED estimate (linear counting in the
+      // small range — the reader-side rule) is within 40% on every source
+      val corrected = Sketches.hllCorrected(sumPow, vZero)
+      assert(math.abs(corrected - nExact) <= 0.4 * nExact,
+        s"$src corrected estimate $corrected too far from exact $nExact")
+    }
+  }
+
   test("bloom decontamination never misses a true contamination (q57 vs q71)") {
     val exact = Curation.queries("q57_decontam")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
