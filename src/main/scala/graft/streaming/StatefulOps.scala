@@ -309,6 +309,71 @@ object StatefulOps {
       }
   }
 
+  case class PostingDoc(doc_id: Long, tf: Long)
+  case class PostingState(docs: List[PostingDoc], saturated: Boolean)
+  case class SharedTermPair(doc_a: Long, doc_b: Long, term: String,
+                            tf_a: Long, tf_b: Long)
+
+  /** Streaming twin of the batch APSS candidate stage
+    * (`Dedup.sparseCosinePairs`, q93): as documents arrive, each term's
+    * df-capped posting list lives in the state store, and a new document
+    * emits one [[SharedTermPair]] per (already-posted doc, shared term) —
+    * the per-term partial products a downstream pair-keyed aggregation
+    * sums into dots exactly like the batch inverted-index join.
+    *
+    * The df cap is the SAME scale invariant as batch q93: per-term state
+    * is at most `dfCap` postings, so per-key state is bounded no matter
+    * how long the stream runs, and pair volume per term is ≤ dfCap². A
+    * term that EXCEEDS the cap is retired — state dropped, flagged
+    * saturated, no further pairs ever — mirroring batch's exclusion of
+    * non-discriminative terms. The one inherent batch/stream divergence:
+    * pairs a term emitted BEFORE saturating have already been appended
+    * (a stream cannot retract); batch, knowing the final df, never emits
+    * them. On corpora where no term crosses the cap the outputs are
+    * identical (StreamingSparseCosineSpec pins set equality; the
+    * saturation path is pinned separately). Duplicate doc arrivals for a
+    * term are ignored (first tf wins — re-delivery safety). */
+  def sparseCandidateStream(docs: Dataset[Doc], dfCap: Int = 64,
+      idleTimeout: Option[String] = None): Dataset[SharedTermPair] = {
+    import docs.sparkSession.implicits._
+    // per-doc term frequencies, computed row-local (narrow, no shuffle —
+    // the only shuffle is the groupByKey on term, same key as batch)
+    val td = docs.flatMap { d =>
+      d.text.split(" ").iterator.filter(_.nonEmpty).toSeq
+        .groupBy(identity).iterator
+        .map { case (t, xs) => (t, d.doc_id, xs.length.toLong) }.toSeq
+    }
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    td.groupByKey(_._1)
+      .flatMapGroupsWithState[PostingState, SharedTermPair](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (term, rows, state) =>
+          idleTimeout.foreach(state.setTimeoutDuration)
+          var st = state.getOption.getOrElse(PostingState(Nil, saturated = false))
+          val out = scala.collection.mutable.ListBuffer.empty[SharedTermPair]
+          rows.foreach { case (_, did, tf) =>
+            if (!st.saturated && !st.docs.exists(_.doc_id == did)) {
+              if (st.docs.size >= dfCap)
+                // the (dfCap+1)-th distinct doc proves the term
+                // non-discriminative: retire the postings for good
+                st = PostingState(Nil, saturated = true)
+              else {
+                st.docs.foreach { e =>
+                  if (e.doc_id < did) out += SharedTermPair(e.doc_id, did, term, e.tf, tf)
+                  else out += SharedTermPair(did, e.doc_id, term, tf, e.tf)
+                }
+                st = st.copy(docs = PostingDoc(did, tf) :: st.docs)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class KeyedValue(key: String, value: Float)
   case class RunningMin(key: String, min: Float)
 
