@@ -326,6 +326,27 @@ object Sketches {
 
   private def t(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
+  /** (keys..., idx, m) HLL register table over a `term` column — the
+    * column-expression twin of [[HllAggregate]]'s reduce, shared by
+    * q107/q109: md5 → first-2-hex register index, leading-zero nibble walk
+    * → rho, max per (keys, idx). One hash agg with map-side partials. */
+  private def hllRegs(tk: DataFrame, keyCols: Seq[String]): DataFrame =
+    tk.withColumn("h", md5(col("term")))
+      .withColumn("idx",
+        conv(substring(col("h"), 1, 2), 16, 10).cast("long") % HllRegisters)
+      .withColumn("tl", substring(col("h"), 3, HllTailNibbles))
+      .withColumn("z4", length(regexp_extract(col("tl"), "^0*", 0)))
+      .withColumn("d", expr("substring(tl, z4 + 1, 1)"))
+      .withColumn("rho",
+        when(col("z4") === HllTailNibbles, lit(HllMaxRho))
+          .otherwise(col("z4") * 4 +
+            when(col("d") === "1", 3)
+              .when(col("d").isin("2", "3"), 2)
+              .when(col("d").isin("4", "5", "6", "7"), 1)
+              .otherwise(0) + 1))
+      .groupBy((keyCols :+ "idx").map(col): _*)
+      .agg(max(col("rho")).cast("long").as("m"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- histogram quantile sketch over the events value stream ------------
@@ -455,22 +476,7 @@ object Sketches {
       val tk = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
         .select(col("source"), explode(toks(col("text"))).as("term"))
         .distinct()
-      val reg = tk
-        .withColumn("h", md5(col("term")))
-        .withColumn("idx",
-          conv(substring(col("h"), 1, 2), 16, 10).cast("long") % HllRegisters)
-        .withColumn("tl", substring(col("h"), 3, HllTailNibbles))
-        .withColumn("z4", length(regexp_extract(col("tl"), "^0*", 0)))
-        .withColumn("d", expr("substring(tl, z4 + 1, 1)"))
-        .withColumn("rho",
-          when(col("z4") === HllTailNibbles, lit(HllMaxRho))
-            .otherwise(col("z4") * 4 +
-              when(col("d") === "1", 3)
-                .when(col("d").isin("2", "3"), 2)
-                .when(col("d").isin("4", "5", "6", "7"), 1)
-                .otherwise(0) + 1))
-        .groupBy(col("source"), col("idx"))
-        .agg(max(col("rho")).cast("long").as("m"))
+      val reg = hllRegs(tk, Seq("source"))
       val sk = reg.groupBy(col("source"))
         .agg(count(lit(1)).as("n_regs"),
           sum(expr(s"shiftleft(cast(1 as bigint), cast($HllMaxRho - m as int))"))
@@ -492,8 +498,63 @@ object Sketches {
           (col("raw_est") <= lit(2.5 * HllRegisters) ||
             abs(col("raw_est") - col("n_exact").cast("double")) <=
               lit(0.4) * col("n_exact").cast("double")).as("est_ok"))
+    }),
+
+    // --- HLL union: pairwise cross-source distinct-vocabulary estimation ---
+    // The PAYOFF of the sketch's union law: |vocab(a) ∪ vocab(b)| for every
+    // source pair, WITHOUT touching terms again — merged registers are just
+    // elementwise max, so the pair matrix is computed entirely on
+    // sources×64 register rows (KBs), the q88 shape. A 100 TB deployment
+    // keeps one 64-cell sketch per shard/day/source and answers any union
+    // cardinality (per-pair, per-cohort, global) from sketch algebra alone;
+    // the exact n_exact_union column here is the audit the sketch replaces
+    // (computed from a term-level pair join — the cost the union law
+    // avoids). Registers densified to all 64 cells per source (m = 0 for
+    // unseen) so the pair join needs no outer-join null handling.
+    "q109_hll_union" -> ((s, d) => {
+      val tk = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("source"), explode(toks(col("text"))).as("term"))
+        .distinct()
+      val regs = hllRegs(tk, Seq("source"))
+      val srcs = tk.select(col("source")).distinct()
+      val dense = srcs
+        .crossJoin(spark_range_idx(tk.sparkSession))
+        .join(regs, Seq("source", "idx"), "left")
+        .select(col("source"), col("idx"), coalesce(col("m"), lit(0L)).as("m"))
+      val merged = dense.as("a").join(dense.as("b"),
+          col("a.idx") === col("b.idx") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          greatest(col("a.m"), col("b.m")).as("mu"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum(when(col("mu") === 0L, 1L).otherwise(0L)).as("v_zero"),
+          sum(expr(s"shiftleft(cast(1 as bigint), cast($HllMaxRho - mu as int))"))
+            .as("sum_pow"))
+      // exact union audit: |A| + |B| − |A∩B| from one term-keyed pair join
+      val n = tk.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = tk.as("x").join(tk.as("y"),
+          col("x.term") === col("y.term") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("ni"))
+      merged
+        .join(n.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+        .join(n.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("n_exact_union",
+          col("na") + col("nb") - coalesce(col("ni"), lit(0L)))
+        .withColumn("raw_est",
+          lit(HllAlpha64) * lit(HllRegisters.toDouble * HllRegisters) *
+            lit(HllPowScale.toDouble) / col("sum_pow"))
+        .select(col("src_a"), col("src_b"), col("n_exact_union"),
+          col("v_zero"), col("sum_pow"), col("raw_est"),
+          (col("raw_est") <= lit(2.5 * HllRegisters) ||
+            abs(col("raw_est") - col("n_exact_union").cast("double")) <=
+              lit(0.4) * col("n_exact_union").cast("double")).as("est_ok"))
     })
   )
+
+  /** 0..63 register-index frame (the densification spine for q109). */
+  private def spark_range_idx(s: SparkSession): DataFrame =
+    s.range(0, HllRegisters.toLong).select(col("id").as("idx"))
 
   /** DuckDB twin of [[bloomPos]] (1-based substr positions; 16-bit hex
     * prefix mod BloomBits — exact in both engines). */
@@ -631,6 +692,72 @@ object Sketches {
             (raw_est <= ${2.5 * HllRegisters}
              OR abs(raw_est - CAST(n_exact AS DOUBLE))
                 <= 0.4 * CAST(n_exact AS DOUBLE)) AS est_ok
+          FROM est"""
+    },
+
+    "q109_hll_union" -> {
+      val d1 = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)"
+      val d2 = "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+      s"""WITH tk AS (
+            SELECT DISTINCT source, term FROM (
+              SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents)),
+          hx AS (SELECT source, md5(term) AS h FROM tk),
+          rr AS (
+            SELECT source,
+              CAST(($d1 * 16 + $d2) % $HllRegisters AS BIGINT) AS idx,
+              length(regexp_extract(substr(h, 3, $HllTailNibbles), '^0*')) AS z4,
+              substr(h, 3, $HllTailNibbles) AS tl
+            FROM hx),
+          rho AS (
+            SELECT source, idx,
+              CASE WHEN z4 = $HllTailNibbles THEN $HllMaxRho
+                   ELSE 4 * z4 +
+                     CASE WHEN substr(tl, z4 + 1, 1) = '1' THEN 3
+                          WHEN substr(tl, z4 + 1, 1) IN ('2', '3') THEN 2
+                          WHEN substr(tl, z4 + 1, 1) IN ('4', '5', '6', '7') THEN 1
+                          ELSE 0 END + 1
+              END AS rho
+            FROM rr),
+          reg AS (
+            SELECT source, idx, CAST(MAX(rho) AS BIGINT) AS m
+            FROM rho GROUP BY source, idx),
+          dense AS (
+            SELECT s.source, CAST(g.idx AS BIGINT) AS idx,
+                   COALESCE(reg.m, 0) AS m
+            FROM (SELECT DISTINCT source FROM tk) s
+            CROSS JOIN (SELECT unnest(range(0, $HllRegisters)) AS idx) g
+            LEFT JOIN reg ON reg.source = s.source AND reg.idx = g.idx),
+          merged AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+              CAST(SUM(CASE WHEN GREATEST(a.m, b.m) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS v_zero,
+              CAST(SUM(CAST(1 AS BIGINT)
+                       << ($HllMaxRho - GREATEST(a.m, b.m))) AS BIGINT)
+                AS sum_pow
+            FROM dense a JOIN dense b
+              ON a.idx = b.idx AND a.source < b.source
+            GROUP BY 1, 2),
+          n AS (SELECT source, COUNT(1) AS n FROM tk GROUP BY source),
+          inter AS (
+            SELECT x.source AS src_a, y.source AS src_b, COUNT(1) AS ni
+            FROM tk x JOIN tk y
+              ON x.term = y.term AND x.source < y.source
+            GROUP BY 1, 2),
+          est AS (
+            SELECT m.src_a, m.src_b,
+              na.n + nb.n - COALESCE(i.ni, 0) AS n_exact_union,
+              m.v_zero, m.sum_pow,
+              (CAST($HllAlpha64 AS DOUBLE) * ${HllRegisters.toDouble * HllRegisters}
+               * ${HllPowScale.toDouble}) / m.sum_pow AS raw_est
+            FROM merged m
+            JOIN n na ON na.source = m.src_a
+            JOIN n nb ON nb.source = m.src_b
+            LEFT JOIN inter i ON i.src_a = m.src_a AND i.src_b = m.src_b)
+          SELECT src_a, src_b, n_exact_union, v_zero, sum_pow, raw_est,
+            (raw_est <= ${2.5 * HllRegisters}
+             OR abs(raw_est - CAST(n_exact_union AS DOUBLE))
+                <= 0.4 * CAST(n_exact_union AS DOUBLE)) AS est_ok
           FROM est"""
     },
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import TextFns._
@@ -101,6 +102,54 @@ object TextAnalysis {
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
           col("df"), col("weight"))
+    }),
+
+    // --- BM25-style ranked retrieval (per-term top-k documents) ------------
+    // The retrieval operator a quality/dedup pipeline ranks candidate docs
+    // with: tf-saturation + document-length normalization over the
+    // inverted-index shape (q34/q59's machinery, with ranking semantics).
+    // k1 = 6/5, b = 3/4 cleared to integers: the Robertson tf factor
+    // tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with avgdl = L/N is EXACTLY
+    // 44·L·tf / (20·L·tf + 6·L + 18·dl·N) — every term integer, carried in
+    // DECIMAL(38,0) (q100's 128-bit discipline; 20·L·tf brushes int64 once
+    // L reaches corpus scale). The idf weight uses the ODDS form
+    // (2N−2df+1)/(2df+1) — exp of the standard log-idf — because ln is not
+    // bit-identical across engines; within a term idf is a constant factor,
+    // so per-term document ranking is EXACTLY BM25's, and the one float op
+    // is the final num/den divide. Query terms: the 5 highest-df terms
+    // (deterministic TakeOrdered) — the worst case for the saturation
+    // machinery, and self-contained for the gate. Shape: two hash aggs
+    // (doc×term tf, term df), broadcast totals + query terms, per-term
+    // top-5 window over qualifying postings only.
+    "q108_bm25_rank" -> ((s, d) => {
+      val D = DecimalType(38, 0)
+      val base = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val dtf = base
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          explode(col("tk")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dft = dtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tot = base.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tk")).cast("long")).as("l_tot"))
+      val qt = dft.orderBy(col("df").desc, col("term")).limit(5)
+      val num = (lit(2) * col("n_docs") - lit(2) * col("df") + 1).cast(D) *
+        lit(44).cast(D) * col("l_tot").cast(D) * col("tf").cast(D)
+      val den = (lit(2) * col("df") + 1).cast(D) *
+        (col("l_tot").cast(D) * col("tf").cast(D) * 20 +
+          col("l_tot").cast(D) * 6 +
+          col("dl").cast(D) * col("n_docs").cast(D) * 18)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))
+        .orderBy(col("score").desc, col("doc_id"))
+      dtf.join(broadcast(qt), "term")
+        .join(broadcast(tot))
+        .withColumn("score", num.cast("double") / den.cast("double"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("term"), col("df"), col("rk"), col("doc_id"),
+          col("tf"), col("dl"), col("score"))
     }),
 
     // --- length quartiles (value quartiles via broadcast cut points) -------
@@ -472,6 +521,39 @@ object TextAnalysis {
                          tfc.term) AS rnk
             FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n)
           WHERE rnk <= 3""",
+
+    // BM25 twin: identical integer-cleared arithmetic (HUGEINT ≙ Spark
+    // DECIMAL(38,0)), identical final divide; ranking reads the identical
+    // doubles, so per-term top-5 agrees row for row.
+    "q108_bm25_rank" ->
+      s"""WITH base AS (
+            SELECT doc_id, $oToks AS tk FROM documents),
+          ex AS (
+            SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term
+            FROM base),
+          dtf AS (
+            SELECT doc_id, dl, term, COUNT(1) AS tf
+            FROM ex GROUP BY doc_id, dl, term),
+          dft AS (SELECT term, COUNT(1) AS df FROM dtf GROUP BY term),
+          tot AS (SELECT COUNT(1) AS n_docs,
+                         CAST(SUM(len(tk)) AS BIGINT) AS l_tot
+                  FROM base),
+          qt AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 5),
+          sc AS (
+            SELECT q.term, q.df, d.doc_id, d.tf, d.dl,
+              CAST(CAST(2 * t.n_docs - 2 * q.df + 1 AS HUGEINT)
+                   * 44 * t.l_tot * d.tf AS DOUBLE)
+              / CAST(CAST(2 * q.df + 1 AS HUGEINT)
+                     * (CAST(t.l_tot AS HUGEINT) * d.tf * 20
+                        + CAST(t.l_tot AS HUGEINT) * 6
+                        + CAST(d.dl AS HUGEINT) * t.n_docs * 18) AS DOUBLE)
+                AS score
+            FROM dtf d JOIN qt q ON d.term = q.term CROSS JOIN tot t)
+          SELECT term, df, rk, doc_id, tf, dl, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                        ORDER BY score DESC, doc_id) AS rk
+            FROM sc)
+          WHERE rk <= 5""",
 
     // Value-quartile twin of the Spark percentile_disc cut points: the cut
     // for p is the smallest n_chars whose cumulative row fraction >= p,

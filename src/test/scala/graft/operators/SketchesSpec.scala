@@ -254,6 +254,36 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hll: streaming registers == batch fold (state-store merge law live)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 300).map(i => (s"src${i % 3}", s"tok${i % 87}"))
+    val batch: Map[String, Array[Long]] = rows.groupBy(_._1)
+      .map { case (k, vs) =>
+        k -> vs.map(_._2).foldLeft(Sketches.HllAggregate.zero)(
+          Sketches.HllAggregate.reduce)
+      }
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDS().toDF("source", "term")
+      .groupBy(col("source"))
+      .agg(udaf(Sketches.HllAggregate, org.apache.spark.sql.Encoders.STRING)(
+        col("term")).as("regs"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    val streamed =
+      try {
+        rows.grouped(100).foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+        spark.table("hll_stream").collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+      } finally q.stop()
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, regs) =>
+      assert(regs.sameElements(batch(k)), s"source $k registers diverged")
+    }
+  }
+
   test("bloom decontamination never misses a true contamination (q57 vs q71)") {
     val exact = Curation.queries("q57_decontam")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
