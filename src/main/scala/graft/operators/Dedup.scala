@@ -634,6 +634,46 @@ object Dedup {
           col("n_in_group"), (col("doc_id") === col("keep_id")).as("canonical"))
     }),
 
+    // --- duplicated-span detection (ExactSubstr-style, window granularity) --
+    // Doc-level dedup (q40/q42/q78) cannot see a PARAGRAPH duplicated
+    // across otherwise-different documents — the signal behind
+    // exact-substring training-data dedup (Lee et al. 2022's ExactSubstr,
+    // here at fixed 32-token window granularity instead of suffix-array
+    // spans). Every 32-token window gets a 16-byte digest; a window
+    // position is "duplicated" iff its digest occurs in ≥2 DISTINCT docs
+    // (within-doc repetition is q72's axis, deliberately excluded). Output
+    // is the per-doc span-duplication profile — the clip/drop signal a
+    // curation run thresholds. Shape: windows explode inside the scan
+    // stage (≤ n_tok rows per doc), only digests shuffle (two hash aggs:
+    // digest→df, doc→counts), then one digest-keyed join back. At 100 TB
+    // this is the q40 discipline at window granularity; the window count
+    // per doc is bounded by token count, and no raw text ever leaves the
+    // scan stage.
+    "q110_dup_spans" -> ((s, d) => {
+      val W = 32
+      val base = docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")))
+      val wins = base.filter(col("n") >= W)
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), col("n") - W + 1)).as("p"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("tk"), col("p"), lit(W)))).as("wh"))
+      val wdf = wins.groupBy(col("wh"))
+        .agg(countDistinct(col("doc_id")).as("wdf"))
+      val per = wins.join(wdf, "wh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("wdf") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      base.select(col("doc_id"), col("n")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").cast("long").as("n_tok"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+          when(coalesce(col("n_windows"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(col("n_dup").cast("double") / col("n_windows"))
+            .as("dup_frac"))
+    }),
+
     // --- MinHash signatures + LSH band keys per document -------------------
     "q41_dedup_minhash" -> ((s, d) => signatures(s, d).drop("sh")),
 
@@ -915,6 +955,30 @@ object Dedup {
          SELECT fp.pfp, fp.doc_id, fp.n_chars, grp.n_in_group,
            fp.doc_id = grp.keep_id AS canonical
          FROM fp JOIN grp ON fp.pfp = grp.pfp""",
+
+    "q110_dup_spans" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS tk,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+         wins AS (
+           SELECT doc_id,
+                  md5(array_to_string(list_slice(tk, p, p + 31), ' ')) AS wh
+           FROM (SELECT doc_id, tk, unnest(range(1, n - 30)) AS p
+                 FROM base WHERE n >= 32)),
+         wdf AS (
+           SELECT wh, COUNT(DISTINCT doc_id) AS wdf FROM wins GROUP BY wh),
+         per AS (
+           SELECT w.doc_id, COUNT(1) AS n_windows,
+                  CAST(SUM(CASE WHEN f.wdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_dup
+           FROM wins w JOIN wdf f ON w.wh = f.wh GROUP BY w.doc_id)
+         SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tok,
+           COALESCE(per.n_windows, 0) AS n_windows,
+           COALESCE(per.n_dup, 0) AS n_dup_windows,
+           CASE WHEN COALESCE(per.n_windows, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(per.n_dup AS DOUBLE) / per.n_windows END AS dup_frac
+         FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
 
     "q41_dedup_minhash" ->
       s"""SELECT doc_id, ${(0 until NumHashes).map(i => s"mh$i").mkString(", ")},

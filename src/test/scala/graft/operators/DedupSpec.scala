@@ -290,6 +290,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q110: cross-doc duplicated spans flagged, within-doc repeats excluded") {
+    import graft.operators.{Dedup => D}
+    val span = (1 to 32).map(i => s"w$i").mkString(" ")
+    val docsDf = Seq(
+      // A and B share the 32-token span embedded in different contexts
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"x $span y z"),
+      // C repeats the span TWICE within itself but shares nothing cross-doc
+      (3L, (1 to 32).map(i => s"c$i").mkString(" ") + " " +
+        (1 to 32).map(i => s"c$i").mkString(" ")),
+      // D is too short to hold a single window
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    // drive through a temp dir so the query reads it like the real table
+    val dir = java.nio.file.Files.createTempDirectory("q110").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = D.queries("q110_dup_spans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // A: 36 tokens -> 5 windows; those containing the full span = positions
+    // overlapping it... exactly the window starting at token 3 matches B's
+    // window at 2 — both docs must flag >= 1 duplicated window
+    assert(out(1L)._3 >= 1L && out(2L)._3 >= 1L,
+      s"cross-doc span not flagged: $out")
+    // C: within-doc repetition only -> ZERO duplicated windows (q72's axis)
+    assert(out(3L)._3 == 0L, s"within-doc repeat wrongly flagged: ${out(3L)}")
+    // D: no window fits; frame still carries the doc with zeros
+    assert(out(4L) == ((2L, 0L, 0L, 0.0)))
+    // duplicated fraction is the exact rational n_dup/n_windows
+    val (_, nw, nd, frac) = out(1L)
+    assert(frac == nd.toDouble / nw)
+  }
+
   test("embedding near-dup: identical vectors share an LSH bucket with sim 1") {
     val e = Seq(
       (0L, Seq.fill(64)(0.5)), (1L, Seq.fill(64)(0.5)),
