@@ -304,6 +304,35 @@ object Dedup {
     (labels, it)
   }
 
+  /** Incremental connected-components refresh — the operator behind the
+    * SCALE.md incremental-materialization story: a new crawl increment
+    * arrives with its (already-LSH'd) pair list, and the persisted
+    * cluster-label table must absorb it WITHOUT re-running shingling/LSH/CC
+    * over the old corpus.
+    *
+    * Correctness rests on a standard CC identity: a labeling is exactly a
+    * spanning star forest, so re-clustering (doc → component) label edges
+    * UNION the new pairs reproduces the labeling of the full edge union —
+    * old components are re-entered only through docs the new pairs touch,
+    * and merge transitively when an increment bridges them (spec-pinned:
+    * incremental == from-scratch on a split corpus, including
+    * across-the-split merges). Docs in neither table are unlabeled in both
+    * framings (consumers coalesce doc_id, as q47/q103/q106 already do).
+    *
+    * Cost: CC over |labels| + |newPairs| edges — label edges are one row
+    * per previously-clustered DOC (tiny vs corpus; singletons need no
+    * row), and the expensive upstream (shingle → minhash → band → verify)
+    * runs only on the increment. At 100 TB this is the difference between
+    * a nightly full rebuild and a minutes-long merge. */
+  def updateLabels(labels: DataFrame, newPairs: DataFrame,
+                   maxIters: Int = 25): DataFrame = {
+    val labelEdges = labels
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("i"), col("component").as("j"))
+    connectedComponents(
+      labelEdges.union(newPairs.select(col("i"), col("j"))), maxIters)
+  }
+
   /** Sparse TF-vector cosine pairs from a df-capped inverted index (the
     * APSS / prefix-filtering shape behind q93 — see the query comment for
     * the scale contract). Input needs (doc_id, text). */
