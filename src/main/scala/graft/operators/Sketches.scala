@@ -535,10 +535,14 @@ object Sketches {
           col("x.term") === col("y.term") && col("x.source") < col("y.source"))
         .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
         .agg(count(lit(1)).as("ni"))
+      // every join input here is sources- or pairs-sized (≤ sources²
+      // rows): broadcast explicitly — the post-aggregation stats are
+      // opaque to the static planner, which otherwise falls back to a
+      // sort-merge join for the pair-keyed audit join
       merged
-        .join(n.select(col("source").as("src_a"), col("n").as("na")), "src_a")
-        .join(n.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
-        .join(inter, Seq("src_a", "src_b"), "left")
+        .join(broadcast(n.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+        .join(broadcast(n.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+        .join(broadcast(inter), Seq("src_a", "src_b"), "left")
         .withColumn("n_exact_union",
           col("na") + col("nb") - coalesce(col("ni"), lit(0L)))
         .withColumn("raw_est",
