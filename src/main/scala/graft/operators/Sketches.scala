@@ -556,9 +556,15 @@ object Sketches {
     })
   )
 
-  /** 0..63 register-index frame (the densification spine for q109). */
-  private def spark_range_idx(s: SparkSession): DataFrame =
-    s.range(0, HllRegisters.toLong).select(col("id").as("idx"))
+  /** 0..63 register-index frame (the densification spine for q109) — a
+    * LITERAL local relation, not spark.range: the catalog plan audit
+    * sanctions nested-loop builds only for provably-model-sized shapes
+    * (scalar aggregates, LocalTableScan), and 64 compile-time longs is
+    * exactly that. */
+  private def spark_range_idx(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0L until HllRegisters.toLong).toDF("idx")
+  }
 
   /** DuckDB twin of [[bloomPos]] (1-based substr positions; 16-bit hex
     * prefix mod BloomBits — exact in both engines). */
