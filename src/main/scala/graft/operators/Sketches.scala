@@ -518,7 +518,7 @@ object Sketches {
       val regs = hllRegs(tk, Seq("source"))
       val srcs = tk.select(col("source")).distinct()
       val dense = srcs
-        .crossJoin(spark_range_idx(tk.sparkSession))
+        .crossJoin(registerSpine(tk.sparkSession))
         .join(regs, Seq("source", "idx"), "left")
         .select(col("source"), col("idx"), coalesce(col("m"), lit(0L)).as("m"))
       val merged = dense.as("a").join(dense.as("b"),
@@ -561,7 +561,7 @@ object Sketches {
     * sanctions nested-loop builds only for provably-model-sized shapes
     * (scalar aggregates, LocalTableScan), and 64 compile-time longs is
     * exactly that. */
-  private def spark_range_idx(s: SparkSession): DataFrame = {
+  private def registerSpine(s: SparkSession): DataFrame = {
     import s.implicits._
     (0L until HllRegisters.toLong).toDF("idx")
   }
