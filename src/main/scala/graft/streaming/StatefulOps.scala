@@ -374,6 +374,57 @@ object StatefulOps {
       }
   }
 
+  case class DupSpan(wh: String, first_doc: Long, dup_doc: Long)
+  case class SpanState(firstDoc: Long, seen: List[Long])
+
+  /** Streaming twin of the q110 duplicated-span profile: as documents
+    * arrive, every 32-token window digest keys into the state store; the
+    * FIRST document to post a digest owns it, and each LATER distinct
+    * document that re-posts it emits one [[DupSpan]] sighting — the live
+    * feed a curation run thresholds into clip/drop decisions, where batch
+    * q110 reports the same signal as a per-doc fraction after the fact.
+    * Within-doc repeats emit nothing (q110's cross-doc-only contract).
+    *
+    * State per digest is the owner + up-to-`maxSighted` reporters (dup
+    * reporting saturates there — the actionable signal is "duplicated",
+    * not an unbounded reporter list; re-delivered docs stay deduped by the
+    * same list). Window digests are md5 over the joined tokens — the SAME
+    * digest q110 computes, so the two views join. */
+  def dupSpanStream(docs: Dataset[Doc], w: Int = 32,
+      maxSighted: Int = 16,
+      idleTimeout: Option[String] = None): Dataset[DupSpan] = {
+    import docs.sparkSession.implicits._
+    val sightings = docs.flatMap { d =>
+      val tk = d.text.split(" ").filter(_.nonEmpty)
+      if (tk.length < w) Seq.empty
+      else (0 to tk.length - w).iterator
+        .map(i => (graft.operators.TextFns.md5hex(
+          tk.slice(i, i + w).mkString(" ")), d.doc_id)).toSeq.distinct
+    }
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    sightings.groupByKey(_._1)
+      .flatMapGroupsWithState[SpanState, DupSpan](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (wh, rows, state) =>
+          idleTimeout.foreach(state.setTimeoutDuration)
+          val out = scala.collection.mutable.ListBuffer.empty[DupSpan]
+          var st = state.getOption.orNull
+          rows.foreach { case (_, did) =>
+            if (st == null) st = SpanState(did, Nil)
+            else if (did != st.firstDoc && !st.seen.contains(did) &&
+              st.seen.size < maxSighted) {
+              out += DupSpan(wh, st.firstDoc, did)
+              st = st.copy(seen = did :: st.seen)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class KeyedValue(key: String, value: Float)
   case class RunningMin(key: String, min: Float)
 

@@ -81,6 +81,45 @@ class StreamingSparseCosineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dupSpanStream: cross-doc sightings only, once per (span, doc) pair") {
+    implicit val sqlCtx = spark.sqlContext
+    val span = (1 to 32).map(i => s"w$i").mkString(" ")
+    val in = MemoryStream[Doc]
+    val q = dupSpanStream(in.toDS()).writeStream
+      .format("memory").queryName("dup_spans_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // owner arrives; a doc repeating the span INTERNALLY twice is still
+      // one sighting source (within-doc repeats are q72's axis)
+      in.addData(Doc(1, s"alpha $span beta")); q.processAllAvailable()
+      in.addData(Doc(2, s"$span $span")); q.processAllAvailable()
+      in.addData(Doc(3, s"x $span y"),
+        Doc(4, (1 to 40).map(i => s"u$i").mkString(" "))) // unrelated
+      q.processAllAvailable()
+      // re-delivery of doc 2 must not re-emit
+      in.addData(Doc(2, s"$span $span")); q.processAllAvailable()
+      val wh = graft.operators.TextFns.md5hex(span)
+      val out = spark.table("dup_spans_stream").as[DupSpan].collect()
+        .filter(_.wh == wh).map(s => (s.first_doc, s.dup_doc)).toSet
+      assert(out == Set((1L, 2L), (1L, 3L)), s"got $out")
+      // batch agreement: q110 flags exactly the digests the stream sighted
+      val streamedDup = spark.table("dup_spans_stream").as[DupSpan].collect()
+        .map(_.wh).toSet
+      val docs = Seq(
+        Doc(1, s"alpha $span beta"), Doc(2, s"$span $span"),
+        Doc(3, s"x $span y"), Doc(4, (1 to 40).map(i => s"u$i").mkString(" ")))
+      val batchDup = docs.flatMap { d =>
+        val tk = d.text.split(" ").filter(_.nonEmpty)
+        (0 to tk.length - 32)
+          .map(i => graft.operators.TextFns.md5hex(tk.slice(i, i + 32).mkString(" ")))
+          .distinct.map(_ -> d.doc_id)
+      }.groupBy(_._1).collect { case (h, xs) if xs.map(_._2).distinct.size >= 2 => h }
+        .toSet
+      assert(streamedDup == batchDup)
+    } finally q.stop()
+  }
+
   test("documents-table slice: stream matches batch contract end to end") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.Tables.load(spark, sfDir, "documents")
