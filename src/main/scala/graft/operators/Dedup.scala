@@ -48,17 +48,31 @@ object Dedup {
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
   private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
-  /** doc_id + trigram shingle array (hash-distributed: the minhash pass
-    * downstream is CPU-bound and the scan may be a single split). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
-      .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
+  /** The trigram SIGNATURE stage — (doc_id, source, sh, mhs) — memoized
+    * per (session, sf dir) like the pair/label tables below: the
+    * md5-per-shingle-per-hash projection is the single most expensive scan
+    * in the dedup family and has FOUR independent consumers (q41
+    * signatures, the q42 pair pipeline, q88's per-source union sketches,
+    * and everything downstream of the pairs). One lazily-checkpointed
+    * frame is the 100 TB stage-boundary persist; at sf scale it is a few
+    * tens of MB of block store for the session. */
+  private val sharedSigs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  /** Signature frame for q41: doc_id, sh, mh0..mh7, b0..b3. */
+  private def sigBase(s: SparkSession, d: String): DataFrame =
+    sharedSigs.computeIfAbsent((s, d), _ => {
+      graft.functions.GraftFunctions.register(s)
+      docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          shingles(toks(col("text")), 3).as("sh"))
+        .withColumn("mhs", minhashSig(col("sh"), NumHashes, 0))
+        .localCheckpoint(false)
+    })
+
+  /** Signature frame for q41: doc_id, sh, mh0..mh7, b0..b3 — derived from
+    * the shared signature stage. */
   private def signatures(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val sig = shingled(s, d)
-      .withColumn("mhs", minhashSig(col("sh"), NumHashes, 0))
+    val sig = sigBase(s, d)
       .select(
         col("doc_id") +: col("sh") +:
           (0 until NumHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
@@ -93,9 +107,19 @@ object Dedup {
   def lshPairsFromShingles(base: DataFrame, numHashes: Int, bandSize: Int,
                            seedBase: Int, tNum: Int, tDen: Int): DataFrame = {
     graft.functions.GraftFunctions.register(base.sparkSession)
+    lshPairsFromSigs(
+      base.withColumn("mhs", minhashSig(col("sh"), numHashes, seedBase)),
+      numHashes, bandSize, tNum, tDen)
+  }
+
+  /** The pipeline from an already-signed `(doc_id, sh, mhs)` frame — lets
+    * the memoized signature stage feed candidate generation without
+    * recomputing the md5 pass. */
+  def lshPairsFromSigs(signed: DataFrame, numHashes: Int, bandSize: Int,
+                       tNum: Int, tDen: Int): DataFrame = {
+    val base = signed
     val numBands = numHashes / bandSize
     val sig = base
-      .withColumn("mhs", minhashSig(col("sh"), numHashes, seedBase))
       .select(
         col("doc_id") +:
           (0 until numHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
@@ -388,12 +412,13 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
   /** The q42 trigram near-dup pair list (i, j, jac) — computed once per
-    * (session, sf dir), lazily materialized (checkpoint on first action). */
+    * (session, sf dir) from the shared signature stage, lazily
+    * materialized (checkpoint on first action). */
   private def trigramPairs(s: SparkSession, d: String): DataFrame =
     sharedPairs.computeIfAbsent((s, d), _ =>
-      lshNearDupPairs(docs(s, d), n = 3, numHashes = NumHashes,
-        bandSize = BandSize, seedBase = 0,
-        tNum = TrigramTNum, tDen = TrigramTDen).localCheckpoint(false))
+      lshPairsFromSigs(sigBase(s, d), numHashes = NumHashes,
+        bandSize = BandSize, tNum = TrigramTNum, tDen = TrigramTDen)
+        .localCheckpoint(false))
 
   /** Connected-component labels (doc_id, component) over [[trigramPairs]] —
     * the cluster-label table of the near-dup family, computed once per
@@ -523,12 +548,11 @@ object Dedup {
     // Jaccard estimate; over sf-scale vocabularies with 8 hashes it is a
     // coarse (±1/8) but deterministic diagnostic.
     "q88_source_similarity" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val sig = docs(s, d)
-        .repartition(TextFns.cpuPartitions, col("doc_id"))
-        .select(col("source"), shingles(toks(col("text")), 3).as("sh"))
+      // the signature scan comes from the shared memoized stage (sigBase);
+      // only the per-source union fold and the pos-keyed self-join are
+      // q88's own cost
+      val sig = sigBase(s, d)
         .filter(size(col("sh")) > 0)
-        .withColumn("mhs", minhashSig(col("sh"), NumHashes, 0))
         .select(col("source"), posexplode(col("mhs")).as(Seq("pos", "mh")))
         .groupBy(col("source"), col("pos"))
         .agg(min(col("mh")).as("mh"))
