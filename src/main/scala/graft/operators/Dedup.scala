@@ -452,14 +452,16 @@ object Dedup {
     "q78_containment_dedup" -> ((s, d) => {
       // the digest projection (md5 per shingle) is the CPU cost center and
       // has FOUR consumers (df pass, corpus count, both verify sides) —
-      // materialize it once; at 100 TB this is a stage-boundary persist
-      val base = docs(s, d)
-        .repartition(TextFns.cpuPartitions, col("doc_id"))
+      // materialize it once (lazily: first action pays, the rest reuse);
+      // at 100 TB this is a stage-boundary persist. The shingle arrays
+      // themselves come from the shared signature stage (sigBase), so the
+      // tokenize+shingle scan is not re-run here.
+      val base = sigBase(s, d)
         .select(col("doc_id"),
           array_sort(array_distinct(
-            transform(shingles(toks(col("text")), 3), x => md5(x)))).as("sh"))
+            transform(col("sh"), x => md5(x)))).as("sh"))
         .filter(size(col("sh")) > 0)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // blocking keys travel as int64 (first 15 hex chars of the digest —
       // bijective enough for rarity counting, and the oracle applies the
       // identical truncation): the df shuffle carries 8-byte longs instead
