@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -95,6 +96,56 @@ object Curation {
       .select(col("doc_id"), col("source"),
         coalesce(col("hits"), lit(0L)).as("n_contam_grams"),
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Positional contamination profile — the GPT-3-appendix-C view of
+    * [[decontaminate]]: instead of a boolean "shares any benchmark n-gram",
+    * report per doc HOW MUCH overlaps (hit fraction over positional grams)
+    * and HOW CONTIGUOUSLY (longest run of consecutive contaminated gram
+    * positions — a run of r grams is an r+n-1-token verbatim benchmark
+    * span). The dirty rule is the production shape: high overlap mass
+    * (8·hits > grams, i.e. >12.5%) OR any long verbatim span (run >= 5).
+    *
+    * Scale shape (100 TB): grams shrink to md5 digests before they ever
+    * leave the scan; the benchmark digest set is broadcast (eval suites are
+    * MBs); the only shuffle is keyed by doc_id (one window + two hash aggs
+    * over the same key, so AQE reuses the exchange). All ratios are exact
+    * int/int rationals; the run arithmetic is the gaps-and-islands
+    * row_number trick, invariant to the 0- vs 1-based position origin.
+    */
+  def contaminationSpans(docs: DataFrame, benchSource: String, n: Int): DataFrame = {
+    val sh = shingles(toks(col("text")), n)
+    val positional = docs.filter(col("source") =!= benchSource)
+      .select(col("doc_id"), posexplode(sh).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("g"))
+    val benchGrams = docs.filter(col("source") === benchSource)
+      .select(explode(array_distinct(sh)).as("gram"))
+      .select(md5(col("gram")).as("g")).distinct()
+      .withColumn("hit", lit(true))
+    val flagged = positional.join(broadcast(benchGrams), Seq("g"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("hit"), lit(false)).as("hit"))
+    val agg = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val longest = flagged.filter(col("hit"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("longest_run"))
+    docs.filter(col("source") =!= benchSource)
+      .select(col("doc_id"), col("source"))
+      .join(agg, Seq("doc_id"), "left")
+      .join(longest, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("hit_frac"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        (coalesce(col("n_hits"), lit(0L)) * 8 > coalesce(col("n_grams"), lit(0L)) ||
+          coalesce(col("longest_run"), lit(0L)) >= 5).as("dirty"))
   }
 
   /** Bloom-filter decontamination — the 100 TB shape of [[decontaminate]]:
@@ -369,6 +420,10 @@ object Curation {
     "q71_bloom_decontam" -> ((s, d) =>
       bloomDecontaminate(t(s, d), BenchSource, DecontamN)),
 
+    // --- positional contamination spans (overlap mass + longest run) ------
+    "q111_contam_spans" -> ((s, d) =>
+      contaminationSpans(t(s, d), BenchSource, DecontamN)),
+
     // --- deterministic stratified sample (k per stratum) ------------------
     "q58_stratified_sample" -> ((s, d) => stratifiedSample(t(s, d), "source", 10)),
 
@@ -518,6 +573,48 @@ object Curation {
             COALESCE(h.hits, 0) AS n_contam_grams,
             COALESCE(h.hits, 0) > 0 AS contaminated
           FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+          WHERE d.source <> '$BenchSource'""",
+
+    "q111_contam_spans" ->
+      s"""WITH sh AS (
+            SELECT doc_id, source,
+              ${oShingles(oToksFrag, DecontamN)} AS sh
+            FROM documents),
+          bench AS (
+            SELECT DISTINCT md5(unnest(sh)) AS g
+            FROM sh WHERE source = '$BenchSource'),
+          pos AS (
+            SELECT doc_id, md5(unnest(sh)) AS g,
+              generate_subscripts(sh, 1) AS pos
+            FROM sh WHERE source <> '$BenchSource'),
+          flag AS (
+            SELECT p.doc_id, p.pos, b.g IS NOT NULL AS hit
+            FROM pos p LEFT JOIN bench b ON p.g = b.g),
+          agg AS (
+            SELECT doc_id, COUNT(1) AS n_grams,
+              CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM flag GROUP BY doc_id),
+          islands AS (
+            SELECT doc_id,
+              pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM flag WHERE hit),
+          runs AS (
+            SELECT doc_id, COUNT(1) AS run
+            FROM islands GROUP BY doc_id, grp),
+          longest AS (
+            SELECT doc_id, MAX(run) AS longest_run FROM runs GROUP BY doc_id)
+          SELECT d.doc_id, d.source,
+            COALESCE(a.n_grams, 0) AS n_grams,
+            COALESCE(a.n_hits, 0) AS n_hits,
+            CASE WHEN COALESCE(a.n_grams, 0) > 0
+                 THEN CAST(COALESCE(a.n_hits, 0) AS DOUBLE) / a.n_grams
+                 ELSE 0.0 END AS hit_frac,
+            COALESCE(l.longest_run, 0) AS longest_run,
+            (8 * COALESCE(a.n_hits, 0) > COALESCE(a.n_grams, 0)
+             OR COALESCE(l.longest_run, 0) >= 5) AS dirty
+          FROM documents d
+          LEFT JOIN agg a ON d.doc_id = a.doc_id
+          LEFT JOIN longest l ON d.doc_id = l.doc_id
           WHERE d.source <> '$BenchSource'""",
 
     "q71_bloom_decontam" ->

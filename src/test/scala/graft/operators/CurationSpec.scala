@@ -59,6 +59,34 @@ class CurationSpec extends SparkSpec {
     assert(out(0).getLong(2) == 1L) // exactly the one shared 4-gram
   }
 
+  test("contaminationSpans measures overlap mass and longest verbatim run") {
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "bench", "alpha beta gamma delta epsilon zeta eta theta"),
+      // 4 grams, 2 consecutive hits: mass rule fires (8*2 > 4)
+      (2L, "web", "x alpha beta gamma delta epsilon y"),
+      // clean doc: no overlap at all
+      (3L, "web", "one two three four five six seven eight nine"),
+      // shorter than n: zero grams, zero division guarded
+      (4L, "web", "tiny doc"),
+      // 45 grams, 5-hit run at the tail: run rule fires, mass rule does not
+      (5L, "web", s"$filler alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.contaminationSpans(docs, "bench", 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L, 5L))
+    // (n_grams, n_hits, longest_run, dirty)
+    val rows = out.map(r =>
+      (r.getLong(2), r.getLong(3), r.getLong(5), r.getBoolean(6))).toSeq
+    assert(rows(0) == (4L, 2L, 2L, true))   // 2/4 mass > 1/8
+    assert(rows(1) == (6L, 0L, 0L, false))
+    assert(rows(2) == (0L, 0L, 0L, false))
+    assert(rows(3) == (45L, 5L, 5L, true))  // 5/45 < 1/8 but run >= 5
+    // hit_frac is the exact rational
+    assert(out(0).getDouble(4) == 0.5)
+    assert(out(2).getDouble(4) == 0.0)
+  }
+
   test("decontamination plan broadcasts the benchmark gram set") {
     val q = Curation.decontaminate(
       graft.Tables.load(spark, sfDir, "documents"), "src0", 4)
