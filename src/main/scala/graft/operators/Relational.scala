@@ -767,6 +767,28 @@ object Relational {
         .select(col("o_orderpriority"), col("F").as("f_total"),
           col("O").as("o_total"), col("P").as("p_total"))),
 
+    // --- unpivot (columns -> rows; pivot's inverse) ----------------------------
+    // The melt operator: the q28 wide per-status totals relaid as
+    // (priority, metric, total) long form — the layout a metrics store or
+    // plotting layer wants. Absent combinations are pinned to 0.0 BEFORE
+    // unpivoting because the engines' default null policies differ (Spark's
+    // Dataset unpivot keeps null cells, SQL UNPIVOT drops them); with the
+    // coalesce both emit exactly priorities × 3 rows. Scale: the wide input
+    // is already the q28 aggregate (priorities × statuses cells), so the
+    // relayout is driver-scale metadata work on top of one hash agg.
+    "q114_unpivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0.0)).as("f_total"),
+          coalesce(col("O"), lit(0.0)).as("o_total"),
+          coalesce(col("P"), lit(0.0)).as("p_total"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("f_total"), col("o_total"), col("p_total")),
+          "metric", "total")),
+
     // --- statistical aggregates from exact moments ------------------------------
     // stddev/corr built-ins accumulate floating state in shuffle order, so
     // they are not reproducible across engines; computing the moments as
@@ -1096,6 +1118,17 @@ object Relational {
            CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_total,
            CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_total
          FROM orders GROUP BY o_orderpriority""",
+
+    "q114_unpivot" ->
+      """WITH w AS (
+           SELECT o_orderpriority,
+             COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS f_total,
+             COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS o_total,
+             COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS p_total
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, metric, total
+         FROM (UNPIVOT w ON f_total, o_total, p_total
+               INTO NAME metric VALUE total)""",
 
     "q29_stats_moments" ->
       """WITH m AS (

@@ -131,6 +131,33 @@ object Similarity {
         .select(col("query_id"), col("nn_rank"), col("vec_id"), col("sim"))
     }),
 
+    // --- hard-negative mining (contrastive-training pair generation) -------
+    // For each query vector, the top-k most-similar vectors with a DIFFERENT
+    // label: the near-miss negatives contrastive training (retrieval
+    // embedders, rerankers) is built on — easy negatives teach nothing,
+    // same-label "negatives" are false negatives, so the valuable rows are
+    // exactly the highest-cosine cross-label ones. Same broadcast shape as
+    // q50 (query side tiny and broadcast, corpus never shuffles) with the
+    // label-mismatch predicate fused into the join; the 100 TB path swaps
+    // the broadcast-nested-loop candidate stage for q51's LSH buckets or
+    // q52's IVF lists and keeps this ranking stage unchanged.
+    "q112_hard_negatives" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val scored = broadcast(q).join(e, col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("qlabel"), col("vec_id"),
+          col("label").as("neg_label"),
+          pairSim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("nn_rank", row_number().over(w).cast("long"))
+        .filter(col("nn_rank") <= TopK)
+        .select(col("query_id"), col("qlabel"), col("nn_rank"),
+          col("vec_id"), col("neg_label"), col("sim"))
+    }),
+
     // --- hyperplane-LSH bucketed top-k (scale path) ------------------------
     "q51_knn_lsh" -> ((s, d) => {
       val e = embs(s, d).withColumn("bucket", lshBucket(col("v")))
@@ -442,6 +469,20 @@ object Similarity {
                      ${oCosine("q.v", "c.v")} AS sim
               FROM e q JOIN e c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id)
           SELECT query_id, nn_rank, vec_id, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, vec_id) AS nn_rank
+            FROM scored)
+          WHERE nn_rank <= $TopK""",
+
+    "q112_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, $oEmb AS v FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, q.label AS qlabel,
+                     c.vec_id AS vec_id, c.label AS neg_label,
+                     ${oCosine("q.v", "c.v")} AS sim
+              FROM e q JOIN e c
+                ON q.vec_id < $NumQueries AND q.label <> c.label)
+          SELECT query_id, qlabel, nn_rank, vec_id, neg_label, sim FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY sim DESC, vec_id) AS nn_rank
             FROM scored)

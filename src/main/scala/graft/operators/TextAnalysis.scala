@@ -31,6 +31,30 @@ object TextAnalysis {
 
   private def t(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
+  /** Unigram-LM surprisal in exact integer bits (see the q113 map entry for
+    * the full contract): per-token surprisal = floor(log2 T) − floor(log2
+    * cnt) computed as binary-digit-count differences, per-doc mean as one
+    * exact rational division. */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("tot"))
+    val agg = tok.join(broadcast(vocab), Seq("term"))
+      .join(broadcast(tot))
+      .select(col("doc_id"),
+        (length(bin(col("tot"))) - length(bin(col("cnt")))).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("bits")).as("sum_bits"))
+    docs.select(col("doc_id"), col("source"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        when(coalesce(col("n_tok"), lit(0L)) > 0,
+          col("sum_bits").cast("double") / col("n_tok"))
+          .otherwise(lit(0.0)).as("mean_bits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- token counting: whitespace + BPE-ish regex ------------------------
@@ -103,6 +127,21 @@ object TextAnalysis {
         .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
           col("df"), col("weight"))
     }),
+
+    // --- unigram-LM surprisal score (perplexity-proxy quality filter) ------
+    // The CCNet-family filter axis without the neural LM: score each doc by
+    // the mean information content of its tokens under the corpus's own
+    // unigram distribution. High-surprisal docs are rare-token-heavy
+    // (gibberish / OCR noise candidates), low-surprisal docs are
+    // boilerplate-common. Surprisal is carried in exact INTEGER BITS —
+    // floor(log2 T) − floor(log2 cnt) via binary-digit counts (bin() here,
+    // format('{:b}') in the oracle) — because ln/log2 mantissas are not
+    // bit-identical across libm implementations but integer digit counts
+    // are; the score is within 1 bit of −log2 p per token and perfectly
+    // reproducible. Scale shape: the vocab (token, cnt) table is
+    // vocabulary-sized and broadcast with the scalar total; the corpus side
+    // is one explode + one doc_id-keyed hash agg — cost linear in tokens.
+    "q113_unigram_surprisal" -> ((s, d) => unigramSurprisal(t(s, d))),
 
     // --- BM25-style ranked retrieval (per-term top-k documents) ------------
     // The retrieval operator a quality/dedup pipeline ranks candidate docs
@@ -521,6 +560,25 @@ object TextAnalysis {
                          tfc.term) AS rnk
             FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n)
           WHERE rnk <= 3""",
+
+    "q113_unigram_surprisal" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($oToks) AS term FROM documents),
+          vocab AS (SELECT term, COUNT(1) AS cnt FROM tok GROUP BY term),
+          tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM vocab),
+          agg AS (
+            SELECT t.doc_id, COUNT(1) AS n_tok,
+              CAST(SUM(length(format('{:b}', tot.tot))
+                       - length(format('{:b}', v.cnt))) AS BIGINT) AS sum_bits
+            FROM tok t JOIN vocab v ON t.term = v.term CROSS JOIN tot
+            GROUP BY t.doc_id)
+          SELECT d.doc_id, d.source,
+            COALESCE(a.n_tok, 0) AS n_tok,
+            COALESCE(a.sum_bits, 0) AS sum_bits,
+            CASE WHEN COALESCE(a.n_tok, 0) > 0
+                 THEN CAST(a.sum_bits AS DOUBLE) / a.n_tok
+                 ELSE 0.0 END AS mean_bits
+          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
 
     // BM25 twin: identical integer-cleared arithmetic (HUGEINT ≙ Spark
     // DECIMAL(38,0)), identical final divide; ranking reads the identical

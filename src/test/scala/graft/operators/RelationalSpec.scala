@@ -28,6 +28,22 @@ class RelationalSpec extends SparkSpec {
     assert(plan("q03_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q114: unpivot is the exact long-form relayout of the q28 pivot") {
+    val wide = Relational.queries("q28_pivot")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Seq(
+        "f_total" -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1)),
+        "o_total" -> (if (r.isNullAt(2)) 0.0 else r.getDouble(2)),
+        "p_total" -> (if (r.isNullAt(3)) 0.0 else r.getDouble(3)))).toMap
+    val long = Relational.queries("q114_unpivot")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // exactly priorities x 3 rows, including absent combinations as 0.0
+    assert(long.length == wide.size * 3)
+    long.groupBy(_._1).foreach { case (prio, rows) =>
+      assert(rows.map(r => r._2 -> r._3).sortBy(_._1).toSeq ==
+        wide(prio).sortBy(_._1), prio)
+    }
+  }
+
   test("q05: star-schema multi-join broadcasts nation and region") {
     val p = plan("q05_multi_join")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(1200))

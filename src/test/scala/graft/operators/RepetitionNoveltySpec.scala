@@ -17,6 +17,36 @@ class RepetitionNoveltySpec extends SparkSpec {
       .withColumn("source", lit("srcX"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
+  test("q113: unigram surprisal equals the integer-bit hand computation") {
+    // corpus counts: a=5, b=1, T=6; binary lengths 6->3, 5->3, 1->1
+    // surprisal(a) = 3-3 = 0 bits, surprisal(b) = 3-1 = 2 bits
+    val out = TextAnalysis.unigramSurprisal(docsOf(
+        (1L, "a a a a"), (2L, "a b")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 4L, 0L, 0.0), (2L, 2L, 2L, 1.0)))
+  }
+
+  test("q113: surprisal on testdata equals a JVM binary-length recompute") {
+    val out = TextAnalysis.queries("q113_unigram_surprisal")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (t, v) => (t, v.length.toLong) }
+    val totBits = java.lang.Long.toBinaryString(counts.values.sum).length
+    val expected = docs.map { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val bits = tk.map(w =>
+        (totBits - java.lang.Long.toBinaryString(counts(w)).length).toLong).sum
+      id -> (tk.length.toLong, bits)
+    }.toMap
+    assert(out == expected)
+    // the corpus is not degenerate for the test: some surprisal mass exists
+    assert(out.values.exists(_._2 > 0L))
+  }
+
   test("q101: OOV rate equals a JVM recompute of the top-K vocab contract") {
     val out = TextAnalysis.queries("q101_oov_rate")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))

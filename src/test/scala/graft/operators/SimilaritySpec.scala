@@ -36,6 +36,33 @@ class SimilaritySpec extends SparkSpec {
   private def embFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
     .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  test("q112: hard negatives are cross-label and match a brute recompute") {
+    val out = Similarity.queries("q112_hard_negatives")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2),
+        r.getLong(3), r.getAs[Number](4).longValue, r.getDouble(5)))
+    // every returned negative really is cross-label
+    assert(out.nonEmpty && out.forall { case (_, ql, _, _, nl, _) => ql != nl })
+    val vecs = embFrame.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byQuery = out.groupBy(_._1)
+    vecs.filter(_._1 < Similarity.NumQueries).foreach { case (qid, qlabel, qv) =>
+      val expected = vecs.filter(_._2 != qlabel)
+        .map { case (id, _, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(Similarity.TopK).map(_._1).toSeq
+      val got = byQuery(qid).sortBy(_._3).map(_._4).toSeq
+      assert(got == expected, s"query $qid")
+      // and none of the returned sims exceeds the unconstrained brute top-1
+      assert(byQuery(qid).forall { case (_, _, _, id, _, s) =>
+        s <= vecs.filter(v => v._1 != qid).map(v => cos(qv, v._3)).max + 1e-12 })
+    }
+  }
+
   test("ivfTopK at nProbe=1 probes one list and returns ranked neighbors from it") {
     val out = Similarity.ivfTopK(embFrame, numQueries = 5, k = 3, nProbe = 1).collect()
     val byQuery = out.groupBy(_.getLong(0))
