@@ -315,8 +315,154 @@ object Similarity {
                 diff * diff
               }),
             lit(0.0), (acc, x) => acc + x).as("err"))
+    }),
+
+    // --- product quantization: encode (q115) -------------------------------
+    // Each vector as PqM 4-bit codes + the per-subspace quantization error:
+    // the 128× storage tier of the compression ladder (q53 int8 = 4×,
+    // q81 JL = 4× fewer dims). Long-form scalar output (vec_id, sub, code,
+    // d2) — codes oracle-checked under the Verify-exported codebooks.
+    "q115_pq_encode" -> ((s, d) => {
+      val e = embs(s, d)
+      val cb = trainPqCodebooks(e, d)
+      pqEncoded(e, cb)
+        .select(col("vec_id"), posexplode(array(
+          (0 until PqM).map(m => col(s"s$m")): _*)).as(Seq("sub", "r")))
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("r.code").as("code"), col("r.d2").as("d2"))
+    }),
+
+    // --- product quantization: ADC top-k search (q116) ---------------------
+    // Asymmetric distance computation, the FAISS search shape: each query
+    // precomputes a PqM×PqK distance TABLE against the codebooks (narrow,
+    // query-side only), and a corpus vector's approximate squared L2 is
+    // just PqM table lookups summed in fixed order — no per-pair
+    // arithmetic over raw floats at all. The query table set is tiny and
+    // broadcast; the corpus side carries only its 2-byte codes through the
+    // scoring join, so at 100 TB the search reads the PQ-compressed store,
+    // never the float vectors. Exact oracle under exported codebooks.
+    "q116_pq_adc" -> ((s, d) => {
+      val e = embs(s, d)
+      val cb = trainPqCodebooks(e, d)
+      val codes = pqEncoded(e, cb)
+        .select(col("vec_id") +:
+          (0 until PqM).map(m => col(s"s$m.code").as(s"c$m")): _*)
+      val qt = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id") +:
+          (0 until PqM).map(m => subDists(col("v"), m, cb).as(s"dt$m")): _*)
+      val adc = (0 until PqM).map(m =>
+          element_at(col(s"dt$m"), (col(s"c$m") + 1).cast("int")))
+        .reduceLeft(_ + _)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      broadcast(qt).join(codes, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), adc.as("adc"))
+        .withColumn("nn_rank", row_number().over(w).cast("long"))
+        .filter(col("nn_rank") <= TopK)
+        .select(col("query_id"), col("nn_rank"), col("vec_id"), col("adc"))
     })
   )
+
+  // ------------------- product quantization (q115/q116) -------------------
+
+  /** PQ geometry: EmbDim split into M contiguous subspaces of SubDim dims,
+    * each quantized to K learned centroids — a vector becomes M 4-bit codes
+    * (2 bytes total vs 256 bytes of float32: 128× compression, the
+    * FAISS-PQ storage tier below q53's 4× int8). */
+  val PqM = 4
+  val PqSubDim: Int = EmbDim / PqM
+  val PqK = 16
+  private val PqSample = 1024
+
+  /** Per-subspace codebooks, trained like [[trainCentroids]] (bounded
+    * md5-ordered sample, driver-side Lloyd's, bit-deterministic) but with
+    * L2 distance (PQ quantizes raw subvectors; cosine has no meaning on a
+    * slice) and DENSE code ids: an empty cluster keeps its previous center
+    * rather than dropping, because codes must stay exactly 0..K−1.
+    * Memoized per sf dir — q115, q116, and the Verify export all read the
+    * same training run (it is deterministic anyway; the cache just saves
+    * the repeated sample collect). */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]
+  def trainPqCodebooks(e: DataFrame, key: String): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent(key, _ => {
+      val sample: Array[Array[Double]] = e
+        .select(md5(col("vec_id").cast("string")).as("so"), col("v"))
+        .orderBy(col("so")).limit(PqSample)
+        .collect()
+        .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2) // fixed fold order -> bit-deterministic
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val df = a(i) - b(i); s += df * df; i += 1 }
+        s
+      }
+      Array.tabulate(PqM) { mi =>
+        val sub = sample.map(_.slice(mi * PqSubDim, (mi + 1) * PqSubDim))
+        var centers: Array[Array[Double]] = sub.take(PqK).map(_.clone())
+        def nearestJ(v: Array[Double]): Int = {
+          var best = 0; var bd = d2(v, centers(0)); var j = 1
+          while (j < centers.length) {
+            val dj = d2(v, centers(j))
+            if (dj < bd) { bd = dj; best = j } // tie keeps smaller j
+            j += 1
+          }
+          best
+        }
+        for (_ <- 1 to 5) {
+          val byJ = sub.map(v => (nearestJ(v), v)).groupBy(_._1)
+          centers = centers.zipWithIndex.map { case (c, j) =>
+            byJ.get(j).map { members =>
+              val m = Array.fill(PqSubDim)(0.0)
+              members.foreach { case (_, v) =>
+                var i = 0; while (i < m.length) { m(i) += v(i); i += 1 } }
+              var i = 0; while (i < m.length) { m(i) /= members.length; i += 1 }
+              m
+            }.getOrElse(c)
+          }
+        }
+        centers
+      }
+    })
+
+  /** Codebook table (sub, code, cv) for a sf dir — Verify exports this to
+    * parquet so the q115/q116 oracles recheck encode + ADC search under the
+    * exact codebooks the Spark side trained. */
+  def pqCodebookFor(s: SparkSession, d: String): DataFrame = {
+    val cb = trainPqCodebooks(embs(s, d), d)
+    import s.implicits._
+    (for (m <- 0 until PqM; j <- 0 until PqK)
+      yield (m.toLong, j.toLong, cb(m)(j).toSeq)).toDF("sub", "code", "cv")
+  }
+
+  /** Squared L2 distance between subvector `sub` of `v` and a literal
+    * codebook row — a codegen'd fixed-order fold, identical arithmetic to
+    * the oracle's list_sum(list_transform(...)). */
+  private def subD2(v: Column, m: Int, cv: Array[Double]): Column =
+    aggregate(
+      zip_with(slice(v, m * PqSubDim + 1, PqSubDim),
+        array(cv.toIndexedSeq.map(lit): _*),
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-subspace distance array (16 doubles) against the codebook of
+    * subspace m — the building block of both encoding (argmin) and the
+    * query-side ADC distance table. */
+  private def subDists(v: Column, m: Int, cb: Array[Array[Array[Double]]]): Column =
+    array(cb(m).toIndexedSeq.map(cv => subD2(v, m, cv)): _*)
+
+  /** PQ-encode: per subspace, the 1-based argmin position into the distance
+    * array (array_position finds the FIRST occurrence of the min — tie
+    * breaks to the smaller code, mirroring the oracle's ORDER BY d2, code).
+    * Entirely narrow: the codebook rides in the plan as literals, so
+    * encoding is a zero-shuffle projection — the shape that PQ-compresses
+    * a 100 TB embedding store in one scan. */
+  private def pqEncoded(e: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame =
+    e.select(col("vec_id") +: (0 until PqM).map { m =>
+      val darr = subDists(col("v"), m, cb)
+      struct((array_position(darr, array_min(darr)) - 1).as("code"),
+        array_min(darr).as("d2")).as(s"s$m")
+    }: _*)
 
   /** IVF search: coarse quantization by Lloyd's k-means (learned, not the
     * testdata's labels), then each query probes only its `nProbe` nearest
@@ -461,6 +607,30 @@ object Similarity {
 
   private val oEmb = "CAST(embedding AS DOUBLE[])"
 
+  /** DuckDB twin of [[subD2]] against codebook row `cb` for a vector
+    * expression — same fixed-order fold, bit-identical doubles. */
+  private def oSubD2(vExpr: String): String =
+    s"""list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |                k -> ($vExpr[cb.sub*$PqSubDim + k] - cb.cv[k])
+       |                   * ($vExpr[cb.sub*$PqSubDim + k] - cb.cv[k])))""".stripMargin
+
+  /** Shared q115/q116 oracle prefix: per (vector, subspace, code) squared
+    * distance under the exported codebooks, and the per-(vector, subspace)
+    * argmin code (tie -> smaller code, mirroring array_position-of-min). */
+  private def oPqBase: String =
+    s"""e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
+       |          cb AS (SELECT sub, code, cv
+       |                 FROM '$AuxDirToken/q115_codebook/*.parquet'),
+       |          d AS (
+       |            SELECT e.vec_id, cb.sub, cb.code, ${oSubD2("e.v")} AS d2
+       |            FROM e CROSS JOIN cb),
+       |          enc AS (
+       |            SELECT vec_id, sub, code, d2 FROM (
+       |              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |                          ORDER BY d2 ASC, code) AS rk
+       |              FROM d)
+       |            WHERE rk = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q50_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
@@ -597,6 +767,36 @@ object Similarity {
                         ORDER BY sim DESC, vec_id) AS nn_rank
             FROM scored)
           WHERE nn_rank <= $LshTopK""",
+
+    "q115_pq_encode" ->
+      s"""WITH $oPqBase
+          SELECT vec_id, sub, code, d2 FROM enc""",
+
+    "q116_pq_adc" ->
+      s"""WITH $oPqBase,
+          codes AS (
+            SELECT vec_id,
+              MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+              MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+              MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+              MAX(CASE WHEN sub = 3 THEN code END) AS c3
+            FROM enc GROUP BY vec_id),
+          dt AS (SELECT vec_id AS query_id, sub, code, d2 FROM d
+                 WHERE vec_id < $NumQueries),
+          scored AS (
+            SELECT t0.query_id, c.vec_id,
+                   ((t0.d2 + t1.d2) + t2.d2) + t3.d2 AS adc
+            FROM codes c
+            JOIN dt t0 ON t0.sub = 0 AND t0.code = c.c0
+            JOIN dt t1 ON t1.query_id = t0.query_id AND t1.sub = 1 AND t1.code = c.c1
+            JOIN dt t2 ON t2.query_id = t0.query_id AND t2.sub = 2 AND t2.code = c.c2
+            JOIN dt t3 ON t3.query_id = t0.query_id AND t3.sub = 3 AND t3.code = c.c3
+            WHERE t0.query_id <> c.vec_id)
+          SELECT query_id, nn_rank, vec_id, adc FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY adc ASC, vec_id) AS nn_rank
+            FROM scored)
+          WHERE nn_rank <= $TopK""",
 
     "q54_knn_quantized" ->
       s"""WITH b AS (

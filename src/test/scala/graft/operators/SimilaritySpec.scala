@@ -36,6 +36,64 @@ class SimilaritySpec extends SparkSpec {
   private def embFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
     .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  test("PQ: dense codes, ADC bit-equals a JVM table recompute, geometry preserved") {
+    val vecs = embFrame.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](2).toArray))
+    val cb = Similarity.trainPqCodebooks(
+      embFrame.select(col("vec_id"), col("v")), sfDir)
+    assert(cb.length == Similarity.PqM && cb.forall(_.length == Similarity.PqK))
+
+    // q115: every vector gets exactly PqM rows, codes dense in [0, PqK)
+    val enc = Similarity.queries("q115_pq_encode")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byVec = enc.groupBy(_._1)
+    assert(byVec.size == vecs.length)
+    assert(byVec.values.forall(_.map(_._2).sorted.toSeq ==
+      (0L until Similarity.PqM).toSeq))
+    assert(enc.forall(e => e._3 >= 0 && e._3 < Similarity.PqK))
+
+    // JVM twin of the fixed-order subspace fold
+    def subD2(v: Array[Double], m: Int, c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) {
+        val d = v(m * Similarity.PqSubDim + i) - c(i); s += d * d; i += 1
+      }
+      s
+    }
+    def codeOf(v: Array[Double], m: Int): Int =
+      (0 until Similarity.PqK).minBy(j => (subD2(v, m, cb(m)(j)), j))
+    // q115 codes and distances equal the JVM argmin recompute exactly
+    enc.foreach { case (id, m, code, d2) =>
+      val v = vecs.find(_._1 == id).get._2
+      val j = codeOf(v, m.toInt)
+      assert(code == j && d2 == subD2(v, m.toInt, cb(m.toInt)(j)), s"vec $id sub $m")
+    }
+
+    // q116: ADC rows bit-equal the JVM distance-table recompute
+    val out = Similarity.queries("q116_pq_adc")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val codes = vecs.map { case (id, v) =>
+      id -> Array.tabulate(Similarity.PqM)(m => codeOf(v, m))
+    }.toMap
+    val byQuery = out.groupBy(_._1)
+    vecs.filter(_._1 < Similarity.NumQueries).foreach { case (qid, qv) =>
+      def adcOf(id: Long): Double =
+        (0 until Similarity.PqM).map(m => subD2(qv, m, cb(m)(codes(id)(m))))
+          .reduceLeft(_ + _)
+      val expected = vecs.filter(_._1 != qid).map { case (id, _) => (id, adcOf(id)) }
+        .sortBy { case (id, a) => (a, id) }.take(Similarity.TopK)
+      val got = byQuery(qid).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got == expected.toSeq, s"query $qid")
+      // coarse geometry: ADC of the exact-L2 top-5 beats the global mean
+      val exact = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, (0 until Similarity.PqM).map(m => subD2(v, m, Array.tabulate(Similarity.PqSubDim)(i => qv(m * Similarity.PqSubDim + i)))).sum) }
+        .sortBy { case (id, d) => (d, id) }.take(Similarity.TopK).map(_._1)
+      val all = vecs.filter(_._1 != qid).map(v => adcOf(v._1))
+      val topAdc = exact.map(adcOf).sum / exact.size
+      assert(topAdc <= all.sum / all.size, s"query $qid: PQ lost the geometry")
+    }
+  }
+
   test("q112: hard negatives are cross-label and match a brute recompute") {
     val out = Similarity.queries("q112_hard_negatives")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2),
