@@ -332,6 +332,60 @@ object Similarity {
           col("r.code").as("code"), col("r.d2").as("d2"))
     }),
 
+    // --- IVF-PQ: coarse lists + ADC scoring (q117) -------------------------
+    // The composition that IS the production 100 TB ANN index (FAISS
+    // IVFPQ's shape): q52's learned coarse quantizer prunes the corpus to
+    // nProbe inverted lists per query, and within the probed lists vectors
+    // are scored by q116's asymmetric distance over their 2-byte PQ codes —
+    // so search touches neither the full corpus nor any raw floats. This
+    // variant PQ-encodes raw vectors (IVFFlat+PQ); residual encoding
+    // (PQ on v − centroid) is the mechanical next rung and changes only
+    // the encode expression. Both learned tables are Verify-exported, so
+    // the whole search stage has an exact DuckDB oracle.
+    "q117_ivf_pq" -> ((s, d) => {
+      val e = embs(s, d)
+      val cb = trainPqCodebooks(e, d)
+      val cent = trainCentroids(e)
+      // one corpus pass each: list assignment (argmax-cosine hash agg) and
+      // the narrow PQ encode; joined on vec_id — at scale both columns
+      // live materialized in the index store, written in the same scan.
+      val lists = e.join(broadcast(cent))
+        .select(col("vec_id"),
+          struct(cosine(col("v"), col("cv")).as("csim"),
+            (-col("cid")).as("ncid")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("sc")).as("best"))
+        .select(col("vec_id"), (-col("best.ncid")).as("cid"))
+      val corpus = pqEncoded(e, cb)
+        .select(col("vec_id") +:
+          (0 until PqM).map(m => col(s"s$m.code").as(s"c$m")): _*)
+        .join(lists, Seq("vec_id"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wc = Window.partitionBy(col("query_id"))
+        .orderBy(col("csim").desc, col("cid"))
+      val probed = q.join(broadcast(cent))
+        .select(col("query_id"), col("qv"), col("cid"),
+          cosine(col("qv"), col("cv")).as("csim"))
+        .withColumn("crank", row_number().over(wc).cast("long"))
+        .filter(col("crank") <= IvfNProbe)
+        .select(col("query_id") +: col("cid") +:
+          (0 until PqM).map(m => subDists(col("qv"), m, cb).as(s"dt$m")): _*)
+      val adc = (0 until PqM).map(m =>
+          element_at(col(s"dt$m"), (col(s"c$m") + 1).cast("int")))
+        .reduceLeft(_ + _)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      broadcast(probed).join(corpus, Seq("cid"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), col("cid").as("list_id"),
+          adc.as("adc"))
+        .withColumn("nn_rank", row_number().over(w).cast("long"))
+        .filter(col("nn_rank") <= LshTopK)
+        .select(col("query_id"), col("nn_rank"), col("vec_id"),
+          col("list_id"), col("adc"))
+    }),
+
     // --- product quantization: ADC top-k search (q116) ---------------------
     // Asymmetric distance computation, the FAISS search shape: each query
     // precomputes a PqM×PqK distance TABLE against the codebooks (narrow,
@@ -797,6 +851,51 @@ object Similarity {
                         ORDER BY adc ASC, vec_id) AS nn_rank
             FROM scored)
           WHERE nn_rank <= $TopK""",
+
+    "q117_ivf_pq" ->
+      s"""WITH $oPqBase,
+          cent AS (SELECT cid, cv AS ccv
+                   FROM '$AuxDirToken/q52_centroids/*.parquet'),
+          asg AS (
+            SELECT vec_id, cid FROM (
+              SELECT e.vec_id, c.cid,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${oCosine("e.v", "c.ccv")} DESC, c.cid) AS rk
+              FROM e CROSS JOIN cent c)
+            WHERE rk = 1),
+          codes AS (
+            SELECT vec_id,
+              MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+              MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+              MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+              MAX(CASE WHEN sub = 3 THEN code END) AS c3
+            FROM enc GROUP BY vec_id),
+          probed AS (
+            SELECT query_id, cid FROM (
+              SELECT q.vec_id AS query_id, c.cid,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${oCosine("q.v", "c.ccv")} DESC, c.cid) AS crank
+              FROM e q CROSS JOIN cent c
+              WHERE q.vec_id < $NumQueries)
+            WHERE crank <= $IvfNProbe),
+          dt AS (SELECT vec_id AS query_id, sub, code, d2 FROM d
+                 WHERE vec_id < $NumQueries),
+          scored AS (
+            SELECT p.query_id, w.vec_id, w.cid AS list_id,
+                   ((t0.d2 + t1.d2) + t2.d2) + t3.d2 AS adc
+            FROM probed p
+            JOIN (SELECT codes.*, asg.cid
+                  FROM codes JOIN asg USING (vec_id)) w ON p.cid = w.cid
+            JOIN dt t0 ON t0.query_id = p.query_id AND t0.sub = 0 AND t0.code = w.c0
+            JOIN dt t1 ON t1.query_id = p.query_id AND t1.sub = 1 AND t1.code = w.c1
+            JOIN dt t2 ON t2.query_id = p.query_id AND t2.sub = 2 AND t2.code = w.c2
+            JOIN dt t3 ON t3.query_id = p.query_id AND t3.sub = 3 AND t3.code = w.c3
+            WHERE p.query_id <> w.vec_id)
+          SELECT query_id, nn_rank, vec_id, list_id, adc FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY adc ASC, vec_id) AS nn_rank
+            FROM scored)
+          WHERE nn_rank <= $LshTopK""",
 
     "q54_knn_quantized" ->
       s"""WITH b AS (

@@ -94,6 +94,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q117: IVF-PQ equals the composed JVM recompute (probe, then ADC in lists)") {
+    val vecs = embFrame.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](2).toArray))
+    val cb = Similarity.trainPqCodebooks(
+      embFrame.select(col("vec_id"), col("v")), sfDir)
+    val cent = Similarity.trainCentroids(
+        embFrame.select(col("vec_id"), col("v"))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def subD2(v: Array[Double], m: Int, c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) {
+        val d = v(m * Similarity.PqSubDim + i) - c(i); s += d * d; i += 1
+      }
+      s
+    }
+    def codeOf(v: Array[Double], m: Int): Int =
+      (0 until Similarity.PqK).minBy(j => (subD2(v, m, cb(m)(j)), j))
+    def listOf(v: Array[Double]): Long =
+      cent.map { case (cid, cv) => (cos(v, cv), cid) }
+        .reduceLeft((x, y) => if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x)._2
+    val lists = vecs.map { case (id, v) => id -> listOf(v) }.toMap
+    val codes = vecs.map { case (id, v) =>
+      id -> Array.tabulate(Similarity.PqM)(m => codeOf(v, m))
+    }.toMap
+    val out = Similarity.queries("q117_ivf_pq")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val byQuery = out.groupBy(_._1)
+    vecs.filter(_._1 < Similarity.NumQueries).foreach { case (qid, qv) =>
+      val probed = cent.map { case (cid, cv) => (cos(qv, cv), cid) }
+        .sortBy { case (cs, cid) => (-cs, cid) }
+        .take(Similarity.IvfNProbe).map(_._2).toSet
+      val expected = vecs
+        .filter { case (id, _) => id != qid && probed(lists(id)) }
+        .map { case (id, _) =>
+          val adc = (0 until Similarity.PqM)
+            .map(m => subD2(qv, m, cb(m)(codes(id)(m)))).reduceLeft(_ + _)
+          (id, lists(id), adc)
+        }
+        .sortBy { case (id, _, adc) => (adc, id) }
+        .take(Similarity.LshTopK)
+      val got = byQuery.get(qid).map(_.sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq)
+        .getOrElse(Seq.empty)
+      assert(got == expected.toSeq, s"query $qid")
+    }
+  }
+
   test("q112: hard negatives are cross-label and match a brute recompute") {
     val out = Similarity.queries("q112_hard_negatives")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2),
