@@ -20,8 +20,12 @@ class CatalogPlanSpec extends SparkSpec {
   // whose broadcast side is a no-grouping-key aggregate (a computed 1-row
   // scalar, e.g. q20's avg price or q34's corpus doc count) is sanctioned
   // structurally — that shape is really a filter against a constant.
+  // q112 scores all cross-label pairs (q50's shape + label predicate);
+  // q116 is brute ADC over the full corpus — the IVF-pruned q117 is its
+  // scale tier and joins on the list id (equi, not BNL).
   private val bnlAllowed =
-    Set("q50_knn_brute", "q54_knn_quantized", "q82_knn_projected")
+    Set("q50_knn_brute", "q54_knn_quantized", "q82_knn_projected",
+      "q112_hard_negatives", "q116_pq_adc")
 
   // Sanctioned build sides: a no-grouping-key aggregate (1-row scalar) or a
   // LocalTableScan (driver-local literal model state, e.g. q52's learned
