@@ -184,6 +184,46 @@ object Curation {
         (coalesce(col("n_bloom_hits"), lit(0L)) > 0).as("bloom_contaminated"))
   }
 
+  /** Frozen-Bloom decontamination scan — the PRODUCTION deployment shape of
+    * [[bloomDecontaminate]]: the benchmark Bloom filter is trained once in
+    * batch (the `BloomAggregate` fold), then frozen into this transform as
+    * 64 literal int64 words and applied as a PURE NARROW projection — no
+    * join, no aggregation, no state. That makes it mode-agnostic like
+    * [[piiScan]]: the same Column expressions score a batch DataFrame or a
+    * readStream micro-batch bit-identically, which is exactly how streaming
+    * ingest decontaminates against a suite frozen at train-cutoff time.
+    * Per-doc output matches [[bloomDecontaminate]] row for row (same
+    * hashes, same bits, FPs included).
+    *
+    * Scale shape (100 TB): the filter rides in the plan (fixed size — the
+    * real deployment dials BloomBits, it stays KBs-to-MBs and shuffles
+    * nothing); per-doc cost is grams × BloomHashes md5s, embarrassingly
+    * parallel, zero exchanges. */
+  def bloomScan(docs: DataFrame, bloomWords: Array[Long], n: Int): DataFrame = {
+    val words = array(bloomWords.toIndexedSeq.map(lit): _*)
+    val grams = array_distinct(shingles(toks(col("text")), n))
+    val hit = (g: org.apache.spark.sql.Column) => {
+      val pos = array((0 until Sketches.BloomHashes)
+        .map(r => Sketches.bloomPos(g, lit(r))): _*)
+      forall(pos, p => call_function("bit_get",
+        element_at(words, (p / 64).cast("int") + 1),
+        (p % 64).cast("int")) === 1)
+    }
+    docs.select(col("doc_id"), col("source"),
+      size(grams).cast("long").as("n_grams"),
+      size(filter(grams, hit)).cast("long").as("n_bloom_hits"),
+      (size(filter(grams, hit)) > 0).as("bloom_contaminated"))
+  }
+
+  /** The frozen words for [[bloomScan]]: the benchmark slice's distinct
+    * n-grams folded through the same `BloomAggregate` the q71 query uses. */
+  def trainBloom(docs: DataFrame, benchSource: String, n: Int): Array[Long] =
+    docs.filter(col("source") === benchSource)
+      .select(explode(array_distinct(shingles(toks(col("text")), n))).as("gram"))
+      .agg(udaf(Sketches.BloomAggregate, org.apache.spark.sql.Encoders.STRING)(
+        col("gram")).as("words"))
+      .collect()(0).getSeq[Long](0).toArray
+
   /** Deterministic k-per-stratum sample of a (<strata>, doc_id) frame.
     * Sample identity is a pure function of doc_id (md5 order): reproducible
     * across runs, engines, and partitionings, and stable under corpus
