@@ -28,6 +28,10 @@ object Relational {
   /** Exact order-independent sum of a 2-decimal double column. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** q118 PageRank: integer mass scale and unrolled iteration count. */
+  val PrScale = 1000000000000L
+  val PrIters = 3
+
   /** Histogram rank walk shared by q91 (median) and q95 (winsorize cuts):
     * cumulative counts over the DISTINCT values of each group — never a
     * row-level sort — then, for every requested rank expression over the
@@ -789,6 +793,53 @@ object Relational {
           Array(col("f_total"), col("o_total"), col("p_total")),
           "metric", "total")),
 
+    // --- PageRank over the nation trade network (iterative graph agg) ----------
+    // Graph centrality as a relational query: nodes = nations, a directed
+    // edge src -> dst weighted by lineitems flowing supplier-nation ->
+    // customer-nation, then THREE unrolled PageRank iterations (damping
+    // 17/20). All arithmetic is exact integer: mass is scaled to PrScale,
+    // each contribution is (pr·w·17) div (outw·20) with the product carried
+    // in DECIMAL(38,0) — pr·w·17 brushes past int64 — and the div result
+    // back in int64 (the q100/q104 discipline, so shuffle order cannot
+    // perturb a single unit of mass and the oracle hash-matches an
+    // iterative float algorithm could never pin). Dangling-node mass is
+    // dropped (standard simplification; documented, not redistributed).
+    // Scale shape: the edge build is the q05 star join collapsing to
+    // #nations² rows; every iteration is then a broadcast join + hash agg
+    // over model-sized tables — iteration cost is independent of corpus
+    // size, which is why unrolling is safe at 100 TB.
+    "q118_pagerank" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+      val e = edges.join(outw, Seq("src"))
+      val nodes = t(s, d, "nation")
+        .select(col("n_nationkey").as("node"), col("n_name"))
+      val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+      var pr = nodes.select(col("node")).join(broadcast(nn))
+        .select(col("node"),
+          expr(s"cast($PrScale as decimal(38,0)) div cast(n_nodes as decimal(38,0))")
+            .as("pr"))
+      for (_ <- 1 to PrIters) {
+        val contrib = pr.join(broadcast(e), col("node") === col("src"))
+          .select(col("dst"),
+            expr("(cast(pr as decimal(38,0)) * w * 17) div (cast(outw as decimal(38,0)) * 20)")
+              .as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+        pr = nodes.select(col("node")).join(broadcast(nn))
+          .join(broadcast(contrib), col("node") === col("dst"), "left")
+          .select(col("node"),
+            (expr(s"cast(3 * $PrScale as decimal(38,0)) div cast(20 * n_nodes as decimal(38,0))") +
+              coalesce(col("inc"), lit(0L))).as("pr"))
+      }
+      nodes.join(pr, Seq("node"))
+        .select(col("n_name"), col("pr"))
+    }),
+
     // --- statistical aggregates from exact moments ------------------------------
     // stddev/corr built-ins accumulate floating state in shuffle order, so
     // they are not reproducible across engines; computing the moments as
@@ -1129,6 +1180,45 @@ object Relational {
          SELECT o_orderpriority, metric, total
          FROM (UNPIVOT w ON f_total, o_total, p_total
                INTO NAME metric VALUE total)""",
+
+    "q118_pagerank" -> {
+      // unrolled iterations generated with the exact Spark arithmetic:
+      // (pr·w·17) // (outw·20) per edge in HUGEINT (≙ DECIMAL(38,0)),
+      // floor-div back to BIGINT, base + incoming per node.
+      val iters = (1 to PrIters).map { k =>
+        s"""c$k AS (
+            SELECT e.dst,
+              CAST(SUM(CAST((CAST(p.pr AS HUGEINT) * e.w * 17)
+                            // (CAST(e.outw AS HUGEINT) * 20) AS BIGINT))
+                   AS BIGINT) AS inc
+            FROM p${k - 1} p JOIN e ON p.node = e.src GROUP BY e.dst),
+          p$k AS (
+            SELECT n.node,
+              CAST(CAST(3 * $PrScale AS HUGEINT) // (20 * nn.n) AS BIGINT)
+                + COALESCE(c$k.inc, 0) AS pr
+            FROM (SELECT node FROM p0) n CROSS JOIN nn
+            LEFT JOIN c$k ON n.node = c$k.dst)"""
+      }.mkString(",\n          ")
+      s"""WITH edges AS (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(1) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+          ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+                 FROM edges GROUP BY src),
+          e AS (SELECT edges.src, edges.dst, edges.w, ow.outw
+                FROM edges JOIN ow USING (src)),
+          nn AS (SELECT COUNT(1) AS n FROM nation),
+          p0 AS (
+            SELECT n_nationkey AS node,
+              CAST(CAST($PrScale AS HUGEINT) // nn.n AS BIGINT) AS pr
+            FROM nation CROSS JOIN nn),
+          $iters
+          SELECT nation.n_name, p$PrIters.pr
+          FROM p$PrIters JOIN nation ON p$PrIters.node = nation.n_nationkey"""
+    },
 
     "q29_stats_moments" ->
       """WITH m AS (

@@ -28,6 +28,47 @@ class RelationalSpec extends SparkSpec {
     assert(plan("q03_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q118: PageRank equals an exact BigInt recompute; mass is conserved minus floors") {
+    val spark0 = spark
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val sfd = sfDir
+    val li = spark0.read.parquet(s"$sfd/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = spark0.read.parquet(s"$sfd/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = spark0.read.parquet(s"$sfd/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = spark0.read.parquet(s"$sfd/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("c_nationkey"))
+      .agg(count(lit(1)).as("w")).collect()
+      .map(r => ((r.getAs[Number](0).longValue, r.getAs[Number](1).longValue),
+        r.getLong(2)))
+    val nations = spark0.read.parquet(s"$sfd/nation.parquet")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1))
+    val n = nations.length
+    val outw = edges.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val S = BigInt(Relational.PrScale)
+    var pr = nations.map(_._1 -> (S / n)).toMap
+    for (_ <- 1 to Relational.PrIters) {
+      val inc = scala.collection.mutable.Map.empty[Long, BigInt].withDefaultValue(BigInt(0))
+      edges.foreach { case ((src, dst), w) =>
+        inc(dst) += (pr(src) * w * 17) / (BigInt(outw(src)) * 20)
+      }
+      pr = nations.map { case (k, _) => k -> (S * 3 / (20 * n) + inc(k)) }.toMap
+    }
+    val out = Relational.queries("q118_pagerank")(spark0, sfd).collect()
+      .map(r => r.getString(0) -> BigInt(r.getLong(1))).toMap
+    val expected = nations.map { case (k, name) => name -> pr(k) }.toMap
+    assert(out == expected)
+    // floors only ever DROP mass: total stays within n·PrIters units + dangling loss
+    assert(out.values.sum <= S)
+  }
+
   test("q114: unpivot is the exact long-form relayout of the q28 pivot") {
     val wide = Relational.queries("q28_pivot")(spark, sfDir).collect()
       .map(r => r.getString(0) -> Seq(
