@@ -347,7 +347,48 @@ object Sketches {
       .groupBy((keyCols :+ "idx").map(col): _*)
       .agg(max(col("rho")).cast("long").as("m"))
 
+  /** CMS self-join size estimation — the optimizer-adjacent use of the
+    * sketch (AGMS lineage): |R ⋈_k R| = Σ_k n_k² is what prices a keyed
+    * self-join (sessionization, pair generation) BEFORE running it, and
+    * each CMS hash row estimates it as the row's bucket inner product
+    * Σ_b bsum² — an overestimate by construction (collisions only add
+    * cross terms), so min over rows is sound and tight-ish. The
+    * two-relation variant is the same inner product between two sketches
+    * built with the same seeds; nothing changes shape.
+    *
+    * Scale shape: per-key counts are a two-level hash agg (or feed raw
+    * increments into `CmsAggregate` and skip the exact stage entirely —
+    * fixed state per task); after that everything is Depth×Width cells.
+    * Products are carried in DECIMAL(38,0) (≙ HUGEINT): bucket sums are
+    * corpus-sized and square past int64 long before 100 TB.
+    *
+    * Output per hash row, with the min-estimate, the exact answer, and the
+    * soundness bit the theory promises — all integer-exact. */
+  def selfJoinEstimate(keyed: DataFrame): DataFrame = {
+    val counts = keyed.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("key").as("term"), col("n"))
+    val rows = cmsTable(counts)
+      .select(col("r"),
+        (col("bsum").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("bsum")).as("p"))
+      .groupBy(col("r")).agg(sum(col("p")).as("pd"))
+      .select(col("r").cast("long").as("r"), col("pd").cast("long").as("row_est"))
+    val minEst = rows.agg(min(col("row_est")).as("min_est"))
+    val exact = counts.agg(
+      sum(col("n").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+        col("n")).cast("long").as("exact"))
+    rows.join(broadcast(minEst)).join(broadcast(exact))
+      .select(col("r"), col("row_est"), col("min_est"), col("exact"),
+        (col("min_est") >= col("exact")).as("sound"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- CMS join-size estimation (the sessionization-cost estimator) ------
+    "q119_join_estimate" -> ((s, d) =>
+      selfJoinEstimate(Tables.load(s, d, "events")
+        .select(col("user_id").cast("string").as("key")))),
 
     // --- histogram quantile sketch over the events value stream ------------
     // Two passes over events (exact min/max/percentile profile, then the
@@ -582,6 +623,26 @@ object Sketches {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "q119_join_estimate" ->
+      s"""WITH counts AS (
+            SELECT CAST(user_id AS VARCHAR) AS term, COUNT(1) AS n
+            FROM events GROUP BY 1),
+          entries AS (
+            SELECT term, n, r, ${oBucket("term", "r")} AS bucket
+            FROM counts CROSS JOIN (SELECT unnest(range(0, $Depth)) AS r)),
+          cms AS (
+            SELECT r, bucket, CAST(SUM(n) AS BIGINT) AS bsum
+            FROM entries GROUP BY r, bucket),
+          rows_ AS (
+            SELECT r, CAST(SUM(CAST(bsum AS HUGEINT) * bsum) AS BIGINT) AS row_est
+            FROM cms GROUP BY r),
+          m AS (SELECT MIN(row_est) AS min_est FROM rows_),
+          x AS (SELECT CAST(SUM(CAST(n AS HUGEINT) * n) AS BIGINT) AS exact
+                FROM counts)
+          SELECT rows_.r, rows_.row_est, m.min_est, x.exact,
+            m.min_est >= x.exact AS sound
+          FROM rows_ CROSS JOIN m CROSS JOIN x""",
     // DuckDB rebuilds the identical histogram; its cumulative step may use
     // a window (the Spark side avoids one only because of the single-task
     // plan audit). The affine bucket map is written with the same

@@ -32,6 +32,30 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("q119: CMS self-join-size estimate equals a JVM recompute and is sound") {
+    val out = Sketches.queries("q119_join_estimate")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until Sketches.Depth).toSeq)
+    val counts = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id").collect()
+      .map(_.getAs[Number](0).longValue.toString)
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val bsum = Array.ofDim[Long](Sketches.Depth, Sketches.Width)
+    counts.foreach { case (k, n) =>
+      (0 until Sketches.Depth).foreach(r => bsum(r)(Sketches.bucketOf(k, r)) += n)
+    }
+    val rowEst = (0 until Sketches.Depth)
+      .map(r => bsum(r).map(b => b * b).sum)
+    val exact = counts.values.map(n => n * n).sum
+    out.foreach { case (r, est, minEst, ex, sound) =>
+      assert(est == rowEst(r.toInt) && ex == exact && minEst == rowEst.min && sound,
+        s"row $r")
+      // soundness is structural, not observed luck: every row overestimates
+      assert(est >= ex)
+    }
+  }
+
   test("sketch size is Depth x Width regardless of vocabulary") {
     val big = spark.range(0, 2000)
       .select(concat(lit("w"), col("id")).as("term"), lit(1L).as("n"))
