@@ -793,6 +793,37 @@ object Relational {
           Array(col("f_total"), col("o_total"), col("p_total")),
           "metric", "total")),
 
+    // --- key-skew profiler (the salting / AQE-skew decision signal) ------------
+    // For each join/group key a pipeline actually shuffles on, the numbers
+    // that decide mitigation BEFORE the shuffle runs: distinct keys, rows,
+    // the heaviest key's count and share, and the normalized second moment
+    // skew = n_keys·Σn² / total² (1.0 = perfectly uniform, n_keys = all
+    // mass on one key) — which is also the self-join blowup factor
+    // relative to uniform. Everything is two hash aggs per column (counts,
+    // then moments); no sort, no window, no rank — the profile stays
+    // computable at any key cardinality. Integer moments ride in
+    // DECIMAL(38,0) (Σn² squares past int64 at corpus scale); the two
+    // ratios are single float divisions of exact integers.
+    "q120_key_skew" -> ((s, d) => {
+      def profile(df: DataFrame, keyCol: String, label: String): DataFrame =
+        df.groupBy(col(keyCol).cast("string").as("k"))
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("n")).as("total"),
+            max(col("n")).as("max_n"),
+            sum(col("n").cast(DecimalType(38, 0)) * col("n")).as("sumsq_d"))
+          .select(lit(label).as("key_col"), col("n_keys"), col("total"),
+            col("max_n"), col("sumsq_d").cast("long").as("sum_sq"),
+            (col("max_n").cast("double") / col("total")).as("top1_share"),
+            ((col("n_keys") * col("sumsq_d")).cast("double") /
+              (col("total").cast(DecimalType(38, 0)) * col("total")).cast("double"))
+              .as("skew"))
+      profile(t(s, d, "events"), "user_id", "events.user_id")
+        .union(profile(t(s, d, "events"), "event_type", "events.event_type"))
+        .union(profile(t(s, d, "lineitem"), "l_suppkey", "lineitem.l_suppkey"))
+        .union(profile(t(s, d, "orders"), "o_custkey", "orders.o_custkey"))
+    }),
+
     // --- PageRank over the nation trade network (iterative graph agg) ----------
     // Graph centrality as a relational query: nodes = nations, a directed
     // edge src -> dst weighted by lineitems flowing supplier-nation ->
@@ -1180,6 +1211,25 @@ object Relational {
          SELECT o_orderpriority, metric, total
          FROM (UNPIVOT w ON f_total, o_total, p_total
                INTO NAME metric VALUE total)""",
+
+    "q120_key_skew" -> {
+      def part(table: String, keyExpr: String, label: String) =
+        s"""SELECT '$label' AS key_col, n_keys, total, max_n,
+            CAST(sumsq AS BIGINT) AS sum_sq,
+            CAST(max_n AS DOUBLE) / total AS top1_share,
+            CAST(n_keys * sumsq AS DOUBLE)
+              / CAST(CAST(total AS HUGEINT) * total AS DOUBLE) AS skew
+            FROM (SELECT COUNT(1) AS n_keys, CAST(SUM(n) AS BIGINT) AS total,
+                         CAST(MAX(n) AS BIGINT) AS max_n,
+                         SUM(CAST(n AS HUGEINT) * n) AS sumsq
+                  FROM (SELECT COUNT(1) AS n FROM $table
+                        GROUP BY CAST($keyExpr AS VARCHAR)))"""
+      Seq(part("events", "user_id", "events.user_id"),
+        part("events", "event_type", "events.event_type"),
+        part("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+        part("orders", "o_custkey", "orders.o_custkey"))
+        .mkString("\n          UNION ALL\n          ")
+    },
 
     "q118_pagerank" -> {
       // unrolled iterations generated with the exact Spark arithmetic:

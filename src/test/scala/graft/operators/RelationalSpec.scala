@@ -28,6 +28,27 @@ class RelationalSpec extends SparkSpec {
     assert(plan("q03_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q120: skew profile equals a JVM recompute; skew bounded by [1, n_keys]") {
+    val out = Relational.queries("q120_key_skew")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.keySet == Set("events.user_id", "events.event_type",
+      "lineitem.l_suppkey", "orders.o_custkey"))
+    val counts = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id").collect()
+      .map(_.getAs[Number](0).longValue.toString)
+      .groupBy(identity).map { case (_, v) => v.length.toLong }.toSeq
+    val (nk, tot, mx, sq) =
+      (counts.size.toLong, counts.sum, counts.max, counts.map(n => n * n).sum)
+    assert(out("events.user_id") ==
+      ((nk, tot, mx, sq, mx.toDouble / tot, (nk * sq).toDouble / (tot.toDouble * tot))))
+    out.values.foreach { case (nKeys, _, _, _, top1, skew) =>
+      assert(skew >= 1.0 - 1e-12 && skew <= nKeys.toDouble + 1e-12)
+      assert(top1 >= 1.0 / nKeys && top1 <= 1.0)
+    }
+  }
+
   test("q118: PageRank equals an exact BigInt recompute; mass is conserved minus floors") {
     val spark0 = spark
     import org.apache.spark.sql.functions.{col, count, lit}
