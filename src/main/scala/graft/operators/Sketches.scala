@@ -383,7 +383,86 @@ object Sketches {
         (col("min_est") >= col("exact")).as("sound"))
   }
 
+  // ---------------------- Misra–Gries heavy hitters ------------------------
+
+  /** Summary size of the Misra–Gries pass. The guarantee (Misra & Gries
+    * 1982; mergeability per Agarwal et al. 2012): after any interleaving of
+    * reduces and merges, every key with true count > total/(MgK+1) is
+    * present in the summary — so the pass-1 candidate set is a SUPERSET of
+    * the heavy hitters and the exact pass-2 filter makes the final answer
+    * deterministic regardless of partitioning/merge order (which the
+    * summary contents alone are not — that is why the summary itself never
+    * reaches the query output). */
+  val MgK = 127
+
+  /** The Misra–Gries frequency summary as a MERGEABLE BOUNDED accumulator
+    * (the deterministic-guarantee sibling of [[CmsAggregate]]): at most
+    * [[MgK]] (key → weight) entries regardless of key cardinality.
+    * `reduce` increments a tracked key, admits an untracked one while
+    * capacity remains, and otherwise decrements every counter by 1 and
+    * drops zeros (the classic step; cost O(k) amortized over at least k
+    * admissions). `merge` sums the two summaries and, if over capacity,
+    * subtracts the (k+1)-th largest weight from all and keeps positives —
+    * the mergeable-summaries reduction. Per-task state is ≤ MgK entries;
+    * at 100 TB the map-side partials are what keeps a hot-key census from
+    * shuffling one row per distinct key. */
+  object MgAggregate extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      b.get(x) match {
+        case Some(n) => b.updated(x, n + 1L)
+        case None if b.size < MgK => b.updated(x, 1L)
+        case None =>
+          b.collect { case (k, n) if n > 1L => k -> (n - 1L) }
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (k, n)) =>
+        m.updated(k, m.getOrElse(k, 0L) + n)
+      }
+      if (sum.size <= MgK) sum
+      else {
+        val d = sum.valuesIterator.toArray.sortBy(-_).apply(MgK)
+        sum.collect { case (k, n) if n > d => k -> (n - d) }
+      }
+    }
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Exact heavy hitters — keys with count·(MgK+1) > total — via the
+    * standard two-pass scheme: a Misra–Gries candidate pass with bounded
+    * state, then exact counting restricted to the ≤ MgK candidates.
+    *
+    * Scale shape: pass 1 is one typed agg whose partial state is ≤ MgK
+    * entries per task (key cardinality never materializes anywhere); the
+    * candidate list is model-sized and BROADCAST, so pass 2's hash agg
+    * only ever holds candidate keys — the exact census a naive
+    * groupBy-all-keys would pay vocabulary-sized state and shuffle for.
+    * The threshold comparison n·(MgK+1) > total is exact int64 on both
+    * engines, which is what makes the output hash-stable even though the
+    * pass-1 summary contents are partitioning-dependent. */
+  def heavyHitters(keyed: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    val cand = keyed.as[String]
+      .select(MgAggregate.toColumn).toDF("summary")
+      .select(explode(col("summary")))
+      .select(col("key").as("k"))
+    val total = keyed.agg(count(lit(1)).as("total"))
+    keyed.join(broadcast(cand), keyed("k") === cand("k"), "left_semi")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .join(broadcast(total))
+      .filter(col("n") * (MgK + 1) > col("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- exact heavy hitters (Misra–Gries candidates + exact verify) -------
+    "q121_heavy_hitters" -> ((s, d) =>
+      heavyHitters(Tables.load(s, d, "events")
+        .select(col("user_id").cast("string").as("k")))(s)),
 
     // --- CMS join-size estimation (the sessionization-cost estimator) ------
     "q119_join_estimate" -> ((s, d) =>
@@ -623,6 +702,16 @@ object Sketches {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // The Misra–Gries pass is a no-loss candidate generator, so the oracle
+    // is simply the exact definition of the final answer.
+    "q121_heavy_hitters" ->
+      s"""WITH c AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, COUNT(1) AS n
+            FROM events GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+          SELECT k, n, total FROM c CROSS JOIN tot
+          WHERE n * ${MgK + 1} > total""",
 
     "q119_join_estimate" ->
       s"""WITH counts AS (

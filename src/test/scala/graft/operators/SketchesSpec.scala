@@ -32,6 +32,37 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("q121: heavy hitters equal the exact census; MG pass never loses a heavy key") {
+    val out = Sketches.queries("q121_heavy_hitters")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id").collect()
+      .map(_.getAs[Number](0).longValue.toString)
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val total = exact.values.sum
+    val expected = exact.filter { case (_, n) => n * (Sketches.MgK + 1) > total }
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (k, (n, t)) => assert(n == exact(k) && t == total) }
+
+    // MG guarantee under forced eviction + arbitrary merge splits: 3·MgK
+    // distinct light keys (eviction is constant) plus two heavy ones; any
+    // chunking of the stream, reduced then merged in order, must retain
+    // every key with count > total/(MgK+1).
+    val heavy = Seq.fill(900)("hot1") ++ Seq.fill(400)("hot2")
+    val light = (0 until 3 * Sketches.MgK).flatMap(i => Seq.fill(3)(s"u$i"))
+    val stream = scala.util.Random.shuffle((heavy ++ light).toVector)
+    val n = stream.size.toLong
+    for (chunks <- Seq(1, 4, 13)) {
+      val summary = stream.grouped(math.max(1, stream.size / chunks)).toSeq
+        .map(_.foldLeft(Sketches.MgAggregate.zero)(Sketches.MgAggregate.reduce))
+        .reduce(Sketches.MgAggregate.merge)
+      assert(summary.size <= Sketches.MgK)
+      val trueCounts = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      trueCounts.filter { case (_, c) => c * (Sketches.MgK + 1) > n }
+        .keys.foreach(k => assert(summary.contains(k), s"$k lost at $chunks chunks"))
+    }
+  }
+
   test("q119: CMS self-join-size estimate equals a JVM recompute and is sound") {
     val out = Sketches.queries("q119_join_estimate")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
