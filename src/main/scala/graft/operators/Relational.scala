@@ -804,6 +804,38 @@ object Relational {
     // computable at any key cardinality. Integer moments ride in
     // DECIMAL(38,0) (Σn² squares past int64 at corpus scale); the two
     // ratios are single float divisions of exact integers.
+    // --- CDC -> SCD2 compaction (consecutive-run collapse) ---------------------
+    // The change-data-capture primitive: per entity, collapse consecutive
+    // events carrying the same state into one validity interval
+    // [valid_from, valid_to) — valid_to NULL marks the open current row.
+    // Gaps-and-islands, shaped for scale: ONE shuffle keyed on user_id
+    // serves all three steps (change-mark window, run-id prefix sum,
+    // per-run agg) because filter/project preserve the partitioning and the
+    // closing LEAD window re-sorts run-sized rows, not events. Change
+    // detection uses null-safe equality (<=>), the exact twin of the
+    // oracle's IS DISTINCT FROM, so a NULL state forms its own run instead
+    // of gluing to its neighbors. Ordering is (ts, event_id) — total even
+    // if two events ever share a timestamp, so the run ids (and therefore
+    // the hash) never depend on partition layout.
+    "q122_scd2_compact" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val runs = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("chg",
+          when(not(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(w))
+      runs.groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          lead(col("valid_from"), 1)
+            .over(Window.partitionBy(col("user_id")).orderBy(col("valid_from")))
+            .as("valid_to"),
+          col("n_events"))
+    }),
+
     "q120_key_skew" -> ((s, d) => {
       def profile(df: DataFrame, keyCol: String, label: String): DataFrame =
         df.groupBy(col(keyCol).cast("string").as("k"))
@@ -1211,6 +1243,28 @@ object Relational {
          SELECT o_orderpriority, metric, total
          FROM (UNPIVOT w ON f_total, o_total, p_total
                INTO NAME metric VALUE total)""",
+
+    "q122_scd2_compact" ->
+      """WITH m AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+           FROM events),
+         r AS (
+           SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS run_id
+           FROM m),
+         iv AS (
+           SELECT user_id, MIN(event_type) AS event_type,
+                  MIN(ts) AS valid_from, COUNT(1) AS n_events
+           FROM r GROUP BY user_id, run_id)
+         SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events
+         FROM iv""",
 
     "q120_key_skew" -> {
       def part(table: String, keyExpr: String, label: String) =

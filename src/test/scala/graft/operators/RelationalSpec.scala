@@ -28,6 +28,38 @@ class RelationalSpec extends SparkSpec {
     assert(plan("q03_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q122: SCD2 intervals equal a JVM run-compaction; chains are contiguous") {
+    val out = Relational.queries("q122_scd2_compact")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4)))
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    // JVM recompute: sort per user by (ts, event_id), collapse runs
+    val expected = events.groupBy(_._1).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._2.getTime, e._3)).toList
+      val runs = sorted.foldLeft(List.empty[(String, java.sql.Timestamp, Long)]) {
+        case (acc @ ((t0, from, n) :: rest), (_, ts, _, et)) if t0 == et =>
+          (t0, from, n + 1) :: rest
+        case (acc, (_, ts, _, et)) => (et, ts, 1L) :: acc
+      }.reverse
+      runs.zip(runs.drop(1).map(r => Some(r._2)) :+ None).map {
+        case ((et, from, n), to) => (uid, et, from, to, n)
+      }
+    }.toSet
+    assert(out.toSet == expected)
+    // structural: per user, intervals chain (valid_to == next valid_from),
+    // exactly one open interval, n_events sums to the event count
+    out.groupBy(_._1).foreach { case (uid, ivs) =>
+      val sorted = ivs.sortBy(_._3.getTime).toList
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(a._4.contains(b._3), s"user $uid: broken chain")
+      }
+      assert(sorted.count(_._4.isEmpty) == 1)
+    }
+    assert(out.map(_._5).sum == events.length)
+  }
+
   test("q120: skew profile equals a JVM recompute; skew bounded by [1, n_keys]") {
     val out = Relational.queries("q120_key_skew")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
