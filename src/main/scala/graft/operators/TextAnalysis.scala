@@ -55,6 +55,39 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("mean_bits"))
   }
 
+  /** Bigram conditional surprisal (see the q123 map entry for the full
+    * contract): per-transition bits under add-one smoothing, per-doc mean. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val tk = toks(col("text"))
+    val big = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+          (a, b) => struct(a.as("p"), b.as("c")))).as("bg"))
+      .select(col("doc_id"), col("bg.p").as("prev"), col("bg.c").as("cur"))
+    val bgCnt = big.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c_bg"))
+    val ctxCnt = bgCnt.groupBy(col("prev")).agg(sum(col("c_bg")).as("c_prev"))
+    val vocabN = docs.select(explode(tk).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    val agg = big
+      .join(broadcast(bgCnt), Seq("prev", "cur"))
+      .join(broadcast(ctxCnt), Seq("prev"))
+      .join(broadcast(vocabN))
+      .select(col("doc_id"),
+        (length(bin(col("c_prev") + col("v"))) -
+          length(bin(col("c_bg") + 1))).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"), sum(col("bits")).as("sum_bits"))
+    docs.select(col("doc_id"), col("source"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        when(coalesce(col("n_big"), lit(0L)) > 0,
+          col("sum_bits").cast("double") / col("n_big"))
+          .otherwise(lit(0.0)).as("mean_bits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- token counting: whitespace + BPE-ish regex ------------------------
@@ -142,6 +175,22 @@ object TextAnalysis {
     // vocabulary-sized and broadcast with the scalar total; the corpus side
     // is one explode + one doc_id-keyed hash agg — cost linear in tokens.
     "q113_unigram_surprisal" -> ((s, d) => unigramSurprisal(t(s, d))),
+
+    // --- bigram conditional surprisal (the Markov rung above q113) ---------
+    // Per transition i: −log2 P(w_i | w_{i−1}) under add-one smoothing,
+    // P = (c(prev,cur)+1) / (c(prev)+V), in EXACT integer bits as the
+    // binary-digit-count difference (q113's trick — within 1 bit of the
+    // real value, bit-identical across engines where ln mantissas are not).
+    // Bigrams are built INSIDE the row (slice + zip_with over the token
+    // array — zero shuffle, no posexplode self-join); c(prev) is the
+    // context marginal Σ_cur c(prev,cur), derived from the bigram table so
+    // numerator and denominator count the same population. Scale shape:
+    // the bigram-count table is min(tokens, V²)-bounded (sub-linear in
+    // corpus bytes, Heaps' law squared) and broadcast here; at a scale
+    // where it outgrows broadcast, the same query swaps both count joins
+    // to (prev,cur)-keyed shuffles and nothing else changes. A doc with
+    // < 2 tokens has no transitions: n_big = 0, mean 0 via the left join.
+    "q123_bigram_surprisal" -> ((s, d) => bigramSurprisal(t(s, d))),
 
     // --- BM25-style ranked retrieval (per-term top-k documents) ------------
     // The retrieval operator a quality/dedup pipeline ranks candidate docs
@@ -560,6 +609,41 @@ object TextAnalysis {
                          tfc.term) AS rnk
             FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n)
           WHERE rnk <= 3""",
+
+    // Bigram twin: DuckDB builds the pairs by 1-based list indexing over
+    // range(1, len) (end-exclusive, so i+1 never overruns); digit counts
+    // via format('{:b}', …) exactly as q113.
+    "q123_bigram_surprisal" ->
+      s"""WITH base AS (
+            SELECT doc_id, source, $oToks AS tk FROM documents),
+          big AS (
+            SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+            FROM base, UNNEST(range(1, len(tk))) AS r(i)),
+          bgc AS (
+            SELECT prev, cur, COUNT(1) AS c_bg FROM big GROUP BY prev, cur),
+          ctx AS (
+            SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_prev
+            FROM bgc GROUP BY prev),
+          voc AS (
+            SELECT COUNT(DISTINCT term) AS v
+            FROM (SELECT unnest(tk) AS term FROM base)),
+          agg AS (
+            SELECT b.doc_id, COUNT(1) AS n_big,
+              CAST(SUM(length(format('{:b}', ctx.c_prev + voc.v))
+                       - length(format('{:b}', bgc.c_bg + 1))) AS BIGINT)
+                AS sum_bits
+            FROM big b
+            JOIN bgc ON b.prev = bgc.prev AND b.cur = bgc.cur
+            JOIN ctx ON b.prev = ctx.prev
+            CROSS JOIN voc
+            GROUP BY b.doc_id)
+          SELECT d.doc_id, d.source,
+            COALESCE(a.n_big, 0) AS n_big,
+            COALESCE(a.sum_bits, 0) AS sum_bits,
+            CASE WHEN COALESCE(a.n_big, 0) > 0
+                 THEN CAST(a.sum_bits AS DOUBLE) / a.n_big
+                 ELSE 0.0 END AS mean_bits
+          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
 
     "q113_unigram_surprisal" ->
       s"""WITH tok AS (

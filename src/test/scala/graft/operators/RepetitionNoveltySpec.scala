@@ -47,6 +47,42 @@ class RepetitionNoveltySpec extends SparkSpec {
     assert(out.values.exists(_._2 > 0L))
   }
 
+  test("q123: bigram surprisal equals the integer-bit hand computation") {
+    // bigrams: (a,a)×3 from doc1, (a,b)×1 from doc2; doc3 has none.
+    // c(a,a)=3, c(a,b)=1, c_prev(a)=4, V=3 (a, b, solo).
+    // bits(a,a) = len(bin(4+3)) − len(bin(3+1)) = 3 − 3 = 0
+    // bits(a,b) = len(bin(4+3)) − len(bin(1+1)) = 3 − 2 = 1
+    val hand = TextAnalysis.bigramSurprisal(
+        docsOf((1L, "a a a a"), (2L, "a b"), (3L, "solo")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(hand.toSeq == Seq((1L, 3L, 0L, 0.0), (2L, 1L, 1L, 1.0),
+      (3L, 0L, 0L, 0.0)))
+  }
+
+  test("q123: bigram surprisal on testdata equals a JVM recompute") {
+    val out = TextAnalysis.queries("q123_bigram_surprisal")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bigrams = docs.flatMap { case (_, t) =>
+      val tk = t.split(" ", -1); tk.zip(tk.drop(1))
+    }
+    val bgc = bigrams.groupBy(identity).map { case (b, v) => (b, v.length.toLong) }
+    val ctx = bigrams.groupBy(_._1).map { case (p, v) => (p, v.length.toLong) }
+    val v = docs.flatMap(_._2.split(" ", -1)).distinct.length.toLong
+    def bl(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    val expected = docs.map { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val bits = tk.zip(tk.drop(1))
+        .map(bg => bl(ctx(bg._1) + v) - bl(bgc(bg) + 1L)).sum
+      id -> ((tk.length - 1).toLong.max(0L), bits)
+    }.toMap
+    assert(out == expected)
+    assert(out.values.exists(_._2 > 0L))
+  }
+
   test("q101: OOV rate equals a JVM recompute of the top-K vocab contract") {
     val out = TextAnalysis.queries("q101_oov_rate")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
