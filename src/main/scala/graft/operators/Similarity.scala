@@ -175,6 +175,36 @@ object Similarity {
         .select(col("query_id"), col("nn_rank"), col("vec_id"), col("sim"))
     }),
 
+    // --- ANN recall evaluation (index-quality audit) -----------------------
+    // The acceptance gate an index build ships with: per query, how much of
+    // the EXACT top-k the LSH tier's top-k actually recovered. Composes the
+    // two existing pipelines (self-reference resolves at call time) and
+    // reduces the two k-row-per-query lists with counting joins; the recall
+    // denominator is the fixed k, so every number is an exact integer ratio
+    // — no float comparisons feed the hash. Scale shape: both inputs are
+    // (queries × k)-sized regardless of corpus bytes, so the evaluation
+    // itself costs nothing beyond the two searches it audits; at 100 TB the
+    // exact side runs on a held-out SAMPLE of queries (the standard
+    // recall-audit protocol) and this reduction is unchanged.
+    "q124_ann_recall" -> ((s, d) => {
+      val ex = queries("q50_knn_brute")(s, d)
+        .filter(col("nn_rank") <= LshTopK)
+        .select(col("query_id"), col("vec_id"))
+      val ls = queries("q51_knn_lsh")(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val nEx = ex.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      val nLs = ls.groupBy(col("query_id")).agg(count(lit(1)).as("n_lsh"))
+      val nHit = ex.join(ls, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      nEx.join(nLs, Seq("query_id"), "left")
+        .join(nHit, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / LshTopK)
+            .as("recall"))
+    }),
+
     // --- IVF: learned k-means lists, probe nearest lists -------------------
     "q52_knn_ivf" -> ((s, d) => ivfTopK(embs(s, d), NumQueries, LshTopK)),
 
@@ -770,6 +800,45 @@ object Similarity {
                         ORDER BY sim DESC, vec_id) AS nn_rank
             FROM scored)
           WHERE nn_rank <= $LshTopK""",
+
+    // Recall audit: both tiers rebuilt verbatim (same CTE text as q50/q51),
+    // reduced to per-query hit counts — integers, no float feeds the hash.
+    "q124_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, $oEmb AS v, ${oLshBucket(oEmb)} AS bucket
+                     FROM embeddings),
+          xsc AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   ${oCosine("q.v", "c.v")} AS sim
+            FROM e q JOIN e c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+          ex AS (
+            SELECT query_id, vec_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS rk FROM xsc)
+            WHERE rk <= $LshTopK),
+          lsc AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   ${oCosine("q.v", "c.v")} AS sim
+            FROM e q JOIN e c ON q.bucket = c.bucket
+             AND q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+          ls AS (
+            SELECT query_id, vec_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS rk FROM lsc)
+            WHERE rk <= $LshTopK),
+          ne AS (SELECT query_id, COUNT(1) AS n_exact FROM ex GROUP BY 1),
+          nl AS (SELECT query_id, COUNT(1) AS n_lsh FROM ls GROUP BY 1),
+          nh AS (
+            SELECT ex.query_id, COUNT(1) AS n_hit
+            FROM ex JOIN ls ON ex.query_id = ls.query_id
+                           AND ex.vec_id = ls.vec_id
+            GROUP BY 1)
+          SELECT ne.query_id, ne.n_exact,
+            COALESCE(nl.n_lsh, 0) AS n_lsh,
+            COALESCE(nh.n_hit, 0) AS n_hit,
+            CAST(COALESCE(nh.n_hit, 0) AS DOUBLE) / $LshTopK AS recall
+          FROM ne
+          LEFT JOIN nl ON ne.query_id = nl.query_id
+          LEFT JOIN nh ON ne.query_id = nh.query_id""",
 
     "q51_knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, $oEmb AS v, ${oLshBucket(oEmb)} AS bucket

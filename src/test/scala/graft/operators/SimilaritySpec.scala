@@ -36,6 +36,29 @@ class SimilaritySpec extends SparkSpec {
   private def embFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
     .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  test("q124: recall audit equals a set-intersection recompute of q50 vs q51") {
+    val out = Similarity.queries("q124_ann_recall")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val ex = Similarity.queries("q50_knn_brute")(spark, sfDir)
+      .filter(col("nn_rank") <= Similarity.LshTopK).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, v) => q -> v.map(_._2).toSet }
+    val ls = Similarity.queries("q51_knn_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, v) => q -> v.map(_._2).toSet }
+    assert(out.keySet == ex.keySet)
+    out.foreach { case (q, (nExact, nLsh, nHit, recall)) =>
+      val lsSet = ls.getOrElse(q, Set.empty)
+      assert(nExact == ex(q).size && nLsh == lsSet.size)
+      assert(nHit == (ex(q) & lsSet).size)
+      assert(recall == nHit.toDouble / Similarity.LshTopK)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // the audit is not vacuous on this corpus: LSH finds something
+    assert(out.values.map(_._3).sum > 0L)
+  }
+
   test("PQ: dense codes, ADC bit-equals a JVM table recompute, geometry preserved") {
     val vecs = embFrame.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](2).toArray))
