@@ -804,6 +804,42 @@ object Relational {
     // computable at any key cardinality. Integer moments ride in
     // DECIMAL(38,0) (Σn² squares past int64 at corpus scale); the two
     // ratios are single float divisions of exact integers.
+    // --- z-order clustering key (multi-dimensional data layout) ----------------
+    // The layout primitive behind 2-D file skipping (Delta/Iceberg OPTIMIZE
+    // ZORDER): normalize each dimension to 10 bits with the q104 affine map
+    // (numerator in DECIMAL(38,0) — int64 would wrap where DuckDB raises),
+    // interleave the bits into a 20-bit Morton code, and summarize each
+    // 1024-row-group bucket (z >> 10) with its per-dimension extents. The
+    // point the output PROVES: fixing a z-bucket pins the top 5 bits of
+    // BOTH dimensions, so every bucket's extent is ≤ 31 bins in each dim —
+    // min/max file stats then prune 2-D predicates, which a 1-D sort gives
+    // only for its leading column. The interleave is a 10-term
+    // shift/mask/add tree — straight-line whole-stage codegen, no UDF. At
+    // 100 TB: write-side, range-partition by z and this bucket summary IS
+    // the manifest-stats table; the query itself is one scan + one agg.
+    "q125_zorder_layout" -> ((s, d) => {
+      val dims = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("a"), col("l_partkey").as("b"))
+      val bounds = dims.agg(
+        min(col("a")).as("amin"), max(col("a")).as("amax"),
+        min(col("b")).as("bmin"), max(col("b")).as("bmax"))
+      def bin(v: String, lo: String, hi: String) =
+        least(lit(1023L),
+          expr(s"((cast($v as decimal(38,0)) - $lo) * 1024) div ($hi - $lo + 1)"))
+      val binned = dims.join(broadcast(bounds))
+        .select(bin("a", "amin", "amax").as("xa"),
+          bin("b", "bmin", "bmax").as("xb"))
+      val z = (0 until 10).map(k =>
+          shiftleft(shiftright(col("xa"), k).bitwiseAND(lit(1L)), 2 * k) +
+            shiftleft(shiftright(col("xb"), k).bitwiseAND(lit(1L)), 2 * k + 1))
+        .reduce(_ + _)
+      binned.withColumn("zbucket", shiftright(z, 10))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xa")).as("xa_min"), max(col("xa")).as("xa_max"),
+          min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"))
+    }),
+
     // --- CDC -> SCD2 compaction (consecutive-run collapse) ---------------------
     // The change-data-capture primitive: per entity, collapse consecutive
     // events carrying the same state into one validity interval
@@ -1243,6 +1279,29 @@ object Relational {
          SELECT o_orderpriority, metric, total
          FROM (UNPIVOT w ON f_total, o_total, p_total
                INTO NAME metric VALUE total)""",
+
+    "q125_zorder_layout" ->
+      """WITH bounds AS (
+           SELECT MIN(l_orderkey) AS amin, MAX(l_orderkey) AS amax,
+                  MIN(l_partkey) AS bmin, MAX(l_partkey) AS bmax
+           FROM lineitem),
+         b AS (
+           SELECT
+             CAST(least(1023, ((CAST(l_orderkey AS HUGEINT) - amin) * 1024)
+                              // (amax - amin + 1)) AS BIGINT) AS xa,
+             CAST(least(1023, ((CAST(l_partkey AS HUGEINT) - bmin) * 1024)
+                              // (bmax - bmin + 1)) AS BIGINT) AS xb
+           FROM lineitem CROSS JOIN bounds),
+         zc AS (
+           SELECT xa, xb,
+             CAST(list_sum(list_transform(range(0, 10), k ->
+               (((xa >> k) & 1) << (2 * k))
+               + (((xb >> k) & 1) << (2 * k + 1)))) AS BIGINT) AS z
+           FROM b)
+         SELECT z >> 10 AS zbucket, COUNT(1) AS n,
+           MIN(xa) AS xa_min, MAX(xa) AS xa_max,
+           MIN(xb) AS xb_min, MAX(xb) AS xb_max
+         FROM zc GROUP BY 1""",
 
     "q122_scd2_compact" ->
       """WITH m AS (

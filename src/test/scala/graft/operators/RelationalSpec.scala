@@ -28,6 +28,36 @@ class RelationalSpec extends SparkSpec {
     assert(plan("q03_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q125: z-buckets equal a JVM Morton recompute and bound both dims to 31 bins") {
+    val out = Relational.queries("q125_zorder_layout")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val rows = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (amin, amax) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (bmin, bmax) = (rows.map(_._2).min, rows.map(_._2).max)
+    def binv(v: Long, lo: Long, hi: Long) =
+      math.min(1023L, (BigInt(v - lo) * 1024 / (hi - lo + 1)).toLong)
+    def morton(xa: Long, xb: Long) =
+      (0 until 10).map(k =>
+        (((xa >> k) & 1L) << (2 * k)) | (((xb >> k) & 1L) << (2 * k + 1))).sum
+    val expected = rows
+      .map { case (a, b) => (binv(a, amin, amax), binv(b, bmin, bmax)) }
+      .groupBy { case (xa, xb) => morton(xa, xb) >> 10 }
+      .map { case (zb, v) =>
+        zb -> (v.length.toLong, v.map(_._1).min, v.map(_._1).max,
+          v.map(_._2).min, v.map(_._2).max)
+      }
+    assert(out == expected)
+    // the locality contract: a z-bucket pins the top 5 bits of each dim
+    out.values.foreach { case (_, xaMin, xaMax, xbMin, xbMax) =>
+      assert(xaMax - xaMin <= 31 && xbMax - xbMin <= 31)
+    }
+    assert(out.values.map(_._1).sum == rows.length.toLong)
+  }
+
   test("q122: SCD2 intervals equal a JVM run-compaction; chains are contiguous") {
     val out = Relational.queries("q122_scd2_compact")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
