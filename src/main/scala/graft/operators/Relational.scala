@@ -804,6 +804,36 @@ object Relational {
     // computable at any key cardinality. Integer moments ride in
     // DECIMAL(38,0) (Σn² squares past int64 at corpus scale); the two
     // ratios are single float divisions of exact integers.
+    // --- per-event lag features (training feature generation) ------------------
+    // The feature-engineering shape a sequence model trains on: per event,
+    // the previous value, the inter-event gap, and a trailing 3-event mean
+    // — one user_id shuffle serves every LAG. The trailing window is built
+    // from EXPLICIT lags with pinned association ((v + l1) + l2), not a
+    // rowsBetween frame: sliding-frame sums may run incrementally (segment
+    // trees in DuckDB, add/retract in Spark) and float addition is not
+    // associative, so frame aggregation is exactly where two engines drift
+    // bit-wise. Gaps are exact int64 microseconds. At 100 TB this is the
+    // q122 scale story verbatim: per-entity history sorts within its
+    // partition, q120 profiles the skew first.
+    "q126_lag_features" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .as("gap_us"),
+          lag(col("value"), 2).over(w).as("l2"), col("value"))
+        .select(col("event_id"), col("user_id"), col("prev_value"), col("gap_us"),
+          (lit(1L) + col("prev_value").isNotNull.cast("long")
+            + col("l2").isNotNull.cast("long")).as("trail3_n"),
+          (((col("value") + coalesce(col("prev_value"), lit(0.0)))
+            + coalesce(col("l2"), lit(0.0))) /
+            (lit(1L) + col("prev_value").isNotNull.cast("long")
+              + col("l2").isNotNull.cast("long")).cast("double"))
+            .as("trail3_mean"))
+    }),
+
     // --- z-order clustering key (multi-dimensional data layout) ----------------
     // The layout primitive behind 2-D file skipping (Delta/Iceberg OPTIMIZE
     // ZORDER): normalize each dimension to 10 bits with the q104 affine map
@@ -1279,6 +1309,26 @@ object Relational {
          SELECT o_orderpriority, metric, total
          FROM (UNPIVOT w ON f_total, o_total, p_total
                INTO NAME metric VALUE total)""",
+
+    // Lag-feature twin: identical lags, identical ((v + l1) + l2)
+    // association, exact integer gap — see the Spark-side comment on why
+    // the trailing mean avoids window FRAMES entirely.
+    "q126_lag_features" ->
+      """WITH m AS (
+           SELECT event_id, user_id, value,
+             LAG(value, 1) OVER w AS prev_value,
+             LAG(value, 2) OVER w AS l2,
+             epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS gap_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_id, user_id, prev_value, gap_us,
+           1 + CAST(prev_value IS NOT NULL AS BIGINT)
+             + CAST(l2 IS NOT NULL AS BIGINT) AS trail3_n,
+           ((value + COALESCE(prev_value, 0.0)) + COALESCE(l2, 0.0))
+             / CAST(1 + CAST(prev_value IS NOT NULL AS BIGINT)
+                      + CAST(l2 IS NOT NULL AS BIGINT) AS DOUBLE)
+             AS trail3_mean
+         FROM m""",
 
     "q125_zorder_layout" ->
       """WITH bounds AS (

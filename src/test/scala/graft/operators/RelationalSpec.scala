@@ -28,6 +28,31 @@ class RelationalSpec extends SparkSpec {
     assert(plan("q03_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q126: lag features equal a JVM per-user sequence recompute") {
+    val out = Relational.queries("q126_lag_features")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    val expected = events.groupBy(_._2).flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (micros(e._3), e._1)).toList
+      sorted.zipWithIndex.map { case ((eid, _, ts, v), i) =>
+        val l1 = if (i >= 1) Some(sorted(i - 1)) else None
+        val l2 = if (i >= 2) Some(sorted(i - 2)) else None
+        val gap = l1.map(p => micros(ts) - micros(p._3))
+        val n = 1L + l1.size + l2.size
+        val mean = ((v + l1.map(_._4).getOrElse(0.0)) +
+          l2.map(_._4).getOrElse(0.0)) / n.toDouble
+        eid -> (l1.map(_._4), gap, n, mean)
+      }
+    }.toMap
+    assert(out == expected)
+  }
+
   test("q125: z-buckets equal a JVM Morton recompute and bound both dims to 31 bins") {
     val out = Relational.queries("q125_zorder_layout")(spark, sfDir).collect()
       .map(r => r.getLong(0) ->
