@@ -255,6 +255,61 @@ object StatefulOps {
       }
   }
 
+  case class Scd2Event(user_id: Long, event_type: String,
+                       ts: java.sql.Timestamp, event_id: Long)
+  case class RunState(event_type: String, valid_from: java.sql.Timestamp,
+                      n_events: Long)
+  case class Scd2Interval(user_id: Long, event_type: String,
+                          valid_from: java.sql.Timestamp,
+                          valid_to: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming twin of the batch SCD2 compaction (q122, `Relational`):
+    * per-user state is the OPEN run only — (type, valid_from, count),
+    * O(1) regardless of history length — and an arriving event either
+    * extends it or closes it, emitting the CLOSED validity interval in
+    * append mode. The open run stays in state (a stream cannot know its
+    * valid_to yet), so parity with batch is exactly q122's closed rows —
+    * the `valid_to IS NULL` row per user is the state itself. Same
+    * ordering contract as [[funnelStream]]: exact when each user's events
+    * arrive in event-time order across batches; intra-batch order is free
+    * (each group sorts its batch). `StreamingFunnelCmsSpec` pins
+    * batch==stream on the real events table replayed in ts order. */
+  def scd2Stream(events: Dataset[Scd2Event],
+                 idleTimeout: Option[String] = Some("1 hour")): Dataset[Scd2Interval] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunState, Scd2Interval](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (uid, batch, state) =>
+          idleTimeout.foreach(state.setTimeoutDuration)
+          val sorted = batch.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            c < 0 || (c == 0 && a.event_id < b.event_id)
+          }
+          var run = state.getOption
+          val out = Seq.newBuilder[Scd2Interval]
+          sorted.foreach { e =>
+            run match {
+              case Some(r) if r.event_type == e.event_type =>
+                run = Some(r.copy(n_events = r.n_events + 1L))
+              case Some(r) =>
+                out += Scd2Interval(uid, r.event_type, r.valid_from, e.ts,
+                  r.n_events)
+                run = Some(RunState(e.event_type, e.ts, 1L))
+              case None =>
+                run = Some(RunState(e.event_type, e.ts, 1L))
+            }
+          }
+          run.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class CoverageEvent(user_id: Long, st_us: Long, event_id: Long)
   case class CoverageState(lastEndUs: Long, coveredUs: Long,
                            nIntervals: Long, nEvents: Long)

@@ -93,6 +93,42 @@ class StreamingFunnelCmsSpec extends SparkSpec with Matchers {
     assert(streamCounts == batchCounts)
   }
 
+  test("streaming SCD2 matches the batch q122 closed intervals on a ts-ordered replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // batch truth: q122's rows with valid_to set (the open run per user
+    // is stream STATE, not output — it has no valid_to yet)
+    val batchClosed = Relational.queries("q122_scd2_compact")(s, sfDir)
+      .filter(col("valid_to").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4))).toSet
+    assert(batchClosed.nonEmpty)
+
+    val log = graft.Tables.load(s, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .collect()
+      .map { case (u, t, ts, id) => Scd2Event(u, t, ts, id) }
+    val chunks = log.grouped((log.length + 2) / 3).toSeq
+
+    val mem = MemoryStream[Scd2Event]
+    val q = scd2Stream(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+        s.table("scd2_stream").collect()
+      } finally q.stop()
+
+    val streamSet = streamed.map(r => (r.getLong(0), r.getString(1),
+      r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+    assert(streamSet == batchClosed)
+  }
+
   test("streaming coverage matches the batch q89 interval union on a ts-ordered replay") {
     val s = spark
     import s.implicits._
