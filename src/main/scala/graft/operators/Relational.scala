@@ -804,6 +804,42 @@ object Relational {
     // computable at any key cardinality. Integer moments ride in
     // DECIMAL(38,0) (Σn² squares past int64 at corpus scale); the two
     // ratios are single float divisions of exact integers.
+    // --- per-group OLS trend (exact-moment linear regression) ------------------
+    // q100's exact-moment discipline extended from correlation to the
+    // regression line: per event type, slope and intercept of value (exact
+    // cents) on time (whole seconds since the GLOBAL min timestamp — the
+    // centering is what keeps n·Σx² inside DECIMAL(38); raw epoch-µs
+    // squares overflow 38 digits at 60k rows). All five moments accumulate
+    // in DECIMAL(38,0) ≙ HUGEINT; slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and
+    // intercept = (ΣyΣx²−ΣxΣxy)/same are single double divisions of exact
+    // integers, so the line is bit-identical across engines and partition
+    // orders — the property the float-accumulating built-in regr_slope
+    // cannot give. One scan, one tiny broadcast (the scalar t0), one hash
+    // agg: the 100 TB plan is the same plan.
+    "q127_group_trend" -> ((s, d) => {
+      val D = DecimalType(38, 0)
+      val ev = t(s, d, "events").select(col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+      val t0 = ev.agg(min(col("us")).as("us0"))
+      val base = ev.join(broadcast(t0))
+        .select(col("event_type"),
+          expr("(us - us0) div 1000000").cast(D).as("x"),
+          col("c").cast(D).as("y"))
+      base.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(D).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n").cast("long").as("n_rows"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope_cents_per_s"),
+          ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("intercept_cents"))
+    }),
+
     // --- per-event lag features (training feature generation) ------------------
     // The feature-engineering shape a sequence model trains on: per event,
     // the previous value, the inter-event gap, and a trailing 3-event mean
@@ -1309,6 +1345,26 @@ object Relational {
          SELECT o_orderpriority, metric, total
          FROM (UNPIVOT w ON f_total, o_total, p_total
                INTO NAME metric VALUE total)""",
+
+    "q127_group_trend" ->
+      """WITH t0 AS (SELECT MIN(epoch_us(ts)) AS us0 FROM events),
+         b AS (
+           SELECT event_type,
+             CAST((epoch_us(ts) - us0) // 1000000 AS HUGEINT) AS x,
+             CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS HUGEINT) AS y
+           FROM events CROSS JOIN t0),
+         m AS (
+           SELECT event_type, CAST(COUNT(1) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+           FROM b GROUP BY event_type)
+         SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_s,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents
+         FROM m""",
 
     // Lag-feature twin: identical lags, identical ((v + l1) + l2)
     // association, exact integer gap — see the Spark-side comment on why

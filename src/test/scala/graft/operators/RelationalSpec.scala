@@ -28,6 +28,32 @@ class RelationalSpec extends SparkSpec {
     assert(plan("q03_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q127: group trend equals an exact BigInt least-squares recompute") {
+    val out = Relational.queries("q127_group_trend")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val rows = graft.Tables.load(spark, sfDir, "events")
+      .select("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).getTime * 1000L +
+          (r.getTimestamp(1).getNanos / 1000L) % 1000L,
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100))
+    val us0 = rows.map(_._2).min
+    val expected = rows.groupBy(_._1).map { case (et, v) =>
+      val xs = v.map(e => BigInt((e._2 - us0) / 1000000L))
+      val ys = v.map(e => e._3.toBigInt)
+      val n = BigInt(v.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val den = (n * sxx - sx * sx).toDouble
+      et -> (v.length.toLong, (n * sxy - sx * sy).toDouble / den,
+        (sy * sxx - sx * sxy).toDouble / den)
+    }
+    assert(out == expected)
+  }
+
   test("q126: lag features equal a JVM per-user sequence recompute") {
     val out = Relational.queries("q126_lag_features")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (Option(r.get(2)).map(_.asInstanceOf[Double]),
