@@ -804,6 +804,36 @@ object Relational {
     // computable at any key cardinality. Integer moments ride in
     // DECIMAL(38,0) (Σn² squares past int64 at corpus scale); the two
     // ratios are single float divisions of exact integers.
+    // --- equal-frequency decile binning (quantile discretization) --------------
+    // The feature-engineering counterpart of q125's equal-WIDTH map: per
+    // return flag, discretize price cents into 10 equal-POPULATION bins.
+    // Cut points are exact percentile_disc values at ceil(k·n/10) ranks via
+    // the shared histogram rank-walk (no global sort — the q74/q95
+    // machinery); each row's bin is 1 + Σ[c > cut_k], a 9-term boolean sum
+    // over the broadcast 9-cut row, inside whole-stage codegen. Bin
+    // populations deviate from n/10 only by tie mass at the cuts —
+    // deterministically, identically in both engines. Scale shape: the
+    // histogram agg is (group × distinct-cents)-sized, cuts are 9 values
+    // per group, and the assignment pass is a narrow projection — nothing
+    // sorts, nothing resembles ntile's single ordered partition.
+    "q128_eqfreq_bins" -> ((s, d) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")
+      val li = t(s, d, "lineitem").select(col("l_returnflag"), cents.as("c"))
+      val hist = li.groupBy(col("l_returnflag"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val cuts = histRankWalk(hist, "l_returnflag", "c",
+        (1 to 9).map(k => s"cut$k" -> s"($k * n + 9) div 10"))
+        .select(col("l_returnflag") +: (1 to 9).map(k => col(s"cut$k")): _*)
+      li.join(broadcast(cuts), "l_returnflag")
+        .select(col("l_returnflag"), col("c"),
+          (lit(1L) + (1 to 9).map(k =>
+            (col("c") > col(s"cut$k")).cast("long")).reduce(_ + _)).as("bin"))
+        .groupBy(col("l_returnflag"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c")).as("c_min"), max(col("c")).as("c_max"))
+    }),
+
     // --- per-group OLS trend (exact-moment linear regression) ------------------
     // q100's exact-moment discipline extended from correlation to the
     // regression line: per event type, slope and intercept of value (exact
@@ -1345,6 +1375,36 @@ object Relational {
          SELECT o_orderpriority, metric, total
          FROM (UNPIVOT w ON f_total, o_total, p_total
                INTO NAME metric VALUE total)""",
+
+    "q128_eqfreq_bins" -> {
+      val cutDefs = (1 to 9).map(k =>
+        s"MIN(CASE WHEN cum >= ($k * n + 9) // 10 THEN c END) AS cut$k")
+        .mkString(",\n             ")
+      val binSum = (1 to 9).map(k => s"CAST(c > cut$k AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH li AS (
+            SELECT l_returnflag,
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM lineitem),
+          h AS (
+            SELECT l_returnflag, c, COUNT(1) AS cnt FROM li GROUP BY 1, 2),
+          cum AS (
+            SELECT l_returnflag, c,
+              SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY c
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+              SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+            FROM h),
+          cuts AS (
+            SELECT l_returnflag,
+             $cutDefs
+            FROM cum GROUP BY 1),
+          b AS (
+            SELECT li.l_returnflag, c, 1 + $binSum AS bin
+            FROM li JOIN cuts ON li.l_returnflag = cuts.l_returnflag)
+          SELECT l_returnflag, bin, COUNT(1) AS n,
+            MIN(c) AS c_min, MAX(c) AS c_max
+          FROM b GROUP BY 1, 2"""
+    },
 
     "q127_group_trend" ->
       """WITH t0 AS (SELECT MIN(epoch_us(ts)) AS us0 FROM events),

@@ -28,6 +28,37 @@ class RelationalSpec extends SparkSpec {
     assert(plan("q03_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q128: equal-frequency bins equal a JVM percentile recompute; near-uniform") {
+    val out = Relational.queries("q128_eqfreq_bins")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    val expected = rows.groupBy(_._1).flatMap { case (rf, v) =>
+      val cs = v.map(_._2).sorted
+      val n = cs.length
+      val cuts = (1 to 9).map(k => cs((k * n + 9) / 10 - 1))
+      val binned = v.map { case (_, c) => (1 + cuts.count(c > _)).toLong -> c }
+      binned.groupBy(_._1).map { case (bin, bs) =>
+        (rf, bin) -> (bs.length.toLong, bs.map(_._2).min, bs.map(_._2).max)
+      }
+    }
+    assert(out == expected)
+    // equal-population contract: each of the 10 bins holds n/10 ± tie mass;
+    // with distinct-heavy cents the deviation stays under 2% of the group
+    out.toSeq.groupBy(_._1._1).foreach { case (_, bins) =>
+      assert(bins.map(_._1._2).toSet == (1L to 10L).toSet)
+      val tot = bins.map(_._2._1).sum
+      bins.foreach { case (_, (n, _, _)) =>
+        assert(math.abs(n - tot / 10.0) <= 0.02 * tot,
+          s"bin population $n far from ${tot / 10.0}")
+      }
+    }
+  }
+
   test("q127: group trend equals an exact BigInt least-squares recompute") {
     val out = Relational.queries("q127_group_trend")(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
