@@ -114,6 +114,25 @@ object Similarity {
         col("r.id").as("vec_id"), (-col("r.pri")).as("d2num"))
   }
 
+  /** The recall-audit reduction shared by q124/q129: per query,
+    * |approx top-k ∩ exact top-k| with the fixed-k denominator. Both
+    * inputs are (queries × k)-sized; only integers feed the hash. */
+  private def recallReduce(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("vec_id"))
+    val ap = approx.select(col("query_id"), col("vec_id"))
+    val nEx = ex.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    val nAp = ap.groupBy(col("query_id")).agg(count(lit(1)).as("n_approx"))
+    val nHit = ex.join(ap, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    nEx.join(nAp, Seq("query_id"), "left")
+      .join(nHit, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / LshTopK)
+          .as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- brute-force cosine top-k (baseline) -------------------------------
@@ -186,24 +205,22 @@ object Similarity {
     // itself costs nothing beyond the two searches it audits; at 100 TB the
     // exact side runs on a held-out SAMPLE of queries (the standard
     // recall-audit protocol) and this reduction is unchanged.
-    "q124_ann_recall" -> ((s, d) => {
-      val ex = queries("q50_knn_brute")(s, d)
-        .filter(col("nn_rank") <= LshTopK)
-        .select(col("query_id"), col("vec_id"))
-      val ls = queries("q51_knn_lsh")(s, d)
-        .select(col("query_id"), col("vec_id"))
-      val nEx = ex.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-      val nLs = ls.groupBy(col("query_id")).agg(count(lit(1)).as("n_lsh"))
-      val nHit = ex.join(ls, Seq("query_id", "vec_id"))
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-      nEx.join(nLs, Seq("query_id"), "left")
-        .join(nHit, Seq("query_id"), "left")
-        .select(col("query_id"), col("n_exact"),
-          coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          (coalesce(col("n_hit"), lit(0L)).cast("double") / LshTopK)
-            .as("recall"))
-    }),
+    "q124_ann_recall" -> ((s, d) =>
+      recallReduce(
+        queries("q50_knn_brute")(s, d).filter(col("nn_rank") <= LshTopK),
+        queries("q51_knn_lsh")(s, d))),
+
+    // --- IVF tier recall audit (q124's gate for the q52 index) -------------
+    // Same (queries × k)-sized reduction over the IVF search instead of
+    // LSH: together the two audits grade every scale tier of the ANN board
+    // against the same exact baseline. At 100 TB the IVF tier is the one
+    // actually deployed (billion-vector shape), so this is the number the
+    // nProbe dial is tuned against — the spec already pins recall monotone
+    // in nProbe; this query makes the per-query evidence oracle-checked.
+    "q129_ivf_recall" -> ((s, d) =>
+      recallReduce(
+        queries("q50_knn_brute")(s, d).filter(col("nn_rank") <= LshTopK),
+        queries("q52_knn_ivf")(s, d))),
 
     // --- IVF: learned k-means lists, probe nearest lists -------------------
     "q52_knn_ivf" -> ((s, d) => ivfTopK(embs(s, d), NumQueries, LshTopK)),
@@ -826,14 +843,68 @@ object Similarity {
                           ORDER BY sim DESC, vec_id) AS rk FROM lsc)
             WHERE rk <= $LshTopK),
           ne AS (SELECT query_id, COUNT(1) AS n_exact FROM ex GROUP BY 1),
-          nl AS (SELECT query_id, COUNT(1) AS n_lsh FROM ls GROUP BY 1),
+          nl AS (SELECT query_id, COUNT(1) AS n_approx FROM ls GROUP BY 1),
           nh AS (
             SELECT ex.query_id, COUNT(1) AS n_hit
             FROM ex JOIN ls ON ex.query_id = ls.query_id
                            AND ex.vec_id = ls.vec_id
             GROUP BY 1)
           SELECT ne.query_id, ne.n_exact,
-            COALESCE(nl.n_lsh, 0) AS n_lsh,
+            COALESCE(nl.n_approx, 0) AS n_approx,
+            COALESCE(nh.n_hit, 0) AS n_hit,
+            CAST(COALESCE(nh.n_hit, 0) AS DOUBLE) / $LshTopK AS recall
+          FROM ne
+          LEFT JOIN nl ON ne.query_id = nl.query_id
+          LEFT JOIN nh ON ne.query_id = nh.query_id""",
+
+    // IVF recall audit: the exact tier verbatim from q124, the approximate
+    // side verbatim from q52 (probe + in-list search under the exported
+    // centroids), reduced by the same integer counting joins.
+    "q129_ivf_recall" ->
+      s"""WITH e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
+          xsc AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   ${oCosine("q.v", "c.v")} AS sim
+            FROM e q JOIN e c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+          ex AS (
+            SELECT query_id, vec_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS rk FROM xsc)
+            WHERE rk <= $LshTopK),
+          cent AS (SELECT cid, cv FROM '$AuxDirToken/q52_centroids/*.parquet'),
+          asg AS (
+            SELECT vec_id, v, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid) AS rk
+            FROM (SELECT x.vec_id, x.v, c.cid, ${oCosine("x.v", "c.cv")} AS csim
+                  FROM e x CROSS JOIN cent c)),
+          lists AS (SELECT vec_id, v, cid FROM asg WHERE rk = 1),
+          probed AS (
+            SELECT query_id, qv, cid FROM (
+              SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ${oCosine("q.v", "c.cv")} DESC, c.cid) AS crank
+              FROM e q CROSS JOIN cent c
+              WHERE q.vec_id < $NumQueries)
+            WHERE crank <= $IvfNProbe),
+          isc AS (
+            SELECT p.query_id, l.vec_id, ${oCosine("p.qv", "l.v")} AS sim
+            FROM probed p JOIN lists l ON p.cid = l.cid
+            WHERE p.query_id <> l.vec_id),
+          iv AS (
+            SELECT query_id, vec_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS rk FROM isc)
+            WHERE rk <= $LshTopK),
+          ne AS (SELECT query_id, COUNT(1) AS n_exact FROM ex GROUP BY 1),
+          nl AS (SELECT query_id, COUNT(1) AS n_approx FROM iv GROUP BY 1),
+          nh AS (
+            SELECT ex.query_id, COUNT(1) AS n_hit
+            FROM ex JOIN iv ON ex.query_id = iv.query_id
+                           AND ex.vec_id = iv.vec_id
+            GROUP BY 1)
+          SELECT ne.query_id, ne.n_exact,
+            COALESCE(nl.n_approx, 0) AS n_approx,
             COALESCE(nh.n_hit, 0) AS n_hit,
             CAST(COALESCE(nh.n_hit, 0) AS DOUBLE) / $LshTopK AS recall
           FROM ne

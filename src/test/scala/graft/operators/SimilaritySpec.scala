@@ -59,6 +59,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.map(_._3).sum > 0L)
   }
 
+  test("q129: IVF recall audit equals a set-intersection recompute of q50 vs q52") {
+    val out = Similarity.queries("q129_ivf_recall")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val ex = Similarity.queries("q50_knn_brute")(spark, sfDir)
+      .filter(col("nn_rank") <= Similarity.LshTopK).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, v) => q -> v.map(_._2).toSet }
+    val iv = Similarity.queries("q52_knn_ivf")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, v) => q -> v.map(_._2).toSet }
+    assert(out.keySet == ex.keySet)
+    out.foreach { case (q, (nExact, nApprox, nHit, recall)) =>
+      val ivSet = iv.getOrElse(q, Set.empty)
+      assert(nExact == ex(q).size && nApprox == ivSet.size)
+      assert(nHit == (ex(q) & ivSet).size)
+      assert(recall == nHit.toDouble / Similarity.LshTopK)
+    }
+    assert(out.values.map(_._3).sum > 0L)
+  }
+
   test("PQ: dense codes, ADC bit-equals a JVM table recompute, geometry preserved") {
     val vecs = embFrame.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](2).toArray))
