@@ -80,6 +80,30 @@ object Relational {
                      ROWS UNBOUNDED PRECEDING) AS sid
          FROM m)"""
 
+  /** Golden-record survivorship body (see the q130 map entry): input must
+    * carry (user_id, ts, event_id, event_type, value). */
+  def goldenRecord(base: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wdFull = wd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val last = base
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("lv", first(col("value"), ignoreNulls = true).over(wdFull))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_event_type"), col("lv").as("last_value"))
+    val agg = base.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"))
+    val modal = base.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("modal_event_type"))
+    agg.join(last, Seq("user_id")).join(modal, Seq("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- scans / filter / projection (pushdown-verified in RelationalSpec) --
@@ -804,6 +828,22 @@ object Relational {
     // computable at any key cardinality. Integer moments ride in
     // DECIMAL(38,0) (Σn² squares past int64 at corpus scale); the two
     // ratios are single float divisions of exact integers.
+    // --- golden-record merge (survivorship consolidation) ----------------------
+    // The master-data operator: collapse an entity's event history to one
+    // best row under explicit survivorship rules — most-recent event type,
+    // most-recent NON-NULL value (IGNORE NULLS first_value over the
+    // full-partition frame: a null latest reading must not erase the last
+    // known one), modal event type with deterministic ties (count desc,
+    // then name), plus first/last seen and the event count. Everything
+    // partitions on user_id: the desc window, the groupBy, and the modal
+    // (user,type) count + window are all co-partitioned, so one shuffle
+    // serves four aggregations. (ts, event_id) total order makes every
+    // "latest" unique — no max_by tie roulette feeding the hash.
+    "q130_golden_record" -> ((s, d) =>
+      goldenRecord(t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value")))),
+
     // --- equal-frequency decile binning (quantile discretization) --------------
     // The feature-engineering counterpart of q125's equal-WIDTH map: per
     // return flag, discretize price cents into 10 equal-POPULATION bins.
@@ -1375,6 +1415,38 @@ object Relational {
          SELECT o_orderpriority, metric, total
          FROM (UNPIVOT w ON f_total, o_total, p_total
                INTO NAME metric VALUE total)""",
+
+    "q130_golden_record" ->
+      """WITH base AS (
+           SELECT user_id, ts, event_id, event_type, value FROM events),
+         lastr AS (
+           SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+                  lv AS last_value
+           FROM (
+             SELECT *,
+               ROW_NUMBER() OVER w AS rn,
+               FIRST_VALUE(value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS lv
+             FROM base
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC))
+           WHERE rn = 1),
+         agg AS (
+           SELECT user_id, COUNT(1) AS n_events, MIN(ts) AS first_ts
+           FROM base GROUP BY 1),
+         modal AS (
+           SELECT user_id, event_type AS modal_event_type FROM (
+             SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY COUNT(1) DESC, event_type) AS rn
+             FROM base GROUP BY user_id, event_type)
+           WHERE rn = 1)
+         SELECT a.user_id, a.n_events, a.first_ts, l.last_ts,
+           l.last_event_type, l.last_value, m.modal_event_type
+         FROM agg a
+         JOIN lastr l ON a.user_id = l.user_id
+         JOIN modal m ON a.user_id = m.user_id""",
 
     "q128_eqfreq_bins" -> {
       val cutDefs = (1 to 9).map(k =>

@@ -28,6 +28,47 @@ class RelationalSpec extends SparkSpec {
     assert(plan("q03_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q130: golden record survives a null latest value; equals a JVM recompute") {
+    val s0 = spark
+    import s0.implicits._
+    // constructed history: user 1's LATEST value is null — survivorship
+    // must surface 2.0 (the last non-null), while last_event_type is "c"
+    val ts = (m: Int) => new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val hand = Relational.goldenRecord(Seq(
+        (1L, ts(1), 10L, "a", Some(1.0)),
+        (1L, ts(2), 11L, "b", Some(2.0)),
+        (1L, ts(3), 12L, "c", None: Option[Double]),
+        (2L, ts(1), 20L, "b", Some(7.0)))
+      .toDF("user_id", "ts", "event_id", "event_type", "value"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double]), r.getString(6)))
+    assert(hand.toSeq == Seq(
+      (1L, 3L, "c", Some(2.0), "a"), // modal tie a/b/c ×1 → "a" (name asc)
+      (2L, 1L, "b", Some(7.0), "b")))
+
+    val out = Relational.queries("q130_golden_record")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getString(4), r.getDouble(5), r.getString(6)))
+      .toMap
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    def mic(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    val expected = events.groupBy(_._1).map { case (uid, evs) =>
+      val desc = evs.sortBy(e => (-mic(e._2), -e._3)).toList
+      val modal = evs.groupBy(_._4).toSeq
+        .sortBy { case (et, v) => (-v.length, et) }.head._1
+      // testdata values are never null, so latest == latest-non-null here;
+      // the constructed case above exercises the null-skipping rule
+      uid -> (evs.length.toLong, evs.minBy(e => mic(e._2))._2,
+        desc.head._2, desc.head._4, desc.head._5, modal)
+    }
+    assert(out == expected)
+  }
+
   test("q128: equal-frequency bins equal a JVM percentile recompute; near-uniform") {
     val out = Relational.queries("q128_eqfreq_bins")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
