@@ -55,15 +55,22 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("mean_bits"))
   }
 
-  /** Bigram conditional surprisal (see the q123 map entry for the full
-    * contract): per-transition bits under add-one smoothing, per-doc mean. */
-  def bigramSurprisal(docs: DataFrame): DataFrame = {
+  /** (doc_id, prev, cur) transition rows, built INSIDE each row (slice +
+    * zip_with over the token array — zero shuffle, no posexplode self-join). */
+  def bigrams(docs: DataFrame): DataFrame = {
     val tk = toks(col("text"))
-    val big = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
         explode(zip_with(
           slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
           (a, b) => struct(a.as("p"), b.as("c")))).as("bg"))
       .select(col("doc_id"), col("bg.p").as("prev"), col("bg.c").as("cur"))
+  }
+
+  /** Bigram conditional surprisal (see the q123 map entry for the full
+    * contract): per-transition bits under add-one smoothing, per-doc mean. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val tk = toks(col("text"))
+    val big = bigrams(docs)
     val bgCnt = big.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("c_bg"))
     val ctxCnt = bgCnt.groupBy(col("prev")).agg(sum(col("c_bg")).as("c_prev"))
@@ -191,6 +198,47 @@ object TextAnalysis {
     // to (prev,cur)-keyed shuffles and nothing else changes. A doc with
     // < 2 tokens has no transitions: n_big = 0, mean 0 via the left join.
     "q123_bigram_surprisal" -> ((s, d) => bigramSurprisal(t(s, d))),
+
+    // --- held-out bigram surprisal (the eval-hygiene composition) ----------
+    // q123's model scored the data it was counted on — fine as a corpus
+    // statistic, wrong as an EVAL. This is the held-out version: a
+    // deterministic md5 split (25% validation), model counts (bigrams,
+    // context marginals, vocab) from the TRAIN side only, scoring on the
+    // VAL side only. Unseen transitions are the point — add-one smoothing
+    // backs them off to len(bin(c_prev+V))−1 bits (uniform-over-vocab when
+    // the context itself is unseen), via left joins + coalesce(0). The
+    // production path swaps the md5 split for q103's cluster-inherited
+    // labels so near-duplicate train docs can't leak into the eval side;
+    // the scoring pipeline is unchanged. Scale shape identical to q123.
+    "q131_heldout_surprisal" -> ((s, d) => {
+      val docs = t(s, d)
+      val isVal = substring(md5(concat(lit("split|"),
+        col("doc_id").cast("string"))), 1, 1).isin("0", "1", "2", "3")
+      val train = docs.filter(!isVal)
+      val bgCnt = bigrams(train).groupBy(col("prev"), col("cur"))
+        .agg(count(lit(1)).as("c_bg"))
+      val ctxCnt = bgCnt.groupBy(col("prev")).agg(sum(col("c_bg")).as("c_prev"))
+      val vocabN = train.select(explode(toks(col("text"))).as("term"))
+        .agg(countDistinct(col("term")).as("v"))
+      val agg = bigrams(docs.filter(isVal))
+        .join(broadcast(bgCnt), Seq("prev", "cur"), "left")
+        .join(broadcast(ctxCnt), Seq("prev"), "left")
+        .join(broadcast(vocabN))
+        .select(col("doc_id"),
+          (length(bin(coalesce(col("c_prev"), lit(0L)) + col("v"))) -
+            length(bin(coalesce(col("c_bg"), lit(0L)) + 1)))
+            .cast("long").as("bits"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_big"), sum(col("bits")).as("sum_bits"))
+      docs.filter(isVal).select(col("doc_id"), col("source"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+          when(coalesce(col("n_big"), lit(0L)) > 0,
+            col("sum_bits").cast("double") / col("n_big"))
+            .otherwise(lit(0.0)).as("mean_bits"))
+    }),
 
     // --- BM25-style ranked retrieval (per-term top-k documents) ------------
     // The retrieval operator a quality/dedup pipeline ranks candidate docs
@@ -609,6 +657,51 @@ object TextAnalysis {
                          tfc.term) AS rnk
             FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n)
           WHERE rnk <= 3""",
+
+    // Held-out twin: same md5 split predicate on both engines, TRAIN-only
+    // counts, LEFT joins + COALESCE(0) for unseen transitions.
+    "q131_heldout_surprisal" ->
+      s"""WITH base AS (
+            SELECT doc_id, source, $oToks AS tk,
+              substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 1)
+                IN ('0','1','2','3') AS is_val
+            FROM documents),
+          tbig AS (
+            SELECT tk[i] AS prev, tk[i + 1] AS cur
+            FROM base, UNNEST(range(1, len(tk))) AS r(i)
+            WHERE NOT is_val),
+          bgc AS (
+            SELECT prev, cur, COUNT(1) AS c_bg FROM tbig GROUP BY prev, cur),
+          ctx AS (
+            SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_prev
+            FROM bgc GROUP BY prev),
+          voc AS (
+            SELECT COUNT(DISTINCT term) AS v
+            FROM (SELECT unnest(tk) AS term FROM base WHERE NOT is_val)),
+          vbig AS (
+            SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+            FROM base, UNNEST(range(1, len(tk))) AS r(i)
+            WHERE is_val),
+          agg AS (
+            SELECT b.doc_id, COUNT(1) AS n_big,
+              CAST(SUM(length(format('{:b}',
+                             COALESCE(ctx.c_prev, 0) + voc.v))
+                       - length(format('{:b}',
+                             COALESCE(bgc.c_bg, 0) + 1))) AS BIGINT)
+                AS sum_bits
+            FROM vbig b
+            LEFT JOIN bgc ON b.prev = bgc.prev AND b.cur = bgc.cur
+            LEFT JOIN ctx ON b.prev = ctx.prev
+            CROSS JOIN voc
+            GROUP BY b.doc_id)
+          SELECT d.doc_id, d.source,
+            COALESCE(a.n_big, 0) AS n_big,
+            COALESCE(a.sum_bits, 0) AS sum_bits,
+            CASE WHEN COALESCE(a.n_big, 0) > 0
+                 THEN CAST(a.sum_bits AS DOUBLE) / a.n_big
+                 ELSE 0.0 END AS mean_bits
+          FROM base d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          WHERE d.is_val""",
 
     // Bigram twin: DuckDB builds the pairs by 1-based list indexing over
     // range(1, len) (end-exclusive, so i+1 never overruns); digit counts

@@ -83,6 +83,36 @@ class RepetitionNoveltySpec extends SparkSpec {
     assert(out.values.exists(_._2 > 0L))
   }
 
+  test("q131: held-out surprisal uses TRAIN-only counts; back-off path exercised") {
+    val out = TextAnalysis.queries("q131_heldout_surprisal")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def isVal(id: Long) = "0123".contains(TextFns.md5hex(s"split|$id").charAt(0))
+    val (valD, trainD) = docs.partition(d => isVal(d._1))
+    assert(valD.nonEmpty && trainD.nonEmpty)
+    val tBig = trainD.flatMap { case (_, t) =>
+      val tk = t.split(" ", -1); tk.zip(tk.drop(1))
+    }
+    val bgc = tBig.groupBy(identity).map { case (b, v) => (b, v.length.toLong) }
+    val ctx = tBig.groupBy(_._1).map { case (p, v) => (p, v.length.toLong) }
+    val v = trainD.flatMap(_._2.split(" ", -1)).distinct.length.toLong
+    def bl(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    val expected = valD.map { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val bits = tk.zip(tk.drop(1)).map(bg =>
+        bl(ctx.getOrElse(bg._1, 0L) + v) - bl(bgc.getOrElse(bg, 0L) + 1L)).sum
+      id -> ((tk.length - 1).toLong.max(0L), bits)
+    }.toMap
+    assert(out == expected)
+    // the eval actually exercises back-off: some val transition is unseen
+    val valBig = valD.flatMap { case (_, t) =>
+      val tk = t.split(" ", -1); tk.zip(tk.drop(1))
+    }
+    assert(valBig.exists(bg => !bgc.contains(bg)))
+  }
+
   test("q101: OOV rate equals a JVM recompute of the top-K vocab contract") {
     val out = TextAnalysis.queries("q101_oov_rate")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
