@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // Optional trailing args: query names to restrict the dump to (dev
+    // loop: verify one new query against the oracle without re-running
+    // the full board). Driver passes none → full board.
+    val only = args.drop(2).toSet
+    def selected(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +20,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -58,7 +63,7 @@ object Verify {
     // Full query manifest so the local gate can count a crashed no-oracle
     // query as a failure instead of losing it from the denominator.
     Files.writeString(Paths.get(s"$outDir/query_names.txt"),
-      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
+      SparkEntry.queries.keys.toSeq.filter(selected).sorted.mkString("\n"))
     spark.stop()
   }
 }

@@ -37,8 +37,9 @@ object Relational {
     * row-level sort — then, for every requested rank expression over the
     * group total `n`, the smallest value whose cumulative count reaches
     * it. `hist` must be (groupCol, valueCol, cnt). */
-  private def histRankWalk(hist: DataFrame, groupCol: String, valueCol: String,
-                           ranks: Seq[(String, String)]): DataFrame = {
+  private[operators] def histRankWalk(hist: DataFrame, groupCol: String,
+                                      valueCol: String,
+                                      ranks: Seq[(String, String)]): DataFrame = {
     // asc_nulls_last: Spark's bare ascending sort puts NULLs FIRST while the
     // oracle's (DuckDB) ASC default is NULLS LAST — on a nullable value
     // column (q95 walks events.value) the cumulative ranks would otherwise

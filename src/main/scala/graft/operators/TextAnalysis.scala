@@ -470,6 +470,48 @@ object TextAnalysis {
         .withColumn("keep_doc", col("score") > 0)
     }),
 
+    // --- classifier calibration curve (score vs independent label) ---------
+    // The ML-eval every shipped filter needs: does q85's quality score
+    // actually TRACK quality? Reference label = q31's independent
+    // heuristic (length band + stopword ratio, here in the exact integer
+    // form 5·n_stop < 2·n_tok), scores bucketed into per-source QUARTILES
+    // via the shared histogram rank-walk (q128's machinery — exact
+    // percentile cuts, no sort of the corpus), then per (source, quartile):
+    // population, positives, positive rate. A monotone pos_rate across
+    // quartiles is calibration evidence; a flat one means the score is
+    // noise against the reference. Scale shape: the histogram is (source ×
+    // distinct-scores)-sized, cuts broadcast, one final hash agg.
+    "q132_score_calibration" -> ((s, d) => {
+      val tk = toks(col("text"))
+      val scored = t(s, d)
+        .select(col("source"),
+          size(tk).cast("long").as("n_tok"),
+          size(array_distinct(tk)).cast("long").as("n_uniq"),
+          size(filter(tk, w => array_contains(stopArr, w))).cast("long")
+            .as("n_stop"),
+          size(filter(tk, w => w.rlike("^[0-9]+$"))).cast("long").as("n_digit"))
+        .select(col("source"),
+          (lit(2L) * col("n_uniq") + least(col("n_tok"), lit(64L)) -
+            lit(3L) * col("n_stop") - lit(4L) * col("n_digit") - lit(90L))
+            .as("score"),
+          (col("n_tok") >= 20 && col("n_tok") <= 90 &&
+            col("n_stop") * 5 < col("n_tok") * 2).cast("long").as("ref"))
+      val hist = scored.groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("cnt"))
+      val cuts = Relational.histRankWalk(hist, "source", "score",
+        (1 to 3).map(k => s"cut$k" -> s"($k * n + 3) div 4"))
+        .select(col("source"), col("cut1"), col("cut2"), col("cut3"))
+      scored.join(broadcast(cuts), "source")
+        .select(col("source"), col("score"), col("ref"),
+          (lit(1L) + (1 to 3).map(k =>
+            (col("score") > col(s"cut$k")).cast("long")).reduce(_ + _))
+            .as("bin"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("ref")).as("n_pos"),
+          (sum(col("ref")).cast("double") / count(lit(1))).as("pos_rate"),
+          min(col("score")).as("s_min"), max(col("score")).as("s_max"))
+    }),
+
     // --- cross-corpus n-gram novelty ---------------------------------------
     // For each doc: how much of its distinct 4-gram set is unique to it vs
     // shared with other docs — the memorization/boilerplate axis that
@@ -915,6 +957,46 @@ object TextAnalysis {
                   CAST(len(list_filter(t, w -> regexp_full_match(w, '[0-9]+')))
                     AS BIGINT) AS n_digit
                 FROM (SELECT doc_id, $oToks AS t FROM documents))""",
+
+    "q132_score_calibration" ->
+      s"""WITH scored AS (
+            SELECT source,
+              2 * n_uniq + least(n_tok, 64) - 3 * n_stop - 4 * n_digit - 90
+                AS score,
+              CAST(n_tok >= 20 AND n_tok <= 90 AND n_stop * 5 < n_tok * 2
+                AS BIGINT) AS ref
+            FROM (SELECT source,
+                    CAST(len(t) AS BIGINT) AS n_tok,
+                    CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+                    CAST(len(list_filter(t, w -> list_contains($oStopList, w)))
+                      AS BIGINT) AS n_stop,
+                    CAST(len(list_filter(t, w -> regexp_full_match(w, '[0-9]+')))
+                      AS BIGINT) AS n_digit
+                  FROM (SELECT source, $oToks AS t FROM documents))),
+          h AS (SELECT source, score, COUNT(1) AS cnt
+                FROM scored GROUP BY 1, 2),
+          cum AS (
+            SELECT source, score,
+              SUM(cnt) OVER (PARTITION BY source ORDER BY score
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+              SUM(cnt) OVER (PARTITION BY source) AS n
+            FROM h),
+          cuts AS (
+            SELECT source,
+              MIN(CASE WHEN cum >= (1 * n + 3) // 4 THEN score END) AS cut1,
+              MIN(CASE WHEN cum >= (2 * n + 3) // 4 THEN score END) AS cut2,
+              MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN score END) AS cut3
+            FROM cum GROUP BY 1),
+          b AS (
+            SELECT s.source, score, ref,
+              1 + CAST(score > cut1 AS BIGINT) + CAST(score > cut2 AS BIGINT)
+                + CAST(score > cut3 AS BIGINT) AS bin
+            FROM scored s JOIN cuts ON s.source = cuts.source)
+          SELECT source, bin, COUNT(1) AS n,
+            CAST(SUM(ref) AS BIGINT) AS n_pos,
+            CAST(SUM(ref) AS DOUBLE) / COUNT(1) AS pos_rate,
+            MIN(score) AS s_min, MAX(score) AS s_max
+          FROM b GROUP BY 1, 2""",
 
     "q73_ngram_novelty" ->
       s"""WITH pairs AS (

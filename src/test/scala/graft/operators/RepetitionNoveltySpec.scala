@@ -83,6 +83,38 @@ class RepetitionNoveltySpec extends SparkSpec {
     assert(out.values.exists(_._2 > 0L))
   }
 
+  test("q132: calibration bins equal a JVM quartile recompute") {
+    val out = TextAnalysis.queries("q132_score_calibration")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val stop = TextAnalysis.Stopwords.toSet
+    val scored = docs.map { case (src, text) =>
+      val tk = text.split(" ", -1)
+      val nTok = tk.length.toLong
+      val nUniq = tk.distinct.length.toLong
+      val nStop = tk.count(stop).toLong
+      val nDigit = tk.count(_.matches("[0-9]+")).toLong
+      val score = 2 * nUniq + math.min(nTok, 64L) - 3 * nStop - 4 * nDigit - 90
+      val ref = nTok >= 20 && nTok <= 90 && nStop * 5 < nTok * 2
+      (src, score, ref)
+    }
+    val expected = scored.groupBy(_._1).flatMap { case (src, v) =>
+      val ss = v.map(_._2).sorted
+      val n = ss.length
+      val cuts = (1 to 3).map(k => ss((k * n + 3) / 4 - 1))
+      v.groupBy { case (_, sc, _) => 1L + cuts.count(sc > _) }
+        .map { case (bin, bs) =>
+          (src, bin) -> (bs.length.toLong, bs.count(_._3).toLong,
+            bs.map(_._2).min, bs.map(_._2).max)
+        }
+    }
+    assert(out == expected)
+  }
+
   test("q131: held-out surprisal uses TRAIN-only counts; back-off path exercised") {
     val out = TextAnalysis.queries("q131_heldout_surprisal")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
