@@ -771,6 +771,47 @@ object Dedup {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // --- MinHash estimator calibration audit -------------------------------
+    // The acceptance gate for the approximation every minhash tier rests
+    // on (q41/q42/q44/q88 all assume sig-agreement ~ Jaccard): over the
+    // LSH CANDIDATE set — pre-verify, i.e. the range where the estimator
+    // is actually consulted — compare the signature-agreement estimate
+    // (n_agree/8) against exact trigram Jaccard, per pair. Agreement
+    // counting is integer (position-wise equality over the 8 slots); est
+    // and err are single divisions/subtractions of exact rationals —
+    // bit-portable. Scale shape: candidates are the shared banded
+    // self-join (pair-sized), signatures ride the shared signature stage;
+    // the audit adds only 8 slot comparisons per candidate pair.
+    "q133_minhash_estimate" -> ((s, d) => {
+      val sig = signatures(s, d) // doc_id, sh, mh0..7, b0..3
+      val banded = sig.select(col("doc_id"),
+        explode(array((0 until NumBands).map(j =>
+          struct(lit(j).as("b"), col(s"b$j").as("k"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+        .filter(col("k").isNotNull)
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .distinct()
+      val info = sig.select(col("doc_id"), col("sh"),
+        array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("mhs"))
+      cand
+        .join(info.select(col("doc_id").as("i"), col("sh").as("shi"),
+          col("mhs").as("mi")), "i")
+        .join(info.select(col("doc_id").as("j"), col("sh").as("shj"),
+          col("mhs").as("mj")), "j")
+        .select(col("i"), col("j"),
+          size(filter(zip_with(col("mi"), col("mj"), (a, b) => a === b),
+            x => x)).cast("long").as("n_agree"),
+          jaccard(col("shi"), col("shj")).as("jac"))
+        .select(col("i"), col("j"), col("n_agree"),
+          (col("n_agree").cast("double") / NumHashes).as("est"),
+          col("jac"),
+          abs(col("n_agree").cast("double") / NumHashes - col("jac"))
+            .as("abs_err"))
+    }),
+
     // --- embedding-cosine near-dup, hyperplane-LSH-blocked -----------------
     // Norms are computed once per vector, not once per pair (same arithmetic
     // -> same bits as norm-in-the-pair, so the oracle formula is unchanged).
@@ -896,6 +937,31 @@ object Dedup {
           JOIN base bb ON cand.b = bb.doc_id
           WHERE CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE) / len(ba.sh)
             >= 0.8""",
+
+    "q133_minhash_estimate" -> {
+      val bandedSql = (0 until NumBands).map { j =>
+        val cat = (0 until BandSize).map(r => s"mh${j * BandSize + r}")
+          .mkString(" || ")
+        s"SELECT doc_id, $j AS b, md5($cat) AS k FROM sig"
+      }.mkString(" UNION ALL ")
+      val agree = (0 until NumHashes)
+        .map(i => s"CAST(sx.mh$i = sy.mh$i AS INT)").mkString(" + ")
+      s"""WITH sig AS ($oSigSelect),
+            banded AS ($bandedSql),
+            cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+                     FROM banded x JOIN banded y
+                       ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+            scored AS (
+              SELECT cand.i, cand.j,
+                CAST($agree AS BIGINT) AS n_agree,
+                ${oJaccard("sx.sh", "sy.sh")} AS jac
+              FROM cand JOIN sig sx ON cand.i = sx.doc_id
+                        JOIN sig sy ON cand.j = sy.doc_id)
+          SELECT i, j, n_agree,
+            CAST(n_agree AS DOUBLE) / $NumHashes AS est, jac,
+            abs(CAST(n_agree AS DOUBLE) / $NumHashes - jac) AS abs_err
+          FROM scored"""
+    },
 
     "q77_source_leakage" -> {
       val pairsSql = oLshNearDupPairs(3, NumHashes, BandSize, 0, TrigramTNum,

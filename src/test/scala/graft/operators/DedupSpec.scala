@@ -358,6 +358,59 @@ class DedupSpec extends SparkSpec {
     assert(incr == full, s"incremental diverged: ${incr.diff(full)} / ${full.diff(incr)}")
   }
 
+  test("q133: estimator audit matches a JVM minhash+jaccard recompute") {
+    import graft.operators.{Dedup => D}
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // Independent recompute of the whole audit: trigram shingles, 8-seed
+    // minhash (lexicographic min of md5("<seed>|<shingle>")), banded
+    // candidates, positional agreement, exact Jaccard.
+    val sh = docs.map { case (id, t) =>
+      val tk = t.split(" ", -1)
+      id -> (if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toVector
+             else Vector.empty[String])
+    }.toMap
+    val sig = sh.collect { case (id, ss) if ss.nonEmpty =>
+      id -> (0 until D.NumHashes).map(seed =>
+        ss.iterator.map(x => md5hex(s"$seed|$x")).min).toVector
+    }
+    val byBand = sig.toSeq
+      .flatMap { case (id, sg) =>
+        (0 until D.NumBands).map(j =>
+          (j, sg(j * D.BandSize) + sg(j * D.BandSize + 1)) -> id)
+      }
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val cand = byBand.flatMap(ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)).toSet
+    val expected = cand.map { case (i, j) =>
+      val nAgree = (0 until D.NumHashes).count(p => sig(i)(p) == sig(j)(p))
+      val (a, b) = (sh(i).toSet, sh(j).toSet)
+      val jac = (a & b).size.toDouble / (a | b).size
+      (i, j) -> (nAgree.toLong, jac)
+    }.toMap
+    val rows = Dedup.queries("q133_minhash_estimate")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(4), r.getDouble(3), r.getDouble(5))).toMap
+    assert(rows.nonEmpty, "sf0.001 documents must yield candidate pairs")
+    assert(rows.keySet == expected.keySet,
+      s"candidate sets differ: ${rows.keySet.diff(expected.keySet)} / " +
+        s"${expected.keySet.diff(rows.keySet)}")
+    rows.foreach { case (k, (nAgree, jac, est, absErr)) =>
+      assert((nAgree, jac) == expected(k), s"pair $k mismatch")
+      assert(est == nAgree.toDouble / D.NumHashes && absErr == math.abs(est - jac))
+    }
+    // The audit runs PRE-verify, so the verified q42 pair list is a subset
+    // of its candidate set.
+    val q42 = Dedup.queries("q42_dedup_lsh_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q42.subsetOf(rows.keySet),
+      "every verified near-dup pair must appear in the pre-verify audit")
+  }
+
   test("embedding near-dup: identical vectors share an LSH bucket with sim 1") {
     val e = Seq(
       (0L, Seq.fill(64)(0.5)), (1L, Seq.fill(64)(0.5)),
