@@ -1009,6 +1009,44 @@ object Relational {
           col("n_events"))
     }),
 
+    // --- point-in-time snapshots from SCD2 intervals ----------------------------
+    // The time-travel read that SCD2 exists to serve: reconstruct, for
+    // every day boundary, the state each entity was in at that instant
+    // (the "dimension as of" lookup behind snapshot reports and training
+    // features frozen at label time; the grain — day here, month/hour in
+    // production — is a parameter of the pattern). Instead of probing
+    // with a range-predicate join — BNL against a generated calendar —
+    // each q122 interval EXPANDS to the day starts it covers: lo = first
+    // day boundary >= valid_from, hi = last boundary < valid_to (open
+    // intervals run to the global max day). The expansion is a per-row
+    // sequence+explode riding q122's single user_id shuffle — zero extra
+    // shuffles, no join against the calendar at all; the only join is the
+    // broadcast 1-row global-max-day scalar. Days-per-interval is bounded
+    // by the corpus time span, so output is |intervals| × span-days worst
+    // case, and each snapshot row is provably the regime whose
+    // [valid_from, valid_to) contains it.
+    "q134_pit_snapshot" -> ((s, d) => {
+      val iv = queries("q122_scd2_compact")(s, d)
+      val m1 = t(s, d, "events")
+        .agg(date_trunc("day", max(col("ts"))).as("m1"))
+      iv.join(broadcast(m1))
+        .select(col("user_id"), col("event_type"), col("n_events"),
+          when(col("valid_from") === date_trunc("day", col("valid_from")),
+            col("valid_from"))
+            .otherwise(
+              expr("timestampadd(DAY, 1, date_trunc('day', valid_from))"))
+            .as("lo"),
+          when(col("valid_to").isNull, col("m1"))
+            .otherwise(date_trunc("day",
+              expr("timestampadd(MICROSECOND, -1, valid_to)"))).as("hi"))
+        .select(col("user_id"),
+          explode(when(col("lo") <= col("hi"),
+            expr("sequence(lo, hi, interval '1' day)"))
+            .otherwise(expr("cast(array() as array<timestamp>)")))
+            .as("snap_ts"),
+          col("event_type"), col("n_events"))
+    }),
+
     "q120_key_skew" -> ((s, d) => {
       def profile(df: DataFrame, keyCol: String, label: String): DataFrame =
         df.groupBy(col(keyCol).cast("string").as("k"))
@@ -1563,6 +1601,45 @@ object Relational {
              AS valid_to,
            n_events
          FROM iv""",
+
+    "q134_pit_snapshot" ->
+      """WITH m AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+           FROM events),
+         r AS (
+           SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS run_id
+           FROM m),
+         iv AS (
+           SELECT user_id, MIN(event_type) AS event_type,
+                  MIN(ts) AS valid_from, COUNT(1) AS n_events
+           FROM r GROUP BY user_id, run_id),
+         iv2 AS (
+           SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to,
+             n_events
+           FROM iv),
+         b AS (SELECT date_trunc('day', MAX(ts)) AS m1 FROM events),
+         x AS (
+           SELECT user_id, event_type, n_events,
+             CASE WHEN valid_from = date_trunc('day', valid_from)
+                  THEN valid_from
+                  ELSE date_trunc('day', valid_from) + INTERVAL 1 DAY
+             END AS lo,
+             CASE WHEN valid_to IS NULL THEN (SELECT m1 FROM b)
+                  ELSE date_trunc('day',
+                         valid_to - INTERVAL 1 MICROSECOND)
+             END AS hi
+           FROM iv2)
+         SELECT user_id,
+           unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS snap_ts,
+           event_type, n_events
+         FROM x""",
 
     "q120_key_skew" -> {
       def part(table: String, keyExpr: String, label: String) =

@@ -213,6 +213,35 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(_._5).sum == events.length)
   }
 
+  test("q134: PIT snapshots equal a JVM day-boundary probe of the SCD2 runs") {
+    val dayMs = 86400000L // UTC session, so epoch-ms floor == date_trunc('day')
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val maxDay = events.map(_._2.getTime).max / dayMs * dayMs
+    val expected = events.groupBy(_._1).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._2.getTime, e._3)).toList
+      val runs = sorted.foldLeft(List.empty[(String, Long, Long)]) {
+        case ((t0, from, n) :: rest, (_, _, _, et)) if t0 == et =>
+          (t0, from, n + 1) :: rest
+        case (acc, (_, ts, _, et)) => (et, ts.getTime, 1L) :: acc
+      }.reverse
+      runs.zip(runs.drop(1).map(r => Some(r._2)) :+ None).flatMap {
+        case ((et, from, n), toOpt) =>
+          val lo = if (from % dayMs == 0) from else (from / dayMs + 1) * dayMs
+          val hi = toOpt.fold(maxDay)(to => (to - 1) / dayMs * dayMs)
+          (lo to hi by dayMs).map(m =>
+            (uid, new java.sql.Timestamp(m), et, n))
+      }
+    }.toSet
+    val out = Relational.queries("q134_pit_snapshot")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getLong(3)))
+    assert(out.nonEmpty, "testdata spans day boundaries; snapshots expected")
+    assert(out.toSet == expected)
+    // exactly one state per (entity, snapshot instant) — the PIT contract
+    assert(out.map(r => (r._1, r._2)).distinct.length == out.length)
+  }
+
   test("q120: skew profile equals a JVM recompute; skew bounded by [1, n_keys]") {
     val out = Relational.queries("q120_key_skew")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
