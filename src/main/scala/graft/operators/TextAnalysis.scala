@@ -512,6 +512,46 @@ object TextAnalysis {
           min(col("score")).as("s_min"), max(col("score")).as("s_max"))
     }),
 
+    // --- chi-square association audit (source × lang) ----------------------
+    // The feature-selection / independence test behind corpus balance
+    // checks: is language distributed independently of source? Emits the
+    // full contingency grid (including zero cells — they carry χ² mass
+    // too) with each cell's exact deviation and its χ² term. Arithmetic
+    // discipline: the deviation obs·N − row·col is carried in
+    // DECIMAL(38,0) (obs·N ≤ N², wraps int64 past N ≈ 3e9 — Spark wraps
+    // silently, DuckDB raises, so exactness is also engine-agreement);
+    // the χ² term is two double casts of exact integers and one
+    // multiply/divide — single IEEE ops, bit-portable. The per-cell rows
+    // are the output — no float Σ over cells, whose order the engines
+    // would not agree on; the scalar χ² is the consumer's one exact sum
+    // away. Shape: ONE corpus-scan hash agg to (source × lang) cells
+    // (map-side combined); everything after is tiny-table algebra on
+    // broadcastable aggregates. The grid is an EXPLICIT cross join of
+    // the two margin tables — the one place a cross product is the
+    // semantics — and both sides are attribute-cardinality-sized
+    // aggregates, never corpus rows (allowlisted as such in
+    // CatalogPlanSpec).
+    "q135_chi_square" -> ((s, d) => {
+      val cells = t(s, d).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_obs"))
+      val rows = cells.groupBy(col("source")).agg(sum(col("n_obs")).as("n_src"))
+      val cols = cells.groupBy(col("lang")).agg(sum(col("n_obs")).as("n_lang"))
+      val tot = cells.agg(sum(col("n_obs")).as("n"))
+      val grid = rows.crossJoin(broadcast(cols))
+      val diff = col("n_obs").cast(DecimalType(38, 0)) * col("n") -
+        col("n_src").cast(DecimalType(38, 0)) * col("n_lang")
+      grid.join(cells, Seq("source", "lang"), "left")
+        .join(broadcast(tot))
+        .select(col("source"), col("lang"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          col("n_src"), col("n_lang"), col("n"))
+        .select(col("source"), col("lang"), col("n_obs"), col("n_src"),
+          col("n_lang"), diff.cast("long").as("chi_diff"),
+          (diff.cast("double") * diff.cast("double") /
+            ((col("n_src").cast(DecimalType(38, 0)) * col("n_lang"))
+              .cast("double") * col("n").cast("double"))).as("chi_term"))
+    }),
+
     // --- cross-corpus n-gram novelty ---------------------------------------
     // For each doc: how much of its distinct 4-gram set is unique to it vs
     // shared with other docs — the memorization/boilerplate axis that
@@ -997,6 +1037,32 @@ object TextAnalysis {
             CAST(SUM(ref) AS DOUBLE) / COUNT(1) AS pos_rate,
             MIN(score) AS s_min, MAX(score) AS s_max
           FROM b GROUP BY 1, 2""",
+
+    "q135_chi_square" ->
+      """WITH cells AS (
+           SELECT source, lang, COUNT(1) AS n_obs
+           FROM documents GROUP BY 1, 2),
+         rs AS (SELECT source, CAST(SUM(n_obs) AS BIGINT) AS n_src
+                FROM cells GROUP BY 1),
+         cs AS (SELECT lang, CAST(SUM(n_obs) AS BIGINT) AS n_lang
+                FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells),
+         j AS (
+           SELECT g.source, g.lang, COALESCE(c.n_obs, 0) AS n_obs,
+             g.n_src, g.n_lang, (SELECT n FROM tot) AS n
+           FROM (SELECT rs.source, cs.lang, rs.n_src, cs.n_lang
+                 FROM rs CROSS JOIN cs) g
+           LEFT JOIN cells c ON g.source = c.source AND g.lang = c.lang)
+         SELECT source, lang, n_obs, n_src, n_lang,
+           CAST(CAST(n_obs AS HUGEINT) * n - CAST(n_src AS HUGEINT) * n_lang
+             AS BIGINT) AS chi_diff,
+           CAST(CAST(n_obs AS HUGEINT) * n - CAST(n_src AS HUGEINT) * n_lang
+               AS DOUBLE)
+             * CAST(CAST(n_obs AS HUGEINT) * n
+                 - CAST(n_src AS HUGEINT) * n_lang AS DOUBLE)
+             / (CAST(CAST(n_src AS HUGEINT) * n_lang AS DOUBLE)
+                 * CAST(n AS DOUBLE)) AS chi_term
+         FROM j""",
 
     "q73_ngram_novelty" ->
       s"""WITH pairs AS (

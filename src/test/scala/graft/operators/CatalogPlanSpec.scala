@@ -24,11 +24,14 @@ class CatalogPlanSpec extends SparkSpec {
   // q116 is brute ADC over the full corpus — the IVF-pruned q117 is its
   // scale tier and joins on the list id (equi, not BNL). The recall
   // audits q124/q129 embed the exact brute baseline on purpose — the
-  // audit's whole job is to compare an index tier against it.
+  // audit's whole job is to compare an index tier against it. q135's
+  // contingency grid is the margin-table cross product — the one query
+  // whose SEMANTICS is a cross join, and both sides are
+  // attribute-cardinality-sized aggregates, never corpus rows.
   private val bnlAllowed =
     Set("q50_knn_brute", "q54_knn_quantized", "q82_knn_projected",
       "q112_hard_negatives", "q116_pq_adc",
-      "q124_ann_recall", "q129_ivf_recall")
+      "q124_ann_recall", "q129_ivf_recall", "q135_chi_square")
 
   // Sanctioned build sides: a no-grouping-key aggregate (1-row scalar) or a
   // LocalTableScan (driver-local literal model state, e.g. q52's learned

@@ -115,6 +115,34 @@ class RepetitionNoveltySpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("q135: chi-square grid equals a JVM recompute; deviations cancel per margin") {
+    val out = TextAnalysis.queries("q135_chi_square")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nSrc = docs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val nLang = docs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = docs.length.toLong
+    val expected = (for (s <- nSrc.keys; l <- nLang.keys) yield {
+      val obs = cells.getOrElse((s, l), 0L)
+      val diff = obs * n - nSrc(s) * nLang(l)
+      val term = diff.toDouble * diff.toDouble /
+        ((nSrc(s) * nLang(l)).toDouble * n.toDouble)
+      (s, l) -> (obs, nSrc(s), nLang(l), diff, term)
+    }).toMap
+    assert(out == expected)
+    // full grid: every (source, lang) combo present, zero cells included
+    assert(out.size == nSrc.size * nLang.size)
+    assert(out.values.exists(_._1 == 0L), "zero cells must carry chi-square mass")
+    // deviations obs·N − row·col cancel within every row margin
+    out.groupBy(_._1._1).values.foreach(m => assert(m.values.map(_._4).sum == 0L))
+    assert(out.values.forall(_._5 >= 0.0))
+  }
+
   test("q131: held-out surprisal uses TRAIN-only counts; back-off path exercised") {
     val out = TextAnalysis.queries("q131_heldout_surprisal")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
