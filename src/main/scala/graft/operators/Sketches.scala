@@ -432,6 +432,20 @@ object Sketches {
       ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** Mode-agnostic Misra–Gries candidate build from raw keys (column
+    * `k`): one typed aggregation over [[MgAggregate]]. On a stream this
+    * is the bounded-state heavy-hitter monitor — per-key exact counts
+    * would be key-cardinality-sized state, while this holds ≤ [[MgK]]
+    * entries and merges across micro-batches (complete/update output).
+    * Emits a single row `summary: map<string,bigint>`. The MG guarantee
+    * — every key with true count > total/(MgK+1) is present — survives
+    * any reduce/merge interleaving, so an exact pass-2 census over the
+    * streamed candidates equals batch [[heavyHitters]] exactly
+    * (`StreamingFunnelCmsSpec` pins that batch==stream parity on the
+    * real events table, plus the undercount bound). */
+  def mgFromKeys(keys: DataFrame): DataFrame =
+    keys.agg(udaf(MgAggregate, Encoders.STRING)(col("k")).as("summary"))
+
   /** Exact heavy hitters — keys with count·(MgK+1) > total — via the
     * standard two-pass scheme: a Misra–Gries candidate pass with bounded
     * state, then exact counting restricted to the ≤ MgK candidates.

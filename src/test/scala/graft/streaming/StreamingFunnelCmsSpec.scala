@@ -288,4 +288,50 @@ class StreamingFunnelCmsSpec extends SparkSpec with Matchers {
       .reduce(Sketches.CmsAggregate.merge)
     assert(onePass.sameElements(merged))
   }
+
+  test("streaming Misra-Gries upholds the guarantee; exact pass-2 equals batch q121") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val raw = graft.Tables.load(s, sfDir, "events")
+      .select(col("user_id").cast("string").as("k")).as[String].collect()
+    val mem = MemoryStream[String]
+    val q = Sketches.mgFromKeys(mem.toDF().select(col("value").as("k")))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    val summary =
+      try {
+        raw.grouped((raw.length + 3) / 4).foreach { c =>
+          mem.addData(c.toSeq); q.processAllAvailable()
+        }
+        s.table("mg_stream").collect() match {
+          case Array(row) => row.getMap[String, Long](0).toMap
+          case other => fail(s"expected one complete-mode row, got ${other.length}")
+        }
+      } finally q.stop()
+
+    val trueCounts = raw.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val total = raw.length.toLong
+    // bounded state, whatever the micro-batch split
+    assert(summary.size <= Sketches.MgK)
+    // the MG guarantee: every heavy key survives the stream's merges
+    val heavy = trueCounts.filter { case (_, n) => n * (Sketches.MgK + 1) > total }
+    assert(heavy.nonEmpty, "events user_ids must contain heavy hitters")
+    heavy.foreach { case (k, _) =>
+      assert(summary.contains(k), s"heavy key $k evicted — guarantee broken")
+    }
+    // weights undercount only, by at most total/(MgK+1)
+    summary.foreach { case (k, w) =>
+      val n = trueCounts.getOrElse(k, 0L)
+      assert(w <= n, s"key $k overcounted: $w > $n")
+      assert(n - w <= total / (Sketches.MgK + 1), s"key $k undercount too deep")
+    }
+    // exact pass-2 census over the STREAMED candidates == batch q121
+    val streamed = summary.keySet.map(k => (k, trueCounts.getOrElse(k, 0L), total))
+      .filter { case (_, n, t) => n * (Sketches.MgK + 1) > t }
+    val batch = Sketches.queries("q121_heavy_hitters")(s, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
 }
