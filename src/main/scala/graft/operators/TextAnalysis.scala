@@ -552,6 +552,45 @@ object TextAnalysis {
               .cast("double") * col("n").cast("double"))).as("chi_term"))
     }),
 
+    // --- token-mass Gini per source (corpus concentration) ------------------
+    // The inequality profile of a corpus: is a source's token mass spread
+    // evenly across its documents or concentrated in a few giants — the
+    // signal behind per-source sampling caps and dedup-priority decisions.
+    // Gini = (2·Σ i·x_(i) − (n+1)·T) / (n·T) over ascending-sorted doc
+    // token counts; the rank sum is computed from the (source × distinct
+    // count) HISTOGRAM, not a corpus sort: a run of c equal values v
+    // occupying ranks (a, a+c] contributes v·(2ca + c² + c) to 2·Σ i·x —
+    // the q74/q128 rank-walk discipline, so the window runs over
+    // histogram rows (thousands) however large the corpus. All products
+    // in DECIMAL(38,0) (i·x sums reach n²·x — past int64 at ~3e9 docs);
+    // the only float is the final division of two exact integers. Ties
+    // carry no freedom: equal values contribute the same Σi regardless
+    // of their relative order.
+    "q136_token_gini" -> ((s, d) => {
+      val hist = t(s, d)
+        .select(col("source"), size(toks(col("text"))).cast("long").as("x"))
+        .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("source")).orderBy(col("x"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val cum = hist.withColumn("a", coalesce(sum(col("c")).over(w), lit(0L)))
+      cum.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"),
+          sum(col("x").cast(DecimalType(38, 0)) * col("c")).as("t_d"),
+          sum(col("x").cast(DecimalType(38, 0)) *
+            (lit(2L) * col("c").cast(DecimalType(38, 0)) * col("a") +
+              col("c").cast(DecimalType(38, 0)) * col("c") + col("c")))
+            .as("s2_d"))
+        .select(col("source"), col("n_docs"),
+          col("t_d").cast("long").as("total_tok"),
+          (col("s2_d") - (col("n_docs").cast(DecimalType(38, 0)) + lit(1L)) *
+            col("t_d")).cast("long").as("gini_num"),
+          ((col("s2_d") - (col("n_docs").cast(DecimalType(38, 0)) + lit(1L)) *
+            col("t_d")).cast("double") /
+            (col("n_docs").cast(DecimalType(38, 0)) * col("t_d"))
+              .cast("double")).as("gini"))
+    }),
+
     // --- cross-corpus n-gram novelty ---------------------------------------
     // For each doc: how much of its distinct 4-gram set is unique to it vs
     // shared with other docs — the memorization/boilerplate axis that
@@ -1063,6 +1102,31 @@ object TextAnalysis {
              / (CAST(CAST(n_src AS HUGEINT) * n_lang AS DOUBLE)
                  * CAST(n AS DOUBLE)) AS chi_term
          FROM j""",
+
+    "q136_token_gini" ->
+      s"""WITH h AS (
+           SELECT source, CAST(len($oToks) AS BIGINT) AS x, COUNT(1) AS c
+           FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT source, x, c,
+             COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+           FROM h),
+         agg AS (
+           SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_docs,
+             SUM(CAST(x AS HUGEINT) * c) AS t_h,
+             SUM(CAST(x AS HUGEINT)
+               * (2 * CAST(c AS HUGEINT) * a + CAST(c AS HUGEINT) * c + c))
+               AS s2_h
+           FROM cum GROUP BY 1)
+         SELECT source, n_docs,
+           CAST(t_h AS BIGINT) AS total_tok,
+           CAST(s2_h - (CAST(n_docs AS HUGEINT) + 1) * t_h AS BIGINT)
+             AS gini_num,
+           CAST(s2_h - (CAST(n_docs AS HUGEINT) + 1) * t_h AS DOUBLE)
+             / CAST(CAST(n_docs AS HUGEINT) * t_h AS DOUBLE) AS gini
+         FROM agg""",
 
     "q73_ngram_novelty" ->
       s"""WITH pairs AS (

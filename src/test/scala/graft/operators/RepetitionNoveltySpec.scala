@@ -143,6 +143,29 @@ class RepetitionNoveltySpec extends SparkSpec {
     assert(out.values.forall(_._5 >= 0.0))
   }
 
+  test("q136: Gini equals the brute pairwise-difference identity per source") {
+    val out = TextAnalysis.queries("q136_token_gini")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val bySource = docs.groupBy(_._1).map { case (s, v) => s -> v.map(_._2) }
+    assert(out.keySet == bySource.keySet)
+    bySource.foreach { case (src, xs) =>
+      val (n, t) = (xs.length.toLong, xs.sum)
+      // ΣΣ|xi−xj| = 2·(2Σi·x_(i) − (n+1)T) — the mean-absolute-difference
+      // identity; the histogram rank-walk must reproduce it exactly
+      val brute = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+      val (nDocs, totalTok, giniNum, gini) = out(src)
+      assert((nDocs, totalTok) == ((n, t)))
+      assert(2L * giniNum == brute, s"source $src rank-walk diverged")
+      assert(gini == giniNum.toDouble / (n.toDouble * t))
+      assert(gini >= 0.0 && gini <= (n - 1).toDouble / n)
+    }
+    assert(out.values.exists(_._4 > 0.0), "testdata token mass is not uniform")
+  }
+
   test("q131: held-out surprisal uses TRAIN-only counts; back-off path exercised") {
     val out = TextAnalysis.queries("q131_heldout_surprisal")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
