@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (see TESTDATA.md / FIXTURES.md §B). All queries take the scale-factor
@@ -14,8 +14,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir) else
-      spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTimestamps(
+      if (name == "events") loadEvents(spark, dir) else
+        spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Parquet `timestamp[us]` with isAdjustedToUTC=false reads as
+    * TIMESTAMP_NTZ under Spark's NTZ inference; the catalog (and
+    * `unix_micros`, windowing, etc.) is written against plain TimestampType.
+    * All graft sessions run with spark.sql.session.timeZone=UTC, so casting
+    * NTZ→TIMESTAMP here preserves the naive wall-clock values bit-for-bit as
+    * epoch instants — exactly the numbers DuckDB's oracle computes when it
+    * reads the same naive parquet column. Normalizing at the single load
+    * point keeps every query and spec agnostic to which physical timestamp
+    * flavor a given testdata generation wrote. */
+  private def normalizeTimestamps(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. Read nanos as long (legacy conf) and convert
