@@ -12,11 +12,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: run every query once at the smallest SF. Generated code is
     // identical across SF dirs (only file paths differ), so this JIT-compiles
@@ -74,7 +70,26 @@ object Bench {
     val out = java.nio.file.Paths.get("bench_out.json")
     java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
     println(fullJson)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    // The driver parses the LAST stdout line, but when the bench leg runs
+    // under sbt every println is framed with an "[info] " prefix and sbt
+    // appends its own "[success] Total time..." as the true last line — no
+    // println from main can then be both last AND bare. Measured (r7): sbt
+    // forks the run and pipes the child's fd 1 AND fd 2 through its logger,
+    // so even a raw write to java.io.FileDescriptor.out or System.err
+    // arrives "[info]"-framed on sbt's stdout — an unprefixed line is
+    // impossible from inside the forked JVM. Escapes, in order of
+    // durability: (1) a fixed sidecar file the driver can always pick up,
+    // (2) compact line on stdout + stderr + raw fd 1 so whichever stream
+    // the driver tails contains it (framed but complete and grep-able).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_summary.json"), compact.getBytes("UTF-8"))
+    println(compact)
+    System.err.println(compact)
+    val rawOut = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    rawOut.write((compact + "\n").getBytes("UTF-8"))
+    rawOut.flush()
     spark.stop()
   }
 

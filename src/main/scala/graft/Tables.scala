@@ -21,12 +21,21 @@ object Tables {
   /** Parquet `timestamp[us]` with isAdjustedToUTC=false reads as
     * TIMESTAMP_NTZ under Spark's NTZ inference; the catalog (and
     * `unix_micros`, windowing, etc.) is written against plain TimestampType.
-    * All graft sessions run with spark.sql.session.timeZone=UTC, so casting
-    * NTZ→TIMESTAMP here preserves the naive wall-clock values bit-for-bit as
-    * epoch instants — exactly the numbers DuckDB's oracle computes when it
-    * reads the same naive parquet column. Normalizing at the single load
-    * point keeps every query and spec agnostic to which physical timestamp
-    * flavor a given testdata generation wrote. */
+    * All graft sessions run with spark.sql.session.timeZone=UTC (enforced
+    * structurally: every main builds its session via [[GraftSession.local]],
+    * and the test harness sets it in SparkSpec), so casting NTZ→TIMESTAMP
+    * here preserves the naive wall-clock values bit-for-bit as epoch
+    * instants — exactly the numbers DuckDB's oracle computes when it reads
+    * the same naive parquet column. Normalizing at the single load point
+    * keeps every query and spec agnostic to which physical timestamp flavor
+    * a given testdata generation wrote.
+    *
+    * Scope: TOP-LEVEL fields only. An NTZ column nested inside a
+    * struct/array/map would pass through unnormalized; no catalog table has
+    * one (all timestamp columns are top-level), and a testdata generation
+    * that introduced nested timestamps would surface immediately as a
+    * schema mismatch in the oracle compare rather than silently shifting
+    * values. */
   private def normalizeTimestamps(df: DataFrame): DataFrame =
     df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
       (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
