@@ -381,8 +381,25 @@ object Curation {
     * red_fp). Scale shape is inherited stage by stage from the operators it
     * composes: hash-agg dedup (digests shuffle, not text), bucketed LSH
     * (never all-pairs), pair-sized CC, narrow quality/redaction passes, and
-    * a broadcast benchmark gram set. Oracle-checked end to end as q70. */
-  def curate(docs: DataFrame): DataFrame = {
+    * a broadcast benchmark gram set. Oracle-checked end to end as q70.
+    *
+    * `corpusPairs`: optionally, the near-dup pair list of the FULL corpus
+    * (the shared [[Dedup.corpusTrigramPairs]] memo). When present, stage 2
+    * does not re-shingle the survivors: a pair's membership in the LSH
+    * output depends only on its two endpoints (see the identity note on
+    * [[Dedup.corpusTrigramPairs]]), so the survivor pair list is exactly
+    * the corpus list filtered to pairs whose BOTH endpoints survived
+    * stage 1 — two pair-sized semi joins replace the corpus-scale
+    * signature pass, and only the cheap CC re-runs on the filtered edges.
+    * (The survivor CC itself still cannot reuse the corpus CC LABELS: a
+    * component can fall apart when exact-dup members are removed, so
+    * labels are recomputed — but from the shared pairs, which is the
+    * expensive part.) CurationSpec pins path equality; at 100 TB this is
+    * the difference between one corpus signature scan per pipeline run and
+    * one per MATERIALIZATION EPOCH shared with every other near-dup
+    * consumer. */
+  def curate(docs: DataFrame,
+             corpusPairs: Option[DataFrame] = None): DataFrame = {
     // 1. exact dedup — semi join against the per-hash winners. The
     // survivors feed three later stages (LSH pairs, the canonical
     // anti-join, both decontam scans), so they are tokenized ONCE and
@@ -399,13 +416,26 @@ object Curation {
       .select(col("doc_id"), col("source"), col("text"),
         toks(col("text")).as("tk"))
       .localCheckpoint(true)
-    // 2. near-dup canonical over the deduped survivors — shingles come from
-    // the checkpointed token arrays, not a fresh text scan
-    val pairs = Dedup.lshPairsFromShingles(
-        dd.select(col("doc_id"), shingles(col("tk"), 3).as("sh")),
-        numHashes = Dedup.NumHashes, bandSize = Dedup.BandSize, seedBase = 0,
-        tNum = Dedup.TrigramTNum, tDen = Dedup.TrigramTDen)
-      .select(col("i"), col("j"))
+    // 2. near-dup canonical over the deduped survivors. Preferred path:
+    // filter the corpus-wide shared pair list to survivor endpoints (two
+    // semi joins on pair-sized data — no signature pass). Fallback path
+    // (no corpus list supplied): re-shingle the survivors from the
+    // checkpointed token arrays. Both produce the identical edge set —
+    // spec-pinned — with identical LSH parameters (seedBase 0, trigram
+    // shingles) to Dedup's shared stage.
+    val pairs = corpusPairs match {
+      case Some(cp) =>
+        val ids = dd.select(col("doc_id"))
+        cp.join(ids.select(col("doc_id").as("i")), Seq("i"), "left_semi")
+          .join(ids.select(col("doc_id").as("j")), Seq("j"), "left_semi")
+          .select(col("i"), col("j"))
+      case None =>
+        Dedup.lshPairsFromShingles(
+            dd.select(col("doc_id"), shingles(col("tk"), 3).as("sh")),
+            numHashes = Dedup.NumHashes, bandSize = Dedup.BandSize, seedBase = 0,
+            tNum = Dedup.TrigramTNum, tDen = Dedup.TrigramTDen)
+          .select(col("i"), col("j"))
+    }
     val losers = Dedup.connectedComponents(pairs)
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id"))
@@ -446,7 +476,11 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- the end-to-end curation pipeline ---------------------------------
-    "q70_curation_pipeline" -> ((s, d) => curate(t(s, d))),
+    // Hands stage 2 the session-shared corpus pair list so the pipeline's
+    // survivor clustering is a pair-sized filter + CC, not a second
+    // corpus-scale signature scan (identity + spec: see `curate`).
+    "q70_curation_pipeline" -> ((s, d) =>
+      curate(t(s, d), Some(Dedup.corpusTrigramPairs(s, d)))),
 
     // --- PII detection + redaction ----------------------------------------
     // No repartition: the projection is narrow over the scan, so plan

@@ -427,6 +427,20 @@ object Dedup {
     sharedLabels.computeIfAbsent((s, d), _ =>
       connectedComponents(trigramPairs(s, d).select(col("i"), col("j"))))
 
+  /** Public handle on the memoized corpus-wide trigram pair list, for
+    * compositions that cluster a SUBSET of the corpus (q70's exact-dedup
+    * survivors). Identity it rests on: a pair's presence in the LSH output
+    * depends only on the two endpoints — band collision compares their two
+    * signatures, the size prefilter and exact-Jaccard verify read their two
+    * shingle sets — never on which other docs are in the run. So the pair
+    * list of any subset S equals this corpus pair list filtered to pairs
+    * with BOTH endpoints in S (CurationSpec pins this against the
+    * re-shingle path). Consumers skip the corpus-scale signature pass and
+    * pay only a pair-sized filter + CC — the same materialize-once story
+    * the shared memo already gives the q42/q46 family. */
+  def corpusTrigramPairs(s: SparkSession, d: String): DataFrame =
+    trigramPairs(s, d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- exact dedup: hash-groupBy, keep min doc_id per content hash -------

@@ -305,6 +305,24 @@ class CurationSpec extends SparkSpec {
     assert(heavy >= 18, s"only $heavy/20 sampled rows were heavy")
   }
 
+  // --- q70 survivor clustering: shared-pair path == re-shingle path -------
+
+  test("curate: corpus-pair-filtered survivor CC equals the re-shingle path") {
+    // The q70 entry feeds curate the corpus-wide shared trigram pair list
+    // and filters it to exact-dedup survivors instead of re-running the
+    // signature pass on the survivor corpus. The identity (pair membership
+    // depends only on the two endpoints) must make the two paths
+    // row-identical END TO END on real data — survivor pair sets, CC
+    // labels, and the final curated output all included transitively.
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val viaShared = Curation.curate(docs,
+      Some(Dedup.corpusTrigramPairs(spark, sfDir)))
+    val viaReshingle = Curation.curate(docs, None)
+    assert(viaShared.count() == viaReshingle.count())
+    assert(viaShared.except(viaReshingle).isEmpty &&
+      viaReshingle.except(viaShared).isEmpty)
+  }
+
   test("mega-term postings stay bounded: no row grows with corpus size") {
     // 5k docs all sharing one term: the aggregation must complete with an
     // 8-element posting string, never a 5k-element row.
