@@ -38,6 +38,12 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] q115_codebook export failed: ${e.getMessage}")
     }
+    // ... and the q137 residual codebooks (PQ over v − centroid).
+    try operators.Similarity.pqResidualCodebookFor(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q137_codebook")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] q137_codebook export failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

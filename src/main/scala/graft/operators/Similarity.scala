@@ -433,6 +433,65 @@ object Similarity {
           col("list_id"), col("adc"))
     }),
 
+    // --- IVF-PQ with residual encoding (q137) ------------------------------
+    // The accuracy rung q117's comment promises — what FAISS IVFPQ actually
+    // ships: PQ codes describe v − c(list), not v. Residuals concentrate
+    // around the origin, so the 16 codes per subspace resolve within-list
+    // displacement instead of re-describing the list center; recall at
+    // equal nProbe is spec-pinned ≥ the raw-encode tier's. Same plan shape
+    // as q117 — the one extra broadcast join rides the centroid vector back
+    // to form the residual inside the SAME narrow encode projection (still
+    // exactly two corpus passes, zero extra shuffles); the query-side ADC
+    // table is now per (query, probed list) since the query residual is
+    // list-relative — nProbe× more tiny rows on the broadcast side, corpus
+    // side unchanged. Exact oracle under both exported tables.
+    "q137_ivfpq_residual" -> ((s, d) => {
+      val e = embs(s, d)
+      val cb = trainResidualCodebooks(e, d)
+      val cent = trainCentroids(e)
+      val lists = e.join(broadcast(cent))
+        .select(col("vec_id"), col("v"),
+          struct(cosine(col("v"), col("cv")).as("csim"),
+            (-col("cid")).as("ncid")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), max(col("sc")).as("best"))
+        .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid"))
+      val corpus = lists.join(broadcast(cent), Seq("cid"))
+        .select(col("vec_id") +: col("cid") +: {
+          val r = zip_with(col("v"), col("cv"), (x, c) => x - c)
+          (0 until PqM).map { m =>
+            val darr = subDists(r, m, cb)
+            (array_position(darr, array_min(darr)) - 1).as(s"c$m")
+          }
+        }: _*)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wc = Window.partitionBy(col("query_id"))
+        .orderBy(col("csim").desc, col("cid"))
+      val probed = q.join(broadcast(cent))
+        .select(col("query_id"), col("qv"), col("cid"), col("cv"),
+          cosine(col("qv"), col("cv")).as("csim"))
+        .withColumn("crank", row_number().over(wc).cast("long"))
+        .filter(col("crank") <= IvfNProbe)
+        .select(col("query_id") +: col("cid") +: {
+          val qr = zip_with(col("qv"), col("cv"), (x, c) => x - c)
+          (0 until PqM).map(m => subDists(qr, m, cb).as(s"dt$m"))
+        }: _*)
+      val adc = (0 until PqM).map(m =>
+          element_at(col(s"dt$m"), (col(s"c$m") + 1).cast("int")))
+        .reduceLeft(_ + _)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      broadcast(probed).join(corpus, Seq("cid"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), col("cid").as("list_id"),
+          adc.as("adc"))
+        .withColumn("nn_rank", row_number().over(w).cast("long"))
+        .filter(col("nn_rank") <= LshTopK)
+        .select(col("query_id"), col("nn_rank"), col("vec_id"),
+          col("list_id"), col("adc"))
+    }),
+
     // --- product quantization: ADC top-k search (q116) ---------------------
     // Asymmetric distance computation, the FAISS search shape: each query
     // precomputes a PqM×PqK distance TABLE against the codebooks (narrow,
@@ -486,13 +545,23 @@ object Similarity {
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]
   def trainPqCodebooks(e: DataFrame, key: String): Array[Array[Array[Double]]] =
-    pqCache.computeIfAbsent(key, _ => {
-      val sample: Array[Array[Double]] = e
-        .select(md5(col("vec_id").cast("string")).as("so"), col("v"))
-        .orderBy(col("so")).limit(PqSample)
-        .collect()
-        .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1).map(_._2) // fixed fold order -> bit-deterministic
+    pqCache.computeIfAbsent(key, _ => lloydSubspaceCodebooks(pqTrainSample(e)))
+
+  /** The shared PQ training sample: `PqSample` vectors in fixed md5(vec_id)
+    * order (deterministic, value-unbiased, a TakeOrdered — no global sort),
+    * collected to the driver. Model-scale (~0.5 MB), not a data path. */
+  private def pqTrainSample(e: DataFrame): Array[Array[Double]] = e
+    .select(md5(col("vec_id").cast("string")).as("so"), col("v"))
+    .orderBy(col("so")).limit(PqSample)
+    .collect()
+    .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+    .sortBy(_._1).map(_._2) // fixed fold order -> bit-deterministic
+
+  /** Per-subspace Lloyd's over an in-driver sample — the training core
+    * shared by raw-vector PQ (q115) and residual PQ (q137); the input
+    * decides which flavor is learned. */
+  private def lloydSubspaceCodebooks(
+      sample: Array[Array[Double]]): Array[Array[Array[Double]]] = {
       def d2(a: Array[Double], b: Array[Double]): Double = {
         var s = 0.0; var i = 0
         while (i < a.length) { val df = a(i) - b(i); s += df * df; i += 1 }
@@ -524,7 +593,45 @@ object Similarity {
         }
         centers
       }
+    }
+
+  // --------------- residual IVF-PQ (q137): PQ over v − c(list) ------------
+
+  private val pqResCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]
+
+  /** Per-subspace codebooks trained over coarse-quantization RESIDUALS —
+    * v minus the centroid of the vector's nearest list — the FAISS IVFPQ
+    * training recipe (residuals concentrate around the origin, so the same
+    * 16 codes per subspace spend their resolution on the within-list
+    * displacement instead of re-describing the list center; that is the
+    * accuracy rung over raw-vector PQ). Same bounded md5-ordered sample,
+    * same driver-side Lloyd's, bit-deterministic like every other trained
+    * model here. The driver-side nearest-centroid uses the SAME tie-break
+    * as the distributed assignment (max cosine, tie → smaller cid); exact
+    * bit agreement with the cluster pass is not load-bearing for the
+    * oracle (training only shapes codebook QUALITY — the oracle rechecks
+    * encode/search under the exported tables, whatever they contain). */
+  def trainResidualCodebooks(e: DataFrame, key: String): Array[Array[Array[Double]]] =
+    pqResCache.computeIfAbsent(key, _ => {
+      val cents = trainCentroidArrays(e)
+      val byId = cents.toMap
+      val residuals = pqTrainSample(e).map { v =>
+        val c = byId(nearest(cents, v))
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+      lloydSubspaceCodebooks(residuals)
     })
+
+  /** Residual codebook table (sub, code, cv) for a sf dir — Verify exports
+    * this next to the q115 codebooks so the q137 oracle rechecks residual
+    * encode + ADC search under the exact tables the Spark side trained. */
+  def pqResidualCodebookFor(s: SparkSession, d: String): DataFrame = {
+    val cb = trainResidualCodebooks(embs(s, d), d)
+    import s.implicits._
+    (for (m <- 0 until PqM; j <- 0 until PqK)
+      yield (m.toLong, j.toLong, cb(m)(j).toSeq)).toDF("sub", "code", "cv")
+  }
 
   /** Codebook table (sub, code, cv) for a sf dir — Verify exports this to
     * parquet so the q115/q116 oracles recheck encode + ADC search under the
@@ -601,6 +708,17 @@ object Similarity {
     * corpus. Exported to parquet by Verify so the DuckDB oracle can check
     * stage 2 (assignment + search) under the exact same centroids. */
   def trainCentroids(e: DataFrame, nLists: Int = 8, iters: Int = 5): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    trainCentroidArrays(e, nLists, iters).toSeq.toDF("cid", "cv")
+  }
+
+  /** Driver-side form of [[trainCentroids]] — the learned (cid, centroid)
+    * arrays, for consumers that need the model IN driver memory (residual
+    * codebook training subtracts each sample vector's centroid before
+    * Lloyd's). Same bit-deterministic training run. */
+  private def trainCentroidArrays(e: DataFrame, nLists: Int = 8,
+                                  iters: Int = 5): Array[(Long, Array[Double])] = {
     graft.functions.GraftFunctions.register(e.sparkSession)
 
     // Training sample: k-means for a coarse quantizer is trained on a
@@ -626,15 +744,6 @@ object Similarity {
     var centers: Array[(Long, Array[Double])] =
       sample.take(nLists).map { case (so, v) => (cidOf(so), v.clone()) }
 
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
-    def nearest(cs: Array[(Long, Array[Double])], v: Array[Double]): Long =
-      cs.map { case (cid, cv) => (cos(v, cv), cid) }
-        .reduceLeft((x, y) => if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x)._2
-
     for (_ <- 1 to iters) {
       val byList = sample.map { case (_, v) => (nearest(centers, v), v) }
         .groupBy(_._1)
@@ -651,10 +760,20 @@ object Similarity {
       }
     }
 
-    val spark = e.sparkSession
-    import spark.implicits._
-    centers.toSeq.toDF("cid", "cv")
+    centers
   }
+
+  /** Driver-side cosine + argmax-centroid, the in-memory twins of the
+    * distributed assignment (tie → smaller cid, matching max(struct(csim,
+    * -cid))). Used by Lloyd's rounds and by residual-sample construction. */
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+  private def nearest(cs: Array[(Long, Array[Double])], v: Array[Double]): Long =
+    cs.map { case (cid, cv) => (cos(v, cv), cid) }
+      .reduceLeft((x, y) => if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x)._2
 
   /** Stage 2 — assignment + probe + search under FIXED centroids. Fully
     * deterministic given `cent`, so (unlike training) it has an exact SQL
@@ -1030,6 +1149,81 @@ object Similarity {
             JOIN dt t1 ON t1.query_id = p.query_id AND t1.sub = 1 AND t1.code = w.c1
             JOIN dt t2 ON t2.query_id = p.query_id AND t2.sub = 2 AND t2.code = w.c2
             JOIN dt t3 ON t3.query_id = p.query_id AND t3.sub = 3 AND t3.code = w.c3
+            WHERE p.query_id <> w.vec_id)
+          SELECT query_id, nn_rank, vec_id, list_id, adc FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY adc ASC, vec_id) AS nn_rank
+            FROM scored)
+          WHERE nn_rank <= $LshTopK""",
+
+    // Residual IVF-PQ: q117's oracle with both learned tables — codes are
+    // argmins over the RESIDUAL codebooks against v − centroid, and the
+    // query-side distance table is per (query, probed list) because the
+    // query residual is list-relative.
+    "q137_ivfpq_residual" ->
+      s"""WITH e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
+          cb AS (SELECT sub, code, cv
+                 FROM '$AuxDirToken/q137_codebook/*.parquet'),
+          cent AS (SELECT cid, cv AS ccv
+                   FROM '$AuxDirToken/q52_centroids/*.parquet'),
+          asg AS (
+            SELECT vec_id, cid FROM (
+              SELECT e.vec_id, c.cid,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${oCosine("e.v", "c.ccv")} DESC, c.cid) AS rk
+              FROM e CROSS JOIN cent c)
+            WHERE rk = 1),
+          res AS (
+            SELECT e.vec_id, a.cid,
+                   list_transform(range(1, ${EmbDim + 1}),
+                                  k -> e.v[k] - c.ccv[k]) AS r
+            FROM e JOIN asg a USING (vec_id) JOIN cent c ON a.cid = c.cid),
+          d AS (
+            SELECT res.vec_id, res.cid, cb.sub, cb.code, ${oSubD2("res.r")} AS d2
+            FROM res CROSS JOIN cb),
+          enc AS (
+            SELECT vec_id, cid, sub, code FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                          ORDER BY d2 ASC, code) AS rk
+              FROM d)
+            WHERE rk = 1),
+          codes AS (
+            SELECT vec_id, cid,
+              MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+              MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+              MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+              MAX(CASE WHEN sub = 3 THEN code END) AS c3
+            FROM enc GROUP BY vec_id, cid),
+          probed AS (
+            SELECT query_id, cid FROM (
+              SELECT q.vec_id AS query_id, c.cid,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${oCosine("q.v", "c.ccv")} DESC, c.cid) AS crank
+              FROM e q CROSS JOIN cent c
+              WHERE q.vec_id < $NumQueries)
+            WHERE crank <= $IvfNProbe),
+          qres AS (
+            SELECT p.query_id, p.cid,
+                   list_transform(range(1, ${EmbDim + 1}),
+                                  k -> q.v[k] - c.ccv[k]) AS r
+            FROM probed p JOIN e q ON q.vec_id = p.query_id
+                          JOIN cent c ON p.cid = c.cid),
+          dt AS (
+            SELECT qr.query_id, qr.cid, cb.sub, cb.code, ${oSubD2("qr.r")} AS d2
+            FROM qres qr CROSS JOIN cb),
+          scored AS (
+            SELECT p.query_id, w.vec_id, w.cid AS list_id,
+                   ((t0.d2 + t1.d2) + t2.d2) + t3.d2 AS adc
+            FROM probed p
+            JOIN codes w ON p.cid = w.cid
+            JOIN dt t0 ON t0.query_id = p.query_id AND t0.cid = p.cid
+                      AND t0.sub = 0 AND t0.code = w.c0
+            JOIN dt t1 ON t1.query_id = p.query_id AND t1.cid = p.cid
+                      AND t1.sub = 1 AND t1.code = w.c1
+            JOIN dt t2 ON t2.query_id = p.query_id AND t2.cid = p.cid
+                      AND t2.sub = 2 AND t2.code = w.c2
+            JOIN dt t3 ON t3.query_id = p.query_id AND t3.cid = p.cid
+                      AND t3.sub = 3 AND t3.code = w.c3
             WHERE p.query_id <> w.vec_id)
           SELECT query_id, nn_rank, vec_id, list_id, adc FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
