@@ -357,6 +357,66 @@ object Dedup {
       labelEdges.union(newPairs.select(col("i"), col("j"))), maxIters)
   }
 
+  /** Banded signature projection — one row per (doc, band):
+    * (doc_id, sh, nd, b, k), with the EXACT banding arithmetic of
+    * [[lshPairsFromSigs]] at the trigram defaults (seedBase 0, null band
+    * keys dropped). This row format is the materialized signature INDEX of
+    * the incremental lineage path: a live pipeline appends each
+    * micro-batch's banded rows to it and never re-signs old docs —
+    * [[incrementPairs]] then produces exactly the full-corpus pair list's
+    * new edges. At 100 TB the index is the table you keep, corpus-sized
+    * but narrow (shingle hashes + 4 band keys per doc). */
+  def bandedSignatures(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val numBands = NumHashes / BandSize
+    val sig = docsDf
+      .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
+      .withColumn("mhs", minhashSig(col("sh"), NumHashes, 0))
+      .select(col("doc_id") +: col("sh") +:
+        (0 until NumHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
+    sig
+      .select(col("doc_id"), col("sh"),
+        size(array_distinct(col("sh"))).as("nd"),
+        explode(array((0 until numBands).map { j =>
+          struct(lit(j).as("b"),
+            bandKey((0 until BandSize).map(r => col(s"mh${j * BandSize + r}"))).as("k"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("nd"),
+        col("bk.b").as("b"), col("bk.k").as("k"))
+      .filter(col("k").isNotNull)
+  }
+
+  /** Verified near-dup pairs TOUCHING an increment: the increment's banded
+    * rows join the full index (store ∪ increment) on (band, key), then the
+    * size prefilter + exact-Jaccard verify of the batch pipeline runs on
+    * the candidates. Because pair membership is pairwise (band keys are
+    * per-doc), the union over micro-batches of these edge sets — each pair
+    * surfacing when its LATER endpoint arrives — IS the from-scratch
+    * full-corpus pair list, which is what makes [[updateLabels]] folding
+    * converge to the batch labels (StreamingLineageSpec pins it). Cost per
+    * batch: |inc banded| joined against the index — never index × index. */
+  def incrementPairs(index: DataFrame, inc: DataFrame): DataFrame = {
+    val full = index.unionByName(inc)
+    val cand = inc.as("x").join(full.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("i"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("j"))
+      .distinct()
+    val sized = full.select(col("doc_id"), col("sh"), col("nd"))
+      .dropDuplicates("doc_id")
+    cand
+      .join(sized.select(col("doc_id").as("i"), col("sh").as("shi"),
+        col("nd").as("ndi")), "i")
+      .join(sized.select(col("doc_id").as("j"), col("sh").as("shj"),
+        col("nd").as("ndj")), "j")
+      .filter(least(col("ndi"), col("ndj")) * TrigramTDen >=
+        greatest(col("ndi"), col("ndj")) * TrigramTNum)
+      .select(col("i"), col("j"), jaccard(col("shi"), col("shj")).as("jac"))
+      .filter(col("jac") >= lit(TrigramTNum.toDouble / TrigramTDen))
+      .select(col("i"), col("j"))
+  }
+
   /** Sparse TF-vector cosine pairs from a df-capped inverted index (the
     * APSS / prefix-filtering shape behind q93 — see the query comment for
     * the scale contract). Input needs (doc_id, text). */
