@@ -44,6 +44,15 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] q137_codebook export failed: ${e.getMessage}")
     }
+    // ... and the q138 OPQ rotation + rotated-space codebooks.
+    try {
+      operators.Similarity.opqRotationTable(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q138_rotation")
+      operators.Similarity.opqCodebookFor(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q138_codebook")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] q138 export failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

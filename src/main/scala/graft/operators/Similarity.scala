@@ -379,6 +379,24 @@ object Similarity {
           col("r.code").as("code"), col("r.d2").as("d2"))
     }),
 
+    // --- OPQ-rotated product quantization: encode (q138) -------------------
+    // q115 with a LEARNED orthonormal pre-rotation (OPQ alternation — see
+    // trainOpqModel): vectors are rotated by literal dot-product rows
+    // (narrow, zero-shuffle — the q81 projection shape at full dim), then
+    // PQ-encoded under codebooks trained in rotated space. The rotation is
+    // orthonormal, so the emitted d2 are reconstruction errors in the
+    // ORIGINAL space too — spec-pinned ≤ raw-PQ's corpus-wide. Exact
+    // oracle under the exported rotation + codebook tables.
+    "q138_opq_encode" -> ((s, d) => {
+      val e = embs(s, d)
+      val (rot, cb) = trainOpqModel(e, d)
+      pqEncoded(e.select(col("vec_id"), opqRotate(col("v"), rot).as("v")), cb)
+        .select(col("vec_id"), posexplode(array(
+          (0 until PqM).map(m => col(s"s$m")): _*)).as(Seq("sub", "r")))
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("r.code").as("code"), col("r.d2").as("d2"))
+    }),
+
     // --- IVF-PQ: coarse lists + ADC scoring (q117) -------------------------
     // The composition that IS the production 100 TB ANN index (FAISS
     // IVFPQ's shape): q52's learned coarse quantizer prunes the corpus to
@@ -622,6 +640,217 @@ object Similarity {
       }
       lloydSubspaceCodebooks(residuals)
     })
+
+  // ---------------- learned OPQ rotation (q138) ----------------------------
+
+  /** OPQ iterations: alternations of Procrustes rotation solve + Lloyd
+    * codebook refinement. Few are needed — the objective is monotone (see
+    * [[trainOpqModel]]) and the bulk of the gain lands in the first two. */
+  val OpqIters = 4
+
+  private val opqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]
+
+  /** Learned OPQ model — an orthonormal rotation R plus per-subspace
+    * codebooks over R-rotated vectors, trained by the OPQ non-parametric
+    * alternation (Ge et al., "Optimized Product Quantization", CVPR'13;
+    * also FAISS's OPQMatrix):
+    *
+    *   init:  R = I, codebooks = the raw q115 codebooks;
+    *   T times: (a) encode the sample under (R, cb); (b) R ← the orthogonal
+    *   Procrustes solution min_R Σ‖R·x − recon(x)‖² (SVD of Σ x·reconᵀ, via
+    *   deterministic one-sided Jacobi); (c) refine cb by Lloyd rounds in the
+    *   new rotated space STARTING FROM the previous centers.
+    *
+    * Every step is non-increasing in training reconstruction error — (a)
+    * re-assigns to nearer centers, (b) is optimal over rotations at fixed
+    * codes, (c) continues k-means from the incumbent — so the final error
+    * is ≤ raw-PQ's BY CONSTRUCTION on the training sample (and the spec
+    * pins it corpus-wide; at sf0.001 the sample IS the corpus). A fixed
+    * md5-derived random rotation was measured first and is exactly neutral
+    * on this near-isotropic testdata (ratio 1.007 / 0.997 at
+    * sf0.001/sf0.01) — rotations only pay when LEARNED against the
+    * codebooks, hence this variant. Driver-side and bit-deterministic:
+    * fixed sample order, fixed Jacobi sweep count, no data-dependent early
+    * exits. Model-scale cost (≤ ~20M flops), corpus-independent. */
+  def trainOpqModel(e: DataFrame, key: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    opqCache.computeIfAbsent(key, _ => {
+      val sample = pqTrainSample(e)
+      val n = EmbDim
+      def matVec(r: Array[Array[Double]], v: Array[Double]): Array[Double] =
+        Array.tabulate(n) { o =>
+          var s = 0.0; var i = 0
+          while (i < n) { s += r(o)(i) * v(i); i += 1 }
+          s
+        }
+      def subD2(v: Array[Double], m: Int, c: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < c.length) { val d = v(m * PqSubDim + i) - c(i); s += d * d; i += 1 }
+        s
+      }
+      var rot = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+      var cb = lloydSubspaceCodebooks(sample)
+      for (_ <- 1 to OpqIters) {
+        val rx = sample.map(matVec(rot, _))
+        // reconstruction of each rotated sample from its nearest codes
+        val recon = rx.map { v =>
+          val y = new Array[Double](n)
+          var m = 0
+          while (m < PqM) {
+            val j = (0 until PqK).minBy(j => (subD2(v, m, cb(m)(j)), j))
+            System.arraycopy(cb(m)(j), 0, y, m * PqSubDim, PqSubDim)
+            m += 1
+          }
+          y
+        }
+        // Procrustes: maximize tr(R M) with M = Σ x·yᵀ (x ORIGINAL vectors,
+        // y the rotated-space reconstructions) → R = V·Uᵀ from M = U·S·Vᵀ
+        val mm = Array.ofDim[Double](n, n)
+        var s = 0
+        while (s < sample.length) {
+          val x = sample(s); val y = recon(s)
+          var i = 0
+          while (i < n) {
+            val xi = x(i); var j = 0
+            while (j < n) { mm(i)(j) += xi * y(j); j += 1 }
+            i += 1
+          }
+          s += 1
+        }
+        val (u, v) = jacobiSvdUV(mm)
+        rot = Array.tabulate(n, n) { (i, j) =>
+          var t = 0.0; var k = 0
+          while (k < n) { t += v(i)(k) * u(j)(k); k += 1 }
+          t
+        } // R = V·Uᵀ, rows are R's rows
+        // Lloyd refinement FROM the incumbent centers in the new space
+        val rx2 = sample.map(matVec(rot, _))
+        cb = Array.tabulate(PqM) { m =>
+          val sub = rx2.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))
+          var centers = cb(m).map(_.clone())
+          for (_ <- 1 to 3) {
+            def nearestJ(x: Array[Double]): Int = {
+              var best = 0; var bd = Double.MaxValue; var j = 0
+              while (j < centers.length) {
+                var dd = 0.0; var i = 0
+                while (i < x.length) { val df = x(i) - centers(j)(i); dd += df * df; i += 1 }
+                if (dd < bd) { bd = dd; best = j }
+                j += 1
+              }
+              best
+            }
+            val byJ = sub.map(x => (nearestJ(x), x)).groupBy(_._1)
+            centers = centers.zipWithIndex.map { case (c, j) =>
+              byJ.get(j).map { members =>
+                val acc = Array.fill(PqSubDim)(0.0)
+                members.foreach { case (_, x) =>
+                  var i = 0; while (i < acc.length) { acc(i) += x(i); i += 1 } }
+                var i = 0; while (i < acc.length) { acc(i) /= members.length; i += 1 }
+                acc
+              }.getOrElse(c)
+            }
+          }
+          centers
+        }
+      }
+      (rot, cb)
+    })
+
+  /** Deterministic one-sided Jacobi SVD of a square matrix: returns (U, V)
+    * with M = U·S·Vᵀ (S implicit in the column norms consumed away by the
+    * Procrustes product). Fixed 30 sweeps over a fixed (p, q) order — no
+    * data-dependent control flow, so the factors are bit-stable. */
+  private def jacobiSvdUV(m: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Array[Double]]) = {
+    val n = m.length
+    // work on columns: a(i)(j) = column j's i-th entry
+    val a = Array.tabulate(n, n)((i, j) => m(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to 30; p <- 0 until n; q <- (p + 1) until n) {
+      var app = 0.0; var aqq = 0.0; var apq = 0.0
+      var i = 0
+      while (i < n) {
+        app += a(i)(p) * a(i)(p); aqq += a(i)(q) * a(i)(q)
+        apq += a(i)(p) * a(i)(q); i += 1
+      }
+      if (math.abs(apq) > 1e-15) {
+        val zeta = (aqq - app) / (2.0 * apq)
+        val t = math.signum(zeta) / (math.abs(zeta) + math.sqrt(1.0 + zeta * zeta))
+        val cs = 1.0 / math.sqrt(1.0 + t * t)
+        val sn = cs * t
+        i = 0
+        while (i < n) {
+          val ap = a(i)(p); val aq = a(i)(q)
+          a(i)(p) = cs * ap - sn * aq; a(i)(q) = sn * ap + cs * aq
+          val vp = v(i)(p); val vq = v(i)(q)
+          v(i)(p) = cs * vp - sn * vq; v(i)(q) = sn * vp + cs * vq
+          i += 1
+        }
+      }
+    }
+    // U's columns are the normalized A columns — but a rank-deficient M
+    // (reconstructions need not span all of R^n) leaves zero-norm columns
+    // whose direction is undefined. Complete them deterministically to an
+    // orthonormal basis (Gram-Schmidt over canonical vectors in fixed
+    // order): any completion is Procrustes-optimal — the rotation is
+    // arbitrary on M's null space — and a garbage 0/0 column would destroy
+    // R's orthogonality.
+    val u = Array.ofDim[Double](n, n)
+    val filled = Array.fill(n)(false)
+    for (j <- 0 until n) {
+      var nrm = 0.0; var k = 0
+      while (k < n) { nrm += a(k)(j) * a(k)(j); k += 1 }
+      if (math.sqrt(nrm) > 1e-9 * n) {
+        val inv = 1.0 / math.sqrt(nrm)
+        k = 0; while (k < n) { u(k)(j) = a(k)(j) * inv; k += 1 }
+        filled(j) = true
+      }
+    }
+    for (j <- 0 until n if !filled(j)) {
+      // best canonical candidate (largest residual after projecting out the
+      // filled columns) — always ≥ 1/√n in exact arithmetic, and taking the
+      // max keeps the choice deterministic and well-conditioned
+      val residuals = (0 until n).map { cand =>
+        val w = Array.tabulate(n)(i => if (i == cand) 1.0 else 0.0)
+        for (jj <- 0 until n if filled(jj)) {
+          var d = 0.0; var k = 0
+          while (k < n) { d += w(k) * u(k)(jj); k += 1 }
+          k = 0; while (k < n) { w(k) -= d * u(k)(jj); k += 1 }
+        }
+        (w, math.sqrt(w.map(x => x * x).sum))
+      }
+      val (w, wn) = residuals.maxBy(_._2)
+      var k = 0; while (k < n) { u(k)(j) = w(k) / wn; k += 1 }
+      filled(j) = true
+    }
+    (u, v)
+  }
+
+  /** The rotated vector as EmbDim codegen'd dot products against literal
+    * rotation rows — narrow, zero-shuffle, the q81 projection shape at full
+    * dimensionality. */
+  private def opqRotate(v: Column, rot: Array[Array[Double]]): Column =
+    array(rot.toIndexedSeq.map { row =>
+      dot(v, array(row.toIndexedSeq.map(lit): _*))
+    }: _*)
+
+  /** Rotation matrix table (row, rv) for a sf dir — Verify-exported so the
+    * q138 oracle reconstructs the exact rotated vectors in SQL. */
+  def opqRotationTable(s: SparkSession, d: String): DataFrame = {
+    val rot = trainOpqModel(embs(s, d), d)._1
+    import s.implicits._
+    rot.zipWithIndex
+      .map { case (rv, o) => (o.toLong, rv.toSeq) }.toSeq.toDF("row", "rv")
+  }
+
+  /** OPQ codebook table (sub, code, cv) for a sf dir — Verify-exported. */
+  def opqCodebookFor(s: SparkSession, d: String): DataFrame = {
+    val cb = trainOpqModel(embs(s, d), d)._2
+    import s.implicits._
+    (for (m <- 0 until PqM; j <- 0 until PqK)
+      yield (m.toLong, j.toLong, cb(m)(j).toSeq)).toDF("sub", "code", "cv")
+  }
 
   /** Residual codebook table (sub, code, cv) for a sf dir — Verify exports
     * this next to the q115 codebooks so the q137 oracle rechecks residual
@@ -1083,6 +1312,32 @@ object Similarity {
 
     "q115_pq_encode" ->
       s"""WITH $oPqBase
+          SELECT vec_id, sub, code, d2 FROM enc""",
+
+    // OPQ encode: rotated vectors reconstructed in SQL from the exported
+    // rotation rows (list aggregation ordered by row index), then the q115
+    // encode shape under the rotated-space codebooks.
+    "q138_opq_encode" ->
+      s"""WITH e0 AS (SELECT vec_id, $oEmb AS v FROM embeddings),
+          rot AS (SELECT row, rv FROM '$AuxDirToken/q138_rotation/*.parquet'),
+          rx AS (
+            SELECT e0.vec_id, rot.row AS pos,
+                   list_sum(list_transform(range(1, ${EmbDim + 1}),
+                            k -> e0.v[k] * rot.rv[k])) AS x
+            FROM e0 CROSS JOIN rot),
+          e AS (SELECT vec_id, list(x ORDER BY pos) AS v
+                FROM rx GROUP BY vec_id),
+          cb AS (SELECT sub, code, cv
+                 FROM '$AuxDirToken/q138_codebook/*.parquet'),
+          d AS (
+            SELECT e.vec_id, cb.sub, cb.code, ${oSubD2("e.v")} AS d2
+            FROM e CROSS JOIN cb),
+          enc AS (
+            SELECT vec_id, sub, code, d2 FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                          ORDER BY d2 ASC, code) AS rk
+              FROM d)
+            WHERE rk = 1)
           SELECT vec_id, sub, code, d2 FROM enc""",
 
     "q116_pq_adc" ->
