@@ -803,6 +803,55 @@ object Dedup {
             .as("dup_frac"))
     }),
 
+    // --- maximal duplicated spans (true lengths, not window counts) --------
+    // q110 reports WHICH window positions are duplicated; this reports the
+    // TRUE maximal span length per document pair — the ExactSubstr output
+    // (Lee et al. 2022) at token granularity. Identity that replaces the
+    // suffix array: a common substring of L ≥ W tokens between docs a and b
+    // is exactly a run of L−W+1 consecutive shared-window positions on one
+    // ALIGNMENT DIAGONAL (pa − pb constant) — window digests pin content
+    // equality, consecutive positions on a diagonal extend it one token at
+    // a time. So: windows → cross-doc-duplicated digests only → digest
+    // self-join (a < b) → gaps-and-islands per (a, b, diagonal) → max run
+    // + W−1. All integers, no floats anywhere.
+    // Scale: the self-join explodes only DUPLICATED digests — the same
+    // per-bucket discipline as the LSH candidate stage (SMJ streams one
+    // side and spills per-key buffers; a boilerplate mega-digest is the
+    // documented worst case there and here; production ExactSubstr runs
+    // df-cap such windows, accepting split runs). Runs are found by ONE
+    // window function over pair-sized rows (pa − row_number per diagonal —
+    // no iteration, no driver), then two hash aggs.
+    "q139_max_dup_span" -> ((s, d) => {
+      val W = 32
+      val wins = docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")))
+        .filter(col("n") >= W)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), col("n") - W + 1)).as("p"), col("tk"))
+        .select(col("doc_id"), col("p"),
+          md5(concat_ws(" ", slice(col("tk"), col("p"), lit(W)))).as("wh"))
+      val dupWh = wins.groupBy(col("wh"))
+        .agg(countDistinct(col("doc_id")).as("wdf"))
+        .filter(col("wdf") >= 2)
+        .select(col("wh"))
+      val dup = wins.join(dupWh, "wh")
+      val pr = dup.as("a").join(dup.as("b"),
+          col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.p").as("pa"), col("b.p").as("pb"))
+      pr.select(col("doc_a"), col("doc_b"),
+          (col("pa") - col("pb")).as("diag"), col("pa"))
+        .withColumn("grp", col("pa") - row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+            .orderBy(col("pa"))))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+        .agg((count(lit(1)) + (W - 1)).as("span"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("span")).as("max_span_tok"))
+    }),
+
     // --- MinHash signatures + LSH band keys per document -------------------
     "q41_dedup_minhash" -> ((s, d) => signatures(s, d).drop("sh")),
 
@@ -1174,6 +1223,34 @@ object Dedup {
            CASE WHEN COALESCE(per.n_windows, 0) = 0 THEN CAST(0.0 AS DOUBLE)
                 ELSE CAST(per.n_dup AS DOUBLE) / per.n_windows END AS dup_frac
          FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
+
+    "q139_max_dup_span" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS tk,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+         wins AS (
+           SELECT doc_id, p,
+                  md5(array_to_string(list_slice(tk, p, p + 31), ' ')) AS wh
+           FROM (SELECT doc_id, tk, unnest(range(1, n - 30)) AS p
+                 FROM base WHERE n >= 32)),
+         dupwh AS (
+           SELECT wh FROM wins GROUP BY wh
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         dup AS (SELECT w.* FROM wins w JOIN dupwh USING (wh)),
+         pr AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+           FROM dup a JOIN dup b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+         runs AS (
+           SELECT doc_a, doc_b, pa - pb AS diag, pa,
+                  pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                          ORDER BY pa) AS grp
+           FROM pr),
+         spans AS (
+           SELECT doc_a, doc_b, COUNT(1) + 31 AS span
+           FROM runs GROUP BY doc_a, doc_b, diag, grp)
+         SELECT doc_a, doc_b, CAST(MAX(span) AS BIGINT) AS max_span_tok
+         FROM spans GROUP BY doc_a, doc_b""",
 
     "q41_dedup_minhash" ->
       s"""SELECT doc_id, ${(0 until NumHashes).map(i => s"mh$i").mkString(", ")},

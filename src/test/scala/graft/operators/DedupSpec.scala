@@ -358,6 +358,54 @@ class DedupSpec extends SparkSpec {
     assert(incr == full, s"incremental diverged: ${incr.diff(full)} / ${full.diff(incr)}")
   }
 
+  test("q139: max duplicated span equals a brute-force longest-common-substring DP") {
+    val W = 32
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    // candidate pairs: docs sharing at least one cross-doc-duplicated
+    // W-window content (modulo md5, which the DP below doesn't use at all,
+    // so a digest collision would surface here as a length mismatch)
+    val byWin = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.foreach { case (id, tk) =>
+      if (tk.length >= W)
+        (0 to tk.length - W).foreach { i =>
+          val key = tk.slice(i, i + W).mkString(" ")
+          byWin(key) = byWin.getOrElse(key, Set.empty) + id
+        }
+    }
+    val cands = byWin.values.filter(_.size >= 2)
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    // exact longest common token-substring per candidate pair (O(na*nb) DP)
+    val tkById = docs.toMap
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      var best = 0
+      val prev = new Array[Int](b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      var i = 1
+      while (i <= a.length) {
+        var j = 1
+        while (j <= b.length) {
+          cur(j) = if (a(i - 1) == b(j - 1)) prev(j - 1) + 1 else 0
+          if (cur(j) > best) best = cur(j)
+          j += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, cur.length)
+        i += 1
+      }
+      best
+    }
+    val expected = cands.map { case (a, b) => ((a, b), lcs(tkById(a), tkById(b))) }
+      .filter(_._2 >= W).toMap
+    val got = Dedup.queries("q139_max_dup_span")(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2).toInt)).toMap
+    assert(got == expected,
+      s"missing=${expected.keySet.diff(got.keySet)} extra=${got.keySet.diff(expected.keySet)} " +
+        s"diffs=${expected.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }}")
+    assert(expected.nonEmpty, "testdata must contain a cross-doc duplicated span")
+  }
+
   test("q133: estimator audit matches a JVM minhash+jaccard recompute") {
     import graft.operators.{Dedup => D}
     def md5hex(s: String): String =
