@@ -94,4 +94,67 @@ class CatalogPlanSpec extends SparkSpec {
         s"$name sorts all rows in one task via a no-partition window")
     }
   }
+
+  /** Canonical shape of a physical plan: per-node-kind counts with join
+    * types — exactly the facets whose silent drift is a perf regression
+    * (a broadcast join flipping to shuffle, an extra exchange, a sort
+    * appearing). Node order and expression details are deliberately NOT
+    * part of the signature: those change benignly with column renames. */
+  private def shape(plan: org.apache.spark.sql.execution.SparkPlan): String = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.exchange._
+    import org.apache.spark.sql.execution.joins._
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    plan.foreach {
+      case _: ShuffleExchangeExec => counts("shuffle") += 1
+      case _: BroadcastExchangeExec => counts("bcast") += 1
+      case _: ReusedExchangeExec => counts("reuse") += 1
+      case j: SortMergeJoinExec => counts(s"smj_${j.joinType.sql.replace(' ', '_')}") += 1
+      case j: BroadcastHashJoinExec => counts(s"bhj_${j.joinType.sql.replace(' ', '_')}") += 1
+      case j: ShuffledHashJoinExec => counts(s"shj_${j.joinType.sql.replace(' ', '_')}") += 1
+      case _: BroadcastNestedLoopJoinExec => counts("bnl") += 1
+      case _: SortExec => counts("sort") += 1
+      case _: WindowExec => counts("window") += 1
+      case _: BaseAggregateExec => counts("agg") += 1
+      case _ =>
+    }
+    counts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")
+  }
+
+  test("plan shapes match the committed manifest (silent join/exchange drift fails here)") {
+    // 139 queries: a broadcast silently degrading to a shuffle join, or an
+    // exchange sneaking into a zero-shuffle pipeline, would previously only
+    // surface as a bench delta one round later. The committed manifest pins
+    // each query's plan signature; an INTENTIONAL plan change updates the
+    // manifest in the same commit (current shapes are always written to
+    // /tmp/plan_shapes_current.txt — copy it over the resource on a
+    // deliberate change).
+    val current = catalogPlans.map { case (name, plan) => s"$name|${shape(plan)}" }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/plan_shapes_current.txt"),
+      current.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val res = getClass.getResourceAsStream("/plan-shapes.manifest")
+    assert(res != null,
+      "plan-shapes.manifest missing from test resources — bootstrap it from /tmp/plan_shapes_current.txt")
+    val manifest = scala.io.Source.fromInputStream(res, "UTF-8")
+      .getLines().filter(_.nonEmpty).toSeq
+    // split with limit −1: a zero-shuffle narrow query (q01) has an EMPTY
+    // shape string, and that emptiness is itself the pinned property
+    val manifestMap = manifest.map { l =>
+      val Array(n, s) = l.split("\\|", -1); n -> s
+    }.toMap
+    val currentMap = current.map { l =>
+      val Array(n, s) = l.split("\\|", -1); n -> s
+    }.toMap
+    val missing = manifestMap.keySet.diff(currentMap.keySet)
+    val added = currentMap.keySet.diff(manifestMap.keySet)
+    assert(missing.isEmpty && added.isEmpty,
+      s"catalog changed: removed=$missing added=$added — update plan-shapes.manifest " +
+        "from /tmp/plan_shapes_current.txt in the same commit")
+    val drifted = currentMap.collect {
+      case (n, s) if manifestMap(n) != s => s"$n:\n  manifest: ${manifestMap(n)}\n  current:  $s"
+    }
+    assert(drifted.isEmpty,
+      s"plan shape drift (intentional? update the manifest):\n${drifted.mkString("\n")}")
+  }
 }
