@@ -411,6 +411,119 @@ object Multimodal {
       bits = 0, n_frames = 0L, n_bytes = s.n_bytes, feature = s.feature)
   }
 
+  case class AudioFingerprint(doc_id: Long, decoded: Boolean,
+                              n_windows: Int, fp: Long)
+
+  /** Chromaprint-style spectral fingerprint over REAL decoded PCM — the
+    * audio rung of the perceptual ladder (images: aHash re-encodes, pHash
+    * resizes; audio previously had only byte-exact q63). The same clip in
+    * a different CONTAINER or endianness (WAV-LE vs AU-BE, identical
+    * samples) hashes identically, because the fingerprint reads decoded
+    * amplitudes, never container bytes.
+    *
+    * Classic recipe, simplified deterministically: channel-0 PCM → 256-
+    * sample windows at hop 128 → per-window spectral energy in `nBands`
+    * linear bins (direct DFT over the band bins — no FFT library, fixed
+    * fold order) → Chromaprint's bit rule, sign of the band-adjacent
+    * energy-difference DELTA across consecutive windows (robust to gain:
+    * doubling amplitude scales every energy 4×, preserving every
+    * comparison). First 64 bits pack into one Long — downstream dedup is
+    * the q40/q43 shape: exact groupBy on 8-byte keys, Hamming-near via
+    * bit-bands.
+    *
+    * Spec-only, like the image hashes: PCM decoding is not
+    * oracle-expressible. Degrade contract unchanged: undecodable or
+    * non-PCM payloads emit decoded = false, fp = 0 — never a crash. Same
+    * `mapPartitions` shape; the DFT basis tables build once per partition. */
+  def audioFingerprint(ds: Dataset[MediaPayload], nBands: Int = 8,
+                       win: Int = 256, hop: Int = 128,
+                       maxWindows: Int = 33): Dataset[AudioFingerprint] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val bins = win / 2 - 1 // DC excluded
+      val cosB = Array.tabulate(bins, win)((k, n) =>
+        math.cos(2.0 * math.Pi * (k + 1) * n / win))
+      val sinB = Array.tabulate(bins, win)((k, n) =>
+        math.sin(2.0 * math.Pi * (k + 1) * n / win))
+      it.map { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            val fmt = in.getFormat
+            val enc = fmt.getEncoding
+            val bits = fmt.getSampleSizeInBits
+            val signed16 =
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16
+            val unsigned8 =
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
+            if (!signed16 && !unsigned8)
+              AudioFingerprint(m.doc_id, decoded = false, n_windows = 0, fp = 0L)
+            else {
+              val frameBytes = fmt.getFrameSize
+              val need = win + (maxWindows - 1) * hop
+              val k = math.min(need.toLong, in.getFrameLength).toInt
+              val buf = new Array[Byte](frameBytes * math.max(k, 0))
+              var read = 0; var r = 0
+              while (read < buf.length && r >= 0) {
+                r = in.read(buf, read, buf.length - read)
+                if (r > 0) read += r
+              }
+              val n = read / math.max(frameBytes, 1)
+              val x = Array.tabulate(n) { i =>
+                val off = i * frameBytes
+                if (unsigned8) ((buf(off) & 0xff) - 128) / 128.0
+                else {
+                  val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
+                  ((buf(hi) << 8) | (buf(lo) & 0xff)).toShort / 32768.0
+                }
+              }
+              val nw = math.min(maxWindows, if (n < win) 0 else (n - win) / hop + 1)
+              if (nw < 2)
+                AudioFingerprint(m.doc_id, decoded = true, n_windows = nw, fp = 0L)
+              else {
+                // per-window band energies: |X_k|² summed over the band's bins
+                val perBand = bins / nBands
+                val e = Array.tabulate(nw, nBands) { (t, b) =>
+                  var s = 0.0
+                  var kk = b * perBand
+                  while (kk < (b + 1) * perBand) {
+                    var re = 0.0; var im = 0.0; var i = 0
+                    while (i < win) {
+                      val v = x(t * hop + i)
+                      re += v * cosB(kk)(i); im += v * sinB(kk)(i)
+                      i += 1
+                    }
+                    s += re * re + im * im
+                    kk += 1
+                  }
+                  s
+                }
+                var fp = 0L
+                var bit = 0
+                var t = 1
+                while (t < nw && bit < 64) {
+                  var b = 0
+                  while (b < nBands - 1 && bit < 64) {
+                    if ((e(t)(b) - e(t)(b + 1)) > (e(t - 1)(b) - e(t - 1)(b + 1)))
+                      fp |= (1L << bit)
+                    bit += 1
+                    b += 1
+                  }
+                  t += 1
+                }
+                AudioFingerprint(m.doc_id, decoded = true, n_windows = nw, fp = fp)
+              }
+            }
+          } finally in.close()
+        } catch {
+          case _: Exception =>
+            AudioFingerprint(m.doc_id, decoded = false, n_windows = 0, fp = 0L)
+        }
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- binary payload + typed metadata extraction ------------------------

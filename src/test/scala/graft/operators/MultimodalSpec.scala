@@ -315,4 +315,62 @@ class MultimodalSpec extends SparkSpec {
       assert(f.width == (f.n_bytes % 640).toInt)
     }
   }
+
+  test("audioFingerprint: container/endianness-invariant, clip-discriminating") {
+    import spark.implicits._
+    // two genuinely different clips: a 440 Hz and a 1700 Hz sine at 8 kHz,
+    // 16-bit mono, long enough for several analysis windows
+    def sine(hz: Double, n: Int): Array[Short] =
+      Array.tabulate(n)(i =>
+        (math.sin(2 * math.Pi * hz * i / 8000.0) * 20000).toShort)
+    def container(samples: Array[Short], bigEndian: Boolean,
+                  typ: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        val (lo, hi) = if (bigEndian) (2 * i + 1, 2 * i) else (2 * i, 2 * i + 1)
+        bytes(lo) = (s & 0xff).toByte
+        bytes(hi) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, bigEndian)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, typ, bos)
+      bos.toByteArray
+    }
+    val a = sine(440.0, 5000)
+    val b = sine(1700.0, 5000)
+    val wavA = container(a, bigEndian = false,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val auA = container(a, bigEndian = true,
+      javax.sound.sampled.AudioFileFormat.Type.AU)
+    val wavB = container(b, bigEndian = false,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    assert(!java.util.Arrays.equals(wavA, auA),
+      "fixture must be a REAL re-container: different bytes, same samples")
+    val out = audioFingerprint(Seq(
+        MediaPayload(1L, "audio", wavA),
+        MediaPayload(2L, "audio", auA),
+        MediaPayload(3L, "audio", wavB),
+        MediaPayload(4L, "audio", "not audio".getBytes("UTF-8"))).toDS()
+        .repartition(2))
+      .collect().sortBy(_.doc_id)
+    // same clip, different container/endianness -> identical fingerprint
+    assert(out(0).decoded && out(1).decoded && out(0).n_windows >= 2)
+    assert(out(0).fp == out(1).fp,
+      s"re-containered clip drifted: ${out(0).fp} vs ${out(1).fp}")
+    // a different clip -> a different fingerprint
+    assert(out(2).decoded && out(2).fp != out(0).fp,
+      "different clips must not collide")
+    // and gain invariance: half-amplitude same clip, same bits (every band
+    // energy scales by the same factor, preserving every comparison)
+    val halfA = container(a.map(s => (s / 2).toShort), bigEndian = false,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val half = audioFingerprint(Seq(MediaPayload(5L, "audio", halfA)).toDS())
+      .collect()(0)
+    assert(half.decoded && half.fp == out(0).fp,
+      s"gain change drifted the fingerprint: ${half.fp} vs ${out(0).fp}")
+    // undecodable payload degrades structurally
+    assert(!out(3).decoded && out(3).fp == 0L)
+  }
 }
