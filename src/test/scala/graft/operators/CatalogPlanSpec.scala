@@ -59,17 +59,23 @@ class CatalogPlanSpec extends SparkSpec {
       case _ => false
     }
 
-  // Built once and shared by both tests: planning q46/q47 executes the
+  // Built once and shared by the tests: planning q46/q47 executes the
   // eager connected-components loop and q52 its k-means training, so
   // re-invoking every query per test would double a meaningfully slow pass.
+  //
+  // Built in a FRESH newSession(): the Dedup lineage memos are keyed by
+  // (session, dir), and a memo another suite already materialized collapses
+  // its consumers' plans to checkpoint-RDD scans — the shapes would then
+  // depend on suite EXECUTION ORDER. A virgin session pins the memo state,
+  // so every query plans from its full lineage in sorted-name order and the
+  // manifest signatures are order-independent (suite-alone == full-suite).
   private lazy val catalogPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] = {
-    val conf = spark.conf
-    val old = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> fn(spark, sfDir).queryExecution.executedPlan
+    val fresh = spark.newSession()
+    graft.functions.GraftFunctions.register(fresh)
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(fresh, sfDir).queryExecution.executedPlan
     }
-    finally conf.set("spark.sql.adaptive.enabled", old)
   }
 
   test("no query plans a cartesian product; BNL only in the brute-force baselines") {
