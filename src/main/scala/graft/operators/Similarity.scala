@@ -464,50 +464,45 @@ object Similarity {
     // list-relative — nProbe× more tiny rows on the broadcast side, corpus
     // side unchanged. Exact oracle under both exported tables.
     "q137_ivfpq_residual" -> ((s, d) => {
-      val e = embs(s, d)
-      val cb = trainResidualCodebooks(e, d)
-      val cent = trainCentroids(e)
-      val lists = e.join(broadcast(cent))
-        .select(col("vec_id"), col("v"),
-          struct(cosine(col("v"), col("cv")).as("csim"),
-            (-col("cid")).as("ncid")).as("sc"))
-        .groupBy(col("vec_id"))
-        .agg(first(col("v")).as("v"), max(col("sc")).as("best"))
-        .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid"))
-      val corpus = lists.join(broadcast(cent), Seq("cid"))
-        .select(col("vec_id") +: col("cid") +: {
-          val r = zip_with(col("v"), col("cv"), (x, c) => x - c)
-          (0 until PqM).map { m =>
-            val darr = subDists(r, m, cb)
-            (array_position(darr, array_min(darr)) - 1).as(s"c$m")
-          }
-        }: _*)
-      val q = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val wc = Window.partitionBy(col("query_id"))
-        .orderBy(col("csim").desc, col("cid"))
-      val probed = q.join(broadcast(cent))
-        .select(col("query_id"), col("qv"), col("cid"), col("cv"),
-          cosine(col("qv"), col("cv")).as("csim"))
-        .withColumn("crank", row_number().over(wc).cast("long"))
-        .filter(col("crank") <= IvfNProbe)
-        .select(col("query_id") +: col("cid") +: {
-          val qr = zip_with(col("qv"), col("cv"), (x, c) => x - c)
-          (0 until PqM).map(m => subDists(qr, m, cb).as(s"dt$m"))
-        }: _*)
-      val adc = (0 until PqM).map(m =>
-          element_at(col(s"dt$m"), (col(s"c$m") + 1).cast("int")))
-        .reduceLeft(_ + _)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("adc").asc, col("vec_id"))
-      broadcast(probed).join(corpus, Seq("cid"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id"), col("cid").as("list_id"),
-          adc.as("adc"))
+      residualAdcScored(s, d)
         .withColumn("nn_rank", row_number().over(w).cast("long"))
         .filter(col("nn_rank") <= LshTopK)
         .select(col("query_id"), col("nn_rank"), col("vec_id"),
           col("list_id"), col("adc"))
+    }),
+
+    // --- IVF-PQ + exact re-rank (q140) -------------------------------------
+    // The FAISS refine stage — stage two of every production ANN serve
+    // path: the compressed index produces a SHORTLIST (ADC top RerankFactor
+    // × k), then ONLY those rows fetch their raw vectors (an equi join on
+    // vec_id — the random-access-by-id pattern; queries×R×k rows, never a
+    // list scan) and are re-ranked by exact squared L2. Compression errors
+    // inside the shortlist cost nothing; recall at equal nProbe is
+    // spec-pinned ≥ q137's. Exact oracle (q137's CTEs + the refine join).
+    "q140_ivfpq_rerank" -> ((s, d) => {
+      val e = embs(s, d)
+      val wa = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      val shortlist = residualAdcScored(s, d)
+        .withColumn("adc_rank", row_number().over(wa).cast("long"))
+        .filter(col("adc_rank") <= RerankFactor * LshTopK)
+      val exact = shortlist
+        .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .join(broadcast(e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), col("list_id"),
+          aggregate(zip_with(col("qv"), col("v"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("l2"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("l2").asc, col("vec_id"))
+      exact
+        .withColumn("nn_rank", row_number().over(w).cast("long"))
+        .filter(col("nn_rank") <= LshTopK)
+        .select(col("query_id"), col("nn_rank"), col("vec_id"),
+          col("list_id"), col("l2"))
     }),
 
     // --- product quantization: ADC top-k search (q116) ---------------------
@@ -612,6 +607,57 @@ object Similarity {
         centers
       }
     }
+
+  /** Shortlist multiplier for the q140 refine stage: the index serves
+    * RerankFactor × k ADC candidates per query to the exact re-ranker. */
+  val RerankFactor = 3
+
+  /** The residual IVF-PQ scored frame — (query_id, vec_id, list_id, adc),
+    * every probed-list candidate, pre-ranking — shared by q137 (ADC top-k)
+    * and q140 (ADC shortlist → exact re-rank). Shape notes live on the
+    * q137/q140 query comments; the corpus makes exactly two passes (list
+    * assignment + narrow residual encode) and search is an equi join on
+    * list id over 2-byte codes with the query side broadcast. */
+  private def residualAdcScored(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val cb = trainResidualCodebooks(e, d)
+    val cent = trainCentroids(e)
+    val lists = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"),
+        struct(cosine(col("v"), col("cv")).as("csim"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), max(col("sc")).as("best"))
+      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid"))
+    val corpus = lists.join(broadcast(cent), Seq("cid"))
+      .select(col("vec_id") +: col("cid") +: {
+        val r = zip_with(col("v"), col("cv"), (x, c) => x - c)
+        (0 until PqM).map { m =>
+          val darr = subDists(r, m, cb)
+          (array_position(darr, array_min(darr)) - 1).as(s"c$m")
+        }
+      }: _*)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probed = q.join(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cid"), col("cv"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("crank", row_number().over(wc).cast("long"))
+      .filter(col("crank") <= IvfNProbe)
+      .select(col("query_id") +: col("cid") +: {
+        val qr = zip_with(col("qv"), col("cv"), (x, c) => x - c)
+        (0 until PqM).map(m => subDists(qr, m, cb).as(s"dt$m"))
+      }: _*)
+    val adc = (0 until PqM).map(m =>
+        element_at(col(s"dt$m"), (col(s"c$m") + 1).cast("int")))
+      .reduceLeft(_ + _)
+    broadcast(probed).join(corpus, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cid").as("list_id"),
+        adc.as("adc"))
+  }
 
   // --------------- residual IVF-PQ (q137): PQ over v − c(list) ------------
 
@@ -1080,6 +1126,74 @@ object Similarity {
        |              FROM d)
        |            WHERE rk = 1)""".stripMargin
 
+  /** Shared q137/q140 oracle CTE body: the residual IVF-PQ pipeline down to
+    * the per-candidate `scored` (query_id, vec_id, list_id, adc) frame. */
+  private def oResidualScored: String =
+    s"""e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
+       |          cb AS (SELECT sub, code, cv
+       |                 FROM '$AuxDirToken/q137_codebook/*.parquet'),
+       |          cent AS (SELECT cid, cv AS ccv
+       |                   FROM '$AuxDirToken/q52_centroids/*.parquet'),
+       |          asg AS (
+       |            SELECT vec_id, cid FROM (
+       |              SELECT e.vec_id, c.cid,
+       |                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                  ORDER BY ${oCosine("e.v", "c.ccv")} DESC, c.cid) AS rk
+       |              FROM e CROSS JOIN cent c)
+       |            WHERE rk = 1),
+       |          res AS (
+       |            SELECT e.vec_id, a.cid,
+       |                   list_transform(range(1, ${EmbDim + 1}),
+       |                                  k -> e.v[k] - c.ccv[k]) AS r
+       |            FROM e JOIN asg a USING (vec_id) JOIN cent c ON a.cid = c.cid),
+       |          d AS (
+       |            SELECT res.vec_id, res.cid, cb.sub, cb.code, ${oSubD2("res.r")} AS d2
+       |            FROM res CROSS JOIN cb),
+       |          enc AS (
+       |            SELECT vec_id, cid, sub, code FROM (
+       |              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |                          ORDER BY d2 ASC, code) AS rk
+       |              FROM d)
+       |            WHERE rk = 1),
+       |          codes AS (
+       |            SELECT vec_id, cid,
+       |              MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+       |              MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+       |              MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+       |              MAX(CASE WHEN sub = 3 THEN code END) AS c3
+       |            FROM enc GROUP BY vec_id, cid),
+       |          probed AS (
+       |            SELECT query_id, cid FROM (
+       |              SELECT q.vec_id AS query_id, c.cid,
+       |                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                  ORDER BY ${oCosine("q.v", "c.ccv")} DESC, c.cid) AS crank
+       |              FROM e q CROSS JOIN cent c
+       |              WHERE q.vec_id < $NumQueries)
+       |            WHERE crank <= $IvfNProbe),
+       |          qres AS (
+       |            SELECT p.query_id, p.cid,
+       |                   list_transform(range(1, ${EmbDim + 1}),
+       |                                  k -> q.v[k] - c.ccv[k]) AS r
+       |            FROM probed p JOIN e q ON q.vec_id = p.query_id
+       |                          JOIN cent c ON p.cid = c.cid),
+       |          dt AS (
+       |            SELECT qr.query_id, qr.cid, cb.sub, cb.code, ${oSubD2("qr.r")} AS d2
+       |            FROM qres qr CROSS JOIN cb),
+       |          scored AS (
+       |            SELECT p.query_id, w.vec_id, w.cid AS list_id,
+       |                   ((t0.d2 + t1.d2) + t2.d2) + t3.d2 AS adc
+       |            FROM probed p
+       |            JOIN codes w ON p.cid = w.cid
+       |            JOIN dt t0 ON t0.query_id = p.query_id AND t0.cid = p.cid
+       |                      AND t0.sub = 0 AND t0.code = w.c0
+       |            JOIN dt t1 ON t1.query_id = p.query_id AND t1.cid = p.cid
+       |                      AND t1.sub = 1 AND t1.code = w.c1
+       |            JOIN dt t2 ON t2.query_id = p.query_id AND t2.cid = p.cid
+       |                      AND t2.sub = 2 AND t2.code = w.c2
+       |            JOIN dt t3 ON t3.query_id = p.query_id AND t3.cid = p.cid
+       |                      AND t3.sub = 3 AND t3.code = w.c3
+       |            WHERE p.query_id <> w.vec_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q50_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
@@ -1416,74 +1530,34 @@ object Similarity {
     // query-side distance table is per (query, probed list) because the
     // query residual is list-relative.
     "q137_ivfpq_residual" ->
-      s"""WITH e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
-          cb AS (SELECT sub, code, cv
-                 FROM '$AuxDirToken/q137_codebook/*.parquet'),
-          cent AS (SELECT cid, cv AS ccv
-                   FROM '$AuxDirToken/q52_centroids/*.parquet'),
-          asg AS (
-            SELECT vec_id, cid FROM (
-              SELECT e.vec_id, c.cid,
-                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                  ORDER BY ${oCosine("e.v", "c.ccv")} DESC, c.cid) AS rk
-              FROM e CROSS JOIN cent c)
-            WHERE rk = 1),
-          res AS (
-            SELECT e.vec_id, a.cid,
-                   list_transform(range(1, ${EmbDim + 1}),
-                                  k -> e.v[k] - c.ccv[k]) AS r
-            FROM e JOIN asg a USING (vec_id) JOIN cent c ON a.cid = c.cid),
-          d AS (
-            SELECT res.vec_id, res.cid, cb.sub, cb.code, ${oSubD2("res.r")} AS d2
-            FROM res CROSS JOIN cb),
-          enc AS (
-            SELECT vec_id, cid, sub, code FROM (
-              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                          ORDER BY d2 ASC, code) AS rk
-              FROM d)
-            WHERE rk = 1),
-          codes AS (
-            SELECT vec_id, cid,
-              MAX(CASE WHEN sub = 0 THEN code END) AS c0,
-              MAX(CASE WHEN sub = 1 THEN code END) AS c1,
-              MAX(CASE WHEN sub = 2 THEN code END) AS c2,
-              MAX(CASE WHEN sub = 3 THEN code END) AS c3
-            FROM enc GROUP BY vec_id, cid),
-          probed AS (
-            SELECT query_id, cid FROM (
-              SELECT q.vec_id AS query_id, c.cid,
-                ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                  ORDER BY ${oCosine("q.v", "c.ccv")} DESC, c.cid) AS crank
-              FROM e q CROSS JOIN cent c
-              WHERE q.vec_id < $NumQueries)
-            WHERE crank <= $IvfNProbe),
-          qres AS (
-            SELECT p.query_id, p.cid,
-                   list_transform(range(1, ${EmbDim + 1}),
-                                  k -> q.v[k] - c.ccv[k]) AS r
-            FROM probed p JOIN e q ON q.vec_id = p.query_id
-                          JOIN cent c ON p.cid = c.cid),
-          dt AS (
-            SELECT qr.query_id, qr.cid, cb.sub, cb.code, ${oSubD2("qr.r")} AS d2
-            FROM qres qr CROSS JOIN cb),
-          scored AS (
-            SELECT p.query_id, w.vec_id, w.cid AS list_id,
-                   ((t0.d2 + t1.d2) + t2.d2) + t3.d2 AS adc
-            FROM probed p
-            JOIN codes w ON p.cid = w.cid
-            JOIN dt t0 ON t0.query_id = p.query_id AND t0.cid = p.cid
-                      AND t0.sub = 0 AND t0.code = w.c0
-            JOIN dt t1 ON t1.query_id = p.query_id AND t1.cid = p.cid
-                      AND t1.sub = 1 AND t1.code = w.c1
-            JOIN dt t2 ON t2.query_id = p.query_id AND t2.cid = p.cid
-                      AND t2.sub = 2 AND t2.code = w.c2
-            JOIN dt t3 ON t3.query_id = p.query_id AND t3.cid = p.cid
-                      AND t3.sub = 3 AND t3.code = w.c3
-            WHERE p.query_id <> w.vec_id)
+      s"""WITH $oResidualScored
           SELECT query_id, nn_rank, vec_id, list_id, adc FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY adc ASC, vec_id) AS nn_rank
             FROM scored)
+          WHERE nn_rank <= $LshTopK""",
+
+    // Refine: q137's scored CTEs, ADC shortlist of RerankFactor×k, exact
+    // squared-L2 re-rank over the fetched raw vectors.
+    "q140_ivfpq_rerank" ->
+      s"""WITH $oResidualScored,
+          shortlist AS (
+            SELECT query_id, vec_id, list_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY adc ASC, vec_id) AS adc_rank
+              FROM scored)
+            WHERE adc_rank <= ${RerankFactor * LshTopK}),
+          re AS (
+            SELECT s.query_id, s.vec_id, s.list_id,
+                   list_sum(list_transform(range(1, ${EmbDim + 1}),
+                     k -> (q.v[k] - c.v[k]) * (q.v[k] - c.v[k]))) AS l2
+            FROM shortlist s
+            JOIN e q ON q.vec_id = s.query_id
+            JOIN e c ON c.vec_id = s.vec_id)
+          SELECT query_id, nn_rank, vec_id, list_id, l2 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY l2 ASC, vec_id) AS nn_rank
+            FROM re)
           WHERE nn_rank <= $LshTopK""",
 
     "q54_knn_quantized" ->
