@@ -225,6 +225,35 @@ object Similarity {
     // --- IVF: learned k-means lists, probe nearest lists -------------------
     "q52_knn_ivf" -> ((s, d) => ivfTopK(embs(s, d), NumQueries, LshTopK)),
 
+    // --- reciprocal-rank fusion of retriever tiers (q141) ------------------
+    // The ensemble-retrieval shape (Cormack et al.'s RRF, the standard
+    // hybrid-search combiner): two independent ANN tiers — hyperplane LSH
+    // (q51) and learned IVF (q52) — each contribute 1/(K + rank) for every
+    // (query, doc) they retrieved; candidates found by BOTH tiers rise.
+    // Rank lists are (queries × k)-sized whatever the corpus, so fusion
+    // costs one tiny full-outer join + window — the audit-stage economics
+    // of q124/q129. The two-term score is summed in a fixed order (LSH term
+    // + IVF term), bit-identical in both engines; absent-tier ranks emit 0
+    // (1-based ranks make 0 unambiguous).
+    "q141_rrf_fusion" -> ((s, d) => {
+      val lsh = queries("q51_knn_lsh")(s, d)
+        .select(col("query_id"), col("vec_id"), col("nn_rank").as("rl"))
+      val ivf = queries("q52_knn_ivf")(s, d)
+        .select(col("query_id"), col("vec_id"), col("nn_rank").as("ri"))
+      val fused = lsh.join(ivf, Seq("query_id", "vec_id"), "full_outer")
+        .select(col("query_id"), col("vec_id"), col("rl"), col("ri"),
+          (coalesce(lit(1.0) / (lit(RrfK) + col("rl")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("ri")), lit(0.0))).as("rrf"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("vec_id"))
+      fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+        .filter(col("fused_rank") <= LshTopK)
+        .select(col("query_id"), col("fused_rank"), col("vec_id"),
+          coalesce(col("rl"), lit(0L)).as("rank_lsh"),
+          coalesce(col("ri"), lit(0L)).as("rank_ivf"),
+          col("rrf"))
+    }),
+
     // --- Johnson–Lindenstrauss projection (dimensionality reduction) -------
     // 64 -> 16 dims via fixed pseudo-random planes: the cheap pre-pass that
     // cuts every downstream ANN stage's arithmetic and shuffle bytes 4×
@@ -611,6 +640,11 @@ object Similarity {
   /** Shortlist multiplier for the q140 refine stage: the index serves
     * RerankFactor × k ADC candidates per query to the exact re-ranker. */
   val RerankFactor = 3
+
+  /** RRF smoothing constant (q141) — the literature-standard 60: large
+    * enough that rank differences deep in the list stay gentle, small
+    * enough that rank 1 still clearly outweighs rank 3. */
+  val RrfK = 60
 
   /** The residual IVF-PQ scored frame — (query_id, vec_id, list_id, adc),
     * every probed-list candidate, pre-ranking — shared by q137 (ADC top-k)
@@ -1126,6 +1160,50 @@ object Similarity {
        |              FROM d)
        |            WHERE rk = 1)""".stripMargin
 
+  private def oQ51: String =
+    s"""WITH e AS (SELECT vec_id, $oEmb AS v, ${oLshBucket(oEmb)} AS bucket
+                     FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     ${oCosine("q.v", "c.v")} AS sim
+              FROM e q JOIN e c
+                ON q.bucket = c.bucket AND q.vec_id < $NumQueries
+               AND q.vec_id <> c.vec_id)
+          SELECT query_id, nn_rank, vec_id, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, vec_id) AS nn_rank
+            FROM scored)
+          WHERE nn_rank <= $LshTopK"""
+
+  private def oQ52: String =
+    s"""WITH e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
+            cent AS (SELECT cid, cv FROM '$AuxDirToken/q52_centroids/*.parquet'),
+            asg AS (
+              SELECT vec_id, v, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY csim DESC, cid) AS rk
+              FROM (SELECT x.vec_id, x.v, c.cid, ${oCosine("x.v", "c.cv")} AS csim
+                    FROM e x CROSS JOIN cent c)),
+            lists AS (SELECT vec_id, v, cid FROM asg WHERE rk = 1),
+            probed AS (
+              SELECT query_id, qv, cid FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY ${oCosine("q.v", "c.cv")} DESC, c.cid) AS crank
+                FROM e q CROSS JOIN cent c
+                WHERE q.vec_id < $NumQueries)
+              WHERE crank <= $IvfNProbe),
+            scored AS (
+              SELECT p.query_id, l.vec_id, l.cid AS list_id,
+                     ${oCosine("p.qv", "l.v")} AS sim
+              FROM probed p JOIN lists l ON p.cid = l.cid
+              WHERE p.query_id <> l.vec_id)
+          SELECT query_id, nn_rank, vec_id, list_id, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, vec_id) AS nn_rank
+            FROM scored)
+          WHERE nn_rank <= $LshTopK"""
+
   /** Shared q137/q140 oracle CTE body: the residual IVF-PQ pipeline down to
     * the per-candidate `scored` (query_id, vec_id, list_id, adc) frame. */
   private def oResidualScored: String =
@@ -1373,20 +1451,29 @@ object Similarity {
           LEFT JOIN nl ON ne.query_id = nl.query_id
           LEFT JOIN nh ON ne.query_id = nh.query_id""",
 
-    "q51_knn_lsh" ->
-      s"""WITH e AS (SELECT vec_id, $oEmb AS v, ${oLshBucket(oEmb)} AS bucket
-                     FROM embeddings),
-            scored AS (
-              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-                     ${oCosine("q.v", "c.v")} AS sim
-              FROM e q JOIN e c
-                ON q.bucket = c.bucket AND q.vec_id < $NumQueries
-               AND q.vec_id <> c.vec_id)
-          SELECT query_id, nn_rank, vec_id, sim FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY sim DESC, vec_id) AS nn_rank
-            FROM scored)
-          WHERE nn_rank <= $LshTopK""",
+    "q51_knn_lsh" -> oQ51,
+
+    // RRF: both tier oracles verbatim as CTEs, the fixed-order two-term
+    // fusion score, absent ranks -> 0.
+    "q141_rrf_fusion" ->
+      s"""WITH lsh AS (SELECT query_id, vec_id, nn_rank FROM ($oQ51)),
+          ivf AS (SELECT query_id, vec_id, nn_rank FROM ($oQ52)),
+          fused AS (
+            SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+                   COALESCE(l.vec_id, i.vec_id) AS vec_id,
+                   l.nn_rank AS rl, i.nn_rank AS ri,
+                   COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.nn_rank), 0.0)
+                     + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + i.nn_rank), 0.0)
+                     AS rrf
+            FROM lsh l FULL OUTER JOIN ivf i
+              ON l.query_id = i.query_id AND l.vec_id = i.vec_id)
+          SELECT query_id, fused_rank, vec_id,
+                 COALESCE(rl, 0) AS rank_lsh,
+                 COALESCE(ri, 0) AS rank_ivf, rrf
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, vec_id) AS fused_rank
+                FROM fused)
+          WHERE fused_rank <= $LshTopK""",
 
     // q52: stage 1 (centroid TRAINING) stays spec-only — learned doubles are
     // not ANSI-expressible. Stage 2 (assignment + probe + search) is fully
@@ -1395,34 +1482,7 @@ object Similarity {
     // argmax-cosine list assignment (tie -> smaller cid, mirroring Spark's
     // max(struct(csim, -cid))), per-query nProbe nearest lists, then top-k
     // within the probed lists.
-    "q52_knn_ivf" ->
-      s"""WITH e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
-            cent AS (SELECT cid, cv FROM '$AuxDirToken/q52_centroids/*.parquet'),
-            asg AS (
-              SELECT vec_id, v, cid,
-                     ROW_NUMBER() OVER (PARTITION BY vec_id
-                       ORDER BY csim DESC, cid) AS rk
-              FROM (SELECT x.vec_id, x.v, c.cid, ${oCosine("x.v", "c.cv")} AS csim
-                    FROM e x CROSS JOIN cent c)),
-            lists AS (SELECT vec_id, v, cid FROM asg WHERE rk = 1),
-            probed AS (
-              SELECT query_id, qv, cid FROM (
-                SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
-                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                         ORDER BY ${oCosine("q.v", "c.cv")} DESC, c.cid) AS crank
-                FROM e q CROSS JOIN cent c
-                WHERE q.vec_id < $NumQueries)
-              WHERE crank <= $IvfNProbe),
-            scored AS (
-              SELECT p.query_id, l.vec_id, l.cid AS list_id,
-                     ${oCosine("p.qv", "l.v")} AS sim
-              FROM probed p JOIN lists l ON p.cid = l.cid
-              WHERE p.query_id <> l.vec_id)
-          SELECT query_id, nn_rank, vec_id, list_id, sim FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY sim DESC, vec_id) AS nn_rank
-            FROM scored)
-          WHERE nn_rank <= $LshTopK""",
+    "q52_knn_ivf" -> oQ52,
 
     "q115_pq_encode" ->
       s"""WITH $oPqBase

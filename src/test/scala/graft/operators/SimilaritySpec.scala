@@ -262,6 +262,34 @@ class SimilaritySpec extends SparkSpec {
       s"residual PQ quantization error $errRes !< raw-PQ $errRaw")
   }
 
+  test("q141: RRF fusion equals a JVM fold of the two tier rank lists") {
+    def ranks(q: String) = Similarity.queries(q)(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+    val lsh = ranks("q51_knn_lsh")
+    val ivf = ranks("q52_knn_ivf")
+    val expected = (lsh.keySet ++ ivf.keySet).groupBy(_._1).flatMap {
+      case (qid, keys) =>
+        keys.toSeq.map { k =>
+          val score =
+            lsh.get(k).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0) +
+              ivf.get(k).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0)
+          (k._2, score)
+        }.sortBy { case (id, s) => (-s, id) }
+          .take(Similarity.LshTopK).zipWithIndex
+          .map { case ((id, s), i) =>
+            (qid, i + 1L) -> (id, lsh.getOrElse((qid, id), 0L),
+              ivf.getOrElse((qid, id), 0L), s)
+          }
+    }
+    val got = Similarity.queries("q141_rrf_fusion")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got == expected, s"diff=${expected.toSet.diff(got.toSet)}")
+    // fusion must actually mix: some fused row should be backed by both
+    // tiers (the both-tiers-agree candidates are RRF's whole point)
+    assert(got.values.exists { case (_, rl, ri, _) => rl > 0 && ri > 0 })
+  }
+
   test("q140: rerank equals exact-L2 top-k of the JVM ADC shortlist") {
     val vecs = embFrame.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](2).toArray))
