@@ -225,6 +225,47 @@ object Similarity {
     // --- IVF: learned k-means lists, probe nearest lists -------------------
     "q52_knn_ivf" -> ((s, d) => ivfTopK(embs(s, d), NumQueries, LshTopK)),
 
+    // --- Matryoshka prefix-dim recall audit (q142) -------------------------
+    // The MRL evaluation (Kusupati et al.): embeddings trained matryoshka-
+    // style are served TRUNCATED — the first D dims are themselves a valid
+    // embedding — so the serving decision "how many dims do we pay for" is
+    // a recall-vs-dim curve. This audit computes it: per prefix dim, brute
+    // cosine top-k over the truncated vectors vs the full-dim exact top-k,
+    // reduced by counting joins to exact integers (q124's economics: the
+    // evaluation is (queries × k × dims)-sized whatever the corpus; at
+    // 100 TB the brute tiers run on a held-out query sample). On random
+    // testdata the curve is the worst case — prefixes carry no privileged
+    // mass — making the measured floor honest.
+    "q142_matryoshka_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      val exact = queries("q50_knn_brute")(s, d)
+        .filter(col("nn_rank") <= LshTopK)
+        .select(col("query_id"), col("vec_id"))
+      val spine = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"))
+      val perDim = MrlDims.map { dim =>
+        val p = e.select(col("vec_id"), slice(col("v"), 1, dim).as("pv"))
+        val q = p.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("pv").as("qv"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        val top = broadcast(q).join(p, col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id"),
+            cosine(col("qv"), col("pv")).as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= LshTopK)
+          .select(col("query_id"), col("vec_id"))
+        val hits = top.join(exact, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+        spine.join(hits, Seq("query_id"), "left")
+          .select(lit(dim.toLong).as("dim"), col("query_id"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / LshTopK)
+              .as("recall"))
+      }
+      perDim.reduce(_.unionByName(_))
+    }),
+
     // --- reciprocal-rank fusion of retriever tiers (q141) ------------------
     // The ensemble-retrieval shape (Cormack et al.'s RRF, the standard
     // hybrid-search combiner): two independent ANN tiers — hyperplane LSH
@@ -645,6 +686,10 @@ object Similarity {
     * enough that rank differences deep in the list stay gentle, small
     * enough that rank 1 still clearly outweighs rank 3. */
   val RrfK = 60
+
+  /** Prefix dims for the matryoshka audit (q142): the 8×/4×/2× truncation
+    * tiers below the full EmbDim = 64. */
+  val MrlDims: Seq[Int] = Seq(8, 16, 32)
 
   /** The residual IVF-PQ scored frame — (query_id, vec_id, list_id, adc),
     * every probed-list candidate, pre-ranking — shared by q137 (ADC top-k)
@@ -1452,6 +1497,50 @@ object Similarity {
           LEFT JOIN nh ON ne.query_id = nh.query_id""",
 
     "q51_knn_lsh" -> oQ51,
+
+    // Matryoshka: per prefix dim, brute cosine over list_slice'd vectors
+    // (explicit range(1, D+1) folds — oDot's fixed EmbDim range would
+    // NULL-index a truncated array), counting-joined against the exact
+    // full-dim tier; dims stitched by UNION ALL.
+    "q142_matryoshka_recall" -> {
+      def pDot(dim: Int) =
+        s"list_sum(list_transform(range(1, ${dim + 1}), k -> (q.pv)[k] * (c.pv)[k]))"
+      def pNorm(e: String) = s"sqrt(list_sum(list_transform($e, x -> x * x)))"
+      val dimBlocks = MrlDims.map { dim =>
+        s"""SELECT CAST($dim AS BIGINT) AS dim, sp.query_id,
+              COALESCE(h.n_hit, 0) AS n_hit,
+              CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / $LshTopK AS recall
+            FROM sp LEFT JOIN (
+              SELECT t.query_id, COUNT(1) AS n_hit
+              FROM (
+                SELECT query_id, vec_id FROM (
+                  SELECT q.vec_id AS query_id, c.vec_id,
+                    (${pDot(dim)} / (${pNorm("q.pv")} * ${pNorm("c.pv")})) AS sim,
+                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                      ORDER BY (${pDot(dim)} / (${pNorm("q.pv")} * ${pNorm("c.pv")})) DESC,
+                               c.vec_id) AS rk
+                  FROM (SELECT vec_id, list_slice(v, 1, $dim) AS pv FROM e
+                        WHERE vec_id < $NumQueries) q
+                  JOIN (SELECT vec_id, list_slice(v, 1, $dim) AS pv FROM e) c
+                    ON q.vec_id <> c.vec_id)
+                WHERE rk <= $LshTopK) t
+              JOIN ex ON ex.query_id = t.query_id AND ex.vec_id = t.vec_id
+              GROUP BY t.query_id) h
+            ON h.query_id = sp.query_id"""
+      }
+      s"""WITH e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
+          xsc AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   ${oCosine("q.v", "c.v")} AS sim
+            FROM e q JOIN e c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+          ex AS (
+            SELECT query_id, vec_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS rk FROM xsc)
+            WHERE rk <= $LshTopK),
+          sp AS (SELECT vec_id AS query_id FROM e WHERE vec_id < $NumQueries)
+          ${dimBlocks.mkString("\n          UNION ALL\n          ")}"""
+    },
 
     // RRF: both tier oracles verbatim as CTEs, the fixed-order two-term
     // fusion score, absent ranks -> 0.

@@ -28,10 +28,13 @@ class CatalogPlanSpec extends SparkSpec {
   // contingency grid is the margin-table cross product — the one query
   // whose SEMANTICS is a cross join, and both sides are
   // attribute-cardinality-sized aggregates, never corpus rows.
+  // q142 embeds the exact brute tier AND a per-dim truncated brute tier —
+  // an audit in the q124/q129 mold, brute by definition.
   private val bnlAllowed =
     Set("q50_knn_brute", "q54_knn_quantized", "q82_knn_projected",
       "q112_hard_negatives", "q116_pq_adc",
-      "q124_ann_recall", "q129_ivf_recall", "q135_chi_square")
+      "q124_ann_recall", "q129_ivf_recall", "q135_chi_square",
+      "q142_matryoshka_recall")
 
   // Sanctioned build sides: a no-grouping-key aggregate (1-row scalar) or a
   // LocalTableScan (driver-local literal model state, e.g. q52's learned

@@ -262,6 +262,40 @@ class SimilaritySpec extends SparkSpec {
       s"residual PQ quantization error $errRes !< raw-PQ $errRaw")
   }
 
+  test("q142: matryoshka recall equals a JVM prefix-truncation recompute") {
+    val vecs = embFrame.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double], dim: Int): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def topk(qid: Long, qv: Array[Double], dim: Int): Set[Long] =
+      vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v, dim)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(Similarity.LshTopK).map(_._1).toSet
+    val queries = vecs.filter(_._1 < Similarity.NumQueries)
+    val expected = (for {
+      dim <- Similarity.MrlDims
+      (qid, qv) <- queries
+    } yield {
+      val nHit = (topk(qid, qv, dim) intersect topk(qid, qv, TextFns.EmbDim)).size
+      (dim.toLong, qid) -> ((nHit.toLong, nHit.toDouble / Similarity.LshTopK))
+    }).toMap
+    val got = Similarity.queries("q142_matryoshka_recall")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == expected)
+    // the serving curve: mean recall must not fall as dims grow (prefixes
+    // strictly gain information; deterministic fixed values per SF)
+    val means = Similarity.MrlDims.map { dim =>
+      val rs = queries.map { case (qid, _) => got((dim.toLong, qid))._2 }
+      rs.sum / rs.size
+    }
+    assert(means == means.sorted, s"recall-vs-dim curve not monotone: $means")
+  }
+
   test("q141: RRF fusion equals a JVM fold of the two tier rank lists") {
     def ranks(q: String) = Similarity.queries(q)(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
