@@ -803,6 +803,42 @@ object Dedup {
             .as("dup_frac"))
     }),
 
+    // --- duplicate-graph triangle census (q143) ----------------------------
+    // Structure diagnostic over the near-dup graph: triangle count and
+    // local clustering coefficient per document. High clustering = tight
+    // clone families (template clusters, safe to collapse to one
+    // canonical); low clustering at high degree = CHAIN-shaped lineage
+    // (A~B~C without A~C — the risky transitive-merge case where CC glues
+    // non-duplicates; exactly the families a curation run audits by hand).
+    // Triangles enumerate once each via the i<j orientation (a<b<c): two
+    // equi self-joins on the PAIR list — pair-sized³ never happens, the
+    // join is bounded by path counts over an already-tiny edge set, and the
+    // corpus-scale LSH upstream is the SHARED memoized pair list (zero new
+    // corpus scans). The coefficient 2t/(deg·(deg−1)) is one float
+    // division over exact integers.
+    "q143_dup_graph_triangles" -> ((s, d) => {
+      val e = trigramPairs(s, d).select(col("i"), col("j"))
+      val tri = e.as("ab")
+        .join(e.as("bc"), col("ab.j") === col("bc.i"))
+        .join(e.as("ac"),
+          col("ac.i") === col("ab.i") && col("ac.j") === col("bc.j"))
+        .select(col("ab.i").as("a"), col("ab.j").as("b"), col("bc.j").as("c"))
+      val triPerNode = tri.select(col("a").as("doc_id"))
+        .unionAll(tri.select(col("b").as("doc_id")))
+        .unionAll(tri.select(col("c").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+      val deg = e.select(col("i").as("doc_id"))
+        .unionAll(e.select(col("j").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      deg.join(triPerNode, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("degree") >= 2,
+            lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+              (col("degree") * (col("degree") - 1)))
+            .otherwise(lit(0.0)).as("clustering"))
+    }),
+
     // --- maximal duplicated spans (true lengths, not window counts) --------
     // q110 reports WHICH window positions are duplicated; this reports the
     // TRUE maximal span length per document pair — the ExactSubstr output
@@ -1223,6 +1259,33 @@ object Dedup {
            CASE WHEN COALESCE(per.n_windows, 0) = 0 THEN CAST(0.0 AS DOUBLE)
                 ELSE CAST(per.n_dup AS DOUBLE) / per.n_windows END AS dup_frac
          FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
+
+    "q143_dup_graph_triangles" ->
+      s"""WITH pairs AS (${oLshNearDupPairs(3, NumHashes, BandSize, 0,
+            TrigramTNum, TrigramTDen)}),
+          e AS (SELECT i, j FROM pairs),
+          tri AS (
+            SELECT ab.i AS a, ab.j AS b, bc.j AS c
+            FROM e ab
+            JOIN e bc ON ab.j = bc.i
+            JOIN e ac ON ac.i = ab.i AND ac.j = bc.j),
+          tpn AS (
+            SELECT doc_id, COUNT(1) AS n_tri FROM (
+              SELECT a AS doc_id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+            GROUP BY doc_id),
+          deg AS (
+            SELECT doc_id, COUNT(1) AS degree FROM (
+              SELECT i AS doc_id FROM e UNION ALL SELECT j FROM e)
+            GROUP BY doc_id)
+          SELECT deg.doc_id, deg.degree,
+            COALESCE(tpn.n_tri, 0) AS n_tri,
+            CASE WHEN deg.degree >= 2
+                 THEN CAST(2 * COALESCE(tpn.n_tri, 0) AS DOUBLE)
+                      / (deg.degree * (deg.degree - 1))
+                 ELSE CAST(0.0 AS DOUBLE) END AS clustering
+          FROM deg LEFT JOIN tpn ON deg.doc_id = tpn.doc_id""",
 
     "q139_max_dup_span" ->
       """WITH base AS (

@@ -358,6 +358,33 @@ class DedupSpec extends SparkSpec {
     assert(incr == full, s"incremental diverged: ${incr.diff(full)} / ${full.diff(incr)}")
   }
 
+  test("q143: triangle census equals a JVM recompute from the pair list") {
+    val edges = Dedup.queries("q42_dedup_lsh_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.toSeq.flatMap { case (i, j) => Seq(i -> j, j -> i) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    val expTri = nodes.map { v =>
+      val nb = adj(v).toSeq
+      v -> nb.combinations(2).count { p =>
+        edges.contains((math.min(p(0), p(1)), math.max(p(0), p(1)))) }
+    }.toMap
+    val out = Dedup.queries("q143_dup_graph_triangles")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == nodes)
+    nodes.foreach { v =>
+      val (deg, tri, cc) = out(v)
+      assert(deg == adj(v).size.toLong, s"doc $v degree")
+      assert(tri == expTri(v).toLong, s"doc $v triangles")
+      val expCc = if (deg >= 2) 2.0 * expTri(v) / (deg * (deg - 1)) else 0.0
+      assert(cc == expCc, s"doc $v clustering")
+      assert(cc >= 0.0 && cc <= 1.0)
+    }
+    // the testdata's clone families must actually close triangles
+    assert(out.values.exists(_._2 > 0), "no triangles in the near-dup graph")
+  }
+
   test("q139: max duplicated span equals a brute-force longest-common-substring DP") {
     val W = 32
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
