@@ -44,6 +44,12 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] q137_codebook export failed: ${e.getMessage}")
     }
+    // ... and the q144 SemDeDup centroids (64 lists, distinct from q52's 8).
+    try operators.Similarity.semDedupCentroidsFor(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q144_centroids")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] q144_centroids export failed: ${e.getMessage}")
+    }
     // ... and the q138 OPQ rotation + rotated-space codebooks.
     try {
       operators.Similarity.opqRotationTable(spark, sfDir)

@@ -603,7 +603,20 @@ object Similarity {
         .withColumn("nn_rank", row_number().over(w).cast("long"))
         .filter(col("nn_rank") <= TopK)
         .select(col("query_id"), col("nn_rank"), col("vec_id"), col("adc"))
-    })
+    }),
+
+    // --- SemDeDup: cluster-then-dedup semantic deduplication (q144) --------
+    // The embedding-space dedup tier that complements the lexical MinHash
+    // family: k-means cluster the corpus, then inside each cluster drop
+    // every member at cosine ≥ τ to an earlier-keep-priority member (full
+    // semantics + scale notes on [[semDeDup]]). Training is the same
+    // bit-deterministic bounded-sample Lloyd's as q52 (spec-verified);
+    // assignment + dedup run under FIXED centroids that Verify exports, so
+    // the whole decision — who clusters where, who is dropped — is
+    // oracle-checked end to end.
+    "q144_semdedup" -> ((s, d) =>
+      semDeDup(embs(s, d), trainCentroids(embs(s, d), SemDedupLists),
+        SemDedupTau))
   )
 
   // ------------------- product quantization (q115/q116) -------------------
@@ -690,6 +703,71 @@ object Similarity {
   /** Prefix dims for the matryoshka audit (q142): the 8×/4×/2× truncation
     * tiers below the full EmbDim = 64. */
   val MrlDims: Seq[Int] = Seq(8, 16, 32)
+
+  /** SemDeDup duplicate threshold (q144): pairs at cosine ≥ τ are semantic
+    * duplicates. 0.35 sits between the testdata's random-pair mass
+    * (p99 ≈ 0.29) and its planted near-dup ceiling (~0.48-0.51), so the
+    * operator both keeps and drops non-trivially at every SF. */
+  val SemDedupTau = 0.35
+
+  /** Cluster count for q144's coarse quantizer. More lists than q52's 8 on
+    * purpose: SemDeDup's cost is Σ|cluster|² pairwise work, so the cluster
+    * count — not the corpus — is the dial that keeps the pair stage
+    * near-linear (the paper's k ≈ √N discipline). */
+  val SemDedupLists = 64
+
+  /** Trained q144 centroids for a sf dir — what Verify exports so the
+    * DuckDB oracle re-runs assignment + dedup under the exact clustering
+    * the Spark side used (training is bit-deterministic per corpus). */
+  def semDedupCentroidsFor(s: SparkSession, d: String): DataFrame =
+    trainCentroids(embs(s, d), SemDedupLists)
+
+  /** SemDeDup (Abbas et al. 2023): cluster-then-dedup semantic
+    * deduplication — the embedding-space analog of the MinHash pipeline.
+    * Stage 1 clusters the corpus with the IVF coarse quantizer (ONE
+    * broadcast-assignment pass, the q52 shape); stage 2 ranks each
+    * cluster's members by keep-priority — ascending cosine to the centroid
+    * (the paper's default: prototypical points are the redundant ones,
+    * edge points carry the information) with vec_id as the total-order tie
+    * break — and drops every member that sits at cosine ≥ τ to ANY
+    * earlier-ranked member of its cluster (the paper's released
+    * upper-triangular-max semantics; survivors are therefore an
+    * independent set of the within-cluster τ-graph, spec-asserted).
+    *
+    * Scale shape (100 TB): all-pairs work happens ONLY inside a cluster —
+    * the equi self-join on the list id is Σ|c|²-sized, dialed by
+    * [[SemDedupLists]] (production: k grows with N so |c| stays ~constant
+    * and the stage is near-linear), never corpus². The corpus itself makes
+    * exactly one pass (broadcast assignment + one hash agg); ranking is a
+    * per-cluster window, embarrassingly parallel across lists. */
+  def semDeDup(e: DataFrame, cent: DataFrame, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    // assignment: argmax cosine over the broadcast centroid table via one
+    // hash agg (max(struct) keeps the winning csim; tie → smaller cid)
+    val lists = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"),
+        struct(cosine(col("v"), col("cv")).as("csim"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), max(col("sc")).as("best"))
+      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid"),
+        col("best.csim").as("csim"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("csim").asc, col("vec_id"))
+    val ranked = lists.withColumn("krank", row_number().over(w).cast("long"))
+    val dropped = ranked
+      .select(col("cid"), col("krank").as("ka"), col("v").as("va"))
+      .join(ranked.select(col("cid"), col("vec_id").as("vb"),
+        col("krank").as("kb"), col("v").as("vb_v")), Seq("cid"))
+      .filter(col("ka") < col("kb") &&
+        cosine(col("va"), col("vb_v")) >= tau)
+      .select(col("vb").as("vec_id")).distinct()
+    ranked
+      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("list_id"),
+        col("csim").as("centroid_sim"),
+        col("dup").isNull.as("kept"))
+  }
 
   /** The residual IVF-PQ scored frame — (query_id, vec_id, list_id, adc),
     * every probed-list candidate, pre-ranking — shared by q137 (ADC top-k)
@@ -1742,6 +1820,30 @@ object Similarity {
             md5(array_to_string(qi, ',')) AS qmd5,
             list_sum(list_transform(range(1, ${EmbDim + 1}),
               k -> (v[k] - (qi[k] * amax / 127.0)) * (v[k] - (qi[k] * amax / 127.0)))) AS err
-          FROM q"""
+          FROM q""",
+
+    "q144_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
+            cent AS (SELECT cid, cv FROM '$AuxDirToken/q144_centroids/*.parquet'),
+            asg AS (
+              SELECT vec_id, v, cid, csim,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY csim DESC, cid) AS rk
+              FROM (SELECT x.vec_id, x.v, c.cid, ${oCosine("x.v", "c.cv")} AS csim
+                    FROM e x CROSS JOIN cent c)),
+            lists AS (SELECT vec_id, v, cid, csim FROM asg WHERE rk = 1),
+            ranked AS (
+              SELECT vec_id, v, cid, csim,
+                     ROW_NUMBER() OVER (PARTITION BY cid
+                       ORDER BY csim ASC, vec_id) AS krank
+              FROM lists),
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM ranked a JOIN ranked b
+                ON a.cid = b.cid AND a.krank < b.krank
+              WHERE ${oCosine("a.v", "b.v")} >= $SemDedupTau)
+          SELECT r.vec_id, r.cid AS list_id, r.csim AS centroid_sim,
+                 (d.vec_id IS NULL) AS kept
+          FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id"""
   )
 }
