@@ -1047,6 +1047,43 @@ object Relational {
           col("event_type"), col("n_events"))
     }),
 
+    // --- snapshot diff between two PIT instants ---------------------------------
+    // The table-diff read on top of SCD2 (q122/q134's missing third leg):
+    // what changed between snapshot t1 (first day boundary after data
+    // start) and t2 (last day boundary)? Per entity: added (absent at t1),
+    // removed (absent at t2 — structurally empty here because CDC without
+    // delete markers keeps every open interval live forever; the class
+    // exists so a delete-marker feed lights it up with zero code change),
+    // changed / unchanged by null-safe state comparison. Instead of
+    // materializing both snapshots through q134's calendar expansion, each
+    // side is an as-of interval-containment FILTER over the q122 frame —
+    // the two filters are exchange-reused off ONE user_id shuffle, the t1/
+    // t2 bounds ride a broadcast 1-row scalar, and the diff itself is a
+    // #users-sized full-outer join. Presence is tracked by literal flags,
+    // not state nullness, so a genuinely-NULL state is still "present".
+    "q145_snapshot_diff" -> ((s, d) => {
+      val iv = queries("q122_scd2_compact")(s, d)
+      val b = t(s, d, "events").agg(
+        expr("timestampadd(DAY, 1, date_trunc('day', min(ts)))").as("t1"),
+        date_trunc("day", max(col("ts"))).as("t2"))
+      val snap = iv.join(broadcast(b))
+      def stateAt(tc: String, state: String, n: String, p: String) = snap
+        .filter(col("valid_from") <= col(tc) &&
+          (col("valid_to").isNull || col("valid_to") > col(tc)))
+        .select(col("user_id"), col("event_type").as(state),
+          col("n_events").as(n), lit(true).as(p))
+      stateAt("t1", "state_before", "nb", "p1")
+        .join(stateAt("t2", "state_after", "na", "p2"),
+          Seq("user_id"), "full_outer")
+        .select(col("user_id"), col("state_before"), col("state_after"),
+          coalesce(col("nb"), lit(0L)).as("n_before"),
+          coalesce(col("na"), lit(0L)).as("n_after"),
+          when(col("p1").isNull, lit("added"))
+            .when(col("p2").isNull, lit("removed"))
+            .when(col("state_before") <=> col("state_after"), lit("unchanged"))
+            .otherwise(lit("changed")).as("change"))
+    }),
+
     "q120_key_skew" -> ((s, d) => {
       def profile(df: DataFrame, keyCol: String, label: String): DataFrame =
         df.groupBy(col(keyCol).cast("string").as("k"))
@@ -1640,6 +1677,52 @@ object Relational {
            unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS snap_ts,
            event_type, n_events
          FROM x""",
+
+    "q145_snapshot_diff" ->
+      """WITH m AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+           FROM events),
+         r AS (
+           SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS run_id
+           FROM m),
+         iv AS (
+           SELECT user_id, MIN(event_type) AS event_type,
+                  MIN(ts) AS valid_from, COUNT(1) AS n_events
+           FROM r GROUP BY user_id, run_id),
+         iv2 AS (
+           SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to,
+             n_events
+           FROM iv),
+         b AS (SELECT date_trunc('day', MIN(ts)) + INTERVAL 1 DAY AS t1,
+                      date_trunc('day', MAX(ts)) AS t2 FROM events),
+         s1 AS (
+           SELECT user_id, event_type AS state_before, n_events AS nb,
+                  TRUE AS p1
+           FROM iv2
+           WHERE valid_from <= (SELECT t1 FROM b)
+             AND (valid_to IS NULL OR valid_to > (SELECT t1 FROM b))),
+         s2 AS (
+           SELECT user_id, event_type AS state_after, n_events AS na,
+                  TRUE AS p2
+           FROM iv2
+           WHERE valid_from <= (SELECT t2 FROM b)
+             AND (valid_to IS NULL OR valid_to > (SELECT t2 FROM b)))
+         SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+           s1.state_before, s2.state_after,
+           COALESCE(s1.nb, 0) AS n_before, COALESCE(s2.na, 0) AS n_after,
+           CASE WHEN s1.p1 IS NULL THEN 'added'
+                WHEN s2.p2 IS NULL THEN 'removed'
+                WHEN s1.state_before IS NOT DISTINCT FROM s2.state_after
+                  THEN 'unchanged'
+                ELSE 'changed' END AS change
+         FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id""",
 
     "q120_key_skew" -> {
       def part(table: String, keyExpr: String, label: String) =

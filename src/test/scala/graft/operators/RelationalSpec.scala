@@ -242,6 +242,48 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2)).distinct.length == out.length)
   }
 
+  test("q145: snapshot diff equals a JVM as-of probe at t1/t2; classes partition the users") {
+    val dayMs = 86400000L // UTC session, so epoch-ms floor == date_trunc('day')
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val t1 = events.map(_._2.getTime).min / dayMs * dayMs + dayMs
+    val t2 = events.map(_._2.getTime).max / dayMs * dayMs
+    // JVM as-of probe: the run (state, from, to, n) containing instant T
+    def stateAt(evs: List[(Long, java.sql.Timestamp, Long, String)], at: Long)
+        : Option[(String, Long)] = {
+      val runs = evs.sortBy(e => (e._2.getTime, e._3))
+        .foldLeft(List.empty[(String, Long, Long)]) {
+          case ((t0, from, n) :: rest, (_, _, _, et)) if t0 == et =>
+            (t0, from, n + 1) :: rest
+          case (acc, (_, ts, _, et)) => (et, ts.getTime, 1L) :: acc
+        }.reverse
+      runs.zip(runs.drop(1).map(r => Some(r._2)) :+ None).collectFirst {
+        case ((et, from, n), toOpt) if from <= at && toOpt.forall(_ > at) =>
+          (et, n)
+      }
+    }
+    val expected = events.groupBy(_._1).map { case (uid, evs) =>
+      val (s1, s2) = (stateAt(evs.toList, t1), stateAt(evs.toList, t2))
+      val change = (s1, s2) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some((a, _)), Some((b, _))) => if (a == b) "unchanged" else "changed"
+      }
+      (uid, s1.map(_._1), s2.map(_._1),
+        s1.fold(0L)(_._2), s2.fold(0L)(_._2), change)
+    }.filter(r => !(r._2.isEmpty && r._3.isEmpty)).toSet
+    val out = Relational.queries("q145_snapshot_diff")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(out.toSet == expected)
+    // one diff row per user; CDC without delete markers never removes;
+    // both surviving classes are populated on the testdata
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(!out.exists(_._6 == "removed"))
+    assert(out.exists(_._6 == "changed") && out.exists(_._6 == "unchanged"))
+  }
+
   test("q120: skew profile equals a JVM recompute; skew bounded by [1, n_keys]") {
     val out = Relational.queries("q120_key_skew")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
