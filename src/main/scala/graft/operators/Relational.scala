@@ -81,6 +81,30 @@ object Relational {
                      ROWS UNBOUNDED PRECEDING) AS sid
          FROM m)"""
 
+  /** Per-user_id mergeable aggregate state (q146): count, exact decimal
+    * sum, min, max — the four partials every downstream read (including
+    * avg) derives from. Mergeable BY CONSTRUCTION: count/sum re-sum,
+    * min/max re-extremize, and the decimal sum is exact so merge order
+    * can't drift a bit. */
+  def aggPartials(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("vsum"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+
+  /** The MV refresh contract (q146): fold any number of [[aggPartials]]
+    * frames into the read-time schema. Cost is #keys-sized — the base
+    * corpus is never rescanned. */
+  def mergeAggPartials(partials: DataFrame*): DataFrame =
+    partials.reduce(_ unionByName _)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"), sum(col("vsum")).as("vs"),
+        min(col("vmin")).as("v_min"), max(col("vmax")).as("v_max"))
+      .select(col("user_id"), col("n_events"),
+        col("vs").cast("double").as("v_sum"),
+        col("v_min"), col("v_max"),
+        (col("vs").cast("double") / col("n_events")).as("v_avg"))
+
   /** Golden-record survivorship body (see the q130 map entry): input must
     * carry (user_id, ts, event_id, event_type, value). */
   def goldenRecord(base: DataFrame): DataFrame = {
@@ -1047,6 +1071,27 @@ object Relational {
           col("event_type"), col("n_events"))
     }),
 
+    // --- incremental aggregate refresh (materialized-view maintenance) ----------
+    // The materialize-once story for AGGREGATES: a stored per-key partial
+    // state (count / decimal sum / min / max — each mergeable) absorbs a
+    // delta batch by MERGING states, never rescanning the base. Here base
+    // = events before the last day boundary (the stored MV), delta = the
+    // final day (the incoming batch); [[mergeAggPartials]] is the refresh
+    // contract and the spec proves merge == from-scratch EXACTLY — which
+    // only holds because the sum runs in DECIMAL(18,2) (exact, therefore
+    // associative; a double sum would drift per merge order) and avg is
+    // derived from (sum, count) at read time, never stored. At 100 TB the
+    // base partials are #keys-sized parquet; a refresh costs one scan of
+    // the DELTA plus a #keys-sized merge — corpus-independent.
+    "q146_mv_refresh" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val b = ev.agg(date_trunc("day", max(col("ts"))).as("cutoff"))
+      val withCut = ev.join(broadcast(b))
+      mergeAggPartials(
+        aggPartials(withCut.filter(col("ts") < col("cutoff"))),
+        aggPartials(withCut.filter(col("ts") >= col("cutoff"))))
+    }),
+
     // --- snapshot diff between two PIT instants ---------------------------------
     // The table-diff read on top of SCD2 (q122/q134's missing third leg):
     // what changed between snapshot t1 (first day boundary after data
@@ -1677,6 +1722,14 @@ object Relational {
            unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS snap_ts,
            event_type, n_events
          FROM x""",
+
+    "q146_mv_refresh" ->
+      """SELECT user_id, COUNT(1) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+           MIN(value) AS v_min, MAX(value) AS v_max,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1)
+             AS v_avg
+         FROM events GROUP BY user_id""",
 
     "q145_snapshot_diff" ->
       """WITH m AS (

@@ -284,6 +284,45 @@ class RelationalSpec extends SparkSpec {
     assert(out.exists(_._6 == "changed") && out.exists(_._6 == "unchanged"))
   }
 
+  test("q146: MV refresh merge == from-scratch agg bit-for-bit, under any batching") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    // from-scratch: one partial over the whole corpus, merged alone
+    val scratch = Relational.mergeAggPartials(Relational.aggPartials(ev))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val out = Relational.queries("q146_mv_refresh")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out == scratch)
+    // rebatching invariance: three event-id thirds merged pairwise-then-
+    // once more give the SAME bits (the decimal sum is what buys this)
+    val thirds = (0 until 3).map(i =>
+      Relational.aggPartials(ev.filter(pmod(col("event_id"), lit(3)) === i)))
+    val rebatched = Relational.mergeAggPartials(
+      Relational.aggPartials(ev.filter(pmod(col("event_id"), lit(3)) < 2)),
+      thirds(2)).collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(Relational.mergeAggPartials(thirds: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap == rebatched)
+    assert(rebatched == scratch)
+    // JVM recompute (values are 2-decimal exact: long-cents arithmetic)
+    val rows = ev.select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 100).toLong))
+    val expected = rows.groupBy(_._1).map { case (uid, vs) =>
+      val cents = vs.map(_._2)
+      uid -> (cents.length.toLong, cents.sum / 100.0,
+        cents.min / 100.0, cents.max / 100.0,
+        (cents.sum / 100.0) / cents.length)
+    }
+    assert(out == expected)
+  }
+
   test("q120: skew profile equals a JVM recompute; skew bounded by [1, n_keys]") {
     val out = Relational.queries("q120_key_skew")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
