@@ -287,6 +287,48 @@ object Curation {
         md5(concat_ws(" ", slice(col("tk"), col("s"), lit(chunkLen)))).as("chunk_md5"))
   }
 
+  /** Total sample budget for [[temperatureMix]] (q147). */
+  val TempMixK = 100
+
+  /** Temperature-scaled mixture sampling (q147) — the multilingual-corpus
+    * rebalancing move (mT5/XLM-R style): per-source sampling mass
+    * ∝ tokens^(1/T) flattens the head and boosts the tail. T = 2 on
+    * purpose: the exponent becomes sqrt, the ONE libm function that is
+    * IEEE-correctly-rounded everywhere (a fractional pow would not be
+    * bit-portable across engines — the q84 lesson), and the weight is
+    * floored to int64 immediately so quota arithmetic is EXACT integer:
+    * quota_s = round-half-up(K · w_s / W) = (2·K·w_s + W) div (2·W).
+    * Rounded-proportional (not largest-remainder) by design — it needs no
+    * cross-source ranking, so allocation stays a per-row projection off
+    * one broadcast 1-row total; |Σquota − K| ≤ #sources/2, spec-bounded.
+    * Selection inside a source is the q58 md5-prefix order, capped by
+    * [[MinKByHash]] bounded partials — at 100 TB the corpus aggregates
+    * once per source (map-side K-slot state), the quota table is
+    * #sources-sized and broadcast, and nothing corpus-scale sorts. */
+  def temperatureMix(docs: DataFrame, k: Int): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+      .withColumn("w", floor(sqrt(col("sum_tok").cast("double"))).cast("long"))
+    val tot = perSource.agg(sum(col("w")).as("tot_w"))
+    val quotas = perSource.join(broadcast(tot))
+      .select(col("source"), col("sum_tok"), col("w"),
+        expr(s"(2 * $k * w + tot_w) div (2 * tot_w)").as("quota"))
+    val mink = udaf(new MinKByHash(k))
+    docs
+      .select(col("source"), md5(col("doc_id").cast("string")).as("h"),
+        col("doc_id"))
+      .groupBy(col("source"))
+      .agg(mink(col("h"), col("doc_id")).as("sample"))
+      .join(broadcast(quotas), Seq("source"))
+      .select(col("source"), col("sum_tok"), col("w"), col("quota"),
+        posexplode(col("sample")).as(Seq("pos", "r")))
+      .select(col("source"), col("sum_tok"), col("w"), col("quota"),
+        (col("pos") + 1).cast("long").as("rank"), col("r.id").as("doc_id"))
+      .filter(col("rank") <= col("quota"))
+  }
+
   /** Deterministic WEIGHTED sample, k per stratum — the biased counterpart
     * of [[stratifiedSample]] for mixtures that should favor long documents
     * (e.g. sampling held-out eval docs proportional to length). The
@@ -505,6 +547,9 @@ object Curation {
     "q84_weighted_sample" -> ((s, d) =>
       weightedSample(t(s, d), "source", "n_chars", 5)),
 
+    // --- temperature-scaled mixture sampling ------------------------------
+    "q147_temperature_mix" -> ((s, d) => temperatureMix(t(s, d), TempMixK)),
+
     // --- overlapping token-window chunking --------------------------------
     "q83_chunk_overlap" -> ((s, d) => chunkDocs(t(s, d), ChunkLen, ChunkStride)),
 
@@ -722,6 +767,30 @@ object Curation {
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
            FROM documents)
          WHERE rank <= 10""",
+
+    "q147_temperature_mix" ->
+      s"""WITH per AS (
+            SELECT source, CAST(SUM(len($oToksFrag)) AS BIGINT) AS sum_tok
+            FROM documents GROUP BY source),
+          wt AS (
+            SELECT source, sum_tok,
+              CAST(floor(sqrt(CAST(sum_tok AS DOUBLE))) AS BIGINT) AS w
+            FROM per),
+          tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tot_w FROM wt),
+          q AS (
+            SELECT source, sum_tok, w,
+              CAST((2 * $TempMixK * w + tot_w) // (2 * tot_w) AS BIGINT)
+                AS quota
+            FROM wt CROSS JOIN tot),
+          ranked AS (
+            SELECT source, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+            FROM documents)
+          SELECT r.source, q.sum_tok, q.w, q.quota,
+            CAST(r.rank AS BIGINT) AS rank, r.doc_id
+          FROM ranked r JOIN q ON r.source = q.source
+          WHERE r.rank <= q.quota""",
 
     "q84_weighted_sample" ->
       """SELECT source, rank, doc_id, pri FROM (

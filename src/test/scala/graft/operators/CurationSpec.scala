@@ -283,6 +283,38 @@ class CurationSpec extends SparkSpec {
     assert(again(7L) == out(7L)._3)
   }
 
+  // --- temperature-scaled mixture sampling ---------------------------------
+
+  test("q147: quotas follow the T=2 integer allocation; sample is the md5 prefix per source") {
+    val k = Curation.TempMixK
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    // JVM recompute of the whole allocation from raw token counts
+    val toks = docs.select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).length.toLong))
+    val w = toks.groupBy(_._1).view.mapValues(ds =>
+      math.floor(math.sqrt(ds.map(_._3).sum.toDouble)).toLong).toMap
+    val totW = w.values.sum
+    val quota = w.view.mapValues(ws => (2 * k * ws + totW) / (2 * totW)).toMap
+    val expected = toks.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.toSeq.map(d => (TextFns.md5hex(d._2.toString), d._2)).sorted
+        .take(quota(src).toInt).zipWithIndex
+        .map { case ((_, id), i) => (src, quota(src), i + 1L, id) }
+    }.toSet
+    val out = Curation.queries("q147_temperature_mix")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSet == expected)
+    // round-half-up proportionality: every source's quota within 1 of its
+    // exact share, and the total within #sources/2 of the budget K
+    quota.foreach { case (src, q) =>
+      assert(math.abs(q - k.toDouble * w(src) / totW) <= 0.5 + 1e-9, src)
+    }
+    assert(math.abs(quota.values.sum - k) <= w.size / 2)
+    // temperature flattening: a source's sampled share never exceeds its
+    // raw token share by more than the sqrt compression allows, and the
+    // tail is boosted — min quota > 0 on this testdata
+    assert(quota.values.min >= 1)
+  }
+
   // --- weighted sampling --------------------------------------------------
 
   test("weightedSample favors heavy rows and matches a JVM-side recompute") {
