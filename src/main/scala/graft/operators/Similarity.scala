@@ -605,6 +605,35 @@ object Similarity {
         .select(col("query_id"), col("nn_rank"), col("vec_id"), col("adc"))
     }),
 
+    // --- kNN label purity (embedding-quality audit, q148) ------------------
+    // The standard intrinsic check on an embedding space: for each query,
+    // what fraction of its exact top-k neighbors carry the query's own
+    // label? High purity = the space clusters the supervision signal;
+    // purity ~ label-prior = the embeddings are noise for this task (the
+    // honest expectation on random testdata). Composes the exact q50 tier
+    // (self-reference, plan reuse) with two label lookups: the query side
+    // is a NumQueries-row broadcast, the neighbor side joins the
+    // (queries × k)-row rank list against the corpus BY ID — broadcast the
+    // tiny rank list, the corpus never shuffles. All outputs are exact
+    // integers over the fixed k denominator (q124's economics); at 100 TB
+    // this audit runs on a held-out query sample and costs nothing beyond
+    // the search it grades.
+    "q148_knn_purity" -> ((s, d) => {
+      val lbl = embs(s, d).select(col("vec_id"), col("label").cast("long"))
+      val nn = queries("q50_knn_brute")(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val withLabels = broadcast(nn)
+        .join(lbl.select(col("vec_id"), col("label").as("nlabel")), Seq("vec_id"))
+        .join(broadcast(lbl.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"))),
+          Seq("query_id"))
+      withLabels.groupBy(col("query_id"), col("qlabel"))
+        .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+          .as("n_same"))
+        .select(col("query_id"), col("qlabel"), col("n_same"),
+          (col("n_same").cast("double") / TopK).as("purity"))
+    }),
+
     // --- SemDeDup: cluster-then-dedup semantic deduplication (q144) --------
     // The embedding-space dedup tier that complements the lexical MinHash
     // family: k-means cluster the corpus, then inside each cluster drop
@@ -1821,6 +1850,28 @@ object Similarity {
             list_sum(list_transform(range(1, ${EmbDim + 1}),
               k -> (v[k] - (qi[k] * amax / 127.0)) * (v[k] - (qi[k] * amax / 127.0)))) AS err
           FROM q""",
+
+    "q148_knn_purity" ->
+      s"""WITH e AS (SELECT vec_id, label, $oEmb AS v FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     ${oCosine("q.v", "c.v")} AS sim
+              FROM e q JOIN e c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+            nn AS (
+              SELECT query_id, vec_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS nn_rank
+                FROM scored)
+              WHERE nn_rank <= $TopK)
+          SELECT nn.query_id, CAST(q.label AS BIGINT) AS qlabel,
+            CAST(SUM(CASE WHEN c.label = q.label THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_same,
+            CAST(SUM(CASE WHEN c.label = q.label THEN 1 ELSE 0 END) AS DOUBLE)
+              / $TopK AS purity
+          FROM nn
+          JOIN e c ON nn.vec_id = c.vec_id
+          JOIN e q ON nn.query_id = q.vec_id
+          GROUP BY nn.query_id, q.label""",
 
     "q144_semdedup" ->
       s"""WITH e AS (SELECT vec_id, $oEmb AS v FROM embeddings),

@@ -30,11 +30,13 @@ class CatalogPlanSpec extends SparkSpec {
   // attribute-cardinality-sized aggregates, never corpus rows.
   // q142 embeds the exact brute tier AND a per-dim truncated brute tier —
   // an audit in the q124/q129 mold, brute by definition.
+  // q148 grades label purity OVER the exact q50 list — an audit in the
+  // same mold; its own additions are broadcast equi joins.
   private val bnlAllowed =
     Set("q50_knn_brute", "q54_knn_quantized", "q82_knn_projected",
       "q112_hard_negatives", "q116_pq_adc",
       "q124_ann_recall", "q129_ivf_recall", "q135_chi_square",
-      "q142_matryoshka_recall")
+      "q142_matryoshka_recall", "q148_knn_purity")
 
   // Sanctioned build sides: a no-grouping-key aggregate (1-row scalar) or a
   // LocalTableScan (driver-local literal model state, e.g. q52's learned

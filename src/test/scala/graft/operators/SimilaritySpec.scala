@@ -36,6 +36,29 @@ class SimilaritySpec extends SparkSpec {
   private def embFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
     .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  test("q148: label purity equals a label-join recompute over the exact q50 list") {
+    val labels = embFrame.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val nn = Similarity.queries("q50_knn_brute")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq).toMap
+    val out = Similarity.queries("q148_knn_purity")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == (0L until Similarity.NumQueries).toSet)
+    out.foreach { case (q, (qlabel, nSame, purity)) =>
+      assert(qlabel == labels(q))
+      val expect = nn(q).count(labels(_) == labels(q)).toLong
+      assert(nSame == expect, s"query $q")
+      assert(purity == nSame.toDouble / Similarity.TopK)
+      assert(purity >= 0.0 && purity <= 1.0)
+    }
+    // the audit separates signal from noise: with 10 labels the mean
+    // purity of random embeddings sits near the 0.1 prior, far from 1.0
+    val mean = out.values.map(_._3).sum / out.size
+    assert(mean < 0.5, f"suspiciously pure for random testdata: $mean%.2f")
+  }
+
   test("q124: recall audit equals a set-intersection recompute of q50 vs q51") {
     val out = Similarity.queries("q124_ann_recall")(spark, sfDir).collect()
       .map(r => r.getLong(0) ->
