@@ -55,6 +55,36 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("mean_bits"))
   }
 
+  /** Low-entropy cutoff for [[charEntropy]]'s flag: mean bits/char below 2
+    * marks the degenerate repeats ("aaaa…" scores 0; two-char alternation
+    * ~1) while natural text's floor-approximated entropy sits well above. */
+  val CharEntropyMin = 2.0
+
+  /** Character-distribution entropy in exact integer bits (q149 — see the
+    * map entry for the full contract). */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val freq = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
+    val agg = freq.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") * length(bin(col("n")))).as("sum_nlog"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        (col("n_chars") * length(bin(col("n_chars"))) - col("sum_nlog"))
+          .as("sum_bits"))
+    docs.select(col("doc_id"), col("source"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        when(coalesce(col("n_chars"), lit(0L)) > 0,
+          col("sum_bits").cast("double") / col("n_chars"))
+          .otherwise(lit(0.0)).as("mean_bits"))
+      .withColumn("low_entropy", col("mean_bits") < CharEntropyMin)
+  }
+
   /** (doc_id, prev, cur) transition rows, built INSIDE each row (slice +
     * zip_with over the token array — zero shuffle, no posexplode self-join). */
   def bigrams(docs: DataFrame): DataFrame = {
@@ -182,6 +212,22 @@ object TextAnalysis {
     // vocabulary-sized and broadcast with the scalar total; the corpus side
     // is one explode + one doc_id-keyed hash agg — cost linear in tokens.
     "q113_unigram_surprisal" -> ((s, d) => unigramSurprisal(t(s, d))),
+
+    // --- character-distribution entropy (gibberish / spam floor) -----------
+    // The quality filter below the token level: a doc whose CHARACTER
+    // distribution carries almost no information ("aaaa…", "ababab…",
+    // base64 walls collapse the other way) is machine junk whatever its
+    // token stats say. Same exact-integer discipline as the surprisal
+    // family (q113/q123/q131): per-char bits = binary-digit-count
+    // difference digits(N) − digits(n_c), summed via the algebraic
+    // identity Σ n_c·(digits(N) − digits(n_c)) = N·digits(N) − Σ
+    // n_c·digits(n_c), so the whole entropy is two int64 aggregates and
+    // ONE exact long/long division at the end — engine-portable, no libm
+    // log. Purely per-doc: two hash aggs keyed by (doc_id[, char]), no
+    // corpus-wide vocabulary join at all, so at 100 TB this is
+    // embarrassingly parallel and shuffles only char-histogram rows
+    // (≤ alphabet size per doc, NOT n_chars rows past the first agg).
+    "q149_char_entropy" -> ((s, d) => charEntropy(t(s, d))),
 
     // --- bigram conditional surprisal (the Markov rung above q113) ---------
     // Per transition i: −log2 P(w_i | w_{i−1}) under add-one smoothing,
@@ -857,6 +903,33 @@ object TextAnalysis {
             CASE WHEN COALESCE(a.n_big, 0) > 0
                  THEN CAST(a.sum_bits AS DOUBLE) / a.n_big
                  ELSE 0.0 END AS mean_bits
+          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+
+    "q149_char_entropy" ->
+      s"""WITH ch AS (
+            SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+            FROM documents WHERE length(text) > 0),
+          freq AS (SELECT doc_id, ch, COUNT(1) AS n FROM ch
+                   GROUP BY doc_id, ch),
+          agg AS (
+            SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+              COUNT(1) AS n_distinct,
+              CAST(SUM(n * length(format('{:b}', n))) AS BIGINT) AS sum_nlog
+            FROM freq GROUP BY doc_id)
+          SELECT d.doc_id, d.source,
+            COALESCE(a.n_chars, 0) AS n_chars,
+            COALESCE(a.n_distinct, 0) AS n_distinct,
+            COALESCE(a.n_chars * length(format('{:b}', a.n_chars))
+                       - a.sum_nlog, 0) AS sum_bits,
+            CASE WHEN COALESCE(a.n_chars, 0) > 0
+                 THEN CAST(a.n_chars * length(format('{:b}', a.n_chars))
+                             - a.sum_nlog AS DOUBLE) / a.n_chars
+                 ELSE 0.0 END AS mean_bits,
+            CASE WHEN COALESCE(a.n_chars, 0) > 0
+                 THEN (CAST(a.n_chars * length(format('{:b}', a.n_chars))
+                              - a.sum_nlog AS DOUBLE) / a.n_chars)
+                      < $CharEntropyMin
+                 ELSE TRUE END AS low_entropy
           FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
 
     "q113_unigram_surprisal" ->

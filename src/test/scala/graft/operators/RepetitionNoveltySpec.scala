@@ -47,6 +47,41 @@ class RepetitionNoveltySpec extends SparkSpec {
     assert(out.values.exists(_._2 > 0L))
   }
 
+  test("q149: char entropy separates degenerate repeats from natural text; equals hand math") {
+    val docs = docsOf(
+      1L -> "aaaaaaaaaaaaaaaa",        // 1 symbol: 0 bits
+      2L -> "abababababababab",        // 2 symbols, 8+8: ~1 bit
+      3L -> "the quick brown fox jumps over the lazy dog")
+    val out = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    // doc 1: N=16, one char n=16 -> sum_bits = 16*5 - 16*5 = 0
+    assert(out(1L) == ((16L, 1L, 0L, 0.0, true)))
+    // doc 2: N=16 digits 5; two chars n=8 digits 4 -> 16*5 - 16*4 = 16
+    assert(out(2L) == ((16L, 2L, 16L, 1.0, true)))
+    // doc 3: natural text clears the floor
+    val (_, nd3, _, mean3, low3) = out(3L)
+    assert(nd3 > 20 && mean3 > TextAnalysis.CharEntropyMin && !low3)
+    // corpus recompute: digit-count identity per doc, flag threshold
+    val corpus = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.queries("q149_char_entropy")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    assert(got.keySet == corpus.keySet)
+    got.foreach { case (id, (n, nd, bits, mean, low)) =>
+      val freq = corpus(id).toSeq.groupBy(identity).map(_._2.length.toLong)
+      def digits(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+      val expBits = freq.sum * digits(freq.sum) - freq.map(c => c * digits(c)).sum
+      assert((n, nd, bits) == ((freq.sum, freq.size.toLong, expBits)), s"doc $id")
+      assert(mean == expBits.toDouble / freq.sum)
+      assert(low == (mean < TextAnalysis.CharEntropyMin))
+    }
+  }
+
   test("q123: bigram surprisal equals the integer-bit hand computation") {
     // bigrams: (a,a)×3 from doc1, (a,b)×1 from doc2; doc3 has none.
     // c(a,a)=3, c(a,b)=1, c_prev(a)=4, V=3 (a, b, solo).
