@@ -316,6 +316,39 @@ object StatefulOps {
   case class CoverageRow(user_id: Long, n_intervals: Long, n_events: Long,
                          covered_us: Long)
 
+  case class MvEvent(user_id: Long, value: Double)
+  case class MvState(n: Long, sum_cents: Long, vmin: Double, vmax: Double)
+  case class MvRow(user_id: Long, n_events: Long, v_sum: Double,
+                   v_min: Double, v_max: Double, v_avg: Double)
+
+  /** Streaming twin of the batch MV refresh (q146, `Relational`): the SAME
+    * mergeable per-key state — count, exact integer-cents sum (the
+    * DECIMAL(18,2) twin), min, max — folded per micro-batch, with the
+    * derived read (v_sum, v_avg) emitted from state on every update.
+    * Because every fold step is commutative AND associative over exact
+    * values, this twin is exact under ANY arrival order — no event-time
+    * ordering contract at all, unlike the funnel/SCD2 twins — which is
+    * precisely the q146 associativity argument playing out live. State is
+    * O(1) per key (4 scalars); at 100 TB of stream history the state
+    * store holds #keys rows regardless of events seen. */
+  def mvRefreshStream(events: Dataset[MvEvent]): Dataset[MvRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[MvState, MvRow](GroupStateTimeout.NoTimeout()) {
+        case (uid, batch, state) =>
+          var s = state.getOption
+            .getOrElse(MvState(0L, 0L, Double.MaxValue, Double.MinValue))
+          batch.foreach { e =>
+            s = MvState(s.n + 1L,
+              s.sum_cents + math.rint(e.value * 100).toLong,
+              math.min(s.vmin, e.value), math.max(s.vmax, e.value))
+          }
+          state.update(s)
+          MvRow(uid, s.n, s.sum_cents / 100.0, s.vmin, s.vmax,
+            (s.sum_cents / 100.0) / s.n)
+      }
+  }
+
   /** Streaming twin of the batch interval union (q89, `Relational`): each
     * event opens a fixed `horizonUs` activity interval and the state folds
     * the union incrementally — O(1) per user (last interval end + three

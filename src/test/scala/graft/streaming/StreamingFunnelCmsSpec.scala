@@ -129,6 +129,46 @@ class StreamingFunnelCmsSpec extends SparkSpec with Matchers {
     assert(streamSet == batchClosed)
   }
 
+  test("streaming MV refresh matches batch q146 bit-for-bit under a SHUFFLED replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val batch = Relational.queries("q146_mv_refresh")(s, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(batch.nonEmpty)
+
+    // deliberately NOT time-ordered: md5-shuffled replay — the mergeable
+    // state has no ordering contract, so the result must still be exact
+    val log = graft.Tables.load(s, sfDir, "events")
+      .select(col("user_id"), col("value"))
+      .orderBy(md5(concat_ws("|", col("event_id"), col("user_id"))))
+      .as[(Long, Double)].collect()
+      .map { case (u, v) => MvEvent(u, v) }
+    val chunks = log.grouped((log.length + 3) / 4).toSeq
+
+    val mem = MemoryStream[MvEvent]
+    val q = mvRefreshStream(mem.toDS())
+      .writeStream.format("memory").queryName("mv_stream")
+      .outputMode("update").start()
+    val streamed =
+      try {
+        chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+        // update mode re-emits a key's row each batch it changes in; the
+        // LAST emission per key is the final state
+        s.table("mv_stream").collect()
+      } finally q.stop()
+    val finalPerKey = streamed.zipWithIndex
+      .groupBy(_._1.getLong(0))
+      .map { case (uid, rows) =>
+        val r = rows.maxBy(_._2)._1
+        uid -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      }
+    assert(finalPerKey == batch)
+  }
+
   test("streaming coverage matches the batch q89 interval union on a ts-ordered replay") {
     val s = spark
     import s.implicits._
