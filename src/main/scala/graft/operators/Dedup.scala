@@ -839,6 +839,49 @@ object Dedup {
             .otherwise(lit(0.0)).as("clustering"))
     }),
 
+    // --- label-propagation communities over the duplicate graph (q150) -----
+    // The community tier BETWEEN q46's connected components and q143's
+    // chain diagnostic: synchronous label propagation (Raghavan et al.
+    // 2007), 3 unrolled rounds over the SHARED memoized pair list — zero
+    // new corpus scans, every step pair-sized. Where CC glues everything
+    // reachable into one cluster (risky on chain-shaped lineages, exactly
+    // what q143 flags), LP lets dense cores keep distinct labels: a node
+    // takes the most frequent label among its NEIGHBORS (tie → smallest
+    // label; own label not in the vote), so a chain's ends pull apart
+    // while a clone family collapses. Fixed round count + total tie order
+    // make the result deterministic and engine-portable (LP with
+    // data-dependent convergence would not be); 3 rounds is the paper's
+    // "almost all labels settle" regime. Scale: each round is one
+    // pair-sized join + hash agg + per-node window — #rounds × pair
+    // volume, corpus-independent past the memoized signature pass.
+    // The vote includes the node's OWN current label once (a self-loop
+    // edge): pure neighbor-voting oscillates on isolated pairs — the two
+    // endpoints swap labels forever, the known LPA bipartite pathology —
+    // while the self-vote makes a pair tie on {a,b} and converge to
+    // min(a,b) in one round.
+    "q150_label_prop" -> ((s, d) => {
+      val pairs = trigramPairs(s, d).select(col("i"), col("j"))
+      val nodes = pairs.select(col("i").as("id"))
+        .unionAll(pairs.select(col("j").as("id"))).distinct()
+      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+        .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
+        .unionAll(nodes.select(col("id").as("src"), col("id").as("dst")))
+      var labels = nodes.withColumn("lbl", col("id"))
+      for (_ <- 1 to 3) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("c").desc, col("lbl"))
+        labels = edges.join(labels, col("dst") === col("id"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("src").as("id"), col("lbl"))
+      }
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+      labels.join(broadcast(sizes), Seq("lbl"))
+        .select(col("id").as("doc_id"), col("lbl").as("community"),
+          col("n_members"))
+    }),
+
     // --- maximal duplicated spans (true lengths, not window counts) --------
     // q110 reports WHICH window positions are duplicated; this reports the
     // TRUE maximal span length per document pair — the ExactSubstr output
@@ -1286,6 +1329,32 @@ object Dedup {
                       / (deg.degree * (deg.degree - 1))
                  ELSE CAST(0.0 AS DOUBLE) END AS clustering
           FROM deg LEFT JOIN tpn ON deg.doc_id = tpn.doc_id""",
+
+    "q150_label_prop" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+              SELECT id, lbl FROM (
+                SELECT e.src AS id, l.lbl, COUNT(1) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY e.src
+                    ORDER BY COUNT(1) DESC, l.lbl) AS rk
+                FROM edges e JOIN $prev l ON e.dst = l.id
+                GROUP BY e.src, l.lbl)
+              WHERE rk = 1)"""
+      s"""WITH pairs AS (SELECT i, j FROM (${oLshNearDupPairs(3, NumHashes,
+            BandSize, 0, TrigramTNum, TrigramTDen)})),
+          nodes AS (SELECT DISTINCT id FROM (
+            SELECT i AS id FROM pairs UNION ALL SELECT j FROM pairs)),
+          edges AS (SELECT i AS src, j AS dst FROM pairs
+                    UNION ALL SELECT j AS src, i AS dst FROM pairs
+                    UNION ALL SELECT id AS src, id AS dst FROM nodes),
+          l0 AS (SELECT id, id AS lbl FROM nodes),
+          ${round("l0", "l1")},
+          ${round("l1", "l2")},
+          ${round("l2", "l3")},
+          sizes AS (SELECT lbl, COUNT(1) AS n_members FROM l3 GROUP BY lbl)
+          SELECT l3.id AS doc_id, l3.lbl AS community, sizes.n_members
+          FROM l3 JOIN sizes ON l3.lbl = sizes.lbl"""
+    },
 
     "q139_max_dup_span" ->
       """WITH base AS (

@@ -385,6 +385,39 @@ class DedupSpec extends SparkSpec {
     assert(out.values.exists(_._2 > 0), "no triangles in the near-dup graph")
   }
 
+  test("q150: label propagation equals a 3-round JVM sync recompute; pairs converge") {
+    val edges = Dedup.queries("q42_dedup_lsh_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.toSeq.flatMap { case (i, j) => Seq(i -> j, j -> i) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keySet
+    var lbl: Map[Long, Long] = nodes.map(v => v -> v).toMap
+    (1 to 3).foreach { _ =>
+      lbl = nodes.map { v =>
+        // vote = neighbor labels + own label once (the self-loop)
+        val votes = (adj(v).map(lbl) :+ lbl(v))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        v -> votes.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = Dedup.queries("q150_label_prop")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == nodes)
+    nodes.foreach { v =>
+      assert(out(v) == ((lbl(v), sizes(lbl(v)))), s"doc $v")
+    }
+    // structure: labels are node ids; an isolated pair must share one
+    // community (the self-vote kills the LPA swap oscillation)
+    assert(lbl.values.toSet.subsetOf(nodes))
+    val deg = adj.view.mapValues(_.size).toMap
+    edges.filter { case (i, j) => deg(i) == 1 && deg(j) == 1 }
+      .foreach { case (i, j) =>
+        assert(lbl(i) == lbl(j), s"isolated pair ($i,$j) did not converge")
+      }
+    assert(lbl.values.toSet.size < nodes.size, "no community ever merged")
+  }
+
   test("q139: max duplicated span equals a brute-force longest-common-substring DP") {
     val W = 32
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
