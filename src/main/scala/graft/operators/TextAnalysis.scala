@@ -213,6 +213,38 @@ object TextAnalysis {
     // is one explode + one doc_id-keyed hash agg — cost linear in tokens.
     "q113_unigram_surprisal" -> ((s, d) => unigramSurprisal(t(s, d))),
 
+    // --- CCNet-style per-language surprisal buckets (q151) -----------------
+    // The cross-domain normalization move (Wenzek et al.'s CCNet): a raw
+    // LM score is incomparable ACROSS languages (every language has its
+    // own perplexity floor), so CCNet thresholds each language against its
+    // OWN distribution — rank docs by surprisal within language, split
+    // head / middle / tail at the exact 1/3 and 2/3 rank boundaries, and
+    // downstream mixing keeps e.g. head+middle. Composes q113's
+    // exact-integer unigram surprisal with one per-lang window; the bucket
+    // decision rank·3 ≤ n is all-integer (no percentile float). Scale:
+    // ranking partitions by language — each partition sorts its own docs,
+    // embarrassingly parallel across languages; production replaces the
+    // within-language sort by the q128 histogram rank-walk when a single
+    // language no longer fits a sort (same output, two hash aggs).
+    "q151_ccnet_buckets" -> ((s, d) => {
+      val sur = unigramSurprisal(t(s, d))
+        .select(col("doc_id"), col("mean_bits"))
+      val scored = t(s, d).select(col("doc_id"), col("lang"))
+        .join(sur, Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("mean_bits").asc, col("doc_id"))
+      val part = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("n_lang", count(lit(1)).over(part))
+        .select(col("doc_id"), col("lang"), col("mean_bits"),
+          col("rank"), col("n_lang"),
+          when(col("rank") * 3 <= col("n_lang"), lit("head"))
+            .when(col("rank") * 3 <= col("n_lang") * 2, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+    }),
+
     // --- character-distribution entropy (gibberish / spam floor) -----------
     // The quality filter below the token level: a doc whose CHARACTER
     // distribution carries almost no information ("aaaa…", "ababab…",
@@ -904,6 +936,35 @@ object TextAnalysis {
                  THEN CAST(a.sum_bits AS DOUBLE) / a.n_big
                  ELSE 0.0 END AS mean_bits
           FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+
+    "q151_ccnet_buckets" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($oToks) AS term FROM documents),
+          vocab AS (SELECT term, COUNT(1) AS cnt FROM tok GROUP BY term),
+          tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM vocab),
+          agg AS (
+            SELECT t.doc_id, COUNT(1) AS n_tok,
+              CAST(SUM(length(format('{:b}', tot.tot))
+                       - length(format('{:b}', v.cnt))) AS BIGINT) AS sum_bits
+            FROM tok t JOIN vocab v ON t.term = v.term CROSS JOIN tot
+            GROUP BY t.doc_id),
+          sur AS (
+            SELECT d.doc_id, d.lang,
+              CASE WHEN COALESCE(a.n_tok, 0) > 0
+                   THEN CAST(a.sum_bits AS DOUBLE) / a.n_tok
+                   ELSE 0.0 END AS mean_bits
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+          ranked AS (
+            SELECT doc_id, lang, mean_bits,
+              CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY mean_bits, doc_id) AS BIGINT) AS rank,
+              CAST(COUNT(1) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+            FROM sur)
+          SELECT doc_id, lang, mean_bits, rank, n_lang,
+            CASE WHEN rank * 3 <= n_lang THEN 'head'
+                 WHEN rank * 3 <= n_lang * 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket
+          FROM ranked""",
 
     "q149_char_entropy" ->
       s"""WITH ch AS (

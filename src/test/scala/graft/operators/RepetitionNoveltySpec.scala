@@ -47,6 +47,35 @@ class RepetitionNoveltySpec extends SparkSpec {
     assert(out.values.exists(_._2 > 0L))
   }
 
+  test("q151: CCNet buckets equal a JVM rank recompute over q113 surprisal; thirds balanced") {
+    val lang = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sur = TextAnalysis.queries("q113_unigram_surprisal")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val expected = lang.toSeq.groupBy(_._2).flatMap { case (lg, ds) =>
+      val ranked = ds.map(_._1).sortBy(id => (sur(id), id))
+      val n = ranked.length.toLong
+      ranked.zipWithIndex.map { case (id, i) =>
+        val rk = i + 1L
+        val bucket = if (rk * 3 <= n) "head"
+          else if (rk * 3 <= n * 2) "middle" else "tail"
+        id -> ((lg, sur(id), rk, n, bucket))
+      }
+    }
+    val out = TextAnalysis.queries("q151_ccnet_buckets")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(out == expected)
+    // per language the three buckets differ in size by at most 1
+    out.values.groupBy(_._1).foreach { case (lg, rows) =>
+      val sizes = rows.groupBy(_._5).view.mapValues(_.size).toMap
+      assert(sizes.keySet == Set("head", "middle", "tail"), lg)
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lg: $sizes")
+    }
+  }
+
   test("q149: char entropy separates degenerate repeats from natural text; equals hand math") {
     val docs = docsOf(
       1L -> "aaaaaaaaaaaaaaaa",        // 1 symbol: 0 bits
