@@ -524,6 +524,45 @@ object Multimodal {
     }
   }
 
+  /** Banded-Hamming near-dup pairs over ANY (id, 64-bit hash) frame — the
+    * perceptual-dedup JOIN that turns the fingerprint ladder (aHash /
+    * pHash / audio band-energy bits) into actual duplicate pairs, with the
+    * MinHash-LSH band discipline transplanted to Hamming space: split the
+    * 64 bits into nBands contiguous bands; by pigeonhole, two hashes
+    * within Hamming distance d < nBands agree EXACTLY on ≥1 band, so an
+    * equi self-join on (band, band-bits) generates a COMPLETE candidate
+    * set (zero false negatives, spec-proven against brute force) and the
+    * cheap popcount(xor) verify runs only on collisions — never all
+    * pairs. Scale shape: banding is a narrow projection (4 rows per
+    * hash), candidates are an equi join on the band key, and the verify
+    * is codegen bit math on pair-sized rows — the q42 economics at 64-bit
+    * width. Spec-only like its fingerprint inputs (pixel/PCM decoding is
+    * not oracle-expressible); the lexical twin q42 carries the hash gate
+    * for this join shape. */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxDist: Int = 3, nBands: Int = 4): DataFrame = {
+    require(maxDist < nBands,
+      s"pigeonhole completeness needs maxDist < nBands, got $maxDist/$nBands")
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = hashes
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("h"), b * width).bitwiseAND(lit(mask)).as("k"))): _*))
+          .as("bk"))
+      .select(col("id"), col("h"), col("bk.b").as("b"), col("bk.k").as("k"))
+    banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("i"), col("y.id").as("j"),
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- binary payload + typed metadata extraction ------------------------

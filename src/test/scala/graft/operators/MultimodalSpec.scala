@@ -137,6 +137,63 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(5L).decoded && out(5L).phash == 0L, "degrade, never crash")
   }
 
+  test("hammingPairs: complete vs brute force at d<=3; misses nothing, verifies exactly") {
+    import spark.implicits._
+    // deterministic pseudo-random hashes + planted near-pairs at controlled
+    // distances (0, 1, 3 in = found; 4, 17 out = must be dropped by verify)
+    def h64(s: String): Long =
+      java.lang.Long.parseLong(TextFns.md5hex(s).take(15), 16)
+    val base = (0 until 24).map(i => (i.toLong, h64(s"hp$i")))
+    def flip(h: Long, bits: Seq[Int]) = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+    val planted = Seq(
+      (100L, base(0)._2),                      // dist 0 to id 0
+      (101L, flip(base(1)._2, Seq(5))),        // dist 1 to id 1
+      (102L, flip(base(2)._2, Seq(3, 21, 60))),// dist 3 to id 2
+      (103L, flip(base(3)._2, Seq(1, 18, 35, 52))), // dist 4: candidate? maybe; pair NO
+      (104L, flip(base(4)._2, Seq(0, 7, 19, 24, 33, 38, 47, 50, 55, 56, 58, 59, 60, 61, 62, 63, 2))))
+    val all = base ++ planted
+    val out = Multimodal.hammingPairs(all.toDF("id", "h"), "id", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force truth at the same threshold
+    val brute = (for {
+      (i, hi) <- all; (j, hj) <- all if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) if d <= 3
+    } yield (i, j, d.toLong)).toSet
+    assert(out == brute, "banded candidates + verify must equal brute force")
+    assert(out.contains((0L, 100L, 0L)) && out.contains((1L, 101L, 1L)) &&
+      out.contains((2L, 102L, 3L)))
+    assert(!out.exists { case (i, j, _) => Set(i, j).contains(103L) },
+      "distance-4 pair must fail the verify")
+  }
+
+  test("hammingPairs closes the perceptual loop: re-encode twins pair, unrelated do not") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = math.min(255, 3 * x + 2 * y + (if (x >= 20 && y < 10) 90 else 0))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val inv = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      inv.setRGB(x, y, ~img.getRGB(x, y) & 0xffffff)
+    def enc(i: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(i, fmt, bos)); bos.toByteArray
+    }
+    val hashes = imagePHash(Seq(
+      MediaPayload(1L, "image", enc(img, "png")),
+      MediaPayload(2L, "image", enc(img, "bmp")),
+      MediaPayload(3L, "image", enc(inv, "png"))).toDS())
+      .filter(_.decoded).toDF()
+    val pairs = Multimodal.hammingPairs(hashes, "doc_id", "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "re-encoded twin must pair")
+    assert(!pairs.exists { case (i, j) => Set(i, j).contains(3L) },
+      "inverted image must not pair at d<=3")
+  }
+
   test("decodeImage: real JPEG decode via javax.imageio") {
     import spark.implicits._
     // JPEG is lossy, so pin a uniform mid-gray 4x4 (DC-only content — the
