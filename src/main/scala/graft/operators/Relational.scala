@@ -81,6 +81,12 @@ object Relational {
                      ROWS UNBOUNDED PRECEDING) AS sid
          FROM m)"""
 
+  /** Staleness horizon for the q152 tolerance as-of join: 72 hours in
+    * microseconds. The testdata's calibration-age median is ~150 h, so
+    * this splits matched vs stale roughly 1:2 — both classes populated at
+    * every SF. */
+  val AsofToleranceUs: Long = 72L * 3600 * 1000000
+
   /** Per-user_id mergeable aggregate state (q146): count, exact decimal
     * sum, min, max — the four partials every downstream read (including
     * avg) derives from. Mergeable BY CONSTRUCTION: count/sum re-sum,
@@ -1258,6 +1264,27 @@ object Relational {
           col("cal_ts"), col("cal_value"))
     }),
 
+    // --- tolerance-bounded as-of join -------------------------------------------
+    // The sensor-fusion variant of q48: a backward as-of match is only
+    // VALID within a staleness horizon (a calibration 3 weeks old is no
+    // calibration at all — pandas merge_asof's `tolerance`, QuestDB/kdb's
+    // windowed aj). Rides q48's union-sort-last merge unchanged — the
+    // tolerance is a pure post-projection on the matched pair (exact
+    // integer microsecond arithmetic), so the scale story is exactly
+    // q48's: ONE user_id shuffle, no range join, no BNL. Stale matches
+    // null out rather than drop: the row keeps its event data and the
+    // `matched` bit makes the staleness decision auditable downstream.
+    "q152_asof_tolerance" -> ((s, d) => {
+      val within = unix_micros(col("ts")) - unix_micros(col("cal_ts")) <=
+        AsofToleranceUs
+      queries("q48_asof_join")(s, d)
+        .select(col("user_id"), col("ts"), col("value"),
+          when(col("cal_ts").isNotNull && within, col("cal_ts")).as("cal_ts"),
+          when(col("cal_ts").isNotNull && within, col("cal_value"))
+            .as("cal_value"),
+          (col("cal_ts").isNotNull && within).as("matched"))
+    }),
+
     // --- range (interval-containment) join --------------------------------------
     // Assign every event to the session interval that contains it. The
     // range predicate rides on an EQUI-join key (user_id) — the scale-safe
@@ -2080,6 +2107,25 @@ object Relational {
                          FROM events WHERE value > 190
                          GROUP BY user_id, ts) c
            ON e.user_id = c.user_id AND e.ts >= c.ts""",
+
+    "q152_asof_tolerance" ->
+      s"""SELECT user_id, ts, value,
+           CASE WHEN cal_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(cal_ts) <= $AsofToleranceUs
+                THEN cal_ts END AS cal_ts,
+           CASE WHEN cal_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(cal_ts) <= $AsofToleranceUs
+                THEN cal_value END AS cal_value,
+           (cal_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(cal_ts) <= $AsofToleranceUs)
+             AS matched
+         FROM (
+           SELECT e.user_id, e.ts, e.value, c.ts AS cal_ts, c.cval AS cal_value
+           FROM events e
+           ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS cval
+                           FROM events WHERE value > 190
+                           GROUP BY user_id, ts) c
+             ON e.user_id = c.user_id AND e.ts >= c.ts)""",
 
     "q24_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

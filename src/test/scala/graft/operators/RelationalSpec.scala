@@ -284,6 +284,37 @@ class RelationalSpec extends SparkSpec {
     assert(out.exists(_._6 == "changed") && out.exists(_._6 == "unchanged"))
   }
 
+  test("q152: tolerance as-of equals q48 with the staleness horizon applied; both classes live") {
+    val tol = Relational.AsofToleranceUs
+    val base = Relational.queries("q48_asof_join")(spark, sfDir).collect()
+      .map { r =>
+        val calTs = Option(r.getTimestamp(3))
+        ((r.getLong(0), r.getTimestamp(1)),
+          (r.getDouble(2), calTs, if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      }.toMap
+    val out = Relational.queries("q152_asof_tolerance")(spark, sfDir).collect()
+    assert(out.length == base.size)
+    var matched = 0
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getTimestamp(1))
+      val (value, calTs, calVal) = base(key)
+      assert(r.getDouble(2) == value)
+      // exact epoch micros (getTime is ms-truncated; nanos carries the rest)
+      def us(t: java.sql.Timestamp): Long =
+        (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+      val expectMatch = calTs.exists(c => us(r.getTimestamp(1)) - us(c) <= tol)
+      assert(r.getBoolean(5) == expectMatch, s"row $key")
+      if (expectMatch) {
+        matched += 1
+        assert(Option(r.getTimestamp(3)) == calTs && Some(r.getDouble(4)) == calVal)
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(4), s"stale row $key must null out")
+      }
+    }
+    assert(matched > 0 && matched < out.length,
+      s"degenerate split: $matched of ${out.length}")
+  }
+
   test("q146: MV refresh merge == from-scratch agg bit-for-bit, under any batching") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, sfDir, "events")
