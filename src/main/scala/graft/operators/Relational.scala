@@ -111,6 +111,25 @@ object Relational {
         col("v_min"), col("v_max"),
         (col("vs").cast("double") / col("n_events")).as("v_avg"))
 
+  /** One leg of the q154 referential-integrity audit: orphan statistics
+    * for a single FK edge (SQL MATCH SIMPLE semantics — a NULL child key
+    * is never a violation). Public so the spec can inject corrupted child
+    * rows and prove the audit actually detects them. */
+  def fkOrphanEdge(name: String, child: DataFrame, ck: String,
+                   parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+    val pkeys0 = parent.select(col(pk).cast("long").as("__pk")).distinct()
+    val pkeys = if (bcast) broadcast(pkeys0) else pkeys0
+    child.select(col(ck).cast("long").as("__ck"))
+      .join(pkeys, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("child_rows"),
+        count(when(col("__pk").isNull && col("__ck").isNotNull, lit(1)))
+          .as("orphan_rows"),
+        countDistinct(when(col("__pk").isNull, col("__ck")))
+          .as("orphan_keys"))
+      .select(lit(name).as("edge"), col("child_rows"),
+        col("orphan_rows"), col("orphan_keys"))
+  }
+
   /** Golden-record survivorship body (see the q130 map entry): input must
     * carry (user_id, ts, event_id, event_type, value). */
   def goldenRecord(base: DataFrame): DataFrame = {
@@ -1285,6 +1304,92 @@ object Relational {
           (col("cal_ts").isNotNull && within).as("matched"))
     }),
 
+    // --- single-pass column profile (the data-quality suite shape) --------------
+    // The Deequ/Great-Expectations read: per column of lineitem, exact
+    // completeness (null count), exact distinct cardinality, and typed
+    // min/max — emitted as one long-format frame so a validation harness
+    // consumes ONE schema regardless of table width. Shape: a SINGLE
+    // aggregation pass over the corpus computes every metric (count/min/
+    // max collapse map-side; the 11 exact distinct aggregates ride
+    // Spark's Expand — an 11-way row replication that is the honest cost
+    // of EXACT cardinality; the 100 TB relaxation is swapping
+    // countDistinct for approx_count_distinct/HLL (the q24/q109 tier)
+    // with zero structural change), then the 1-row result explodes into
+    // per-column rows driver-free. min/max of doubles are comparisons,
+    // not arithmetic — they return an input value bit-for-bit, so the
+    // oracle matches exactly with no cents/decimal detour; integer
+    // extremes cast to double are exact below 2^53 (TPC-H keys at 100 TB
+    // are ~2^40).
+    "q153_data_profile" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val tsCols = Seq("l_shipdate")
+      val all = numCols ++ strCols ++ tsCols
+      val aggs: Seq[Column] =
+        Seq(count(lit(1)).as("n_rows")) ++
+          all.flatMap(c => Seq(count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"))) ++
+          numCols.flatMap(c => Seq(min(col(c)).cast("double").as(s"mn_$c"),
+            max(col(c)).cast("double").as(s"mx_$c"))) ++
+          (strCols ++ tsCols).flatMap(c => Seq(min(col(c)).as(s"mn_$c"),
+            max(col(c)).as(s"mx_$c")))
+      val a = li.agg(aggs.head, aggs.tail: _*)
+      val nullD = lit(null).cast("double")
+      val nullS = lit(null).cast("string")
+      val nullT = lit(null).cast("timestamp")
+      def entry(c: String, mnN: Column, mxN: Column, mnS: Column,
+                mxS: Column, mnT: Column, mxT: Column) =
+        struct(lit(c).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"),
+          mnN.as("min_num"), mxN.as("max_num"),
+          mnS.as("min_str"), mxS.as("max_str"),
+          mnT.as("min_ts"), mxT.as("max_ts"))
+      val entries =
+        numCols.map(c => entry(c, col(s"mn_$c"), col(s"mx_$c"),
+          nullS, nullS, nullT, nullT)) ++
+          strCols.map(c => entry(c, nullD, nullD,
+            col(s"mn_$c"), col(s"mx_$c"), nullT, nullT)) ++
+          tsCols.map(c => entry(c, nullD, nullD, nullS, nullS,
+            col(s"mn_$c"), col(s"mx_$c")))
+      a.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+    }),
+
+    // --- referential-integrity (FK orphan) audit --------------------------------
+    // The constraint-validation read over the full FK graph: per edge,
+    // child rows whose foreign key has no parent (SQL FK semantics — a
+    // NULL FK is not a violation, matching ANSI MATCH SIMPLE). Shape:
+    // each edge is one left join against the DISTINCT parent keyset +
+    // one aggregation; truly-bounded dims (nation, region) broadcast,
+    // fact-sized parents (orders, part, supplier, customer — all
+    // SF-proportional) go through a key-only shuffle join where the
+    // probe side carries a single long column, so the shuffle moves
+    // 8 bytes/row regardless of table width. At 100 TB the orphan check
+    // over lineitem->orders is exactly the shape AQE skew-splits; the
+    // per-edge frames are independent so all seven audit legs run
+    // concurrently. Keys cast to long so one output schema covers
+    // int32 (nation/region) and int64 edges.
+    "q154_fk_orphans" -> ((s, d) => {
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String, bcast: Boolean) =
+        fkOrphanEdge(name, child, ck, parent, pk, bcast)
+      val li = t(s, d, "lineitem"); val or = t(s, d, "orders")
+      val cu = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val pa = t(s, d, "part"); val na = t(s, d, "nation")
+      val re = t(s, d, "region")
+      Seq(
+        edge("lineitem->orders", li, "l_orderkey", or, "o_orderkey", bcast = false),
+        edge("lineitem->part", li, "l_partkey", pa, "p_partkey", bcast = false),
+        edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey", bcast = false),
+        edge("orders->customer", or, "o_custkey", cu, "c_custkey", bcast = false),
+        edge("customer->nation", cu, "c_nationkey", na, "n_nationkey", bcast = true),
+        edge("supplier->nation", su, "s_nationkey", na, "n_nationkey", bcast = true),
+        edge("nation->region", na, "n_regionkey", re, "r_regionkey", bcast = true)
+      ).reduce(_ unionByName _)
+    }),
+
     // --- range (interval-containment) join --------------------------------------
     // Assign every event to the session interval that contains it. The
     // range predicate rides on an EQUI-join key (user_id) — the scale-safe
@@ -2132,6 +2237,57 @@ object Relational {
             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
             COUNT(1) AS n_rows
          FROM lineitem
-         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))"""
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""",
+
+    "q153_data_profile" -> {
+      def prof(c: String, kind: String): String = {
+        val (mnN, mxN) =
+          if (kind == "num")
+            (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        val (mnS, mxS) =
+          if (kind == "str") (s"MIN($c)", s"MAX($c)")
+          else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        val (mnT, mxT) =
+          if (kind == "ts") (s"MIN($c)", s"MAX($c)")
+          else ("CAST(NULL AS TIMESTAMP)", "CAST(NULL AS TIMESTAMP)")
+        s"""SELECT '$c' AS col_name, COUNT(1) AS n_rows,
+              COUNT(1) - COUNT($c) AS n_nulls,
+              COUNT(DISTINCT $c) AS n_distinct,
+              $mnN AS min_num, $mxN AS max_num,
+              $mnS AS min_str, $mxS AS max_str,
+              $mnT AS min_ts, $mxT AS max_ts
+            FROM lineitem"""
+      }
+      (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(prof(_, "num")) ++
+        Seq("l_returnflag", "l_linestatus").map(prof(_, "str")) ++
+        Seq("l_shipdate").map(prof(_, "ts")))
+        .mkString(" UNION ALL ")
+    },
+
+    "q154_fk_orphans" -> {
+      def edge(name: String, child: String, ck: String,
+               parent: String, pk: String): String =
+        s"""SELECT '$name' AS edge, COUNT(1) AS child_rows,
+              COUNT(CASE WHEN p.__pk IS NULL AND CAST(c.$ck AS BIGINT)
+                          IS NOT NULL THEN 1 END) AS orphan_rows,
+              COUNT(DISTINCT CASE WHEN p.__pk IS NULL
+                             THEN CAST(c.$ck AS BIGINT) END) AS orphan_keys
+            FROM $child c
+            LEFT JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS __pk
+                       FROM $parent) p
+              ON CAST(c.$ck AS BIGINT) = p.__pk"""
+      Seq(
+        edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey")
+      ).mkString(" UNION ALL ")
+    }
   )
 }

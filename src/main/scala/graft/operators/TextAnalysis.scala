@@ -318,6 +318,136 @@ object TextAnalysis {
             .otherwise(lit(0.0)).as("mean_bits"))
     }),
 
+    // --- exact pairwise source-vocabulary overlap ---------------------------
+    // The EXACT tier under the q109 HLL union matrix: per source pair,
+    // |A∩B| / |A∪B| over vocabularies (distinct token sets). Shape: ONE
+    // distinct (term, source) projection (corpus-scale but narrow — a
+    // token + a source id per row), then a term-keyed self-join whose
+    // per-term fan-out is bounded by #sources² (each term contributes at
+    // most one row per source after the distinct), so the pair volume is
+    // #terms·S² — vocabulary-sized, never corpus². Union derives from
+    // |A|+|B|−∩, so no second pass; the all-pairs scaffold joins on a
+    // literal key (equi-planned, S²-sized) so empty intersections still
+    // emit a row instead of silently dropping. Jaccard is one exact
+    // int/int divide. At 100 TB swap the exact tier for q109's HLL matrix
+    // when vocabulary itself stops fitting the shuffle; structurally
+    // nothing else changes.
+    "q155_vocab_overlap" -> ((s, d) => {
+      val ts = t(s, d)
+        .select(explode(toks(col("text"))).as("term"), col("source"))
+        .distinct()
+      val perSrc = ts.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+      val inter = ts.as("a")
+        .join(ts.as("b"), col("a.term") === col("b.term") &&
+          col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val pairs = perSrc.select(col("source").as("src_a"),
+          col("n_types").as("n_types_a"))
+        .join(broadcast(perSrc.select(col("source").as("src_b"),
+          col("n_types").as("n_types_b"))), col("src_a") < col("src_b"))
+      pairs.join(inter, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("n_types_a"), col("n_types_b"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+        .withColumn("n_union",
+          col("n_types_a") + col("n_types_b") - col("n_inter"))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / col("n_union"))
+    }),
+
+    // --- DSIR hashed-ngram importance weights -------------------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // every document by how much more likely its tokens are under a
+    // TARGET bucket-unigram model than under the RAW corpus model, with
+    // features hashed into B=256 buckets so the models are fixed-size
+    // regardless of vocabulary. Target = the lexicographically-smallest
+    // source (a deterministic "curated subset" stand-in; production
+    // swaps in any reference corpus). Log-likelihood ratio in the
+    // engine-portable exact-integer-bits currency of the q113 family:
+    // weight = Σ_b c_doc[b]·(digits(c_t[b]+1) − digits(c_r[b]+1))
+    //        + n_tok·(digits(T_r) − digits(T_t))   (add-one smoothing),
+    // digits(x) = length of x's binary representation. Shape: one token
+    // pass → (doc, bucket) counts (the only corpus-scale shuffle, keyed
+    // by doc_id), models are 256-row aggregates broadcast back, per-doc
+    // weight is one hash agg. The bucket models make this the shape that
+    // holds at 100 TB: model size is B, not |vocab|.
+    "q156_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d)
+      val B = 256
+      val tgtSrc = docs.agg(min(col("source")).as("tgt"))
+      val bucket = pmod(conv(substring(md5(col("term")), 1, 15), 16, 10)
+        .cast("long"), lit(B))
+      val tok = docs.join(broadcast(tgtSrc))
+        .select(col("doc_id"), col("source"), col("tgt"),
+          explode(toks(col("text"))).as("term"))
+        .select(col("doc_id"), (col("source") === col("tgt")).as("is_tgt"),
+          bucket.as("b"))
+      val docB = tok.groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("c_doc"))
+      val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
+      val tgt = tok.filter(col("is_tgt")).groupBy(col("b"))
+        .agg(count(lit(1)).as("c_tgt"))
+      val model = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"), (col("c_raw") + 1).as("cr"),
+          (coalesce(col("c_tgt"), lit(0L)) + 1).as("ct"))
+      val totals = model.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+      val agg = docB.join(broadcast(model), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c_doc")).as("n_tok"),
+          sum(col("c_doc") *
+            (length(bin(col("ct"))) - length(bin(col("cr")))).cast("long"))
+            .as("bucket_bits"))
+      docs.select(col("doc_id"), col("source"))
+        .join(agg, Seq("doc_id"), "left")
+        .join(broadcast(totals))
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+          (coalesce(col("bucket_bits"), lit(0L)) +
+            coalesce(col("n_tok"), lit(0L)) *
+              (length(bin(col("tr"))) - length(bin(col("tt")))).cast("long"))
+            .as("dsir_bits"))
+        .withColumn("selected", col("dsir_bits") > 0)
+    }),
+
+    // --- Zipf tail exponent per language (exact-rational OLS) ---------------
+    // The corpus-health diagnostic: natural language's rank-frequency
+    // curve is approximately a power law; a flat slope flags synthetic/
+    // templated text,
+    // a cliff flags boilerplate domination. Fit log2 freq ~ log2 rank per
+    // language by OLS entirely in the q113 integer currency (digits(x) =
+    // binary digit count ≙ floor(log2)+1), so the slope is an EXACT
+    // rational: num = nΣxy − ΣxΣy, den = nΣx² − (Σx)², emitted as int64
+    // (digit counts ≤ 64 keep every moment term far inside int64 at any
+    // corpus size) plus the one final divide. Ranking ties break on term
+    // so the rank assignment is total and engine-portable. Shape: one
+    // (lang, term) hash agg, one per-lang window rank over vocab-sized
+    // rows, one per-lang fold; production swaps the within-lang sort for
+    // the q128 histogram rank-walk — the fitted moments don't change.
+    "q157_zipf_fit" -> ((s, d) => {
+      val vocab = t(s, d)
+        .select(col("lang"), explode(toks(col("text"))).as("term"))
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+      val ranked = vocab.withColumn("rk",
+        row_number().over(w.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("term"))))
+        .select(col("lang"),
+          length(bin(col("rk"))).cast("long").as("x"),
+          length(bin(col("cnt"))).cast("long").as("y"))
+      ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("lang"), col("n_types"),
+          (col("n_types") * col("sxy") - col("sx") * col("sy"))
+            .as("slope_num"),
+          (col("n_types") * col("sxx") - col("sx") * col("sx"))
+            .as("slope_den"))
+        .withColumn("slope",
+          col("slope_num").cast("double") / col("slope_den"))
+    }),
+
     // --- BM25-style ranked retrieval (per-term top-k documents) ------------
     // The retrieval operator a quality/dedup pipeline ranks candidate docs
     // with: tf-saturation + document-length normalization over the
@@ -803,6 +933,95 @@ object TextAnalysis {
     s"len(list_filter($oToks, w -> list_contains($oStopList, w)))"
 
   val oracles: Map[String, String] = Map(
+    // Exact vocabulary-overlap twin: same distinct (term, source) frame,
+    // same term-keyed self-join for intersections, same |A|+|B|−∩ union.
+    "q155_vocab_overlap" ->
+      s"""WITH ts AS (
+            SELECT DISTINCT unnest($oToks) AS term, source FROM documents),
+          per_src AS (
+            SELECT source, COUNT(1) AS n_types FROM ts GROUP BY source),
+          inter AS (
+            SELECT a.source AS src_a, b.source AS src_b, COUNT(1) AS n_inter
+            FROM ts a JOIN ts b
+              ON a.term = b.term AND a.source < b.source
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT a.source AS src_a, a.n_types AS n_types_a,
+                   b.source AS src_b, b.n_types AS n_types_b
+            FROM per_src a CROSS JOIN per_src b
+            WHERE a.source < b.source)
+          SELECT p.src_a, p.src_b, p.n_types_a, p.n_types_b,
+            COALESCE(i.n_inter, 0) AS n_inter,
+            p.n_types_a + p.n_types_b - COALESCE(i.n_inter, 0) AS n_union,
+            CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+              (p.n_types_a + p.n_types_b - COALESCE(i.n_inter, 0)) AS jaccard
+          FROM pairs p LEFT JOIN inter i
+            ON p.src_a = i.src_a AND p.src_b = i.src_b""",
+
+    // DSIR twin: identical md5 bucket hashing, identical add-one-smoothed
+    // integer-bits log-ratio, identical broadcast-model join shape.
+    "q156_dsir_weights" ->
+      s"""WITH tgt_src AS (SELECT MIN(source) AS tgt FROM documents),
+          tok AS (
+            SELECT x.doc_id, x.source = t.tgt AS is_tgt,
+              CAST(concat('0x', substr(md5(x.term), 1, 15)) AS BIGINT) % 256
+                AS b
+            FROM (SELECT doc_id, source, unnest($oToks) AS term
+                  FROM documents) x
+            CROSS JOIN tgt_src t),
+          doc_b AS (
+            SELECT doc_id, b, COUNT(1) AS c_doc FROM tok GROUP BY doc_id, b),
+          raw AS (SELECT b, COUNT(1) AS c_raw FROM tok GROUP BY b),
+          tgt AS (SELECT b, COUNT(1) AS c_tgt FROM tok WHERE is_tgt GROUP BY b),
+          model AS (
+            SELECT r.b, r.c_raw + 1 AS cr, COALESCE(t.c_tgt, 0) + 1 AS ct
+            FROM raw r LEFT JOIN tgt t ON r.b = t.b),
+          totals AS (
+            SELECT CAST(SUM(cr) AS BIGINT) AS tr,
+                   CAST(SUM(ct) AS BIGINT) AS tt FROM model),
+          agg AS (
+            SELECT db.doc_id, CAST(SUM(db.c_doc) AS BIGINT) AS n_tok,
+              CAST(SUM(db.c_doc *
+                (length(format('{:b}', m.ct))
+                 - length(format('{:b}', m.cr)))) AS BIGINT) AS bucket_bits
+            FROM doc_b db JOIN model m ON db.b = m.b
+            GROUP BY db.doc_id)
+          SELECT d.doc_id, d.source,
+            COALESCE(a.n_tok, 0) AS n_tok,
+            COALESCE(a.bucket_bits, 0) + COALESCE(a.n_tok, 0) *
+              (length(format('{:b}', x.tr)) - length(format('{:b}', x.tt)))
+              AS dsir_bits,
+            (COALESCE(a.bucket_bits, 0) + COALESCE(a.n_tok, 0) *
+              (length(format('{:b}', x.tr)) - length(format('{:b}', x.tt))))
+              > 0 AS selected
+          FROM documents d
+          LEFT JOIN agg a ON d.doc_id = a.doc_id
+          CROSS JOIN totals x""",
+
+    // Zipf twin: same total rank order (count desc, term asc), same
+    // binary-digit-count currency, same exact-rational OLS moments.
+    "q157_zipf_fit" ->
+      s"""WITH vocab AS (
+            SELECT lang, term, COUNT(1) AS cnt FROM (
+              SELECT lang, unnest($oToks) AS term FROM documents)
+            GROUP BY lang, term),
+          ranked AS (
+            SELECT lang,
+              CAST(length(format('{:b}', ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY cnt DESC, term))) AS BIGINT) AS x,
+              CAST(length(format('{:b}', cnt)) AS BIGINT) AS y
+            FROM vocab)
+          SELECT lang, COUNT(1) AS n_types,
+            COUNT(1) * CAST(SUM(x*y) AS BIGINT)
+              - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS slope_num,
+            COUNT(1) * CAST(SUM(x*x) AS BIGINT)
+              - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) AS slope_den,
+            CAST(COUNT(1) * CAST(SUM(x*y) AS BIGINT)
+                 - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE)
+              / (COUNT(1) * CAST(SUM(x*x) AS BIGINT)
+                 - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT)) AS slope
+          FROM ranked GROUP BY lang""",
+
     "q30_text_tokens" ->
       s"""SELECT doc_id,
             len($oToks) AS n_tok,

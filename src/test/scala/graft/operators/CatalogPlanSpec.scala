@@ -32,11 +32,15 @@ class CatalogPlanSpec extends SparkSpec {
   // an audit in the q124/q129 mold, brute by definition.
   // q148 grades label purity OVER the exact q50 list — an audit in the
   // same mold; its own additions are broadcast equi joins.
+  // q155's all-pairs scaffold is the q135 margin-grid mold: a cross of two
+  // source-cardinality aggregates (#sources² rows) so pairs with EMPTY
+  // vocabulary intersection still emit; the corpus-scale intersection leg
+  // itself is a term-keyed equi self-join, never part of the BNL.
   private val bnlAllowed =
     Set("q50_knn_brute", "q54_knn_quantized", "q82_knn_projected",
       "q112_hard_negatives", "q116_pq_adc",
       "q124_ann_recall", "q129_ivf_recall", "q135_chi_square",
-      "q142_matryoshka_recall", "q148_knn_purity")
+      "q142_matryoshka_recall", "q148_knn_purity", "q155_vocab_overlap")
 
   // Sanctioned build sides: a no-grouping-key aggregate (1-row scalar) or a
   // LocalTableScan (driver-local literal model state, e.g. q52's learned

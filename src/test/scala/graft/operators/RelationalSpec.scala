@@ -730,4 +730,62 @@ class RelationalSpec extends SparkSpec {
       assert(r.getInt(3) == expTile, s"ntile row $i of $n")
     }
   }
+
+  test("q153: single-pass profile equals a JVM recompute; typed extremes land in the right slots") {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate").collect()
+    val out = Relational.queries("q153_data_profile")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 11)
+    // every row reports the same (and correct) row count; no nulls in testdata
+    assert(out.values.forall(_.getLong(1) == li.length))
+    assert(out.values.forall(_.getLong(2) == 0L))
+    // numeric column: extremes in min_num/max_num, string/ts slots null
+    val ok = out("l_orderkey")
+    assert(ok.getLong(3) == li.map(_.getLong(0)).distinct.length)
+    assert(ok.getDouble(4) == li.map(_.getLong(0)).min.toDouble)
+    assert(ok.getDouble(5) == li.map(_.getLong(0)).max.toDouble)
+    assert(ok.isNullAt(6) && ok.isNullAt(7) && ok.isNullAt(8) && ok.isNullAt(9))
+    val qt = out("l_quantity")
+    assert(qt.getDouble(4) == li.map(_.getDouble(1)).min)
+    assert(qt.getDouble(5) == li.map(_.getDouble(1)).max)
+    // string column: extremes in min_str/max_str, numeric/ts slots null
+    val rf = out("l_returnflag")
+    assert(rf.getLong(3) == li.map(_.getString(2)).distinct.length)
+    assert(rf.getString(6) == li.map(_.getString(2)).min)
+    assert(rf.getString(7) == li.map(_.getString(2)).max)
+    assert(rf.isNullAt(4) && rf.isNullAt(5) && rf.isNullAt(8) && rf.isNullAt(9))
+    // timestamp column: extremes in min_ts/max_ts
+    val sd = out("l_shipdate")
+    assert(sd.getTimestamp(8).getTime ==
+      li.map(_.getTimestamp(3).getTime).min)
+    assert(sd.getTimestamp(9).getTime ==
+      li.map(_.getTimestamp(3).getTime).max)
+    assert(sd.isNullAt(4) && sd.isNullAt(5) && sd.isNullAt(6) && sd.isNullAt(7))
+  }
+
+  test("q154: clean FK graph audits to zero orphans; injected corruption is detected and counted") {
+    import spark.implicits._
+    val out = Relational.queries("q154_fk_orphans")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 7)
+    val liN = graft.Tables.load(spark, sfDir, "lineitem").count()
+    assert(out("lineitem->orders") == ((liN, 0L, 0L)))
+    assert(out.values.forall { case (_, orphans, keys) =>
+      orphans == 0L && keys == 0L })
+    // corruption injection: two child rows referencing a missing parent
+    // (one key twice → 2 orphan rows, 1 orphan key) and one NULL FK
+    // (MATCH SIMPLE: not a violation, but still a child row)
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(99L), Some(99L), None)
+      .toDF("ck")
+    val audited = Relational
+      .fkOrphanEdge("bad", child, "ck", parent, "pk", bcast = true)
+      .collect().head
+    assert(audited.getString(0) == "bad")
+    assert(audited.getLong(1) == 5L, "child_rows counts NULL-FK rows too")
+    assert(audited.getLong(2) == 2L, "both references to the missing key")
+    assert(audited.getLong(3) == 1L, "one distinct missing key")
+  }
 }

@@ -440,4 +440,100 @@ class RepetitionNoveltySpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString.toLowerCase
     assert(plan.contains("md5") && plan.contains("substring"), plan.take(600))
   }
+
+  private def jvmToks(text: String): Array[String] = text.split(" ", -1)
+
+  test("q155: vocabulary overlap equals a JVM set recompute over every source pair") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("text", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._2).view
+      .mapValues(_.flatMap(d => jvmToks(d._1)).toSet).toMap
+    val srcs = vocab.keys.toSeq.sorted
+    val expected = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      a = srcs(i); b = srcs(j)
+      inter = (vocab(a) & vocab(b)).size.toLong
+      uni = vocab(a).size + vocab(b).size - inter
+    } yield (a, b, vocab(a).size.toLong, vocab(b).size.toLong,
+      inter, uni, inter.toDouble / uni)).toSet
+    val out = TextAnalysis.queries("q155_vocab_overlap")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    assert(out == expected)
+    assert(out.size == srcs.length * (srcs.length - 1) / 2,
+      "every pair present, including any with empty intersection")
+  }
+
+  private def md5Bucket(term: String, buckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+  }
+
+  private def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+
+  test("q156: DSIR weights equal a JVM bucket-model recompute; selected bit is coherent") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tgtSrc = docs.map(_._3).min
+    val B = 256
+    val tokBuckets = docs.map { case (id, text, src) =>
+      (id, src, jvmToks(text).map(md5Bucket(_, B)))
+    }
+    val raw = tokBuckets.flatMap(_._3).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val tgt = tokBuckets.filter(_._2 == tgtSrc).flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // models only carry corpus-present buckets (+1 smoothing), as the query's
+    val cr = raw.map { case (b, c) => b -> (c + 1) }
+    val ct = raw.map { case (b, _) => b -> (tgt.getOrElse(b, 0L) + 1) }
+    val (tr, tt) = (cr.values.sum, ct.values.sum)
+    val expected = tokBuckets.map { case (id, src, bks) =>
+      val bucketBits = bks.groupBy(identity).map { case (b, occ) =>
+        occ.length * (bits(ct(b)) - bits(cr(b)))
+      }.sum
+      val w = bucketBits + bks.length * (bits(tr) - bits(tt))
+      (id, src, bks.length.toLong, w, w > 0)
+    }.toSet
+    val out = TextAnalysis.queries("q156_dsir_weights")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(out == expected)
+  }
+
+  test("q157: Zipf fit equals hand math on a constructed corpus and a JVM recompute on testdata") {
+    // constructed: freqs 8,2,1 -> ranks 1,2,3; x = 1,2,2; y = 4,2,1
+    // n=3, Sx=5, Sy=7, Sxy=4+4+2=10, Sxx=1+4+4=9
+    // num = 3*10-5*7 = -5, den = 3*9-25 = 2
+    val handNum = -5L; val handDen = 2L
+    def jvmFit(texts: Seq[(String, String)]): Map[String, (Long, Long, Long)] =
+      texts.groupBy(_._1).map { case (lang, ds) =>
+        val cnt = ds.flatMap(d => jvmToks(d._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val ranked = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+          .map { case ((_, c), i) => (bits(i + 1L), bits(c)) }
+        val n = ranked.length.toLong
+        val sx = ranked.map(_._1).sum; val sy = ranked.map(_._2).sum
+        val sxy = ranked.map(p => p._1 * p._2).sum
+        val sxx = ranked.map(p => p._1 * p._1).sum
+        lang -> (n, n * sxy - sx * sy, n * sxx - sx * sx)
+      }
+    val toyFit = jvmFit(Seq(("en", ("a " * 8).trim + " b b c")))("en")
+    assert(toyFit == ((3L, handNum, handDen)))
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = jvmFit(docs.toSeq).map { case (l, (n, num, den)) =>
+      (l, n, num, den, num.toDouble / den)
+    }.toSet
+    val out = TextAnalysis.queries("q157_zipf_fit")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(out == expected)
+  }
 }
