@@ -487,6 +487,26 @@ object Dedup {
     sharedLabels.computeIfAbsent((s, d), _ =>
       connectedComponents(trigramPairs(s, d).select(col("i"), col("j"))))
 
+  /** q160 body, public for constructed-corpus specs: total doc→entity map
+    * under "same exact text OR same 128-char prefix", closed transitively.
+    * Input must carry (doc_id, text). See the map entry for the contract. */
+  def crossKeyEntities(base: DataFrame): DataFrame = {
+    def starEdges(key: org.apache.spark.sql.Column) = {
+      val keyed = base.select(col("doc_id"), key.as("k"))
+      val reps = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
+      keyed.join(reps, "k").filter(col("doc_id") =!= col("rep"))
+        .select(col("doc_id").as("i"), col("rep").as("j"))
+    }
+    val pairs = starEdges(concat(lit("e|"), md5(col("text"))))
+      .union(starEdges(
+        concat(lit("p|"), md5(substring(col("text"), 1, 128)))))
+      .distinct()
+    base.select(col("doc_id"))
+      .join(connectedComponents(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("entity"))
+  }
+
   /** Public handle on the memoized corpus-wide trigram pair list, for
     * compositions that cluster a SUBSET of the corpus (q70's exact-dedup
     * survivors). Identity it rests on: a pair's presence in the LSH output
@@ -762,6 +782,26 @@ object Dedup {
         .select(col("pfp"), col("doc_id"), col("n_chars"),
           col("n_in_group"), (col("doc_id") === col("keep_id")).as("canonical"))
     }),
+
+    // --- cross-key entity resolution (exact-text OR truncation-prefix) -----
+    // The multi-key ER move (CCNet dedups by URL and by content; MDM
+    // links on any of several identifiers): two docs are the same ENTITY
+    // if they share the exact-content key OR the q75 truncation key
+    // (md5 of the first 128 chars), closed transitively — A≡B on content
+    // and B≡C on prefix puts A,C in one entity even though no single key
+    // links them. Shape: each key family contributes STAR edges only
+    // (doc → min doc of its key group, via one hash agg + one self-join
+    // on the 16-byte key — never the group's quadratic pair set), the
+    // union of stars feeds the shared CC machinery, and edges are
+    // key-group-count-sized, not corpus-sized. Keys are namespaced
+    // ('e|'/'p|') so a short doc whose full text IS its prefix cannot
+    // alias across families (harmless here — such docs share the prefix
+    // key anyway — but the namespace makes the invariant structural).
+    // Singletons keep themselves as entity, so the output is a total
+    // doc → entity map, the contract an ER consumer (survivorship,
+    // leakage splits) needs.
+    "q160_crosskey_entities" -> ((s, d) =>
+      crossKeyEntities(docs(s, d).select(col("doc_id"), col("text")))),
 
     // --- duplicated-span detection (ExactSubstr-style, window granularity) --
     // Doc-level dedup (q40/q42/q78) cannot see a PARAGRAPH duplicated
@@ -1103,6 +1143,31 @@ object Dedup {
     "q40_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
          FROM documents GROUP BY 1""",
+
+    // Cross-key ER twin: same namespaced star edges per key family, same
+    // transitive closure (recursive min-reach), same total doc→entity map.
+    "q160_crosskey_entities" ->
+      """WITH RECURSIVE keyed AS (
+           SELECT doc_id, concat('e|', md5(text)) AS k FROM documents
+           UNION ALL
+           SELECT doc_id, concat('p|', md5(substr(text, 1, 128)))
+           FROM documents),
+         reps AS (SELECT k, MIN(doc_id) AS rep FROM keyed GROUP BY k),
+         star AS (
+           SELECT keyed.doc_id AS i, reps.rep AS j
+           FROM keyed JOIN reps ON keyed.k = reps.k
+           WHERE keyed.doc_id <> reps.rep),
+         edges AS (SELECT i AS src, j AS dst FROM star
+                   UNION SELECT j AS src, i AS dst FROM star),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id),
+         comp AS (SELECT id AS doc_id, MIN(r) AS entity FROM reach
+                  GROUP BY id)
+         SELECT d.doc_id, COALESCE(c.entity, d.doc_id) AS entity
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
 
     "q78_containment_dedup" ->
       s"""WITH base AS (

@@ -87,6 +87,12 @@ object Relational {
     * every SF. */
   val AsofToleranceUs: Long = 72L * 3600 * 1000000
 
+  /** Sub-partitions a hot key scatters into for the q158 salted join.
+    * Sized like a skew split factor: large enough that the hottest key's
+    * per-reducer share drops below the median partition, small enough
+    * that hot-dim replication (|hot| × S) stays broadcast-trivial. */
+  val SaltBuckets: Int = 8
+
   /** Per-user_id mergeable aggregate state (q146): count, exact decimal
     * sum, min, max — the four partials every downstream read (including
     * avg) derives from. Mergeable BY CONSTRUCTION: count/sum re-sum,
@@ -1390,6 +1396,83 @@ object Relational {
       ).reduce(_ unionByName _)
     }),
 
+    // --- time-weighted average (the LOCF integral) -------------------------------
+    // The sensor/finance read plain AVG gets wrong: a value that held for
+    // 3 days must weigh 3 days, not 1 sample. Each observation holds
+    // last-observation-carried-forward until the user's next event;
+    // TWA = Σ value·duration / total span, per user over their own
+    // horizon (no global clock — users never couple, so the op is
+    // embarrassingly parallel per entity). Exactness: value is
+    // 2-decimal → integer cents (DECIMAL(18,2) cast, exact), durations
+    // are int64 microseconds, the weighted sum accumulates in
+    // DECIMAL(38,0) (the q100/q127 128-bit discipline — cents×µs brushes
+    // int64), and the only float ops are the final divides of exact
+    // integers, bit-identical across engines. Shape: ONE user_id
+    // shuffle serving both the lead() window and the aggregation;
+    // single-event users have zero span and surface twa NULL rather
+    // than a fake instantaneous average.
+    "q159_time_weighted_avg" -> ((s, d) => {
+      // µs ordering == ts ordering (unix_micros is monotone), so the
+      // window can ride the already-projected integer column
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val base = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast(DecimalType(18, 2)) * 100)
+            .cast(DecimalType(38, 0)).as("cents"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+      base.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("us")) - min(col("us"))).as("span_us"),
+          sum(col("cents") * (col("next_us") - col("us"))).as("num"))
+        .select(col("user_id"), col("n_events"), col("span_us"),
+          when(col("span_us") > 0,
+            col("num").cast("double") / col("span_us") / 100)
+            .as("twa_value"))
+    }),
+
+    // --- skew-hedged (salted) join ----------------------------------------------
+    // The execution strategy the q120 skew profiler's signal feeds: join
+    // events (fact) to a per-user dimension with HOT keys salted — hot
+    // fact rows scatter across `SaltBuckets` sub-partitions
+    // (deterministic salt from the row id, so the plan is replayable)
+    // while the dimension replicates ONLY its hot rows ×SaltBuckets
+    // (cold rows pay nothing; replication volume = |hot dim| × S, not
+    // |dim| × S). The join key becomes (user_id, salt) — no single
+    // reducer ever owns a whole hot key. Hot set = users above 2× the
+    // mean event count, computed from a #users-sized aggregate and
+    // broadcast. Semantics are EXACTLY the plain join's — the oracle is
+    // the unsalted SQL — and the output re-aggregates so the gate pins
+    // the whole salted pipeline, not just the join. This is the manual
+    // tier under AQE's runtime skew split (SkewJoinSpec): AQE only
+    // splits sort-merge partitions post-shuffle; salting fixes the
+    // shuffle itself and survives any join strategy.
+    "q158_salted_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val dim = goldenRecord(
+        ev.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value")))
+        .select(col("user_id"), col("modal_event_type"))
+      val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val hot = counts.join(broadcast(
+          counts.agg((sum(col("cnt")) * 2 / count(lit(1))).as("cut"))))
+        .filter(col("cnt") > col("cut"))
+        .select(col("user_id"), lit(true).as("is_hot"))
+      val S = SaltBuckets
+      val fact = ev.join(broadcast(hot), Seq("user_id"), "left")
+        .withColumn("__salt",
+          when(col("is_hot"), pmod(hash(col("event_id")), lit(S)))
+            .otherwise(lit(0)))
+      val dimSalted = dim.join(broadcast(hot), Seq("user_id"), "left")
+        .withColumn("__salt", explode(
+          when(col("is_hot"), sequence(lit(0), lit(S - 1)))
+            .otherwise(array(lit(0)))))
+      fact.join(dimSalted, Seq("user_id", "__salt"))
+        .groupBy(col("event_type"), col("modal_event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     // --- range (interval-containment) join --------------------------------------
     // Assign every event to the session interval that contains it. The
     // range predicate rides on an EQUI-join key (user_id) — the scale-safe
@@ -2238,6 +2321,37 @@ object Relational {
             COUNT(1) AS n_rows
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""",
+
+    // TWA twin: identical cents/µs integer pipeline, HUGEINT ≙ Spark's
+    // DECIMAL(38,0) accumulator, identical final divides of exact ints.
+    "q159_time_weighted_avg" ->
+      """WITH b AS (
+           SELECT user_id, epoch_us(ts) AS us,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+           FROM events)
+         SELECT user_id, COUNT(1) AS n_events,
+           MAX(us) - MIN(us) AS span_us,
+           CASE WHEN MAX(us) > MIN(us)
+                THEN CAST(SUM(cents * (next_us - us)) AS DOUBLE)
+                     / (MAX(us) - MIN(us)) / 100
+           END AS twa_value
+         FROM b GROUP BY user_id""",
+
+    // Salted-join twin: the UNSALTED plain join — the whole point. The
+    // salt is an execution detail; semantics must be bit-identical.
+    "q158_salted_join" ->
+      """WITH dim AS (
+           SELECT user_id, event_type AS modal_event_type FROM (
+             SELECT user_id, event_type, COUNT(1) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY COUNT(1) DESC, event_type) AS rn
+             FROM events GROUP BY user_id, event_type)
+           WHERE rn = 1)
+         SELECT e.event_type, d.modal_event_type, COUNT(1) AS n_events
+         FROM events e JOIN dim d ON e.user_id = d.user_id
+         GROUP BY 1, 2""",
 
     "q153_data_profile" -> {
       def prof(c: String, kind: String): String = {

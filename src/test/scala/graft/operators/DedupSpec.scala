@@ -531,4 +531,51 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(pairs.get((0L, 1L)).contains(1.0))
   }
+
+  test("q160: cross-key chain merges transitively; singletons keep themselves") {
+    // A≡B by exact text; B≡C only by 128-char prefix (C diverges after);
+    // D is alone. One entity {A,B,C} labeled min id, D -> D.
+    val long = ("tok " * 40).trim // 159 chars, prefix cut mid-corpus
+    val docs = Seq(
+      (10L, long), (11L, long), (12L, long.take(128) + " divergent tail"),
+      (13L, "completely different")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossKeyEntities(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
+  }
+
+  test("q160: testdata entities equal a JVM union-find over both key families") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // union-find over namespaced keys
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    def unionGroups(groups: Iterable[Array[Long]]): Unit =
+      groups.foreach(g => g.sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => union(a, b)
+        case _ =>
+      })
+    unionGroups(docs.groupBy(d => "e|" + d._2).values.map(_.map(_._1)))
+    val exactOnlyEntities = docs.map(d => find(d._1)).distinct.length
+    unionGroups(docs.groupBy(d => "p|" + d._2.take(128)).values.map(_.map(_._1)))
+    val expected = docs.map(d => d._1 -> find(d._1)).toMap
+    val out = Dedup.queries("q160_crosskey_entities")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == expected)
+    // the prefix family genuinely adds merges beyond exact-only on the
+    // testdata (q75 catches truncation twins q40 cannot)
+    assert(expected.values.toSet.size < exactOnlyEntities,
+      "cross-key closure merged more than exact duplicates alone")
+  }
 }

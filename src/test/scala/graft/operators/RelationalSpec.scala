@@ -788,4 +788,52 @@ class RelationalSpec extends SparkSpec {
     assert(audited.getLong(2) == 2L, "both references to the missing key")
     assert(audited.getLong(3) == 1L, "one distinct missing key")
   }
+
+  test("q158: salted join equals the plain join; salt is in the join key and only hot dim rows replicate") {
+    // semantics: identical to the unsalted pipeline (the oracle pins this
+    // against DuckDB too; here pin it against Spark's own plain join)
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val dim = Relational.goldenRecord(
+        ev.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value")))
+      .select(col("user_id"), col("modal_event_type"))
+    val plain = ev.join(dim, Seq("user_id"))
+      .groupBy(col("event_type"), col("modal_event_type"))
+      .agg(count(lit(1)).as("n_events")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val salted = Relational.queries("q158_salted_join")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted == plain)
+    // the salt actually reaches the join: the physical join keys include
+    // __salt, and the dim side carries the hot-only explode
+    val p = plan("q158_salted_join")
+    assert(p.contains("__salt"), p.take(2000))
+    assert(p.toLowerCase.contains("generate explode"), p.take(2000))
+  }
+
+  test("q159: time-weighted average equals a BigInt LOCF recompute; single-event users surface NULL") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map { r =>
+        val ts = r.getTimestamp(1)
+        val us = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+        (r.getLong(0), us, r.getLong(2),
+          BigInt(math.round(r.getDouble(3) * 100)))
+      }
+    val expected = ev.groupBy(_._1).map { case (uid, rows) =>
+      val s = rows.sortBy(r => (r._2, r._3))
+      val span = s.last._2 - s.head._2
+      val num = s.zip(s.drop(1)).map { case (a, b) =>
+        a._4 * BigInt(b._2 - a._2) }.sum
+      val twa =
+        if (span > 0) Some(num.toDouble / span / 100) else None
+      (uid, s.length.toLong, span, twa)
+    }.toSet
+    val out = Relational.queries("q159_time_weighted_avg")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(out == expected)
+  }
 }
