@@ -28,6 +28,11 @@ object Curation {
 
   private def t(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
+  /** q166 phrase: two common corpus words so every SF has matches. ONE
+    * definition feeds both the Spark postings filter and the oracle SQL. */
+  val PhraseW1 = "data"
+  val PhraseW2 = "fast"
+
   /** Redaction patterns, identical syntax in Java regex and DuckDB's RE2:
     * character classes, bounded repetition, the (?i) flag, and ASCII \b
     * word boundaries behave the same in both. */
@@ -560,6 +565,30 @@ object Curation {
     "q59_inverted_index" -> ((s, d) =>
       invertedIndex(t(s, d).repartition(TextFns.cpuPartitions, col("doc_id")), 8)),
 
+    // --- positional phrase search (the q59 index with positions) ----------
+    // Exact phrase retrieval ("data fast") the way a real FTS engine runs
+    // it: per-term POSITIONAL posting lists, then an equi self-join of the
+    // two terms' postings on (doc_id, adjusted position) — position
+    // adjacency becomes an equi key by shifting the second term's postings
+    // left by one, so the plan is a hash join on (doc_id, pos), never a
+    // positions-range inequality. Both posting legs are term-filtered
+    // BEFORE the join (the filter pushes into the posexplode projection),
+    // so the join input is df(term)-sized, not corpus-sized; a k-term
+    // phrase chains k−1 such joins. Output: per-doc occurrence count and
+    // first match position (0-based token index).
+    "q166_phrase_search" -> ((s, d) => {
+      val pos = t(s, d).select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("pos", "term")))
+      val p1 = pos.filter(col("term") === lit(PhraseW1))
+        .select(col("doc_id"), col("pos"))
+      val p2 = pos.filter(col("term") === lit(PhraseW2))
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      p1.join(p2, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occ"),
+          min(col("pos")).cast("long").as("first_pos"))
+    }),
+
     // --- sequence packing (concatenate-and-chunk) -------------------------
     "q66_sequence_pack" -> ((s, d) => packSequences(t(s, d))),
 
@@ -834,6 +863,21 @@ object Curation {
           FROM (SELECT doc_id, unnest(list_distinct($oToksFrag)) AS term
                 FROM documents)
           GROUP BY term""",
+
+    // Phrase twin: per-row adjacency scan over the token list (DuckDB list
+    // lambdas capture row columns); the Spark side must reproduce it from
+    // the shifted-postings equi join. hits are 1-based — −1 converts to
+    // the 0-based token index the postings carry.
+    "q166_phrase_search" ->
+      s"""WITH d AS (SELECT doc_id, $oToksFrag AS tk FROM documents),
+          m AS (
+            SELECT doc_id,
+              list_filter(range(1, len(tk)),
+                i -> tk[i] = '$PhraseW1' AND tk[i + 1] = '$PhraseW2') AS hits
+            FROM d)
+          SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_occ,
+            CAST(hits[1] - 1 AS BIGINT) AS first_pos
+          FROM m WHERE len(hits) > 0""",
 
     "q67_mixture_weights" ->
       s"""WITH per AS (

@@ -803,6 +803,53 @@ object Dedup {
     "q160_crosskey_entities" -> ((s, d) =>
       crossKeyEntities(docs(s, d).select(col("doc_id"), col("text")))),
 
+    // --- sorted-neighborhood blocking (the classic ER alternative to LSH) --
+    // Sort the corpus by a similarity-preserving key and compare only rows
+    // within a fixed window w of each other — candidate volume is exactly
+    // w·n, no bucket-skew quadratic term at all (the trade: recall depends
+    // on the key, which is why production ER runs several passes with
+    // different keys). Key = first 5 SORTED tokens (near-dups share most
+    // tokens, so their keys collide or sort adjacent). The global rank that
+    // defines "adjacent" is the landmine: ROW_NUMBER over an unpartitioned
+    // window is a single-task sort. Instead ranks are composed the q128
+    // way — a window PARTITIONED by the key's first character (parallel,
+    // order-consistent because the bucket is a prefix of the sort key) plus
+    // per-bucket offsets from an alphabet-sized explode/re-agg prefix pass.
+    // Neighbor pairs then come from an EQUI join on rank+delta (delta ≤ w),
+    // never a rank-range inequality join. At 100 TB the bucket becomes the
+    // first 2-3 characters (alphabet² spine — still corpus-independent)
+    // and everything else is unchanged.
+    "q162_sorted_neighborhood" -> ((s, d) => {
+      val W = 2
+      val w = org.apache.spark.sql.expressions.Window
+      val keyed = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"),
+          array_join(slice(sort_array(toks(col("text"))), 1, 5), " ").as("bkey"))
+        .withColumn("bucket", ascii(col("bkey")))
+      val ranked = keyed.withColumn("rn_in",
+        row_number().over(w.partitionBy(col("bucket"))
+          .orderBy(col("bkey"), col("doc_id"))).cast("long"))
+      // each bucket's size flows to every strictly later bucket ('z' = 122)
+      val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+        .filter(col("bucket") < 122)
+        .select(explode(sequence(col("bucket") + 1, lit(122))).as("bucket"),
+          col("bn"))
+        .groupBy(col("bucket")).agg(sum(col("bn")).as("off"))
+      val globalRank = ranked.join(broadcast(offsets), Seq("bucket"), "left")
+        .withColumn("rank", coalesce(col("off"), lit(0L)) + col("rn_in"))
+      val l = globalRank.select(col("doc_id").as("doc_a"),
+          col("lang").as("lang_a"), col("n_chars").as("nc_a"), col("rank"))
+        .withColumn("d0", explode(sequence(lit(1), lit(W))))
+        .withColumn("delta", col("d0").cast("long")).drop("d0")
+        .withColumn("rank_b", col("rank") + col("delta"))
+      val r = globalRank.select(col("rank").as("rank_b"),
+        col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("n_chars").as("nc_b"))
+      l.join(r, "rank_b")
+        .select(col("doc_a"), col("doc_b"), col("delta"),
+          (col("lang_a") === col("lang_b")).as("same_lang"),
+          abs(col("nc_a") - col("nc_b")).as("chars_diff"))
+    }),
+
     // --- duplicated-span detection (ExactSubstr-style, window granularity) --
     // Doc-level dedup (q40/q42/q78) cannot see a PARAGRAPH duplicated
     // across otherwise-different documents — the signal behind
@@ -1146,6 +1193,24 @@ object Dedup {
 
     // Cross-key ER twin: same namespaced star edges per key family, same
     // transitive closure (recursive min-reach), same total doc→entity map.
+    // SNM twin: the textbook single-window ROW_NUMBER definition; the Spark
+    // side must reproduce it from the bucket-partitioned rank composition.
+    "q162_sorted_neighborhood" ->
+      """WITH k AS (
+           SELECT doc_id, lang, n_chars,
+             array_to_string(list_sort(string_split(text, ' '))[1:5], ' ')
+               AS bkey
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (ORDER BY bkey, doc_id) AS rank
+           FROM k)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.rank - a.rank AS BIGINT) AS delta,
+           a.lang = b.lang AS same_lang,
+           CAST(abs(a.n_chars - b.n_chars) AS BIGINT) AS chars_diff
+         FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 2""",
+
     "q160_crosskey_entities" ->
       """WITH RECURSIVE keyed AS (
            SELECT doc_id, concat('e|', md5(text)) AS k FROM documents

@@ -1473,6 +1473,72 @@ object Relational {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // --- 2-D skyline (Pareto frontier) ------------------------------------------
+    // The information-density frontier: documents where no other doc is both
+    // SHORTER (n_chars ≤) and RICHER (distinct tokens ≥), strict somewhere —
+    // the curation trade-off a single quality score flattens away. The naive
+    // plan is an all-pairs NOT EXISTS (the oracle — fine for DuckDB at
+    // sf0.01, a cartesian at 100 TB). The distributed shape: (1) collapse to
+    // the per-x staircase `x -> max_y` (one hash agg, #distinct-x rows);
+    // (2) the staircase's prefix-max — "best y at any strictly smaller x" —
+    // via range buckets: WITHIN a bucket a window partitioned by bucket
+    // (parallel, never global), ACROSS buckets a B²-row explode/re-agg
+    // prefix pass (B=32, corpus-independent); (3) a point survives iff its
+    // y strictly exceeds that prefix-max; (4) one equi join back tags the
+    // surviving documents. No global sort, no cartesian, and the only
+    // broadcasts are the 1-row max-x scalar and the B-row bucket spine.
+    "q161_skyline" -> ((s, d) => {
+      val pts = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("n_distinct_tok"))
+      val perX = pts.groupBy(col("n_chars"))
+        .agg(max(col("n_distinct_tok")).as("max_y"))
+      val B = 32
+      val maxX = perX.agg(max(col("n_chars")).as("mx"))
+      val bucketed = perX.join(broadcast(maxX))
+        .withColumn("bucket", (col("n_chars") * B / (col("mx") + 1)).cast("int"))
+      // within-bucket: max_y over strictly smaller x, same bucket
+      val wIn = Window.partitionBy(col("bucket"))
+        .orderBy(col("n_chars").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withIn = bucketed.withColumn("sup_in", max(col("max_y")).over(wIn))
+      // across buckets: every bucket's max_y flows to all strictly LATER
+      // buckets (any x there is strictly larger); B² tiny rows, pure agg
+      val bmax = bucketed.groupBy(col("bucket")).agg(max(col("max_y")).as("by"))
+      val supAcross = bmax.filter(col("bucket") < B - 1)
+        .select(explode(sequence(col("bucket") + 1, lit(B - 1))).as("bucket"),
+          col("by"))
+        .groupBy(col("bucket")).agg(max(col("by")).as("sup_across"))
+      val frontier = withIn
+        .join(broadcast(supAcross), Seq("bucket"), "left")
+        // greatest() skips NULLs (returns the largest non-null); both NULL
+        // means nothing can dominate this point — keep it
+        .filter(col("max_y") > coalesce(
+          greatest(col("sup_in"), col("sup_across")), lit(Long.MinValue)))
+        .select(col("n_chars").as("fx"), col("max_y").as("fy"))
+      pts.join(broadcast(frontier),
+          col("n_chars") === col("fx") && col("n_distinct_tok") === col("fy"))
+        .select(col("doc_id"), col("n_chars"), col("n_distinct_tok"))
+    }),
+
+    // --- exact event-type co-occurrence matrix ----------------------------------
+    // How many users emit BOTH type a and type b — the exact twin of the
+    // q109 HLL union matrix. Shape: one distinct (user, type) pass, then a
+    // self-join ON THE SAME user_id key (the shuffle is reused, not
+    // repeated) with type_a < type_b so each unordered pair counts once;
+    // output is #types²/2 rows regardless of corpus size.
+    "q163_type_cooccurrence" -> ((s, d) => {
+      val ut = t(s, d, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val a = ut.as("a"); val b = ut.as("b")
+      a.join(b, col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // --- range (interval-containment) join --------------------------------------
     // Assign every event to the session interval that contains it. The
     // range predicate rides on an EQUI-join key (user_id) — the scale-safe
@@ -2338,6 +2404,30 @@ object Relational {
                      / (MAX(us) - MIN(us)) / 100
            END AS twa_value
          FROM b GROUP BY user_id""",
+
+    // Skyline twin: the quadratic NOT-EXISTS dominance definition — the
+    // semantics, stated directly; the Spark side must reproduce it from
+    // the staircase + bucket suffix-max decomposition.
+    "q161_skyline" ->
+      """WITH pts AS (
+           SELECT doc_id, n_chars,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct_tok
+           FROM documents)
+         SELECT p.doc_id, p.n_chars, p.n_distinct_tok
+         FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.n_chars <= p.n_chars AND q.n_distinct_tok >= p.n_distinct_tok
+             AND (q.n_chars < p.n_chars OR q.n_distinct_tok > p.n_distinct_tok))""",
+
+    "q163_type_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                COUNT(1) AS n_users
+         FROM ut a JOIN ut b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2""",
 
     // Salted-join twin: the UNSALTED plain join — the whole point. The
     // salt is an execution detail; semantics must be bit-identical.

@@ -861,6 +861,74 @@ object TextAnalysis {
         array_min(transform(sh, x => md5(x))).as("min_shingle_fp"),
         array_max(transform(sh, x => md5(x))).as("max_shingle_fp"),
         size(array_distinct(sh)).cast("long").as("n_distinct_shingles"))
+    }),
+
+    // --- nucleus (top-p) vocabulary cutoff ---------------------------------
+    // The tokenizer-design question "how much of the vocabulary carries 95%
+    // of the token mass?", answered exactly: rank terms by count desc and
+    // keep the smallest prefix whose cumulative mass reaches ceil(0.95·N).
+    // The cumulative sum over the ranked vocabulary is where a global
+    // window would sneak in; instead the vocabulary is bucketed by
+    // magnitude (bits = binary digit count of the count — bucket order IS
+    // count order across buckets), the running sum/rank runs in a window
+    // PARTITIONED by bits (parallel), and the cross-bucket offsets come
+    // from a ≤64-row explode/re-agg prefix pass — the q161 suffix-max
+    // trick pointed the other way. All thresholds compare exact integers
+    // (100·cum vs 95·N); the only frame that is ever single-node is the
+    // 64-row bits spine. Vocab is Heaps'-law sub-linear, so at 100 TB this
+    // runs on a table millions of times smaller than the corpus.
+    "q164_nucleus_cutoff" -> ((s, d) => {
+      val vocab = t(s, d).select(explode(toks(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .withColumn("bits", length(bin(col("cnt"))))
+      val tot = vocab.agg(sum(col("cnt")).as("n_total"))
+      // within-magnitude-bucket running aggregates in count-desc order
+      val W = org.apache.spark.sql.expressions.Window
+      val wRun = W.partitionBy(col("bits"))
+        .orderBy(col("cnt").desc, col("term"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val inBucket = vocab
+        .withColumn("cum_in", sum(col("cnt")).over(wRun))
+        .withColumn("rank_in", count(lit(1)).over(wRun))
+      // cross-bucket offsets: each bucket's mass/size flows to all buckets
+      // of STRICTLY lower magnitude (they rank after every term here)
+      val bAgg = vocab.groupBy(col("bits"))
+        .agg(sum(col("cnt")).as("bmass"), count(lit(1)).as("bsize"))
+      val offsets = bAgg.filter(col("bits") > 1)
+        .select(explode(sequence(lit(1), col("bits") - 1)).as("bits"),
+          col("bmass"), col("bsize"))
+        .groupBy(col("bits"))
+        .agg(sum(col("bmass")).as("off_mass"), sum(col("bsize")).as("off_rank"))
+      inBucket.join(broadcast(offsets), Seq("bits"), "left")
+        .join(broadcast(tot))
+        .select(col("term"), col("cnt"),
+          (col("rank_in") + coalesce(col("off_rank"), lit(0L))).as("rank"),
+          (col("cum_in") + coalesce(col("off_mass"), lit(0L))).as("cum_mass"),
+          col("n_total"))
+        // keep a term iff the mass BEFORE it is still short of 95%
+        .filter((col("cum_mass") - col("cnt")) * 100 < col("n_total") * 95)
+    }),
+
+    // --- token-mass-weighted length deciles (per language) -----------------
+    // "At what doc length does the p-th TOKEN live?" — the packing/curriculum
+    // planner's question, which unweighted doc quantiles (q35) answer
+    // wrongly: a 10k-token doc holds 100× the mass of a 100-token doc.
+    // Exact weighted deciles via the q128 histogram rank walk, with the
+    // histogram weighted by token count instead of row count — per (lang,
+    // n_chars) cell, so the walk's window is partitioned by lang and the
+    // frame it walks is #langs × #distinct-lengths, corpus-independent.
+    "q165_weighted_quantiles" -> ((s, d) => {
+      val docs = t(s, d).select(col("lang"), col("n_chars"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      val hist = docs.groupBy(col("lang"), col("n_chars"))
+        .agg(sum(col("n_tok")).as("cnt"))
+      Relational.histRankWalk(hist, "lang", "n_chars",
+        Seq("p25" -> "(25 * n + 99) div 100",
+          "p50" -> "(50 * n + 99) div 100",
+          "p75" -> "(75 * n + 99) div 100",
+          "p90" -> "(90 * n + 99) div 100"))
+        .select(col("lang"), col("n").as("total_tokens"),
+          col("p25"), col("p50"), col("p75"), col("p90"))
     })
   )
 
@@ -1522,6 +1590,41 @@ object TextAnalysis {
             list_min(list_transform(sh, x -> md5(x))) AS min_shingle_fp,
             list_max(list_transform(sh, x -> md5(x))) AS max_shingle_fp,
             len(list_distinct(sh)) AS n_distinct_shingles
-          FROM (SELECT doc_id, text, ${oShingles(oToks, 3)} AS sh FROM documents)"""
+          FROM (SELECT doc_id, text, ${oShingles(oToks, 3)} AS sh FROM documents)""",
+
+    // Nucleus twin: the global ranked-cumulative-sum definition the Spark
+    // side decomposes into magnitude buckets; bucket order == count order,
+    // so the two rankings are identical.
+    "q164_nucleus_cutoff" ->
+      s"""WITH c AS (
+            SELECT term, COUNT(1) AS cnt
+            FROM (SELECT unnest($oToks) AS term FROM documents) GROUP BY 1),
+          r AS (
+            SELECT term, cnt,
+              ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank,
+              CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass,
+              CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
+            FROM c)
+          SELECT term, cnt, rank, cum_mass, n_total FROM r
+          WHERE (cum_mass - cnt) * 100 < n_total * 95""",
+
+    "q165_weighted_quantiles" ->
+      s"""WITH h AS (
+            SELECT lang, n_chars,
+              CAST(SUM(len($oToks)) AS BIGINT) AS cnt
+            FROM documents GROUP BY 1, 2),
+          cum AS (
+            SELECT lang, n_chars,
+              CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+            FROM h)
+          SELECT lang, MAX(n) AS total_tokens,
+            MIN(CASE WHEN cum >= (25 * n + 99) // 100 THEN n_chars END) AS p25,
+            MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN n_chars END) AS p50,
+            MIN(CASE WHEN cum >= (75 * n + 99) // 100 THEN n_chars END) AS p75,
+            MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN n_chars END) AS p90
+          FROM cum GROUP BY lang"""
   )
 }

@@ -365,4 +365,21 @@ class CurationSpec extends SparkSpec {
     assert(out.getLong(1) == 5000L)
     assert(out.getString(2) == (1L to 8L).mkString(","))
   }
+
+  test("q166: shifted-postings phrase join equals a JVM token-adjacency scan") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val expected = docs.flatMap { case (id, tk) =>
+      val hits = tk.indices.dropRight(1).filter(i =>
+        tk(i) == Curation.PhraseW1 && tk(i + 1) == Curation.PhraseW2)
+      if (hits.isEmpty) None
+      else Some((id, hits.length.toLong, hits.min.toLong))
+    }.toSet
+    val out = Curation.queries("q166_phrase_search")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expected)
+    // the corpus genuinely contains the phrase, including a multi-hit doc
+    assert(out.nonEmpty, "phrase absent from testdata — pick a commoner pair")
+  }
 }

@@ -578,4 +578,26 @@ class DedupSpec extends SparkSpec {
     assert(expected.values.toSet.size < exactOnlyEntities,
       "cross-key closure merged more than exact duplicates alone")
   }
+
+  test("q162: composed bucket ranks equal the single-ordering SNM recompute; volume is w·n-bounded") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3).split(" ").sorted.take(5).mkString(" ")))
+    val ranked = docs.sortBy(d => (d._4, d._1))
+    val w = 2
+    val expected = (for {
+      i <- ranked.indices
+      delta <- 1 to w if i + delta < ranked.length
+    } yield {
+      val a = ranked(i); val b = ranked(i + delta)
+      (a._1, b._1, delta.toLong, a._2 == b._2, (a._3 - b._3).abs)
+    }).toSet
+    val out = Dedup.queries("q162_sorted_neighborhood")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4))).toSet
+    assert(out == expected)
+    // candidate volume is exactly w·n − w(w+1)/2 — the SNM contract
+    assert(out.size == w * ranked.length - w * (w + 1) / 2)
+  }
 }

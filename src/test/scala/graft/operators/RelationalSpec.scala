@@ -836,4 +836,36 @@ class RelationalSpec extends SparkSpec {
         if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
     assert(out == expected)
   }
+
+  test("q161: bucketed skyline equals the quadratic dominance recompute") {
+    val pts = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).split(" ").distinct.length.toLong))
+    val expected = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx <= x && qy >= y && (qx < x || qy > y) }
+    }.toSet
+    val out = Relational.queries("q161_skyline")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expected)
+    // the frontier is a real trade-off curve on the testdata, not a corner
+    assert(out.size > 1, "degenerate single-point skyline")
+  }
+
+  test("q163: exact co-occurrence equals a JVM distinct-pair recompute") {
+    val ut = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct.toSeq
+    val pairs: Seq[(String, String)] = ut.groupBy(_._1).values.toSeq
+      .flatMap { v =>
+        val ts = v.map(_._2).distinct.sorted
+        for (a <- ts; b <- ts if a < b) yield (a, b)
+      }
+    val expected = pairs.groupBy(identity)
+      .map { case ((a, b), v) => (a, b, v.size.toLong) }.toSet
+    val out = Relational.queries("q163_type_cooccurrence")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == expected && out.nonEmpty)
+  }
 }

@@ -536,4 +536,45 @@ class RepetitionNoveltySpec extends SparkSpec {
         r.getDouble(4))).toSet
     assert(out == expected)
   }
+
+  test("q164: bucket-composed nucleus equals the global ranked-cumulative recompute") {
+    val terms = graft.Tables.load(spark, sfDir, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" "))
+    val counts = terms.groupBy(identity).map { case (t, v) => (t, v.length.toLong) }
+    val nTotal = terms.length.toLong
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+    val cums = ranked.scanLeft(0L)(_ + _._2).drop(1)
+    val expected = ranked.zip(cums).zipWithIndex.collect {
+      case (((t, c), cum), i) if (cum - c) * 100 < nTotal * 95 =>
+        (t, c, (i + 1).toLong, cum, nTotal)
+    }.toSet
+    val out = TextAnalysis.queries("q164_nucleus_cutoff")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out == expected)
+    // the nucleus is a strict subset: some vocabulary tail is excluded
+    assert(out.size < counts.size, "95% nucleus should drop a tail")
+  }
+
+  test("q165: token-weighted deciles equal a JVM cumulative-histogram recompute") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("lang", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ").length.toLong))
+    val expected = docs.groupBy(_._1).map { case (lang, v) =>
+      val hist = v.groupBy(_._2).map { case (x, g) => (x, g.map(_._3).sum) }
+        .toSeq.sortBy(_._1)
+      val n = hist.map(_._2).sum
+      val cums = hist.zip(hist.scanLeft(0L)(_ + _._2).drop(1))
+      def cut(p: Long) = cums.collectFirst {
+        case ((x, _), cum) if cum >= (p * n + 99) / 100 => x }.get
+      (lang, n, cut(25), cut(50), cut(75), cut(90))
+    }.toSet
+    val out = TextAnalysis.queries("q165_weighted_quantiles")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(out == expected)
+  }
 }
