@@ -1539,6 +1539,151 @@ object Relational {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // --- marketing attribution (first/last touch in a lookback) ------------------
+    // For every purchase: the first and last NON-purchase event of the same
+    // user inside a 7-day lookback, exclusive of the purchase instant — the
+    // funnel question "what led here". The lookback is a RANGE frame over
+    // integer µs (value-based, so it is robust to event gaps), PARTITIONED
+    // by user — never a global window. first/last-in-frame are computed as
+    // MIN/MAX of the conditional µs (deterministic under ties, unlike
+    // positional first()/last()), and the touch's type is fetched by an
+    // equi join on (user_id, us) with a min_by(event_id) tiebreak. Per-user
+    // frames keep this embarrassingly parallel at any corpus size.
+    "q167_attribution" -> ((s, d) => {
+      val sevenDaysUs = 7L * 86400 * 1000000
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val w7 = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-sevenDaysUs, -1)
+      val touchUs = when(col("event_type") =!= "purchase", col("us"))
+      val purchases = ev
+        .withColumn("ft_us", min(touchUs).over(w7))
+        .withColumn("lt_us", max(touchUs).over(w7))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("us"), col("ft_us"), col("lt_us"))
+      val touch = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("us").as("t_us"))
+        .agg(min_by(col("event_type"), col("event_id")).as("t_type"))
+      purchases
+        .join(touch.select(col("user_id"), col("t_us").as("ft_us"),
+          col("t_type").as("ft_type")), Seq("user_id", "ft_us"), "left")
+        .join(touch.select(col("user_id"), col("t_us").as("lt_us"),
+          col("t_type").as("lt_type")), Seq("user_id", "lt_us"), "left")
+        .select(col("user_id"), col("purchase_id"), col("us").as("purchase_us"),
+          col("ft_us"), col("ft_type"), col("lt_us"), col("lt_type"))
+    }),
+
+    // --- exact within-source percentile rank (quantile normalization) ------------
+    // Each doc's length mapped to its within-source PERCENT_RANK — the
+    // cross-domain score normalizer (a "long doc" means different things in
+    // different sources). Computed WITHOUT a row-level window: the
+    // cumulative walk runs over the (source, n_chars) histogram (corpus-
+    // independent frame, source-partitioned window), and one equi join
+    // stamps every doc — q128's pattern pointed at normalization. Exact
+    // rational: ties share (cum_below)/(n−1) by construction, identical to
+    // SQL PERCENT_RANK.
+    "q168_pct_rank" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        col("n_chars"))
+      val hist = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("source"))
+      val ranked = hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .select(col("source"), col("n_chars"),
+          when(col("n") > 1, (col("cum") - col("cnt")).cast("double") /
+            (col("n") - 1)).otherwise(lit(0.0)).as("pct_rank"))
+      docs.join(broadcast(ranked), Seq("source", "n_chars"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("pct_rank"))
+    }),
+
+    // --- robust outliers via median absolute deviation ---------------------------
+    // The data-quality flag mean/stddev gets wrong under heavy tails: per
+    // event type, med = exact lower median of integer cents, MAD = lower
+    // median of |cents − med|, outliers = rows beyond 3·MAD. TWO histogram
+    // rank walks (q91's machinery — value-distinct frames, never row
+    // sorts) chained by a #types-row broadcast; the final count is one
+    // more pass over the first histogram (cnt-weighted), so the corpus is
+    // scanned once and everything downstream is histogram-sized.
+    "q169_mad_outliers" -> ((s, d) => {
+      val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+      val hist = t(s, d, "events")
+        .groupBy(col("event_type"), cents.as("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = histRankWalk(hist, "event_type", "c",
+        Seq("med" -> "(n + 1) div 2"))
+        .select(col("event_type"), col("n"), col("med"))
+      val devHist = hist.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), abs(col("c") - col("med")).as("dev"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val mad = histRankWalk(devHist, "event_type", "dev",
+        Seq("mad" -> "(n + 1) div 2"))
+        .select(col("event_type"), col("mad"))
+      hist.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"), max(col("med")).as("med_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(when(abs(col("c") - col("med")) > lit(3) * col("mad"),
+            col("cnt")).otherwise(lit(0L))).as("n_outliers"))
+    }),
+
+    // --- MERGE INTO (lakehouse upsert) -------------------------------------------
+    // The CDC apply step as one full-outer join: a deterministic delta
+    // (keys ≡3 mod 10 update the name, ≡7 delete, a disjoint +1M key range
+    // inserts) merged into customer with per-row op tags. At scale this is
+    // THE nightly table-maintenance op; the shape is a single key-shuffle
+    // full outer join (both sides partitioned by the merge key — no
+    // row-at-a-time upserts), and the op tag makes the row-level decision
+    // auditable. Semantics match SQL MERGE: update wins over base, delete
+    // drops, insert appends.
+    "q170_merge_upsert" -> ((s, d) => {
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val delta = base
+        .filter(col("c_custkey") % 10 === 3 || col("c_custkey") % 10 === 7 ||
+          col("c_custkey") % 10 === 5)
+        .select(
+          when(col("c_custkey") % 10 === 5, col("c_custkey") + 1000000L)
+            .otherwise(col("c_custkey")).as("k"),
+          when(col("c_custkey") % 10 === 7, lit("D")).otherwise(lit("U"))
+            .as("dop"),
+          upper(col("c_name")).as("d_name"),
+          (col("c_acctbal").cast(DecimalType(18, 2)) +
+            lit(BigDecimal("0.01"))).cast("double").as("d_acctbal"))
+      base.join(delta, col("c_custkey") === col("k"), "full_outer")
+        .filter(coalesce(col("dop"), lit("")) =!= "D")
+        .select(
+          coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+          coalesce(col("d_name"), col("c_name")).as("c_name"),
+          coalesce(col("d_acctbal"), col("c_acctbal")).as("c_acctbal"),
+          when(col("c_custkey").isNull, lit("insert"))
+            .when(col("dop").isNull, lit("keep"))
+            .otherwise(lit("update")).as("op"))
+    }),
+
+    // --- rolling trailing-window features (RANGE frame) --------------------------
+    // Per event: trailing 7-day event count and exact cents sum for the
+    // same user, INCLUDING the current row — the standard rolling feature
+    // for fraud/engagement models. A value-based RANGE frame over integer
+    // µs, partitioned by user: per-user state only, no global ordering
+    // anywhere, linear at any scale.
+    "q171_rolling_time_window" -> ((s, d) => {
+      val sevenDaysUs = 7L * 86400 * 1000000
+      val w7 = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-sevenDaysUs, 0)
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        .withColumn("n_7d", count(lit(1)).over(w7))
+        .withColumn("cents_7d", sum(col("cents")).over(w7))
+        .select(col("event_id"), col("user_id"), col("us"), col("n_7d"),
+          col("cents_7d"))
+    }),
+
     // --- range (interval-containment) join --------------------------------------
     // Assign every event to the session interval that contains it. The
     // range predicate rides on an EQUI-join key (user_id) — the scale-safe
@@ -2404,6 +2549,108 @@ object Relational {
                      / (MAX(us) - MIN(us)) / 100
            END AS twa_value
          FROM b GROUP BY user_id""",
+
+    "q167_attribution" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         w AS (
+           SELECT user_id, event_id, event_type, us,
+             MIN(CASE WHEN event_type <> 'purchase' THEN us END) OVER f AS ft_us,
+             MAX(CASE WHEN event_type <> 'purchase' THEN us END) OVER f AS lt_us
+           FROM e
+           WINDOW f AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
+         touch AS (
+           SELECT user_id, us AS t_us, arg_min(event_type, event_id) AS t_type
+           FROM e WHERE event_type <> 'purchase' GROUP BY 1, 2)
+         SELECT w.user_id, w.event_id AS purchase_id, w.us AS purchase_us,
+           w.ft_us, ft.t_type AS ft_type, w.lt_us, lt.t_type AS lt_type
+         FROM w
+         LEFT JOIN touch ft ON w.user_id = ft.user_id AND w.ft_us = ft.t_us
+         LEFT JOIN touch lt ON w.user_id = lt.user_id AND w.lt_us = lt.t_us
+         WHERE w.event_type = 'purchase'""",
+
+    // Percentile-rank twin: the row-level window definition the Spark side
+    // decomposes into a histogram walk + stamp join.
+    "q168_pct_rank" ->
+      """SELECT doc_id, source, n_chars,
+           PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars)
+             AS pct_rank
+         FROM documents""",
+
+    "q169_mad_outliers" ->
+      """WITH e AS (
+           SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         h AS (SELECT event_type, c, COUNT(1) AS cnt FROM e GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, c, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+           FROM h),
+         med AS (
+           SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS med
+           FROM cum GROUP BY 1),
+         dh AS (
+           SELECT h.event_type, abs(h.c - med.med) AS dev,
+             CAST(SUM(h.cnt) AS BIGINT) AS cnt
+           FROM h JOIN med ON h.event_type = med.event_type
+           GROUP BY 1, 2),
+         dcum AS (
+           SELECT event_type, dev, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+           FROM dh),
+         mad AS (
+           SELECT event_type,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+           FROM dcum GROUP BY 1)
+         SELECT h.event_type, CAST(med.n AS BIGINT) AS n_events,
+           med.med AS med_cents, mad.mad AS mad_cents,
+           CAST(SUM(CASE WHEN abs(h.c - med.med) > 3 * mad.mad
+             THEN h.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM h
+         JOIN med ON h.event_type = med.event_type
+         JOIN mad ON h.event_type = mad.event_type
+         GROUP BY 1, 2, 3, 4""",
+
+    "q170_merge_upsert" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, c_acctbal FROM customer),
+         delta AS (
+           SELECT CASE WHEN c_custkey % 10 = 5 THEN c_custkey + 1000000
+                       ELSE c_custkey END AS k,
+             CASE WHEN c_custkey % 10 = 7 THEN 'D' ELSE 'U' END AS dop,
+             upper(c_name) AS d_name,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 0.01 AS DOUBLE)
+               AS d_acctbal
+           FROM base
+           WHERE c_custkey % 10 IN (3, 5, 7))
+         SELECT COALESCE(b.c_custkey, d.k) AS c_custkey,
+           COALESCE(d.d_name, b.c_name) AS c_name,
+           COALESCE(d.d_acctbal, b.c_acctbal) AS c_acctbal,
+           CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                WHEN d.dop IS NULL THEN 'keep'
+                ELSE 'update' END AS op
+         FROM base b FULL OUTER JOIN delta d ON b.c_custkey = d.k
+         WHERE COALESCE(d.dop, '') <> 'D'""",
+
+    "q171_rolling_time_window" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS us,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events)
+         SELECT event_id, user_id, us,
+           COUNT(1) OVER f AS n_7d,
+           CAST(SUM(cents) OVER f AS BIGINT) AS cents_7d
+         FROM e
+         WINDOW f AS (PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""",
 
     // Skyline twin: the quadratic NOT-EXISTS dominance definition — the
     // semantics, stated directly; the Spark side must reproduce it from

@@ -853,6 +853,113 @@ class RelationalSpec extends SparkSpec {
     assert(out.size > 1, "degenerate single-point skyline")
   }
 
+  private def eventsUsCents: Array[(Long, Long, String, Long, Long)] =
+    graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "ts", "value").collect()
+      .map { r =>
+        val ts = r.getTimestamp(3)
+        val us = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+        (r.getLong(0), r.getLong(1), r.getString(2), us,
+          math.round(r.getDouble(4) * 100))
+      }
+
+  test("q167: attribution equals a JVM lookback-scan recompute") {
+    val sevenDays = 7L * 86400 * 1000000
+    val ev = eventsUsCents
+    val touchType = ev.filter(_._3 != "purchase")
+      .groupBy(e => (e._2, e._4))
+      .map { case (k, v) => k -> v.minBy(_._1)._3 }
+    val expected = ev.filter(_._3 == "purchase").map { p =>
+      val win = ev.filter(e => e._2 == p._2 && e._3 != "purchase" &&
+        e._4 >= p._4 - sevenDays && e._4 < p._4).map(_._4)
+      val ft = if (win.isEmpty) None else Some(win.min)
+      val lt = if (win.isEmpty) None else Some(win.max)
+      (p._2, p._1, p._4, ft, ft.map(u => touchType((p._2, u))),
+        lt, lt.map(u => touchType((p._2, u))))
+    }.toSet
+    val out = Relational.queries("q167_attribution")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        Option(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        Option(r.getString(6)))).toSet
+    assert(out == expected)
+    // untouched purchases exist AND attributed ones exist — both paths live
+    assert(expected.exists(_._4.isEmpty) && expected.exists(_._4.nonEmpty))
+  }
+
+  test("q168: histogram percentile rank equals the row-window definition") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, v) =>
+      val n = v.length
+      v.toSeq.map { case (id, src, x) =>
+        val below = v.count(_._3 < x)
+        (id, src, x, if (n > 1) below.toDouble / (n - 1) else 0.0)
+      }
+    }.toSet
+    val out = Relational.queries("q168_pct_rank")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == expected)
+  }
+
+  test("q169: MAD outliers equal a JVM double-median recompute") {
+    def loMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length - 1) / 2)
+    val ev = eventsUsCents
+    val expected = ev.groupBy(_._3).map { case (et, v) =>
+      val cents = v.map(_._5).toSeq
+      val med = loMedian(cents)
+      val mad = loMedian(cents.map(c => (c - med).abs))
+      (et, v.length.toLong, med, mad,
+        cents.count(c => (c - med).abs > 3 * mad).toLong)
+    }.toSet
+    val out = Relational.queries("q169_mad_outliers")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out == expected)
+  }
+
+  test("q170: merge equals JVM MERGE semantics; every op class fires") {
+    val base = graft.Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val bump = (d: Double) =>
+      (BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP) +
+        BigDecimal("0.01")).toDouble
+    val expected = (base.flatMap { case (k, name, bal) =>
+      k % 10 match {
+        case 7 => None
+        case 3 => Some((k, name.toUpperCase, bump(bal), "update"))
+        case _ => Some((k, name, bal, "keep"))
+      }
+    } ++ base.collect { case (k, name, bal) if k % 10 == 5 =>
+      (k + 1000000L, name.toUpperCase, bump(bal), "insert")
+    }).toSet
+    val out = Relational.queries("q170_merge_upsert")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(out == expected)
+    assert(Set("insert", "update", "keep")
+      .subsetOf(expected.map(_._4)), "an op class never fired")
+  }
+
+  test("q171: rolling trailing window equals a JVM range-scan recompute") {
+    val sevenDays = 7L * 86400 * 1000000
+    val ev = eventsUsCents
+    val expected = ev.map { e =>
+      val win = ev.filter(o => o._2 == e._2 &&
+        o._4 >= e._4 - sevenDays && o._4 <= e._4)
+      (e._1, e._2, e._4, win.length.toLong, win.map(_._5).sum)
+    }.toSet
+    val out = Relational.queries("q171_rolling_time_window")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out == expected)
+  }
+
   test("q163: exact co-occurrence equals a JVM distinct-pair recompute") {
     val ut = graft.Tables.load(spark, sfDir, "events")
       .select("user_id", "event_type").collect()
