@@ -1706,6 +1706,114 @@ object Relational {
         .select(col("user_id"), col("ts"), col("value"), col("session_start"))
     }),
 
+    // --- interval×interval overlap join (grid-bucketed) --------------------------
+    // Which user sessions overlap which "incident" days? The two interval
+    // sets share NO entity key (sessions are per-user, incidents are
+    // global), so the scale-safe shape is GRID BUCKETING: each session
+    // explodes into the day cells it spans (bounded — a session is a
+    // 12h-gap island, and the explode happens in the scan stage), and
+    // since incidents are day-aligned, interval overlap collapses to CELL
+    // EQUALITY — one equi shuffle on the day cell, never a BNL/cartesian.
+    // The oracle states the true overlap predicate (s_start < d+1d AND
+    // s_end > d) directly; the grid join must reproduce it exactly.
+    // Incident threshold is scale-free and integer-exact: a day is an
+    // incident iff its distinct-user count strictly exceeds the daily
+    // mean (u·n_days > Σu — no float division anywhere).
+    "q172_interval_overlap" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val sess = ev
+        .groupBy(session_window(col("ts"), SessionGap).as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("s_start"),
+          col("sw.end").as("s_end"))
+      val daily = ev
+        .groupBy(date_trunc("DAY", col("ts")).as("inc_day"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+      val tot = daily.agg(sum(col("n_users")).as("total_u"),
+        count(lit(1)).as("n_days"))
+      val incidents = daily.join(broadcast(tot))
+        .filter(col("n_users") * col("n_days") > col("total_u"))
+        .select(col("inc_day"), col("n_users"))
+      // Day cells the half-open session [s_start, s_end) touches: trunc of
+      // s_start through trunc of the last INCLUDED instant (end − 1µs).
+      val cells = sess.select(col("user_id"), col("s_start"), col("s_end"),
+        explode(sequence(date_trunc("DAY", col("s_start")),
+          date_trunc("DAY", col("s_end") - expr("INTERVAL 1 MICROSECOND")),
+          expr("INTERVAL 1 DAY"))).as("cell"))
+      cells.join(broadcast(incidents), col("cell") === col("inc_day"))
+        .select(col("user_id"), unix_micros(col("s_start")).as("s_start_us"),
+          unix_micros(col("s_end")).as("s_end_us"),
+          unix_micros(col("inc_day")).as("inc_day_us"), col("n_users"))
+    }),
+
+    // --- k-anonymity / l-diversity audit ------------------------------------------
+    // Privacy-risk profile of the customer table under the quasi-identifier
+    // (nation, market segment, 1000-unit balance band): k = customers per
+    // QI cell, l = distinct sensitive values (order priority) observed for
+    // that cell, risky = k below the re-identification floor. The balance
+    // band uses FLOOR division via pmod (truncating `div` would merge the
+    // (−1000,0) and [0,1000) bands). Shape: k comes from the customer scan
+    // ALONE (no join — custkey is unique), l from one orders⨝customer
+    // shuffle pre-aggregated to distinct (QI, priority) pairs before the
+    // final QI-sized count — never a distinct-expand over the fact table.
+    "q173_k_anonymity" -> ((s, d) => {
+      val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast("long")
+      val cb = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          ((cents - pmod(cents, lit(100000L))) / 100000L).cast("long")
+            .as("band"))
+      val qi = Seq(col("c_nationkey"), col("c_mktsegment"), col("band"))
+      val k = cb.groupBy(qi: _*).agg(count(lit(1)).as("k"))
+      val l = cb
+        .join(t(s, d, "orders").select(col("o_custkey"), col("o_orderpriority")),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("band"),
+          col("o_orderpriority")).distinct()
+        .groupBy(qi: _*).agg(count(lit(1)).as("l_div"))
+      k.join(l, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("band"),
+          col("k"), coalesce(col("l_div"), lit(0L)).as("l_div"),
+          (col("k") < 5).as("risky"))
+    }),
+
+    // --- two-proportion A/B z-test ------------------------------------------------
+    // The experiment read-out: arm = event_id parity (the synthetic
+    // randomization unit), success = purchase. Pooled two-proportion
+    // z² = D²·n / (n1·n2·x·(n−x)) with D = x1·n2 − x2·n1, x = x1+x2,
+    // n = n1+n2 — every product in DECIMAL(38,0) ≙ HUGEINT, so the ONLY
+    // float op is the final single division (order-stable, bit-identical
+    // across engines). Significance at α=0.05 never touches floats at all:
+    // 10000·D²·n > 38416·n1·n2·x·(n−x) is a pure integer inequality.
+    // Shape: one narrow scan → one 4-counter agg → scalar algebra; the
+    // 100 TB plan is a map-side-combined count, nothing else.
+    "q174_ab_ztest" -> ((s, d) => {
+      val D = DecimalType(38, 0)
+      val e = t(s, d, "events").select(
+        (col("event_id") % 2 === 0).as("arm_a"),
+        (col("event_type") === "purchase").as("success"))
+      e.agg(
+          sum(when(col("arm_a"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm_a") && col("success"), 1L).otherwise(0L)).as("x1"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("arm_a") && col("success"), 1L).otherwise(0L)).as("x2"))
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          (col("x1").cast(D) * col("n2").cast(D) -
+            col("x2").cast(D) * col("n1").cast(D)).as("dd"),
+          (col("n1") + col("n2")).cast(D).as("n"),
+          (col("x1") + col("x2")).cast(D).as("x"))
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          when(col("x") > 0 && col("x") < col("n"),
+            (col("dd") * col("dd") * col("n")).cast("double") /
+              (col("n1").cast(D) * col("n2").cast(D) * col("x") *
+                (col("n") - col("x"))).cast("double")).as("z2"),
+          when(col("x") > 0 && col("x") < col("n"),
+            lit(10000).cast(D) * col("dd") * col("dd") * col("n") >
+              lit(38416).cast(D) * col("n1").cast(D) * col("n2").cast(D) *
+                col("x") * (col("n") - col("x")))
+            .otherwise(lit(false)).as("significant"))
+    }),
+
     // --- grouping sets via SQL ------------------------------------------------------------------
     "q24_grouping_sets" -> ((s, d) => {
       // register only what the SQL touches (registerAll would re-read all
@@ -2739,6 +2847,82 @@ object Relational {
         edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
         edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey")
       ).mkString(" UNION ALL ")
-    }
+    },
+
+    // Overlap twin: the TRUE interval-overlap predicate, stated directly —
+    // the Spark side's grid-cell equi join must reproduce it exactly.
+    "q172_interval_overlap" ->
+      s"""WITH $oSessionIslands,
+         sess AS (
+           SELECT user_id, MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL $SessionGapHours HOUR AS s_end
+           FROM s GROUP BY user_id, sid),
+         daily AS (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS inc_day,
+             COUNT(DISTINCT user_id) AS n_users
+           FROM events GROUP BY 1),
+         tot AS (SELECT SUM(n_users) AS total_u, COUNT(1) AS n_days FROM daily),
+         inc AS (
+           SELECT inc_day, n_users FROM daily, tot
+           WHERE n_users * n_days > total_u)
+         SELECT sess.user_id, epoch_us(s_start) AS s_start_us,
+           epoch_us(s_end) AS s_end_us, epoch_us(inc_day) AS inc_day_us,
+           n_users
+         FROM sess JOIN inc
+           ON sess.s_start < inc.inc_day + INTERVAL 1 DAY
+          AND sess.s_end > inc.inc_day""",
+
+    "q173_k_anonymity" ->
+      """WITH cb AS (
+           SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST((cents - ((cents % 100000) + 100000) % 100000) / 100000
+               AS BIGINT) AS band
+           FROM (SELECT c_custkey, c_nationkey, c_mktsegment,
+                   CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS cents
+                 FROM customer)),
+         k AS (SELECT c_nationkey, c_mktsegment, band, COUNT(1) AS k
+               FROM cb GROUP BY 1, 2, 3),
+         l AS (SELECT c_nationkey, c_mktsegment, band,
+                 COUNT(1) AS l_div
+               FROM (SELECT DISTINCT c_nationkey, c_mktsegment, band,
+                       o_orderpriority
+                     FROM cb JOIN orders ON c_custkey = o_custkey)
+               GROUP BY 1, 2, 3)
+         SELECT k.c_nationkey, k.c_mktsegment, k.band, k.k,
+           COALESCE(l.l_div, 0) AS l_div, k.k < 5 AS risky
+         FROM k LEFT JOIN l
+           ON k.c_nationkey = l.c_nationkey
+          AND k.c_mktsegment = l.c_mktsegment AND k.band = l.band""",
+
+    "q174_ab_ztest" ->
+      """WITH agg AS (
+           SELECT
+             CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN event_id % 2 = 0
+                            AND event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN event_id % 2 <> 0
+                            AND event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x2
+           FROM events),
+         alg AS (
+           SELECT n1, x1, n2, x2,
+             CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1 AS dd,
+             CAST(n1 + n2 AS HUGEINT) AS n, CAST(x1 + x2 AS HUGEINT) AS x
+           FROM agg)
+         SELECT n1, x1, n2, x2,
+           CASE WHEN x > 0 AND x < n THEN
+             CAST(dd * dd * n AS DOUBLE) /
+             CAST(CAST(n1 AS HUGEINT) * n2 * x * (n - x) AS DOUBLE)
+           END AS z2,
+           CASE WHEN x > 0 AND x < n THEN
+             10000 * dd * dd * n >
+               38416 * CAST(n1 AS HUGEINT) * n2 * x * (n - x)
+           ELSE FALSE END AS significant
+         FROM alg"""
   )
 }

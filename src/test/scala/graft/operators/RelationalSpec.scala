@@ -975,4 +975,80 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(out == expected && out.nonEmpty)
   }
+
+  test("q172: grid-bucketed overlap join equals the brute overlap predicate") {
+    def mic(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), mic(r.getTimestamp(1))))
+    val gapUs = 12L * 3600 * 1000000
+    val dayUs = 86400L * 1000000
+    // JVM sessions: 12h-gap islands per user, end = last + gap (half-open).
+    val sessions = events.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+      val ts = evs.map(_._2).sorted
+      val runs = ts.foldLeft(List.empty[(Long, Long)]) {
+        case ((s0, e0) :: rest, t) if t - e0 < gapUs => (s0, t) :: rest
+        case (acc, t) => (t, t) :: acc
+      }
+      runs.map { case (s0, last) => (uid, s0, last + gapUs) }
+    }
+    // JVM incidents: days whose distinct-user count strictly beats the mean.
+    val daily = events.map { case (uid, us) => (us - Math.floorMod(us, dayUs), uid) }
+      .distinct.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val totalU = daily.values.sum
+    val nDays = daily.size
+    val incidents = daily.filter { case (_, u) => u * nDays > totalU }
+    val expected = (for {
+      (uid, s0, e0) <- sessions
+      (day, u) <- incidents
+      if s0 < day + dayUs && e0 > day
+    } yield (uid, s0, e0, day, u)).toSet
+    val out = Relational.queries("q172_interval_overlap")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out == expected && out.nonEmpty)
+  }
+
+  test("q173: negative balances get floor bands; risky cells flagged at k<5") {
+    val out = Relational.queries("q173_k_anonymity")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // floor banding: some customer has a negative balance → band −1 exists
+    // (truncating division would fold it into band 0).
+    assert(out.keySet.exists(_._3 == -1L))
+    assert(out.keySet.forall(_._3 >= -1L))
+    // risky ⟺ k < 5, l never exceeds the 5 distinct priorities.
+    assert(out.values.forall { case (k, l, risky) =>
+      risky == (k < 5) && l >= 0 && l <= 5 && k >= 1 })
+    // k sums to the customer count (QI cells partition the table).
+    val nCust = graft.Tables.load(spark, sfDir, "customer").count()
+    assert(out.values.map(_._1).sum == nCust)
+  }
+
+  test("q174: z² and the significance bit match a BigInt recompute") {
+    val evs = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n1 = evs.count(_._1 % 2 == 0).toLong
+    val x1 = evs.count(e => e._1 % 2 == 0 && e._2 == "purchase").toLong
+    val n2 = evs.length - n1
+    val x2 = evs.count(_._2 == "purchase") - x1
+    val (bn1, bx1, bn2, bx2) = (BigInt(n1), BigInt(x1), BigInt(n2), BigInt(x2))
+    val dd = bx1 * bn2 - bx2 * bn1
+    val n = bn1 + bn2
+    val x = bx1 + bx2
+    val z2 = (dd * dd * n).toDouble / (bn1 * bn2 * x * (n - x)).toDouble
+    val sig = 10000 * dd * dd * n > 38416 * bn1 * bn2 * x * (n - x)
+    val r = Relational.queries("q174_ab_ztest")(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3)) == (n1, x1, n2, x2))
+    assert(r(0).getDouble(4) == z2)
+    assert(r(0).getBoolean(5) == sig)
+    // the integer significance gate and the float z² must agree whenever z²
+    // is not razor-close to the 3.8416 cut (it never is on this testdata).
+    assert(sig == (z2 > 3.8416))
+  }
 }
