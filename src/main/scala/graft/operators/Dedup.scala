@@ -507,6 +507,46 @@ object Dedup {
         coalesce(col("component"), col("doc_id")).as("entity"))
   }
 
+  // ---------------- shared duplicated-window stage (ExactSubstr family) ----
+  // q110 (per-doc span profile) and q139 (maximal span lengths) both start
+  // from the same corpus-scale artifact: every cross-doc-duplicated
+  // 32-token window position. Re-deriving it per query (and per branch —
+  // the digest frame feeds both the df agg and the join back) costs four
+  // explode+md5 corpus passes per bench run; a real ExactSubstr run
+  // materializes this table once (its suffix-array intermediate is
+  // strictly larger). Memo discipline matches [[trigramPairs]]: keyed by
+  // (session, sf dir), lazily checkpointed, first consumer pays. Unlike
+  // the pair memos the row bound here is the DUPLICATED window count, not
+  // the corpus window count — the wdf >= 2 filter runs before the
+  // checkpoint, so boilerplate-free corpora pin almost nothing.
+  private val sharedDupWindows =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** Window width shared by the q110/q139 family (tokens per digest). */
+  val DupWindowW = 32
+
+  /** Cross-doc-duplicated window positions — (doc_id, p, wh) for every
+    * [[DupWindowW]]-token window whose digest occurs in >= 2 distinct docs
+    * — memoized per (session, sf dir). Within-doc repetition is q72's
+    * axis and stays excluded (distinct-doc df, not occurrence count). */
+  private def dupWindowPositions(s: SparkSession, d: String): DataFrame =
+    sharedDupWindows.computeIfAbsent((s, d), _ => {
+      val W = DupWindowW
+      val wins = docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")))
+        .filter(col("n") >= W)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), col("n") - W + 1)).as("p"), col("tk"))
+        .select(col("doc_id"), col("p"),
+          md5(concat_ws(" ", slice(col("tk"), col("p"), lit(W)))).as("wh"))
+      val dupWh = wins.groupBy(col("wh"))
+        .agg(countDistinct(col("doc_id")).as("wdf"))
+        .filter(col("wdf") >= 2)
+        .select(col("wh"))
+      wins.join(dupWh, "wh").localCheckpoint(false)
+    })
+
   /** Public handle on the memoized corpus-wide trigram pair list, for
     * compositions that cluster a SUBSET of the corpus (q70's exact-dedup
     * survivors). Identity it rests on: a pair's presence in the LSH output
@@ -864,29 +904,24 @@ object Dedup {
     // digest→df, doc→counts), then one digest-keyed join back. At 100 TB
     // this is the q40 discipline at window granularity; the window count
     // per doc is bounded by token count, and no raw text ever leaves the
-    // scan stage.
+    // scan stage. The duplicated-position frame is the SHARED memoized
+    // [[dupWindowPositions]] stage (q139 consumes the same artifact); the
+    // total window count needs no window pass at all — for n >= W it is
+    // exactly n − W + 1.
     "q110_dup_spans" -> ((s, d) => {
-      val W = 32
-      val base = docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
-        .select(col("doc_id"), toks(col("text")).as("tk"))
-        .withColumn("n", size(col("tk")))
-      val wins = base.filter(col("n") >= W)
-        .select(col("doc_id"), col("tk"),
-          explode(sequence(lit(1), col("n") - W + 1)).as("p"))
-        .select(col("doc_id"),
-          md5(concat_ws(" ", slice(col("tk"), col("p"), lit(W)))).as("wh"))
-      val wdf = wins.groupBy(col("wh"))
-        .agg(countDistinct(col("doc_id")).as("wdf"))
-      val per = wins.join(wdf, "wh")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_windows"),
-          sum(when(col("wdf") >= 2, 1L).otherwise(0L)).as("n_dup"))
-      base.select(col("doc_id"), col("n")).join(per, Seq("doc_id"), "left")
+      val W = DupWindowW
+      val base = docs(s, d)
+        .select(col("doc_id"), size(toks(col("text"))).as("n"))
+      val per = dupWindowPositions(s, d)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      base.join(per, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n").cast("long").as("n_tok"),
-          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          when(col("n") >= W, (col("n") - W + 1).cast("long"))
+            .otherwise(lit(0L)).as("n_windows"),
           coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
-          when(coalesce(col("n_windows"), lit(0L)) === 0L, lit(0.0))
-            .otherwise(col("n_dup").cast("double") / col("n_windows"))
+          when(col("n") < W, lit(0.0))
+            .otherwise(coalesce(col("n_dup"), lit(0L)).cast("double") /
+              (col("n") - W + 1))
             .as("dup_frac"))
     }),
 
@@ -986,22 +1021,12 @@ object Dedup {
     // documented worst case there and here; production ExactSubstr runs
     // df-cap such windows, accepting split runs). Runs are found by ONE
     // window function over pair-sized rows (pa − row_number per diagonal —
-    // no iteration, no driver), then two hash aggs.
+    // no iteration, no driver), then two hash aggs. The corpus-scale
+    // window pass is the SHARED memoized [[dupWindowPositions]] stage —
+    // this query adds only pair-sized work on top of it.
     "q139_max_dup_span" -> ((s, d) => {
-      val W = 32
-      val wins = docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
-        .select(col("doc_id"), toks(col("text")).as("tk"))
-        .withColumn("n", size(col("tk")))
-        .filter(col("n") >= W)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), col("n") - W + 1)).as("p"), col("tk"))
-        .select(col("doc_id"), col("p"),
-          md5(concat_ws(" ", slice(col("tk"), col("p"), lit(W)))).as("wh"))
-      val dupWh = wins.groupBy(col("wh"))
-        .agg(countDistinct(col("doc_id")).as("wdf"))
-        .filter(col("wdf") >= 2)
-        .select(col("wh"))
-      val dup = wins.join(dupWh, "wh")
+      val W = DupWindowW
+      val dup = dupWindowPositions(s, d)
       val pr = dup.as("a").join(dup.as("b"),
           col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
