@@ -547,6 +547,27 @@ object Dedup {
       wins.join(dupWh, "wh").localCheckpoint(false)
     })
 
+  /** Per-doc union length of [p, p+W) token intervals over (doc_id, p)
+    * rows — the gaps-and-islands sweep the q176/q177 accounting queries
+    * share. One doc-partitioned window pass (running max end decides
+    * island starts; adjacent intervals merge, p <= prev end), then two
+    * hash aggs; islands contribute max(p)+W−min(p) tokens each. */
+  private def intervalUnionLen(pos: DataFrame, W: Int): DataFrame = {
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val prevEnd = max(col("p") + lit(W)).over(
+      w1.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    pos
+      .withColumn("newi", when(prevEnd.isNull || col("p") > prevEnd, 1L)
+        .otherwise(0L))
+      .withColumn("grp", sum(col("newi")).over(w1.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("p")) + lit(W) - min(col("p"))).cast("long").as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("len")).as("union_len"))
+  }
+
   /** Public handle on the memoized corpus-wide trigram pair list, for
     * compositions that cluster a SUBSET of the corpus (q70's exact-dedup
     * survivors). Identity it rests on: a pair's presence in the LSH output
@@ -1041,6 +1062,57 @@ object Dedup {
         .agg((count(lit(1)) + (W - 1)).as("span"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(max(col("span")).as("max_span_tok"))
+    }),
+
+    // --- duplicated-token-mass accounting (interval union) -----------------
+    // q110 counts duplicated WINDOWS; overlapping windows over-count the
+    // underlying tokens ~W×. The curation decision ("clip or drop this
+    // doc?") needs the union: per doc, the exact number of TOKENS covered
+    // by at least one cross-doc-duplicated window — the classic interval-
+    // union sweep ([p, p+W) islands merged while p <= running max end),
+    // computed by one doc-partitioned window pass over the SHARED memoized
+    // [[dupWindowPositions]] stage. All integers until the final exact-
+    // rational frac; at 100 TB this adds only dup-position-sized work past
+    // the memo.
+    "q176_dup_mass" -> ((s, d) => {
+      val W = DupWindowW
+      val base = docs(s, d)
+        .select(col("doc_id"), size(toks(col("text"))).as("n"))
+      val per = intervalUnionLen(
+        dupWindowPositions(s, d).select(col("doc_id"), col("p")), W)
+      base.join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").cast("long").as("n_tok"),
+          coalesce(col("union_len"), lit(0L)).as("dup_tokens"),
+          (coalesce(col("union_len"), lit(0L)).cast("double") / col("n"))
+            .as("dup_frac"))
+    }),
+
+    // --- ExactSubstr clip accounting (first occurrence wins) ---------------
+    // The deliverable ExactSubstr dedup actually ships (Lee et al. 2022):
+    // every span already seen in an EARLIER document is clipped from the
+    // later one; the first (min doc_id) occurrence is canonical and stays.
+    // Per doc: tokens covered by a duplicated window whose digest's
+    // minimum owner is an earlier doc -> interval union -> clipped mass;
+    // kept = n_tok − clipped. Owners come from one digest-keyed agg over
+    // the SHARED memoized [[dupWindowPositions]] stage (the memo holds
+    // every occurrence of every cross-doc-duplicated digest, so min
+    // doc_id per digest is the true corpus owner); everything past the
+    // memo is dup-position-sized.
+    "q177_exactsubstr_clip" -> ((s, d) => {
+      val W = DupWindowW
+      val base = docs(s, d)
+        .select(col("doc_id"), size(toks(col("text"))).as("n"))
+      val dup = dupWindowPositions(s, d)
+      val owners = dup.groupBy(col("wh")).agg(min(col("doc_id")).as("owner"))
+      val foreign = dup.join(owners, "wh")
+        .filter(col("owner") < col("doc_id"))
+        .select(col("doc_id"), col("p"))
+      val per = intervalUnionLen(foreign, W)
+      base.join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").cast("long").as("n_tok"),
+          coalesce(col("union_len"), lit(0L)).as("clipped_tokens"),
+          (col("n") - coalesce(col("union_len"), lit(0L))).cast("long")
+            .as("kept_tokens"))
     }),
 
     // --- MinHash signatures + LSH band keys per document -------------------
@@ -1538,6 +1610,89 @@ object Dedup {
            FROM runs GROUP BY doc_a, doc_b, diag, grp)
          SELECT doc_a, doc_b, CAST(MAX(span) AS BIGINT) AS max_span_tok
          FROM spans GROUP BY doc_a, doc_b""",
+
+    "q176_dup_mass" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS tk,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+         wins AS (
+           SELECT doc_id, p,
+                  md5(array_to_string(list_slice(tk, p, p + 31), ' ')) AS wh
+           FROM (SELECT doc_id, tk, unnest(range(1, n - 30)) AS p
+                 FROM base WHERE n >= 32)),
+         dupwh AS (
+           SELECT wh FROM wins GROUP BY wh
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         dup AS (SELECT w.doc_id, w.p FROM wins w JOIN dupwh USING (wh)),
+         flagged AS (
+           SELECT doc_id, p,
+             CASE WHEN MAX(p + 32) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR p > MAX(p + 32) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS newi
+           FROM dup),
+         grouped AS (
+           SELECT doc_id, p,
+             SUM(newi) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM flagged),
+         islands AS (
+           SELECT doc_id, grp, MAX(p) + 32 - MIN(p) AS len
+           FROM grouped GROUP BY doc_id, grp),
+         per AS (
+           SELECT doc_id, SUM(len) AS dup_tokens
+           FROM islands GROUP BY doc_id)
+         SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tok,
+           CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(per.dup_tokens, 0) AS DOUBLE) / b.n AS dup_frac
+         FROM base b LEFT JOIN per USING (doc_id)""",
+
+    "q177_exactsubstr_clip" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS tk,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+         wins AS (
+           SELECT doc_id, p,
+                  md5(array_to_string(list_slice(tk, p, p + 31), ' ')) AS wh
+           FROM (SELECT doc_id, tk, unnest(range(1, n - 30)) AS p
+                 FROM base WHERE n >= 32)),
+         dupwh AS (
+           SELECT wh FROM wins GROUP BY wh
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         dup AS (SELECT w.doc_id, w.p, w.wh
+                 FROM wins w JOIN dupwh USING (wh)),
+         owners AS (SELECT wh, MIN(doc_id) AS owner FROM dup GROUP BY wh),
+         foreign_w AS (
+           SELECT d.doc_id, d.p FROM dup d JOIN owners USING (wh)
+           WHERE owners.owner < d.doc_id),
+         flagged AS (
+           SELECT doc_id, p,
+             CASE WHEN MAX(p + 32) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR p > MAX(p + 32) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS newi
+           FROM foreign_w),
+         grouped AS (
+           SELECT doc_id, p,
+             SUM(newi) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM flagged),
+         islands AS (
+           SELECT doc_id, grp, MAX(p) + 32 - MIN(p) AS len
+           FROM grouped GROUP BY doc_id, grp),
+         per AS (
+           SELECT doc_id, SUM(len) AS clipped
+           FROM islands GROUP BY doc_id)
+         SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tok,
+           CAST(COALESCE(per.clipped, 0) AS BIGINT) AS clipped_tokens,
+           CAST(b.n - COALESCE(per.clipped, 0) AS BIGINT) AS kept_tokens
+         FROM base b LEFT JOIN per USING (doc_id)""",
 
     "q41_dedup_minhash" ->
       s"""SELECT doc_id, ${(0 until NumHashes).map(i => s"mh$i").mkString(", ")},

@@ -466,6 +466,68 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "testdata must contain a cross-doc duplicated span")
   }
 
+  test("q176/q177: dup mass and clip accounting match a JVM interval-union recompute") {
+    val W = 32
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    // hash-free recompute: group window CONTENT directly (an md5 collision
+    // in the engine path would surface here as a mass mismatch)
+    val byWin = scala.collection.mutable.Map.empty[String, List[(Long, Int)]]
+    docs.foreach { case (id, tk) =>
+      if (tk.length >= W)
+        (1 to tk.length - W + 1).foreach { p =>
+          val key = tk.slice(p - 1, p - 1 + W).mkString(" ")
+          byWin(key) = (id, p) :: byWin.getOrElse(key, Nil)
+        }
+    }
+    val dupGroups = byWin.values.filter(_.map(_._1).distinct.size >= 2).toList
+    def unionLen(ps: Seq[Int]): Long = {
+      var total = 0L; var start = -1; var end = -1
+      ps.sorted.foreach { p =>
+        if (start < 0) { start = p; end = p + W }
+        else if (p > end) { total += end - start; start = p; end = p + W }
+        else end = math.max(end, p + W)
+      }
+      if (start >= 0) total += end - start
+      total
+    }
+    val dupPos = dupGroups.flatten.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val owners = dupGroups.map(g => g -> g.map(_._1).min)
+    val foreignPos = owners
+      .flatMap { case (g, own) => g.filter(_._1 != own) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nTok = docs.map { case (id, tk) => id -> tk.length.toLong }.toMap
+    val expMass = docs.map { case (id, _) =>
+      id -> unionLen(dupPos.getOrElse(id, Nil)) }.toMap
+    val expClip = docs.map { case (id, _) =>
+      id -> unionLen(foreignPos.getOrElse(id, Nil)) }.toMap
+    val gotMass = Dedup.queries("q176_dup_mass")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(gotMass.keySet == nTok.keySet)
+    gotMass.foreach { case (id, (n, mass, frac)) =>
+      assert(n == nTok(id) && mass == expMass(id) &&
+        frac == mass.toDouble / n, s"doc $id")
+    }
+    val gotClip = Dedup.queries("q177_exactsubstr_clip")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    gotClip.foreach { case (id, (n, clip, kept)) =>
+      assert(n == nTok(id) && clip == expClip(id) && kept == n - clip,
+        s"doc $id")
+    }
+    // semantics visible on the testdata: some doc clips, every digest's
+    // owner doc clips nothing it owns (mass > 0 but possibly clip == 0),
+    // and clipped mass never exceeds total dup mass.
+    assert(gotClip.values.exists(_._2 > 0))
+    assert(gotMass.keys.forall(id => expClip(id) <= expMass(id)))
+    assert(gotMass.values.exists { case (_, m, _) => m > 0 } &&
+      gotClip.exists { case (id, (_, c, _)) => c == 0 && expMass(id) > 0 })
+  }
+
   test("q133: estimator audit matches a JVM minhash+jaccard recompute") {
     import graft.operators.{Dedup => D}
     def md5hex(s: String): String =
