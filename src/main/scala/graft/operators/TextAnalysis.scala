@@ -125,7 +125,75 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("mean_bits"))
   }
 
+  /** Number of unrolled BPE merge rounds for q178. */
+  val BpeMergeRounds = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- BPE merge discovery (tokenizer training, 3 exact rounds) ----------
+    // The core loop of byte-pair-encoding tokenizer training (Sennrich et
+    // al. 2016): count adjacent symbol pairs over the word-frequency list,
+    // merge the most frequent pair everywhere, repeat. Three rounds
+    // unrolled (the q118 PageRank discipline — no driver iteration). Every
+    // step is exact and engine-portable:
+    //   - pair counts are freq-weighted integer sums over the DISTINCT
+    //     word list (vocabulary-sized, never corpus-sized — the corpus
+    //     scan is one explode+groupBy);
+    //   - the argmax merge breaks ties (cnt DESC, l ASC, r ASC) — total
+    //     order, no randomness;
+    //   - applying a merge is string `replace` under the DOUBLE-SPACE
+    //     boundary representation " a  b  c ": every symbol owns one
+    //     space on each side, so replacing " l  r " with " lr " is
+    //     exactly greedy left-to-right BPE application — consecutive
+    //     matches in a run each keep their own boundary space (the
+    //     single-space encoding loses runs: " a a a a " merges only
+    //     once). Identical non-overlapping replace semantics in Spark
+    //     and DuckDB.
+    // Scale: all work past the corpus token count is vocabulary-sized;
+    // the 1-row argmax broadcasts back via a literal-key equi join (a
+    // BroadcastHashJoin, not a nested loop). At 100 TB the word list is
+    // the classic BPE-training reduction (GPT-2's was ~50k entries).
+    "q178_bpe_merges" -> ((s, d) => {
+      val words = t(s, d)
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val s0 = words.select(col("w"), col("freq"),
+        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1  ")),
+          lit(" ")).as("seq"))
+      def pairCounts(df: DataFrame): DataFrame = {
+        val sy = split(trim(col("seq")), "  ")
+        df.select(col("freq"), sy.as("sy"))
+          .select(col("freq"), explode(
+            when(size(col("sy")) >= 2,
+              transform(sequence(lit(1), size(col("sy")) - 1),
+                i => struct(element_at(col("sy"), i).as("l"),
+                  element_at(col("sy"), i + 1).as("r"))))
+              .otherwise(array().cast("array<struct<l:string,r:string>>")))
+            .as("pr"))
+          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+      }
+      def topPair(pairs: DataFrame): DataFrame =
+        pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+      def applyMerge(df: DataFrame, top: DataFrame): DataFrame =
+        df.withColumn("k", lit(1))
+          .join(broadcast(top.select(lit(1).as("k"), col("l").as("ml"),
+            col("r").as("mr"))), "k")
+          .select(col("w"), col("freq"),
+            call_function("replace", col("seq"),
+              concat(lit(" "), col("ml"), lit("  "), col("mr"), lit(" ")),
+              concat(lit(" "), col("ml"), col("mr"), lit(" "))).as("seq"))
+      val (rows, _) = (1 to BpeMergeRounds).foldLeft(
+        (Seq.empty[DataFrame], s0)) { case ((acc, cur), r) =>
+        val top = topPair(pairCounts(cur))
+        val row = top.select(lit(r).as("round"), col("l").as("left_sym"),
+          col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
+          col("cnt").as("pair_count"))
+        (acc :+ row, applyMerge(cur, top))
+      }
+      rows.reduce(_ unionAll _)
+    }),
 
     // --- token counting: whitespace + BPE-ish regex ------------------------
     "q30_text_tokens" -> ((s, d) =>
@@ -1001,6 +1069,43 @@ object TextAnalysis {
     s"len(list_filter($oToks, w -> list_contains($oStopList, w)))"
 
   val oracles: Map[String, String] = Map(
+    // BPE merge twin: same word-frequency reduction, double-space boundary
+    // representation, freq-weighted pair counts via lateral unnest, total-
+    // order argmax, and DuckDB's identical left-to-right replace.
+    "q178_bpe_merges" -> {
+      def roundCtes(r: Int): String = {
+        val prev = if (r == 1) "s0" else s"s${r - 1}"
+        s"""p$r AS (
+              SELECT sy[i] AS l, sy[i+1] AS r, SUM(freq) AS cnt
+              FROM (SELECT freq, string_split(trim(seq), '  ') AS sy
+                    FROM $prev),
+                   UNNEST(range(1, len(sy))) AS u$r(i)
+              GROUP BY 1, 2),
+            t$r AS (SELECT l, r, cnt FROM p$r
+                    ORDER BY cnt DESC, l, r LIMIT 1),
+            s$r AS (SELECT w, freq,
+                      replace(seq, ' '||t$r.l||'  '||t$r.r||' ',
+                              ' '||t$r.l||t$r.r||' ') AS seq
+                    FROM $prev, t$r)"""
+      }
+      val selects = (1 to BpeMergeRounds).map(r =>
+        s"""SELECT $r AS round, l AS left_sym, r AS right_sym,
+              l||r AS merged, CAST(cnt AS BIGINT) AS pair_count
+            FROM t$r""").mkString(" UNION ALL ")
+      s"""WITH words AS (
+            SELECT w, COUNT(1) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE len(w) > 0 GROUP BY w),
+          s0 AS (
+            SELECT w, freq,
+              ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+                AS seq
+            FROM words),
+          ${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")}
+          $selects"""
+    },
+
     // Exact vocabulary-overlap twin: same distinct (term, source) frame,
     // same term-keyed self-join for intersections, same |A|+|B|−∩ union.
     "q155_vocab_overlap" ->

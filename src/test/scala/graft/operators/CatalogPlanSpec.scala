@@ -65,6 +65,13 @@ class CatalogPlanSpec extends SparkSpec {
     unwrap(if (j.buildSide == BuildLeft) j.left else j.right) match {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
       case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      // A LIMIT 1 build side (argmax row broadcast back over the corpus,
+      // e.g. q178's top merge pair) is a computed scalar as well — the
+      // literal-key equi join the query writes constant-folds to a BNL.
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+          if t.limit == 1 => true
+      case g: org.apache.spark.sql.execution.GlobalLimitExec
+          if g.limit == 1 => true
       case _ => false
     }
 

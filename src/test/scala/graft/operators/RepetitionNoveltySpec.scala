@@ -577,4 +577,74 @@ class RepetitionNoveltySpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toSet
     assert(out == expected)
   }
+
+  /** Reference greedy BPE: merge `pair` left-to-right over a symbol list
+    * (after a merge, scanning resumes AFTER the merged symbol — the
+    * standard tokenizer-training semantics the double-space replace
+    * encoding must reproduce exactly). */
+  private def bpeApply(syms: List[String], pair: (String, String)): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && (syms(i), syms(i + 1)) == pair) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def bpeMerges(wordFreq: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var seqs: Map[List[String], Long] = wordFreq.toSeq
+      .map { case (w, f) => w.toList.map(_.toString) -> f }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    (1 to rounds).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      seqs.foreach { case (sy, f) =>
+        sy.zip(sy.drop(1)).foreach(p => counts(p) += f)
+      }
+      val ((l, rr), cnt) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      seqs = seqs.toSeq.map { case (sy, f) => bpeApply(sy, (l, rr)) -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (r, l, rr, l + rr, cnt)
+    }
+  }
+
+  test("q178: run-of-same-pair words merge every occurrence (the encoding edge case)") {
+    // "aaaa" has pair (a,a) at 3 positions; greedy BPE yields "aa","aa".
+    // Round 2 then merges (aa,aa). A single-space replace encoding would
+    // have left " aa a a " after round 1 and fail this.
+    val out = TextAnalysis.queries("q178_bpe_merges")(
+        spark, writeDocs(docsOf((1L, "aaaa aaaa"), (2L, "aaaa"))))
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out(0) == ((1, "a", "a", "aa", 9L)))
+    assert(out(1) == ((2, "aa", "aa", "aaaa", 3L)))
+  }
+
+  test("q178: three merge rounds equal a JVM greedy-BPE recompute on the testdata") {
+    val wf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = bpeMerges(wf, TextAnalysis.BpeMergeRounds)
+    val got = TextAnalysis.queries("q178_bpe_merges")(spark, sfDir)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(expected.map(_._5).forall(_ > 0))
+  }
+
+  /** Materialize a constructed docs frame as a parquet dir the query
+    * contract (SparkSession, sfDir) can read. */
+  private def writeDocs(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("q178docs").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
 }
