@@ -1814,6 +1814,122 @@ object Relational {
             .otherwise(lit(false)).as("significant"))
     }),
 
+    // --- PIVOT (wide activity matrix) -----------------------------------------------
+    // The reshaping read every BI/feature layer needs: one row per day,
+    // one count column per event type. The value list is EXPLICIT
+    // (Spark's pivot without values triggers a distinct-scan planning
+    // pass AND makes the output schema data-dependent — at 100 TB the
+    // schema must be static). Plan: single hash agg keyed by day with 5
+    // conditional counts — pivot on an explicit list compiles to exactly
+    // the manual CASE WHEN shape, one shuffle, no extra pass.
+    "q179_pivot_matrix" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, d, "events")
+        .select(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +: types.map(ty =>
+          coalesce(col(ty), lit(0L)).as(s"n_$ty")): _*)
+    }),
+
+    // --- UNPIVOT / melt (wide -> long) ----------------------------------------------
+    // The inverse reshaping (Dataset.unpivot, SQL UNPIVOT/stack): lineitem's
+    // four numeric measures melt into (measure, value) rows, then one agg
+    // recovers per-measure profiles. Values go through DECIMAL(18,2) cents
+    // so sums are exact integers (the q02 discipline); the unpivot itself
+    // is a zero-shuffle projection (each input row emits 4 — done in the
+    // scan stage), one hash agg on a 4-value key follows.
+    "q180_unpivot_profile" -> ((s, d) => {
+      val cents = (c: String) =>
+        (col(c).cast(DecimalType(18, 2)) * 100).cast("long").as(s"m_$c")
+      t(s, d, "lineitem")
+        .select(cents("l_quantity"), cents("l_extendedprice"),
+          cents("l_discount"), cents("l_tax"))
+        .unpivot(Array.empty, Array(col("m_l_quantity"),
+          col("m_l_extendedprice"), col("m_l_discount"), col("m_l_tax")),
+          "measure", "cents")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    }),
+
+    // --- peak concurrency (interval sweep without a global sort) --------------------
+    // Max simultaneous user sessions per day — the capacity-planning read
+    // over the q25 session intervals. The classic sweep (order ALL deltas,
+    // running sum) is a partition-less window = one task at any scale; this
+    // plan day-partitions it: (1) deltas (+1 start / −1 end) bucket into
+    // their own day, prefix-summed per day ordered by (ts, delta) — the
+    // −1-before-+1 tie order IS the half-open [start, end) semantics;
+    // (2) sessions spanning a day boundary become a carry-in count via the
+    // q172 grid explode (cells after the first = open at that day's
+    // start); (3) peak(day) = carry_in + max(0, max prefix). Everything
+    // shuffles by day; no global sort anywhere.
+    "q181_peak_concurrency" -> ((s, d) => {
+      val sess = t(s, d, "events")
+        .groupBy(session_window(col("ts"), SessionGap).as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("sw.start").as("s_start"), col("sw.end").as("s_end"))
+      val deltas = sess.select(col("s_start").as("ts"), lit(1).as("delta"))
+        .unionAll(sess.select(col("s_end").as("ts"), lit(-1).as("delta")))
+        .select(date_trunc("DAY", col("ts")).as("day"), col("ts"), col("delta"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day")).orderBy(col("ts"), col("delta"))
+      val prefix = deltas
+        .withColumn("run", sum(col("delta")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("day")).agg(max(col("run")).as("max_prefix"))
+      val carry = sess
+        .select(explode(sequence(date_trunc("DAY", col("s_start")),
+          date_trunc("DAY", col("s_end") - expr("INTERVAL 1 MICROSECOND")),
+          expr("INTERVAL 1 DAY"))).as("day"), col("s_start"))
+        .filter(col("day") > col("s_start"))
+        .groupBy(col("day")).agg(count(lit(1)).as("carry_in"))
+      // FULL outer: an interior day of a >2-day session has carry but no
+      // deltas — it still has that many concurrent sessions all day.
+      prefix.join(carry, Seq("day"), "full")
+        .select(col("day"),
+          coalesce(col("carry_in"), lit(0L)).as("carry_in"),
+          (coalesce(col("carry_in"), lit(0L)) +
+            greatest(lit(0L), coalesce(col("max_prefix"), lit(0L))))
+            .as("peak_sessions"))
+    }),
+
+    // --- Cohen's kappa (inter-rater agreement) --------------------------------------
+    // The annotation-QA statistic: agreement between two deterministic
+    // binary raters of document quality (length >= 500 chars; >= 80
+    // tokens), corrected for chance. kappa = (N·agree − Σ_k a_k·b_k) /
+    // (N² − Σ_k a_k·b_k) — the standard (po−pe)/(1−pe) multiplied
+    // through by N², so EVERY term is an exact int64 product over one
+    // 4-cell contingency agg; the single final division is the only
+    // float op. Products run in DECIMAL(38,0) ≙ HUGEINT (the q174
+    // discipline — n² overflows int64 past ~3e9 docs, a real corpus
+    // size). Shape: one narrow scan, one map-side-combined 4-counter
+    // agg, scalar algebra — corpus-size-independent past the scan.
+    "q182_cohens_kappa" -> ((s, d) => {
+      val D = DecimalType(38, 0)
+      val ra = (col("n_chars") >= 500).as("ra")
+      val rb = (size(TextFns.toks(col("text"))) >= 80).as("rb")
+      t(s, d, "documents").select(ra, rb)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"),
+          (col("n") - col("n11") - col("n10") - col("n01")).as("n00"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          ((col("n11") + col("n10")).cast(D) * (col("n11") + col("n01")).cast(D) +
+            (col("n01") + col("n00")).cast(D) * (col("n10") + col("n00")).cast(D))
+            .as("pe_n2"),
+          ((col("n11") + col("n00")).cast(D) * col("n").cast(D)).as("po_n2"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          when(col("n").cast(D) * col("n").cast(D) === col("pe_n2"),
+            lit(null).cast("double"))
+            .otherwise((col("po_n2") - col("pe_n2")).cast("double") /
+              (col("n").cast(D) * col("n").cast(D) - col("pe_n2")).cast("double"))
+            .as("kappa"))
+    }),
+
     // --- grouping sets via SQL ------------------------------------------------------------------
     "q24_grouping_sets" -> ((s, d) => {
       // register only what the SQL touches (registerAll would re-read all
@@ -2923,6 +3039,103 @@ object Relational {
              10000 * dd * dd * n >
                38416 * CAST(n1 AS HUGEINT) * n2 * x * (n - x)
            ELSE FALSE END AS significant
+         FROM alg""",
+
+    "q179_pivot_matrix" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_view
+         FROM events GROUP BY 1""",
+
+    "q180_unpivot_profile" ->
+      """WITH cents AS (
+           SELECT
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS m_l_quantity,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS m_l_extendedprice,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS m_l_discount,
+             CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS m_l_tax
+           FROM lineitem),
+         longf AS (
+           SELECT 'm_l_quantity' AS measure, m_l_quantity AS cents FROM cents
+           UNION ALL
+           SELECT 'm_l_extendedprice', m_l_extendedprice FROM cents
+           UNION ALL
+           SELECT 'm_l_discount', m_l_discount FROM cents
+           UNION ALL
+           SELECT 'm_l_tax', m_l_tax FROM cents)
+         SELECT measure, COUNT(1) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MIN(cents) AS min_cents, MAX(cents) AS max_cents
+         FROM longf GROUP BY measure""",
+
+    "q181_peak_concurrency" ->
+      s"""WITH $oSessionIslands,
+         sess AS (
+           SELECT MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL $SessionGapHours HOUR AS s_end
+           FROM s GROUP BY user_id, sid),
+         deltas AS (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, delta
+           FROM (SELECT s_start AS ts, 1 AS delta FROM sess
+                 UNION ALL SELECT s_end, -1 FROM sess)),
+         prefix AS (
+           SELECT day, MAX(run) AS max_prefix FROM (
+             SELECT day,
+               SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+             FROM deltas) GROUP BY day),
+         carry AS (
+           SELECT day, COUNT(1) AS carry_in FROM (
+             SELECT unnest(generate_series(
+                 CAST(date_trunc('day', s_start) AS TIMESTAMP),
+                 CAST(date_trunc('day', s_end - INTERVAL 1 MICROSECOND)
+                   AS TIMESTAMP),
+                 INTERVAL 1 DAY)) AS day, s_start
+             FROM sess)
+           WHERE day > s_start GROUP BY day)
+         SELECT COALESCE(p.day, c.day) AS day,
+           COALESCE(c.carry_in, 0) AS carry_in,
+           CAST(COALESCE(c.carry_in, 0) +
+             GREATEST(0, COALESCE(p.max_prefix, 0)) AS BIGINT)
+             AS peak_sessions
+         FROM prefix p FULL OUTER JOIN carry c ON p.day = c.day""",
+
+    "q182_cohens_kappa" ->
+      """WITH cells AS (
+           SELECT COUNT(1) AS n,
+             CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n11,
+             CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n10,
+             CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n01
+           FROM (SELECT n_chars >= 500 AS ra,
+                   len(string_split(text, ' ')) >= 80 AS rb
+                 FROM documents)),
+         full_c AS (
+           SELECT n, n11, n10, n01, n - n11 - n10 - n01 AS n00 FROM cells),
+         alg AS (
+           SELECT n, n11, n10, n01, n00,
+             CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+               CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS pe_n2,
+             CAST(n11 + n00 AS HUGEINT) * n AS po_n2
+           FROM full_c)
+         SELECT n, n11, n10, n01, n00,
+           CASE WHEN CAST(n AS HUGEINT) * n = pe_n2 THEN NULL
+                ELSE CAST(po_n2 - pe_n2 AS DOUBLE) /
+                     CAST(CAST(n AS HUGEINT) * n - pe_n2 AS DOUBLE)
+           END AS kappa
          FROM alg"""
   )
 }

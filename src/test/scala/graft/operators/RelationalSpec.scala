@@ -1027,6 +1027,99 @@ class RelationalSpec extends SparkSpec {
     assert(out.values.map(_._1).sum == nCust)
   }
 
+  test("q179/q180: pivot cells and melted profiles match direct recomputes") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select("ts", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+    val out = Relational.queries("q179_pivot_matrix")(spark, sfDir).collect()
+    // every cell is the direct (day, type) count; cells sum to the corpus
+    val dayUs = 86400L * 1000000
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+      us - Math.floorMod(us, dayUs)
+    }
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val expected = ev.groupBy(e => day(e._1)).view.mapValues(es =>
+      types.map(t => es.count(_._2 == t).toLong)).toMap
+    val got = out.map(r => day(r.getTimestamp(0)) ->
+      (1 to 5).map(r.getLong(_)).toSeq).toMap
+    assert(got == expected)
+    assert(got.values.flatten.sum == ev.length.toLong)
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_quantity").collect()
+      .map(r => BigDecimal(r.getDouble(0)).setScale(2).*(100).toLongExact)
+    val prof = Relational.queries("q180_unpivot_profile")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(prof("m_l_quantity") ==
+      ((li.length.toLong, li.sum, li.min, li.max)))
+    assert(prof.keySet == Set("m_l_quantity", "m_l_extendedprice",
+      "m_l_discount", "m_l_tax"))
+  }
+
+  test("q181: day peaks equal a brute instant-scan over JVM-derived sessions") {
+    def mic(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), mic(r.getTimestamp(1))))
+    val gapUs = 12L * 3600 * 1000000
+    val dayUs = 86400L * 1000000
+    val sessions = events.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val ts = evs.map(_._2).sorted
+      val runs = ts.foldLeft(List.empty[(Long, Long)]) {
+        case ((s0, e0) :: rest, t) if t - e0 < gapUs => (s0, t) :: rest
+        case (acc, t) => (t, t) :: acc
+      }
+      runs.map { case (s0, last) => (s0, last + gapUs) }
+    }
+    // brute: concurrency at instant t = sessions with s <= t < e; peak per
+    // day over every candidate instant (day start + in-day session starts)
+    def conc(t: Long): Int = sessions.count { case (s, e) => s <= t && t < e }
+    val days = sessions.flatMap { case (s, e) =>
+      val d0 = s - Math.floorMod(s, dayUs)
+      val d1 = (e - 1) - Math.floorMod(e - 1, dayUs)
+      d0 to d1 by dayUs
+    }.distinct
+    val expected = days.map { d =>
+      val cands = d +: sessions.collect {
+        case (s, _) if s >= d && s < d + dayUs => s }
+      d -> cands.map(conc).max.toLong
+    }.toMap
+    val got = Relational.queries("q181_peak_concurrency")(spark, sfDir)
+      .collect().map(r => mic(r.getTimestamp(0)) -> r.getLong(2)).toMap
+    // the query emits only days with a delta; brute also covers interior
+    // full-coverage days (possible only when a session spans a full day
+    // with no starts/ends — then peak == carry which the query must list)
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet.diff(got.keySet)} extra=${got.keySet.diff(expected.keySet)}")
+    got.foreach { case (d, p) => assert(p == expected(d), s"day $d") }
+    assert(got.values.max >= 2, "testdata should overlap sessions somewhere")
+  }
+
+  test("q182: kappa equals the textbook (po-pe)/(1-pe) on JVM-counted cells") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("n_chars", "text").collect()
+      .map(r => (r.getLong(0) >= 500,
+        r.getString(1).split(" ", -1).length >= 80))
+    val n = docs.length.toLong
+    val n11 = docs.count(d => d._1 && d._2).toLong
+    val n10 = docs.count(d => d._1 && !d._2).toLong
+    val n01 = docs.count(d => !d._1 && d._2).toLong
+    val n00 = n - n11 - n10 - n01
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+      .toDouble / n / n
+    val r = Relational.queries("q182_cohens_kappa")(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4)) == ((n, n11, n10, n01, n00)))
+    val kappa = r(0).getDouble(5)
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-12)
+    // both raters actually fire both ways on the testdata
+    assert(n11 > 0 && n00 > 0 && (n10 > 0 || n01 > 0))
+  }
+
   test("q174: z² and the significance bit match a BigInt recompute") {
     val evs = graft.Tables.load(spark, sfDir, "events")
       .select("event_id", "event_type").collect()
