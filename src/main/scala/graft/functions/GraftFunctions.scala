@@ -51,6 +51,13 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.CollapseNfcNormalize
     }
+    // Same idempotence discipline for the as-of planner strategy: a session
+    // built with [[GraftExtensions]] already carries it via
+    // injectPlannerStrategy; only append on externally-built sessions.
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
   }
 }
 
@@ -61,5 +68,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.CollapseNfcNormalize)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -1289,6 +1289,33 @@ object Relational {
           col("cal_ts"), col("cal_value"))
     }),
 
+    // --- native as-of join (custom LogicalPlan + Strategy + SparkPlan) ----------
+    // q48's semantics through graft's own physical operator
+    // ([[graft.plans.AsOfJoinExec]]): both sides key-clustered and
+    // (key, time)-sorted by EnsureRequirements, then ONE forward merge per
+    // partition holding a single candidate row — the kdb-aj/DuckDB-ASOF
+    // execution shape, no union materialization, no window buffer. Same
+    // oracle as q48 (results are identical by construction); the
+    // AsOfJoinSpec pins plan shape (native node, exactly 2 exchanges) and
+    // row-for-row agreement with the composed q48.
+    "q183_asof_native" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"), col("value"))
+      // repartition by user_id BEFORE the (user_id, ts) dedup agg: hash on
+      // user_id alone satisfies both the agg's clustering AND the as-of's
+      // ClusteredDistribution(key), so the right side costs ONE exchange
+      // total instead of agg-by-(user,ts) + re-cluster-by-user.
+      val cal = t(s, d, "events").filter(col("value") > 190)
+        .repartition(col("user_id"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("cal_value"))
+        .select(col("user_id").as("cal_user"), col("ts").as("cal_ts"),
+          col("cal_value"))
+      graft.plans.AsOfJoinPlan
+        .asofJoin(ev, cal, "user_id", "cal_user", "ts", "cal_ts")
+        .select(col("user_id"), col("ts"), col("value"), col("cal_ts"),
+          col("cal_value"))
+    }),
+
     // --- tolerance-bounded as-of join -------------------------------------------
     // The sensor-fusion variant of q48: a backward as-of match is only
     // VALID within a staleness horizon (a calibration 3 weeks old is no
@@ -2724,6 +2751,17 @@ object Relational {
           AND e.ts >= sess.session_start AND e.ts < sess.session_end""",
 
     "q48_asof_join" ->
+      """SELECT e.user_id, e.ts, e.value, c.ts AS cal_ts, c.cval AS cal_value
+         FROM events e
+         ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS cval
+                         FROM events WHERE value > 190
+                         GROUP BY user_id, ts) c
+           ON e.user_id = c.user_id AND e.ts >= c.ts""",
+
+    // Identical result contract to q48 — the native operator must land on
+    // exactly the same rows as both the composed union-window plan and
+    // DuckDB's built-in ASOF join.
+    "q183_asof_native" ->
       """SELECT e.user_id, e.ts, e.value, c.ts AS cal_ts, c.cval AS cal_value
          FROM events e
          ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS cval
