@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** Native backward as-of join — the whole-operator Catalyst extension tier
   * (logical node + planner strategy + physical operator), for the one
@@ -108,7 +109,15 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // Standard operator observability: row/match counts surface in the SQL
+  // UI and via plan.metrics like any built-in join's.
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val lOut = left.output
     val rOut = right.output
     val lKey = leftKey
@@ -151,6 +160,7 @@ case class AsOfJoinExec(
       var candK: UnsafeRow = null
 
       lIter.map { l =>
+        numOutputRows += 1
         val lk = lkProj(l)
         val lt = ltEval.eval(l)
         if (lk.isNullAt(0) || lt == null) {
@@ -166,9 +176,10 @@ case class AsOfJoinExec(
               cont = curR != null
             } else cont = false
           }
-          if (cand != null && keyOrd.compare(candK, lk) == 0)
+          if (cand != null && keyOrd.compare(candK, lk) == 0) {
+            numMatchedRows += 1
             resultProj(joined(l, cand))
-          else resultProj(joined(l, nullRight))
+          } else resultProj(joined(l, nullRight))
         }
       }
     }

@@ -85,7 +85,7 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("plan: native node present, exactly one exchange per side, key-clustered") {
     val df = graft.operators.Relational.queries("q183_asof_native")(spark, sfDir)
-    df.count()
+    val nRows = df.collect().length.toLong
     val plan = df.queryExecution.executedPlan
     val asof = collectWithSubqueries(plan) { case a: AsOfJoinExec => a }
     assert(asof.length == 1, s"expected the native operator in:\n$plan")
@@ -98,5 +98,10 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s.outputPartitioning.toString.contains("cal_user"),
         s"shuffle not keyed by the join key: ${s.outputPartitioning}")
     }
+    // operator metrics populated like a built-in join's
+    val m = asof.head.metrics
+    assert(m("numOutputRows").value == nRows)
+    assert(m("numMatchedRows").value > 0 &&
+      m("numMatchedRows").value <= nRows)
   }
 }
