@@ -128,6 +128,52 @@ object TextAnalysis {
   /** Number of unrolled BPE merge rounds for q178. */
   val BpeMergeRounds = 3
 
+  // ----- shared BPE machinery (q178 merge discovery, q184 compression) -----
+
+  /** Word-frequency list in the double-space boundary encoding " a  b  c "
+    * (see the q178 map entry for why single spaces lose same-pair runs). */
+  private def bpeSeq0(s: SparkSession, d: String): DataFrame =
+    t(s, d).select(explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1  ")),
+          lit(" ")).as("seq"))
+
+  /** Freq-weighted adjacent-pair counts over a (w, freq, seq) frame. */
+  private def bpePairCounts(df: DataFrame): DataFrame = {
+    val sy = split(trim(col("seq")), "  ")
+    df.select(col("freq"), sy.as("sy"))
+      .select(col("freq"), explode(
+        when(size(col("sy")) >= 2,
+          transform(sequence(lit(1), size(col("sy")) - 1),
+            i => struct(element_at(col("sy"), i).as("l"),
+              element_at(col("sy"), i + 1).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>")))
+        .as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Total-order argmax pair: cnt DESC, then (l, r) ascending. */
+  private def bpeTop(pairs: DataFrame): DataFrame =
+    pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+
+  /** Apply the 1-row top pair everywhere via boundary-preserving replace. */
+  private def bpeApply(df: DataFrame, top: DataFrame): DataFrame =
+    df.withColumn("k", lit(1))
+      .join(broadcast(top.select(lit(1).as("k"), col("l").as("ml"),
+        col("r").as("mr"))), "k")
+      .select(col("w"), col("freq"),
+        call_function("replace", col("seq"),
+          concat(lit(" "), col("ml"), lit("  "), col("mr"), lit(" ")),
+          concat(lit(" "), col("ml"), col("mr"), lit(" "))).as("seq"))
+
+  /** Freq-weighted corpus symbol total of a (w, freq, seq) frame — 1 row. */
+  private def bpeTotal(df: DataFrame): DataFrame =
+    df.agg(sum(col("freq") * size(split(trim(col("seq")), "  ")))
+      .as("total"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- BPE merge discovery (tokenizer training, 3 exact rounds) ----------
@@ -154,43 +200,41 @@ object TextAnalysis {
     // BroadcastHashJoin, not a nested loop). At 100 TB the word list is
     // the classic BPE-training reduction (GPT-2's was ~50k entries).
     "q178_bpe_merges" -> ((s, d) => {
-      val words = t(s, d)
-        .select(explode(toks(col("text"))).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      val s0 = words.select(col("w"), col("freq"),
-        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1  ")),
-          lit(" ")).as("seq"))
-      def pairCounts(df: DataFrame): DataFrame = {
-        val sy = split(trim(col("seq")), "  ")
-        df.select(col("freq"), sy.as("sy"))
-          .select(col("freq"), explode(
-            when(size(col("sy")) >= 2,
-              transform(sequence(lit(1), size(col("sy")) - 1),
-                i => struct(element_at(col("sy"), i).as("l"),
-                  element_at(col("sy"), i + 1).as("r"))))
-              .otherwise(array().cast("array<struct<l:string,r:string>>")))
-            .as("pr"))
-          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-          .agg(sum(col("freq")).as("cnt"))
-      }
-      def topPair(pairs: DataFrame): DataFrame =
-        pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-      def applyMerge(df: DataFrame, top: DataFrame): DataFrame =
-        df.withColumn("k", lit(1))
-          .join(broadcast(top.select(lit(1).as("k"), col("l").as("ml"),
-            col("r").as("mr"))), "k")
-          .select(col("w"), col("freq"),
-            call_function("replace", col("seq"),
-              concat(lit(" "), col("ml"), lit("  "), col("mr"), lit(" ")),
-              concat(lit(" "), col("ml"), col("mr"), lit(" "))).as("seq"))
       val (rows, _) = (1 to BpeMergeRounds).foldLeft(
-        (Seq.empty[DataFrame], s0)) { case ((acc, cur), r) =>
-        val top = topPair(pairCounts(cur))
+        (Seq.empty[DataFrame], bpeSeq0(s, d))) { case ((acc, cur), r) =>
+        val top = bpeTop(bpePairCounts(cur))
         val row = top.select(lit(r).as("round"), col("l").as("left_sym"),
           col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
           col("cnt").as("pair_count"))
-        (acc :+ row, applyMerge(cur, top))
+        (acc :+ row, bpeApply(cur, top))
+      }
+      rows.reduce(_ unionAll _)
+    }),
+
+    // --- BPE compression audit (applied count != positional count) ---------
+    // The acceptance read for q178's merge table: how much does each merge
+    // actually SHRINK the corpus? applied_count = symbols before − after is
+    // the true number of merge applications, which is strictly less than
+    // q178's positional pair_count whenever the pair self-overlaps in a
+    // run ("aaaa" counts (a,a) three times but greedy merging applies it
+    // twice) — the classic off-by-run BPE bookkeeping trap, made explicit.
+    // Totals are freq-weighted integer sums over the vocabulary frame; the
+    // three 1-row scalars (argmax, before, after) meet in scalar joins.
+    "q184_bpe_compression" -> ((s, d) => {
+      val (rows, _) = (1 to BpeMergeRounds).foldLeft(
+        (Seq.empty[DataFrame], bpeSeq0(s, d))) { case ((acc, cur), r) =>
+        val top = bpeTop(bpePairCounts(cur))
+        val next = bpeApply(cur, top)
+        val row = top.select(lit(r).as("round"), col("l").as("left_sym"),
+            col("r").as("right_sym"), col("cnt").as("pair_count"))
+          .crossJoin(broadcast(bpeTotal(cur)
+            .select(col("total").as("total_before"))))
+          .crossJoin(broadcast(bpeTotal(next)
+            .select(col("total").as("total_after"))))
+          .select(col("round"), col("left_sym"), col("right_sym"),
+            col("pair_count"), col("total_before"), col("total_after"),
+            (col("total_before") - col("total_after")).as("applied_count"))
+        (acc :+ row, next)
       }
       rows.reduce(_ unionAll _)
     }),
@@ -1102,6 +1146,54 @@ object TextAnalysis {
               ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
                 AS seq
             FROM words),
+          ${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")}
+          $selects"""
+    },
+
+    // Compression-audit twin: q178's CTE ladder plus per-stage freq-weighted
+    // symbol totals; applied = before − after.
+    "q184_bpe_compression" -> {
+      def roundCtes(r: Int): String = {
+        val prev = if (r == 1) "s0" else s"s${r - 1}"
+        s"""p$r AS (
+              SELECT sy[i] AS l, sy[i+1] AS r, SUM(freq) AS cnt
+              FROM (SELECT freq, string_split(trim(seq), '  ') AS sy
+                    FROM $prev),
+                   UNNEST(range(1, len(sy))) AS u$r(i)
+              GROUP BY 1, 2),
+            t$r AS (SELECT l, r, cnt FROM p$r
+                    ORDER BY cnt DESC, l, r LIMIT 1),
+            s$r AS (SELECT w, freq,
+                      replace(seq, ' '||t$r.l||'  '||t$r.r||' ',
+                              ' '||t$r.l||t$r.r||' ') AS seq
+                    FROM $prev, t$r),
+            tot$r AS (
+              SELECT CAST(SUM(freq * len(string_split(trim(seq), '  ')))
+                AS BIGINT) AS total
+              FROM s$r)"""
+      }
+      val selects = (1 to BpeMergeRounds).map { r =>
+        val before = if (r == 1) "tot0" else s"tot${r - 1}"
+        s"""SELECT $r AS round, l AS left_sym, r AS right_sym,
+              CAST(cnt AS BIGINT) AS pair_count,
+              $before.total AS total_before, tot$r.total AS total_after,
+              $before.total - tot$r.total AS applied_count
+            FROM t$r, $before, tot$r"""
+      }.mkString(" UNION ALL ")
+      s"""WITH words AS (
+            SELECT w, COUNT(1) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE len(w) > 0 GROUP BY w),
+          s0 AS (
+            SELECT w, freq,
+              ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+                AS seq
+            FROM words),
+          tot0 AS (
+            SELECT CAST(SUM(freq * len(string_split(trim(seq), '  ')))
+              AS BIGINT) AS total
+            FROM s0),
           ${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")}
           $selects"""
     },

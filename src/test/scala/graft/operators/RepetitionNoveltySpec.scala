@@ -640,6 +640,50 @@ class RepetitionNoveltySpec extends SparkSpec {
     assert(expected.map(_._5).forall(_ > 0))
   }
 
+  test("q184: applied < positional on runs; totals track greedy merges exactly") {
+    val dir = writeDocs(docsOf((1L, "aaaa aaaa"), (2L, "aaaa")))
+    val out = TextAnalysis.queries("q184_bpe_compression")(spark, dir)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // "aaaa" occurs 3 times: positional (a,a) count = 3·3 = 9, but greedy
+    // merging applies it only twice per word = 6; totals 12 -> 6.
+    assert(out(0) == ((1, "a", "a", 9L, 12L, 6L, 6L)))
+    // round 2 merges (aa,aa): positional 3, applied 3, totals 6 -> 3
+    assert(out(1) == ((2, "aa", "aa", 3L, 6L, 3L, 3L)))
+  }
+
+  test("q184: rounds agree with the JVM greedy recompute on the testdata") {
+    val wf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // JVM recompute with totals
+    var seqs: Map[List[String], Long] = wf.toSeq
+      .map { case (w, f) => w.toList.map(_.toString) -> f }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def total = seqs.map { case (sy, f) => sy.length * f }.sum
+    val expected = (1 to TextAnalysis.BpeMergeRounds).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      seqs.foreach { case (sy, f) =>
+        sy.zip(sy.drop(1)).foreach(p => counts(p) += f) }
+      val ((l, rr), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      val before = total
+      seqs = seqs.toSeq.map { case (sy, f) => bpeApply(sy, (l, rr)) -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (r, l, rr, cnt, before, total, before - total)
+    }
+    val got = TextAnalysis.queries("q184_bpe_compression")(spark, sfDir)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    got.foreach { case (_, _, _, pc, _, _, ac) =>
+      assert(ac >= 1 && ac <= pc) }
+  }
+
   /** Materialize a constructed docs frame as a parquet dir the query
     * contract (SparkSession, sfDir) can read. */
   private def writeDocs(df: org.apache.spark.sql.DataFrame): String = {
