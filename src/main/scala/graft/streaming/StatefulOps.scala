@@ -513,6 +513,63 @@ object StatefulOps {
       }
   }
 
+  case class AsofRow(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                     tag: Int, value: Double)
+  case class CalState(ts: java.sql.Timestamp, value: Double)
+  case class AsofMatch(user_id: Long, ts: java.sql.Timestamp, value: Double,
+                       cal_ts: Option[java.sql.Timestamp],
+                       cal_value: Option[Double])
+
+  /** Streaming twin of the as-of join (q48 composed / q183 native): the
+    * input is the same tagged log both batch plans conceptually merge —
+    * tag 0 = calibration (value carries the calibration reading), tag 1 =
+    * event — and per-user state is ONLY the latest calibration seen,
+    * O(1) forever. An event emits itself joined to that state; a
+    * calibration updates it (latest (ts, then value) wins, mirroring the
+    * batch dedup's max-per-(user,ts)). Ordering contract as the other
+    * twins: exact when each user's rows arrive in (ts, tag) order across
+    * batches; intra-batch order is free (each group sorts its batch — tag
+    * 0 before tag 1 at equal ts, so a same-instant calibration is visible
+    * to the event, matching ASOF >=). `AsOfJoinSpec`'s streaming test
+    * pins batch==stream on the replayed events table. */
+  def asofStream(rows: Dataset[AsofRow],
+                 idleTimeout: Option[String] = Some("1 hour")): Dataset[AsofMatch] = {
+    import rows.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CalState, AsofMatch](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (uid, batch, state) =>
+          idleTimeout.foreach(state.setTimeoutDuration)
+          val sorted = batch.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            c < 0 || (c == 0 && (a.tag < b.tag ||
+              (a.tag == b.tag && (a.value < b.value ||
+                (a.value == b.value && a.event_id < b.event_id)))))
+          }
+          val out = Seq.newBuilder[AsofMatch]
+          sorted.foreach { r =>
+            if (r.tag == 0) {
+              // latest-wins; at equal ts the larger value wins (batch dedup
+              // keeps max(value) per (user, ts))
+              val keep = state.getOption.forall { c =>
+                val cc = r.ts.compareTo(c.ts)
+                cc > 0 || (cc == 0 && r.value >= c.value)
+              }
+              if (keep) state.update(CalState(r.ts, r.value))
+            } else {
+              out += AsofMatch(uid, r.ts, r.value,
+                state.getOption.map(_.ts), state.getOption.map(_.value))
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   case class KeyedValue(key: String, value: Float)
   case class RunningMin(key: String, min: Float)
 
