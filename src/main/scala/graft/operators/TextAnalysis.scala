@@ -239,6 +239,36 @@ object TextAnalysis {
       rows.reduce(_ unionAll _)
     }),
 
+    // --- BPE corpus encoding (the trained tokenizer applied) ---------------
+    // Completes the tokenizer pipeline q178 trains and q184 audits: encode
+    // every document under the 3 learned merges and report per-source
+    // token economics — symbols per word occurrence, chars per symbol (the
+    // compression a tokenizer buys). The encoder is a VOCABULARY-sized
+    // broadcast join (distinct word -> encoded symbol count), never a
+    // per-document re-merge: identical words encode identically, so the
+    // corpus-scale pass is one explode + one broadcast lookup + one agg —
+    // exactly how production tokenizers amortize (encode the vocab once,
+    // stream the corpus through it).
+    "q185_bpe_encode" -> ((s, d) => {
+      val s3 = (1 to BpeMergeRounds).foldLeft(bpeSeq0(s, d)) { (cur, _) =>
+        bpeApply(cur, bpeTop(bpePairCounts(cur)))
+      }
+      val vocab = s3.select(col("w"),
+        size(split(trim(col("seq")), "  ")).as("n_sym"),
+        length(col("w")).as("n_ch"))
+      t(s, d).select(col("source"), explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(broadcast(vocab), "w")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("n_ch")).as("n_chars"),
+          sum(col("n_sym")).as("n_symbols"))
+        .select(col("source"), col("n_tokens"), col("n_chars"),
+          col("n_symbols"),
+          (col("n_chars").cast("double") / col("n_symbols"))
+            .as("chars_per_symbol"))
+    }),
+
     // --- token counting: whitespace + BPE-ish regex ------------------------
     "q30_text_tokens" -> ((s, d) =>
       t(s, d).select(
@@ -1148,6 +1178,51 @@ object TextAnalysis {
             FROM words),
           ${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")}
           $selects"""
+    },
+
+    // Encoding twin: the same merge ladder, vocab symbol counts joined back
+    // to the corpus token stream.
+    "q185_bpe_encode" -> {
+      def roundCtes(r: Int): String = {
+        val prev = if (r == 1) "s0" else s"s${r - 1}"
+        s"""p$r AS (
+              SELECT sy[i] AS l, sy[i+1] AS r, SUM(freq) AS cnt
+              FROM (SELECT freq, string_split(trim(seq), '  ') AS sy
+                    FROM $prev),
+                   UNNEST(range(1, len(sy))) AS u$r(i)
+              GROUP BY 1, 2),
+            t$r AS (SELECT l, r, cnt FROM p$r
+                    ORDER BY cnt DESC, l, r LIMIT 1),
+            s$r AS (SELECT w, freq,
+                      replace(seq, ' '||t$r.l||'  '||t$r.r||' ',
+                              ' '||t$r.l||t$r.r||' ') AS seq
+                    FROM $prev, t$r)"""
+      }
+      s"""WITH words AS (
+            SELECT w, COUNT(1) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE len(w) > 0 GROUP BY w),
+          s0 AS (
+            SELECT w, freq,
+              ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+                AS seq
+            FROM words),
+          ${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")},
+          vocab AS (
+            SELECT w, len(string_split(trim(seq), '  ')) AS n_sym,
+              len(w) AS n_ch
+            FROM s$BpeMergeRounds),
+          toksrc AS (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+          SELECT source, COUNT(1) AS n_tokens,
+            CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+            CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+            CAST(SUM(n_ch) AS DOUBLE) / SUM(n_sym) AS chars_per_symbol
+          FROM toksrc JOIN vocab USING (w)
+          WHERE len(w) > 0
+          GROUP BY source"""
     },
 
     // Compression-audit twin: q178's CTE ladder plus per-stage freq-weighted

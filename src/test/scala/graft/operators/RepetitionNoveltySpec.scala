@@ -684,6 +684,38 @@ class RepetitionNoveltySpec extends SparkSpec {
       assert(ac >= 1 && ac <= pc) }
   }
 
+  test("q185: encoding totals equal re-encoding every occurrence through the JVM merges") {
+    // derive the 3 merges with the JVM reference, encode every token
+    // occurrence, compare per-source totals
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val wf = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val merges = bpeMerges(wf, TextAnalysis.BpeMergeRounds)
+      .map(m => (m._2, m._3))
+    val symCount: Map[String, Int] = wf.keys.map { w =>
+      var sy = w.toList.map(_.toString)
+      merges.foreach(p => sy = bpeApply(sy, p))
+      w -> sy.length
+    }.toMap
+    val expected = docs.groupBy(_._1).view.mapValues { ds =>
+      val toks = ds.flatMap(_._2)
+      (toks.length.toLong, toks.map(_.length.toLong).sum,
+        toks.map(symCount(_).toLong).sum)
+    }.toMap
+    val got = TextAnalysis.queries("q185_bpe_encode")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (src, (nt, nc, ns, ratio)) =>
+      val (ent, enc, ens) = expected(src)
+      assert((nt, nc, ns) == ((ent, enc, ens)), s"source $src")
+      assert(ratio == nc.toDouble / ns)
+      assert(ns < nc, s"merges should compress source $src")
+    }
+  }
+
   /** Materialize a constructed docs frame as a parquet dir the query
     * contract (SparkSession, sfDir) can read. */
   private def writeDocs(df: org.apache.spark.sql.DataFrame): String = {
