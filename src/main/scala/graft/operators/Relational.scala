@@ -930,6 +930,36 @@ object Relational {
           min(col("c")).as("c_min"), max(col("c")).as("c_max"))
     }),
 
+    // --- interpolated quartiles (percentile_cont, type-7) -----------------------
+    // The interpolation tier over q128's percentile_disc cuts: exact
+    // type-7 quartiles (pos = q·(n−1), linear between neighbors) per
+    // return flag, WITHOUT sorting the corpus — the shared histogram rank
+    // walk fetches the two bracketing order statistics; the interpolation
+    // fraction is (k·(n−1) mod 4)/4, a dyadic rational, so lo + frac·Δ is
+    // bit-identical to DuckDB's native percentile_cont float path (every
+    // intermediate is exactly representable). Scale shape: one (group ×
+    // distinct-cents) histogram agg + a group-sized walk; no ntile, no
+    // global sort.
+    "q186_percentile_cont" -> ((s, d) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")
+      val li = t(s, d, "lineitem").select(col("l_returnflag"), cents.as("c"))
+      val hist = li.groupBy(col("l_returnflag"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val ranks = (1 to 3).flatMap(k => Seq(
+        s"lo$k" -> s"((($k * (n - 1)) div 4) + 1)",
+        s"hi$k" -> s"((($k * (n - 1)) div 4) + 2)"))
+      val walk = histRankWalk(hist, "l_returnflag", "c", ranks)
+      walk.select(col("l_returnflag") +: col("n").as("n_rows") +:
+        (1 to 3).map { k =>
+          val rem = expr(s"(($k * (n - 1)) % 4)")
+          when(rem === 0, col(s"lo$k").cast("double"))
+            .otherwise(col(s"lo$k").cast("double") +
+              ((col(s"hi$k") - col(s"lo$k")) * rem).cast("double") / 4)
+            .as(s"p${k * 25}")
+        }: _*)
+    }),
+
     // --- per-group OLS trend (exact-moment linear regression) ------------------
     // q100's exact-moment discipline extended from correlation to the
     // regression line: per event type, slope and intercept of value (exact
@@ -3078,6 +3108,19 @@ object Relational {
                38416 * CAST(n1 AS HUGEINT) * n2 * x * (n - x)
            ELSE FALSE END AS significant
          FROM alg""",
+
+    // Native percentile_cont is the independent check on the rank-walk +
+    // dyadic interpolation path.
+    "q186_percentile_cont" ->
+      """SELECT l_returnflag, COUNT(1) AS n_rows,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY c) AS p25,
+           percentile_cont(0.5)  WITHIN GROUP (ORDER BY c) AS p50,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY c) AS p75
+         FROM (SELECT l_returnflag,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS c
+               FROM lineitem)
+         GROUP BY l_returnflag""",
 
     "q179_pivot_matrix" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

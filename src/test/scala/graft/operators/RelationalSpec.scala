@@ -1120,6 +1120,30 @@ class RelationalSpec extends SparkSpec {
     assert(n11 > 0 && n00 > 0 && (n10 > 0 || n01 > 0))
   }
 
+  test("q186: quartiles equal a sorted type-7 JVM recompute") {
+    val rows = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) ->
+        BigDecimal(r.getDouble(1)).setScale(2).*(100).toLongExact)
+    def q7(sorted: Array[Long], q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val lo = math.floor(pos).toInt
+      val frac = pos - lo
+      if (frac == 0) sorted(lo).toDouble
+      else sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+    }
+    val expected = rows.groupBy(_._1).view.mapValues { g =>
+      val s = g.map(_._2).sorted
+      (s.length.toLong, q7(s, 0.25), q7(s, 0.5), q7(s, 0.75))
+    }.toMap
+    val got = Relational.queries("q186_percentile_cont")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == expected)
+    // at least one group must genuinely interpolate (frac != 0)
+    assert(expected.values.exists { case (n, _, _, _) => (n - 1) % 4 != 0 })
+  }
+
   test("q174: z² and the significance bit match a BigInt recompute") {
     val evs = graft.Tables.load(spark, sfDir, "events")
       .select("event_id", "event_type").collect()
