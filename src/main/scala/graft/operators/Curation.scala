@@ -358,6 +358,52 @@ object Curation {
         col("r.id").as("doc_id"), col("r.pri").as("pri"))
   }
 
+  /** Sample size per source for the q187 priority-sampling audit. */
+  val PrioritySampleK = 16
+
+  /** Duffield–Lund–Thorup priority sampling (q187): the weighted sampling
+    * scheme with a PROVABLY near-optimal subset-sum estimator. Per doc,
+    * priority q = w·2^60/u with u the md5-derived uniform; the k largest
+    * priorities per source are the sample, τ = the (k+1)-th priority, and
+    * the estimator Σ max(w_i, τ) over the sample is unbiased for the
+    * stratum's total weight. Determinism: u is a pure function of doc_id;
+    * priorities are single IEEE divisions (bit-identical across engines);
+    * and the estimate is rearranged to Σ_{w≥τ} w (exact integer) +
+    * count·τ (ONE float product + ONE add) so no float SUM order exists
+    * to disagree on. Scale: [[MaxKPriority]] bounds any stratum's
+    * map-side state at k+1 slots — no per-source sort, no window. */
+  def prioritySample(docs: DataFrame, k: Int): DataFrame = {
+    val maxk = udaf(new MaxKPriority(k + 1))
+    val base = docs.select(col("source"), col("doc_id"),
+      greatest(col("n_chars"), lit(1L)).as("w"),
+      (expr("cast(conv(substring(md5(concat('ps|', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+        + 1).as("u"))
+    val withPri = base.withColumn("pri",
+      col("w").cast("double") * lit(1152921504606846976L).cast("double") /
+        col("u"))
+    withPri.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_w"),
+        maxk(col("pri"), col("doc_id"), col("w")).as("cand"))
+      .select(col("source"), col("n_docs"), col("total_w"),
+        when(size(col("cand")) === k + 1,
+          element_at(col("cand"), k + 1).getField("pri")).as("tau"),
+        explode(slice(col("cand"), lit(1), least(size(col("cand")), lit(k))))
+          .as("x"))
+      .groupBy(col("source"), col("n_docs"), col("total_w"), col("tau"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(when(col("tau").isNull ||
+            col("x.w").cast("double") >= col("tau"), col("x.w"))
+          .otherwise(0L)).as("big_w"),
+        sum(when(col("tau").isNotNull &&
+            col("x.w").cast("double") < col("tau"), 1L)
+          .otherwise(0L)).as("n_small"))
+      .select(col("source"), col("n_docs"), col("total_w"), col("n_sampled"),
+        (col("big_w").cast("double") +
+          when(col("tau").isNull, lit(0.0))
+            .otherwise(col("n_small").cast("double") * col("tau")))
+          .as("est_total_w"))
+  }
+
   /** Deterministic span-corruption preview (T5-style denoising prep): for
     * every token position, the mask decision is a pure function of
     * (doc_id, position) — first hex char of md5("mask|doc_id|i") < '4', a
@@ -547,6 +593,10 @@ object Curation {
 
     // --- deterministic stratified sample (k per stratum) ------------------
     "q58_stratified_sample" -> ((s, d) => stratifiedSample(t(s, d), "source", 10)),
+
+    // --- priority sampling + subset-sum estimator audit (q187) -------------
+    "q187_priority_sample" -> ((s, d) =>
+      prioritySample(t(s, d), PrioritySampleK)),
 
     // --- deterministic weighted sample (length-biased, k per stratum) -----
     "q84_weighted_sample" -> ((s, d) =>
@@ -788,6 +838,46 @@ object Curation {
             COALESCE(h.n_bloom_hits, 0) > 0 AS bloom_contaminated
           FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
           WHERE d.source <> '$BenchSource'""",
+
+    "q187_priority_sample" ->
+      s"""WITH base AS (
+            SELECT source, doc_id, GREATEST(n_chars, 1) AS w,
+              CAST(concat('0x', substr(md5(concat('ps|',
+                CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1 AS u
+            FROM documents),
+          pri AS (
+            SELECT source, doc_id, w,
+              CAST(w AS DOUBLE) * 1152921504606846976 / u AS pri
+            FROM base),
+          ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY pri DESC, doc_id) AS rn
+            FROM pri),
+          tot AS (
+            SELECT source, COUNT(1) AS n_docs,
+              CAST(SUM(w) AS BIGINT) AS total_w
+            FROM base GROUP BY source),
+          tauv AS (SELECT source, pri AS tau FROM ranked
+                   WHERE rn = ${PrioritySampleK + 1}),
+          samp AS (
+            SELECT r.source, r.w, t.tau
+            FROM ranked r LEFT JOIN tauv t USING (source)
+            WHERE r.rn <= $PrioritySampleK),
+          est AS (
+            SELECT source, COUNT(1) AS n_sampled,
+              CAST(SUM(CASE WHEN tau IS NULL
+                             OR CAST(w AS DOUBLE) >= tau
+                            THEN w ELSE 0 END) AS BIGINT) AS big_w,
+              CAST(SUM(CASE WHEN tau IS NOT NULL
+                             AND CAST(w AS DOUBLE) < tau
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+              MIN(tau) AS tau
+            FROM samp GROUP BY source)
+          SELECT t.source, t.n_docs, t.total_w, e.n_sampled,
+            CAST(e.big_w AS DOUBLE) +
+              CASE WHEN e.tau IS NULL THEN 0.0
+                   ELSE CAST(e.n_small AS DOUBLE) * e.tau END AS est_total_w
+          FROM tot t JOIN est e USING (source)""",
 
     "q58_stratified_sample" ->
       """SELECT source, rank, doc_id, h FROM (

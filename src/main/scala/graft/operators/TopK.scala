@@ -79,3 +79,17 @@ class MinKWeighted(k: Int) extends MinK[WeightedId](k)
   * state of an inverted index so a stopword-grade mega-term costs k slots,
   * not a row holding every document id in the corpus. */
 class MinKLongs(k: Int) extends MinK[Long](k)
+
+/** A (priority, id, weight) triple for Duffield priority sampling: the
+  * ordering NEGATES the double priority so [[MinK]]'s k-smallest machinery
+  * keeps the k LARGEST priorities, id tie-break. Same bounded-partial
+  * contract: any stratum's map-side state is k slots. */
+case class PriorityDoc(pri: Double, id: Long, w: Long)
+
+object PriorityDoc {
+  implicit val ordering: Ordering[PriorityDoc] =
+    Ordering.by((r: PriorityDoc) => (-r.pri, r.id))
+}
+
+/** k largest-priority (pri, id, w) triples per group. */
+class MaxKPriority(k: Int) extends MinK[PriorityDoc](k)

@@ -382,4 +382,44 @@ class CurationSpec extends SparkSpec {
     // the corpus genuinely contains the phrase, including a multi-hit doc
     assert(out.nonEmpty, "phrase absent from testdata — pick a commoner pair")
   }
+
+  test("q187: priority-sample estimator equals the JVM Duffield recompute") {
+    val k = Curation.PrioritySampleK
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.max(r.getLong(2), 1L)))
+    def u(id: Long): Long =
+      java.lang.Long.parseLong(
+        graft.operators.TextFns.md5hex(s"ps|$id").take(15), 16) + 1
+    val expected = docs.groupBy(_._1).view.mapValues { g =>
+      val pri = g.map { case (_, id, w) =>
+        (w.toDouble * 1152921504606846976L.toDouble / u(id), id, w) }
+        .sortBy { case (p, id, _) => (-p, id) }
+      val sample = pri.take(k)
+      val tau = if (pri.length >= k + 1) Some(pri(k)._1) else None
+      val big = sample.collect {
+        case (_, _, w) if tau.forall(w.toDouble >= _) => w }.sum
+      val nSmall = sample.count { case (_, _, w) =>
+        tau.exists(w.toDouble < _) }
+      val est = big.toDouble + tau.map(_ * nSmall).getOrElse(0.0)
+      (g.length.toLong, g.map(_._3).sum, sample.length.toLong, est)
+    }.toMap
+    val got = Curation.queries("q187_priority_sample")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == expected, s"diff=${got.toSet.diff(expected.toSet)}")
+    // the estimator is actually informative: within 2x of truth everywhere
+    got.foreach { case (src, (_, tot, _, est)) =>
+      assert(est > tot / 2.0 && est < tot * 2.0, s"$src est=$est tot=$tot") }
+    // a stratum smaller than k estimates EXACTLY (tau absent)
+    val tiny = (1 to 5).map(i => (i.toLong, s"src${i % 2}", 100L + i))
+      .toDF("doc_id", "source", "n_chars")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+    val dir = java.nio.file.Files.createTempDirectory("q187").toString
+    tiny.write.parquet(s"$dir/documents.parquet")
+    Curation.queries("q187_priority_sample")(spark, dir).collect()
+      .foreach { r =>
+        assert(r.getDouble(4) == r.getLong(2).toDouble,
+          "small stratum must estimate exactly") }
+  }
 }
