@@ -960,6 +960,38 @@ object Relational {
         }: _*)
     }),
 
+    // --- exponentially decayed counts (integer-exact half-life) -----------------
+    // The feature-store recency weighting: each event contributes 2^(−age)
+    // with age = whole days before the corpus max day — a one-day half-life.
+    // Float Σ w·2^(−age) is ORDER-DEPENDENT (adding tiny old terms to big
+    // recent ones rounds differently per partitioning); here every term is
+    // scaled to the integer 2^(30−age) (ages ≥ 30 genuinely underflow the
+    // scale and contribute 0 — stated, deterministic), accumulated in
+    // DECIMAL(38,0) ≙ HUGEINT, and divided once by 2^30 at the end — an
+    // exact dyadic division, bit-identical across engines and partition
+    // orders. One narrow scan + one broadcast max-day scalar + one hash
+    // agg: the 100 TB plan is the same plan.
+    "q188_decayed_counts" -> ((s, d) => {
+      val D = DecimalType(38, 0)
+      val ev = t(s, d, "events").select(col("event_type"),
+        date_trunc("DAY", col("ts")).as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+      val mx = ev.agg(max(col("day")).as("max_day"))
+      val age = datediff(col("max_day"), col("day"))
+      val wgt = when(age <= 30,
+          call_function("shiftleft", lit(1L), (lit(30) - age).cast("int")))
+        .otherwise(lit(0L)).cast(D)
+      ev.join(broadcast(mx))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(wgt).as("dn"),
+          sum(wgt * col("c").cast(D)).as("dc"))
+        .select(col("event_type"), col("n_events"),
+          (col("dn").cast("double") / lit(1073741824L)).as("decayed_count"),
+          (col("dc").cast("double") / lit(1073741824L))
+            .as("decayed_cents"))
+    }),
+
     // --- per-group OLS trend (exact-moment linear regression) ------------------
     // q100's exact-moment discipline extended from correlation to the
     // regression line: per event type, slope and intercept of value (exact
@@ -3108,6 +3140,27 @@ object Relational {
                38416 * CAST(n1 AS HUGEINT) * n2 * x * (n - x)
            ELSE FALSE END AS significant
          FROM alg""",
+
+    "q188_decayed_counts" ->
+      """WITH ev AS (
+           SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         mx AS (SELECT MAX(day) AS max_day FROM ev),
+         w AS (
+           SELECT event_type, c,
+             CASE WHEN date_diff('day', day, max_day) <= 30
+                  THEN CAST(1 AS BIGINT)
+                       << CAST(30 - date_diff('day', day, max_day) AS INT)
+                  ELSE 0 END AS wgt
+           FROM ev, mx)
+         SELECT event_type, COUNT(1) AS n_events,
+           CAST(CAST(SUM(CAST(wgt AS HUGEINT)) AS DOUBLE)
+             / 1073741824 AS DOUBLE) AS decayed_count,
+           CAST(CAST(SUM(CAST(wgt AS HUGEINT) * c) AS DOUBLE)
+             / 1073741824 AS DOUBLE) AS decayed_cents
+         FROM w GROUP BY event_type""",
 
     // Native percentile_cont is the independent check on the rank-walk +
     // dyadic interpolation path.

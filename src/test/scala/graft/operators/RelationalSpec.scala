@@ -1144,6 +1144,36 @@ class RelationalSpec extends SparkSpec {
     assert(expected.values.exists { case (n, _, _, _) => (n - 1) % 4 != 0 })
   }
 
+  test("q188: decayed counts equal a BigInt power-of-two recompute") {
+    def mic(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    val dayUs = 86400L * 1000000
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select("event_type", "ts", "value").collect()
+      .map { r =>
+        val us = mic(r.getTimestamp(1))
+        (r.getString(0), us - Math.floorMod(us, dayUs),
+          BigDecimal(r.getDouble(2)).setScale(2).*(100).toLongExact)
+      }
+    val maxDay = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).view.mapValues { g =>
+      def w(day: Long): BigInt = {
+        val age = ((maxDay - day) / dayUs).toInt
+        if (age <= 30) BigInt(1) << (30 - age) else BigInt(0)
+      }
+      val dn = g.map(e => w(e._2)).sum
+      val dc = g.map(e => w(e._2) * e._3).sum
+      (g.length.toLong, dn.toDouble / 1073741824L,
+        dc.toDouble / 1073741824L)
+    }.toMap
+    val got = Relational.queries("q188_decayed_counts")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == expected)
+    // recency weighting actually discriminates: decayed < raw count
+    got.foreach { case (t, (n, dn, _)) => assert(dn < n, t) }
+  }
+
   test("q174: z² and the significance bit match a BigInt recompute") {
     val evs = graft.Tables.load(spark, sfDir, "events")
       .select("event_id", "event_type").collect()
