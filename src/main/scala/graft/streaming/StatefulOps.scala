@@ -570,6 +570,51 @@ object StatefulOps {
       }
   }
 
+  case class CdcOp(user_id: Long, seq: Long, op: String, cents: Long)
+  case class MvLiveState(counts: Map[Long, Long], n: Long, sum_cents: Long)
+  case class MvLiveRow(user_id: Long, n: Long, sum_cents: Long,
+                       min_cents: Option[Long], max_cents: Option[Long])
+
+  /** RETRACTABLE incremental aggregates — the CDC-complete sibling of
+    * [[mvRefreshStream]] (which, like most streaming MV demos, is
+    * insert-only). Deletes DECREMENT count/sum (trivially retractable
+    * group-invertible state) and retract min/max through an exact value
+    * multiset — the honest cost of retractable extremes: count and sum
+    * invert algebraically, MIN/MAX do not (deleting the minimum must
+    * resurface the second-smallest, which no scalar state remembers).
+    * State per user = live multiset of its current rows' values — bounded
+    * by the user's LIVE set (deletes shrink it), which is the same bound a
+    * lakehouse merge-on-read view pays. Emits the refreshed row per batch
+    * the user appears in (Update mode). Deletes of values not live are
+    * ignored (idempotent replay tolerance). Intra-batch order: `seq` (the
+    * CDC log position), matching the other twins' ordered-replay contract. */
+  def retractableMvStream(ops: Dataset[CdcOp]): Dataset[MvLiveRow] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.user_id)
+      .mapGroupsWithState[MvLiveState, MvLiveRow](GroupStateTimeout.NoTimeout()) {
+        case (uid, batch, state) =>
+          var s = state.getOption.getOrElse(MvLiveState(Map.empty, 0L, 0L))
+          batch.toSeq.sortBy(_.seq).foreach { o =>
+            if (o.op == "I") {
+              s = MvLiveState(
+                s.counts.updated(o.cents, s.counts.getOrElse(o.cents, 0L) + 1),
+                s.n + 1, s.sum_cents + o.cents)
+            } else {
+              val c = s.counts.getOrElse(o.cents, 0L)
+              if (c > 0) {
+                val m = if (c == 1) s.counts - o.cents
+                        else s.counts.updated(o.cents, c - 1)
+                s = MvLiveState(m, s.n - 1, s.sum_cents - o.cents)
+              }
+            }
+          }
+          state.update(s)
+          MvLiveRow(uid, s.n, s.sum_cents,
+            if (s.counts.isEmpty) None else Some(s.counts.keys.min),
+            if (s.counts.isEmpty) None else Some(s.counts.keys.max))
+      }
+  }
+
   case class KeyedValue(key: String, value: Float)
   case class RunningMin(key: String, min: Float)
 
