@@ -1094,6 +1094,50 @@ object Relational {
           min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"))
     }),
 
+    // --- Hilbert-curve layout (the locality tier above z-order) -----------------
+    // q125's bucket audit under a Hilbert space-filling curve: unlike
+    // Morton/z-order, consecutive Hilbert codes are ALWAYS Manhattan-
+    // adjacent cells (no diagonal jumps across half the key space), so
+    // Hilbert-clustered files carry tighter per-file min/max zone maps —
+    // the reason Databricks liquid clustering moved past z-order. The
+    // xy2d walk is 10 unrolled rotate/flip levels of pure integer bit
+    // arithmetic (shift/mask/xor — whole-stage codegen, zero shuffle
+    // beyond q125's same bounds broadcast + final bucket agg). The spec
+    // pins the JVM reference round-trip (d2xy∘xy2d = id, consecutive
+    // codes adjacent — the property z-order provably fails) and SQL==JVM
+    // on the corpus.
+    "q189_hilbert_layout" -> ((s, d) => {
+      val dims = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("a"), col("l_partkey").as("b"))
+      val bounds = dims.agg(
+        min(col("a")).as("amin"), max(col("a")).as("amax"),
+        min(col("b")).as("bmin"), max(col("b")).as("bmax"))
+      def bin(v: String, lo: String, hi: String) =
+        least(lit(1023L),
+          expr(s"((cast($v as decimal(38,0)) - $lo) * 1024) div ($hi - $lo + 1)"))
+      val binned = dims.join(broadcast(bounds))
+        .select(bin("a", "amin", "amax").as("xa"),
+          bin("b", "bmin", "bmax").as("xb"))
+      var cur = binned.select(col("xa"), col("xb"),
+        col("xa").as("hx"), col("xb").as("hy"), lit(0L).as("hd"))
+      (9 to 0 by -1).foreach { k =>
+        val sv = 1L << k
+        val rx = shiftright(col("hx"), k).bitwiseAND(lit(1L))
+        val ry = shiftright(col("hy"), k).bitwiseAND(lit(1L))
+        cur = cur.select(col("xa"), col("xb"),
+          when(ry === 0, when(rx === 1, lit(1023L) - col("hy"))
+            .otherwise(col("hy"))).otherwise(col("hx")).as("hx"),
+          when(ry === 0, when(rx === 1, lit(1023L) - col("hx"))
+            .otherwise(col("hx"))).otherwise(col("hy")).as("hy"),
+          (col("hd") + lit(sv * sv) * (rx * 3).bitwiseXOR(ry)).as("hd"))
+      }
+      cur.withColumn("hbucket", shiftright(col("hd"), 10))
+        .groupBy(col("hbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xa")).as("xa_min"), max(col("xa")).as("xa_max"),
+          min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"))
+    }),
+
     // --- CDC -> SCD2 compaction (consecutive-run collapse) ---------------------
     // The change-data-capture primitive: per entity, collapse consecutive
     // events carrying the same state into one validity interval
@@ -2400,6 +2444,47 @@ object Relational {
            MIN(xa) AS xa_min, MAX(xa) AS xa_max,
            MIN(xb) AS xb_min, MAX(xb) AS xb_max
          FROM zc GROUP BY 1""",
+
+    // Hilbert twin: the same 10 unrolled rotate/flip levels generated as a
+    // CTE chain — both engines walk bit-identical integer arithmetic.
+    "q189_hilbert_layout" -> {
+      def lvl(i: Int, k: Int): String = {
+        val prev = if (i == 0) "h_in" else s"h${i - 1}"
+        val ss = (1L << k) * (1L << k)
+        s"""h$i AS (
+              SELECT xa, xb,
+                CASE WHEN ry = 0 THEN
+                       CASE WHEN rx = 1 THEN 1023 - hy ELSE hy END
+                     ELSE hx END AS hx,
+                CASE WHEN ry = 0 THEN
+                       CASE WHEN rx = 1 THEN 1023 - hx ELSE hx END
+                     ELSE hy END AS hy,
+                hd + $ss * xor(rx * 3, ry) AS hd
+              FROM (SELECT *, (hx >> $k) & 1 AS rx, (hy >> $k) & 1 AS ry
+                    FROM $prev))"""
+      }
+      val levels = (9 to 0 by -1).zipWithIndex
+        .map { case (k, i) => lvl(i, k) }.mkString(",\n")
+      s"""WITH bounds AS (
+            SELECT MIN(l_orderkey) AS amin, MAX(l_orderkey) AS amax,
+                   MIN(l_partkey) AS bmin, MAX(l_partkey) AS bmax
+            FROM lineitem),
+          b AS (
+            SELECT
+              CAST(least(1023, ((CAST(l_orderkey AS HUGEINT) - amin) * 1024)
+                               // (amax - amin + 1)) AS BIGINT) AS xa,
+              CAST(least(1023, ((CAST(l_partkey AS HUGEINT) - bmin) * 1024)
+                               // (bmax - bmin + 1)) AS BIGINT) AS xb
+            FROM lineitem CROSS JOIN bounds),
+          h_in AS (
+            SELECT xa, xb, xa AS hx, xb AS hy, CAST(0 AS BIGINT) AS hd
+            FROM b),
+          $levels
+          SELECT hd >> 10 AS hbucket, COUNT(1) AS n,
+            MIN(xa) AS xa_min, MAX(xa) AS xa_max,
+            MIN(xb) AS xb_min, MAX(xb) AS xb_max
+          FROM h9 GROUP BY 1"""
+    },
 
     "q122_scd2_compact" ->
       """WITH m AS (

@@ -1174,6 +1174,84 @@ class RelationalSpec extends SparkSpec {
     got.foreach { case (t, (n, dn, _)) => assert(dn < n, t) }
   }
 
+  private def hilbertXy2d(n: Int, x0: Int, y0: Int): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  private def hilbertD2xy(n: Int, d0: Long): (Int, Int) = {
+    var (x, y) = (0, 0)
+    var t = d0
+    var s = 1
+    while (s < n) {
+      val rx = (1L & (t / 2)).toInt
+      val ry = (1L & (t ^ rx)).toInt
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val tt = x; x = y; y = tt
+      }
+      x += s * rx; y += s * ry
+      t /= 4
+      s *= 2
+    }
+    (x, y)
+  }
+
+  test("q189: Hilbert reference round-trips and consecutive codes are adjacent") {
+    val n = 64
+    (0 until n * n).foreach { d =>
+      val (x, y) = hilbertD2xy(n, d)
+      assert(hilbertXy2d(n, x, y) == d, s"round-trip failed at d=$d")
+    }
+    // THE Hilbert property (z-order fails it): consecutive codes are
+    // Manhattan-distance-1 cells
+    (0 until n * n - 1).foreach { d =>
+      val (x1, y1) = hilbertD2xy(n, d)
+      val (x2, y2) = hilbertD2xy(n, d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+    // z-order DOES jump (sanity that the property is discriminating)
+    def z(x: Int, y: Int): Long = (0 until 6).map(k =>
+      (((x >> k) & 1).toLong << (2 * k)) +
+        (((y >> k) & 1).toLong << (2 * k + 1))).sum
+    val cells = for (x <- 0 until n; y <- 0 until n) yield (z(x, y), x, y)
+    val jumps = cells.sortBy(_._1).sliding(2).count { case Seq(a, b) =>
+      math.abs(a._2 - b._2) + math.abs(a._3 - b._3) > 1 }
+    assert(jumps > 0)
+  }
+
+  test("q189: bucket stats equal the JVM Hilbert walk over binned dims") {
+    val dims = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (amin, amax) = (dims.map(_._1).min, dims.map(_._1).max)
+    val (bmin, bmax) = (dims.map(_._2).min, dims.map(_._2).max)
+    def bin(v: Long, lo: Long, hi: Long): Int =
+      math.min(1023L, (v - lo) * 1024 / (hi - lo + 1)).toInt
+    val cells = dims.map { case (a, b) =>
+      (bin(a, amin, amax), bin(b, bmin, bmax)) }
+    val expected = cells.groupBy { case (xa, xb) =>
+      hilbertXy2d(1024, xa, xb) >> 10 }.view.mapValues { g =>
+      (g.length.toLong, g.map(_._1).min.toLong, g.map(_._1).max.toLong,
+        g.map(_._2).min.toLong, g.map(_._2).max.toLong) }.toMap
+    val got = Relational.queries("q189_hilbert_layout")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got == expected)
+  }
+
   test("q174: z² and the significance bit match a BigInt recompute") {
     val evs = graft.Tables.load(spark, sfDir, "events")
       .select("event_id", "event_type").collect()
