@@ -105,6 +105,13 @@ object Bench {
       import spark.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      // A 2k-row micro-batch against 32 state-store partitions is pure
+      // task/commit overhead: the stream's stateful exchange picks its
+      // partition count at query START from this conf, so drop it for the
+      // streaming leg only (the timed batch queries above already ran) —
+      // the same knob a real deployment sets per streaming job.
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       val stream = MemoryStream[String]
       val agg = graft.streaming.NgsiStreams.minTemperatureStream(
         stream.toDF().select(col("value")))
@@ -124,7 +131,10 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         val n = batches.toLong * perBatch
         s"""{"pipeline":"example1_min_temperature","notifications":$n,"batches":$batches,"elapsed_sec":$sec,"notifications_per_sec":${n / sec}}"""
-      } finally q.stop()
+      } finally {
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      }
     } catch {
       case e: Throwable =>
         val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ")
