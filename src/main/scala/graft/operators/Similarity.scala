@@ -223,7 +223,11 @@ object Similarity {
         queries("q52_knn_ivf")(s, d))),
 
     // --- IVF: learned k-means lists, probe nearest lists -------------------
-    "q52_knn_ivf" -> ((s, d) => ivfTopK(embs(s, d), NumQueries, LshTopK)),
+    "q52_knn_ivf" -> ((s, d) => {
+      val e = embs(s, d)
+      ivfAssignTopK(e, trainCentroids(e), NumQueries, LshTopK,
+        listsOpt = Some(ivfAssigned(s, d)))
+    }),
 
     // --- Matryoshka prefix-dim recall audit (q142) -------------------------
     // The MRL evaluation (Kusupati et al.): embeddings trained matryoshka-
@@ -1276,19 +1280,22 @@ object Similarity {
     * twin: Verify exports the centroid table to parquet and the q52 oracle
     * recomputes this whole stage in DuckDB over it. */
   def ivfAssignTopK(e: DataFrame, cent: DataFrame, numQueries: Int, k: Int,
-                    nProbe: Int = IvfNProbe): DataFrame = {
+                    nProbe: Int = IvfNProbe,
+                    listsOpt: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(e.sparkSession)
     // the one corpus-wide pass: final inverted-list assignment — broadcast
     // the (tiny) centroid table, argmax-cosine per vector via one hash
     // aggregation (the max(struct) trick; no per-vector window), the corpus
-    // itself never shuffles beyond that single agg.
-    val lists = e.join(broadcast(cent))
+    // itself never shuffles beyond that single agg. Callers on the standard
+    // corpus pass the MEMOIZED [[ivfAssigned]] frame instead (the index
+    // store's assignment column), skipping the pass entirely.
+    val lists = listsOpt.getOrElse(e.join(broadcast(cent))
       .select(col("vec_id"), col("v"),
         struct(cosine(col("v"), col("cv")).as("csim"),
           (-col("cid")).as("ncid")).as("sc"))
       .groupBy(col("vec_id"))
       .agg(first(col("v")).as("v"), max(col("sc")).as("best"))
-      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid"))
+      .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid")))
 
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
