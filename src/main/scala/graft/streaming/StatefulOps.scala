@@ -615,6 +615,46 @@ object StatefulOps {
       }
   }
 
+  case class DecayEvent(event_type: String, day_idx: Long, cents: Long)
+  case class DecayState(days: Map[Long, (Long, Long)])
+  case class DecayRow(event_type: String, n_events: Long,
+                      decayed_count: Double, decayed_cents: Double)
+
+  /** Streaming twin of the batch decayed counts (q188, `Relational`):
+    * per event type the state is a (day -> (count, cents)) map PRUNED to
+    * the 31-day decay horizon — entries older than 30 days from the
+    * newest day seen contribute exactly 0 in the batch formula, so
+    * evicting them is lossless and the state is bounded at 31 entries
+    * per key FOREVER (no per-event state). Every emission recomputes the
+    * decayed sums from the map with the same integer 2^(30−age) scaling
+    * and one dyadic division — bit-identical to q188 on any replay
+    * (order within the horizon does not matter: the map is commutative).
+    * Emits the refreshed row per batch the key appears in (Update mode). */
+  def decayedCountsStream(events: Dataset[DecayEvent]): Dataset[DecayRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[(Long, DecayState), DecayRow](
+        GroupStateTimeout.NoTimeout()) {
+        case (ty, batch, state) =>
+          var (nTotal, s) = state.getOption.getOrElse((0L, DecayState(Map.empty)))
+          var m = s.days
+          batch.foreach { e =>
+            nTotal += 1
+            val (c0, s0) = m.getOrElse(e.day_idx, (0L, 0L))
+            m = m.updated(e.day_idx, (c0 + 1, s0 + e.cents))
+          }
+          val maxDay = m.keys.max
+          m = m.filter { case (d, _) => maxDay - d <= 30 }
+          state.update((nTotal, DecayState(m)))
+          val dn = m.iterator.map { case (d, (c, _)) =>
+            BigInt(c) << (30 - (maxDay - d)).toInt }.sum
+          val dc = m.iterator.map { case (d, (_, cs)) =>
+            BigInt(cs) << (30 - (maxDay - d)).toInt }.sum
+          DecayRow(ty, nTotal, dn.toDouble / 1073741824L,
+            dc.toDouble / 1073741824L)
+      }
+  }
+
   case class KeyedValue(key: String, value: Float)
   case class RunningMin(key: String, min: Float)
 
