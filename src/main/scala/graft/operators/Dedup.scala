@@ -1115,6 +1115,52 @@ object Dedup {
             .as("kept_tokens"))
     }),
 
+    // --- cross-source span-leakage matrix -----------------------------------
+    // WHICH corpora share verbatim spans — the provenance diagnostic over
+    // the ExactSubstr family: per source pair, how many distinct 32-token
+    // window digests occur in both. Any cross-source shared digest has
+    // >= 2 distinct docs, so the SHARED memoized [[dupWindowPositions]]
+    // stage contains every one of them; past the memo this is a distinct
+    // (digest, source) projection and one digest-keyed self-join —
+    // #sources²-bounded output, duplicated-window-bounded work.
+    "q190_span_leakage" -> ((s, d) => {
+      val bySrc = dupWindowPositions(s, d)
+        .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("wh"), col("source")).distinct()
+      bySrc.as("a").join(bySrc.as("b"),
+          col("a.wh") === col("b.wh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared_digests"))
+    }),
+
+    // --- split-aware span decontamination ------------------------------------
+    // The eval-hygiene read ExactSubstr decontamination actually serves:
+    // after a deterministic held-out split (md5(doc_id) < '1a' — the q36/
+    // q103 rule family), how many TRAIN tokens sit inside a span that also
+    // appears in ANY held-out doc? Those spans are memorization leaks —
+    // a model can ace the held-out set by recalling train verbatim. Train
+    // positions joined to the held-out digest set (both sides live on the
+    // SHARED memoized window stage — a train/heldout shared digest always
+    // has >= 2 distinct docs), then the q176 interval-union sweep. Output
+    // per train doc: leaked vs clean token mass.
+    "q191_span_decontam" -> ((s, d) => {
+      val W = DupWindowW
+      val split = docs(s, d).select(col("doc_id"),
+        (md5(col("doc_id").cast("string")) < "1a").as("heldout"))
+      val dup = dupWindowPositions(s, d).join(split, "doc_id")
+      val testWh = dup.filter(col("heldout")).select(col("wh")).distinct()
+      val leaked = dup.filter(!col("heldout")).join(testWh, "wh")
+        .select(col("doc_id"), col("p"))
+      val per = intervalUnionLen(leaked, W)
+      docs(s, d).join(split, "doc_id").filter(!col("heldout"))
+        .select(col("doc_id"), size(toks(col("text"))).as("n"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").cast("long").as("n_tok"),
+          coalesce(col("union_len"), lit(0L)).as("leaked_tokens"),
+          (col("n") - coalesce(col("union_len"), lit(0L))).cast("long")
+            .as("clean_tokens"))
+    }),
+
     // --- MinHash signatures + LSH band keys per document -------------------
     "q41_dedup_minhash" -> ((s, d) => signatures(s, d).drop("sh")),
 
@@ -1693,6 +1739,82 @@ object Dedup {
            CAST(COALESCE(per.clipped, 0) AS BIGINT) AS clipped_tokens,
            CAST(b.n - COALESCE(per.clipped, 0) AS BIGINT) AS kept_tokens
          FROM base b LEFT JOIN per USING (doc_id)""",
+
+    "q190_span_leakage" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS tk,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+         wins AS (
+           SELECT doc_id,
+                  md5(array_to_string(list_slice(tk, p, p + 31), ' ')) AS wh
+           FROM (SELECT doc_id, tk, unnest(range(1, n - 30)) AS p
+                 FROM base WHERE n >= 32)),
+         dupwh AS (
+           SELECT wh FROM wins GROUP BY wh
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         by_src AS (
+           SELECT DISTINCT w.wh, d.source
+           FROM wins w JOIN dupwh USING (wh)
+           JOIN documents d ON w.doc_id = d.doc_id)
+         SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(1) AS n_shared_digests
+         FROM by_src a JOIN by_src b
+           ON a.wh = b.wh AND a.source < b.source
+         GROUP BY 1, 2""",
+
+    "q191_span_decontam" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS tk,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+         split AS (
+           SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) < '1a' AS heldout
+           FROM documents),
+         wins AS (
+           SELECT doc_id, p,
+                  md5(array_to_string(list_slice(tk, p, p + 31), ' ')) AS wh
+           FROM (SELECT doc_id, tk, unnest(range(1, n - 30)) AS p
+                 FROM base WHERE n >= 32)),
+         dupwh AS (
+           SELECT wh FROM wins GROUP BY wh
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         dup AS (SELECT w.doc_id, w.p, w.wh
+                 FROM wins w JOIN dupwh USING (wh)),
+         test_wh AS (
+           SELECT DISTINCT d.wh FROM dup d JOIN split USING (doc_id)
+           WHERE split.heldout),
+         leaked AS (
+           SELECT d.doc_id, d.p FROM dup d
+           JOIN split USING (doc_id) JOIN test_wh USING (wh)
+           WHERE NOT split.heldout),
+         flagged AS (
+           SELECT doc_id, p,
+             CASE WHEN MAX(p + 32) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR p > MAX(p + 32) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS newi
+           FROM leaked),
+         grouped AS (
+           SELECT doc_id, p,
+             SUM(newi) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM flagged),
+         islands AS (
+           SELECT doc_id, grp, MAX(p) + 32 - MIN(p) AS len
+           FROM grouped GROUP BY doc_id, grp),
+         per AS (
+           SELECT doc_id, SUM(len) AS leaked_tok
+           FROM islands GROUP BY doc_id)
+         SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tok,
+           CAST(COALESCE(per.leaked_tok, 0) AS BIGINT) AS leaked_tokens,
+           CAST(b.n - COALESCE(per.leaked_tok, 0) AS BIGINT) AS clean_tokens
+         FROM base b JOIN split USING (doc_id)
+         LEFT JOIN per ON b.doc_id = per.doc_id
+         WHERE NOT split.heldout""",
 
     "q41_dedup_minhash" ->
       s"""SELECT doc_id, ${(0 until NumHashes).map(i => s"mh$i").mkString(", ")},

@@ -528,6 +528,61 @@ class DedupSpec extends SparkSpec {
       gotClip.exists { case (id, (_, c, _)) => c == 0 && expMass(id) > 0 })
   }
 
+  test("q190/q191: span leakage and decontam match hash-free JVM recomputes") {
+    val W = 32
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty)))
+    val byWin = scala.collection.mutable.Map.empty[String, List[(Long, Int)]]
+    docs.foreach { case (id, _, tk) =>
+      if (tk.length >= W)
+        (1 to tk.length - W + 1).foreach { p =>
+          val key = tk.slice(p - 1, p - 1 + W).mkString(" ")
+          byWin(key) = (id, p) :: byWin.getOrElse(key, Nil)
+        }
+    }
+    val srcOf = docs.map(d => d._1 -> d._2).toMap
+    val dupGroups = byWin.values
+      .filter(_.map(_._1).distinct.size >= 2).toList
+    // q190: distinct shared digests per source pair
+    val expPairs = dupGroups.flatMap { g =>
+      val srcs = g.map(x => srcOf(x._1)).distinct.sorted
+      for (a <- srcs; b <- srcs if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotPairs = Dedup.queries("q190_span_leakage")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(gotPairs == expPairs && gotPairs.nonEmpty)
+    // q191: leaked mass per train doc under the md5 split
+    def heldout(id: Long): Boolean =
+      graft.operators.TextFns.md5hex(id.toString) < "1a"
+    def unionLen(ps: Seq[Int]): Long = {
+      var total = 0L; var start = -1; var end = -1
+      ps.sorted.foreach { p =>
+        if (start < 0) { start = p; end = p + W }
+        else if (p > end) { total += end - start; start = p; end = p + W }
+        else end = math.max(end, p + W)
+      }
+      if (start >= 0) total += end - start
+      total
+    }
+    val leakedPos = dupGroups
+      .filter(_.exists(x => heldout(x._1)))
+      .flatMap(_.filterNot(x => heldout(x._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = docs.filterNot(d => heldout(d._1)).map { case (id, _, tk) =>
+      val leaked = unionLen(leakedPos.getOrElse(id, Nil))
+      id -> (tk.length.toLong, leaked, tk.length - leaked)
+    }.toMap
+    val got = Dedup.queries("q191_span_decontam")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    // the semantics are exercised: some train doc leaks, some is clean
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
+  }
+
   test("q133: estimator audit matches a JVM minhash+jaccard recompute") {
     import graft.operators.{Dedup => D}
     def md5hex(s: String): String =
