@@ -28,6 +28,11 @@ object Dedup {
   val BandSize = 2
   val NumBands: Int = NumHashes / BandSize
   val SimhashBits = 8
+
+  /** Fingerprint width of the full-scale q192 simhash (15 md5 hex digits
+    * per token = 60 usable bits; 4 bands × 15 bits give the Hamming<=3
+    * pigeonhole guarantee). */
+  val SimhashBits64 = 60
   // q42 trigram verify threshold as an exact rational — the SINGLE source
   // for both the call site (tNum/tDen) and the Double used by specs.
   val TrigramTNum = 7
@@ -1161,6 +1166,53 @@ object Dedup {
             .as("clean_tokens"))
     }),
 
+    // --- 60-bit SimHash + Hamming<=3 dedup (Manku et al. 2007) -------------
+    // The Google web-crawl near-dup algorithm q43's 8-bit sketch gestures
+    // at, full-scale: one md5 per TOKEN yields 60 hash bits (15 hex
+    // digits), 60 per-bit +/-1 votes make the fingerprint, and the
+    // Hamming-distance join uses the pigeonhole blocking from the paper —
+    // split 60 bits into 4 bands of 15; any pair within Hamming 3 agrees
+    // EXACTLY on >= 1 band, so candidates come from 4 equi self-joins
+    // (never all-pairs) and the popcount verify runs on candidate volume.
+    // The completeness guarantee (every Hamming<=3 pair found) is
+    // spec-proven against a brute all-pairs JVM scan. All integer bit
+    // arithmetic — bit-identical across engines.
+    "q192_simhash64_dedup" -> ((s, d) => {
+      val bands = 4
+      val bandBits = 15
+      val ht = transform(toks(col("text")), w =>
+        conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+      val base = docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+        .select(col("doc_id"), ht.as("ht"))
+      val votes = base.select(col("doc_id") +:
+        (0 until SimhashBits64).map { b =>
+          aggregate(col("ht"), lit(0), (acc, h) =>
+            acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1)
+              .otherwise(-1)).as(s"v$b")
+        }: _*)
+      val sim = votes.select(col("doc_id"),
+        (0 until SimhashBits64).map(b =>
+          when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+      val banded = sim.select(col("doc_id"), col("sh"),
+        explode(array((0 until bands).map(j =>
+          struct(lit(j).as("b"),
+            shiftright(col("sh"), j * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("k"))): _*)).as("bk"))
+        .select(col("doc_id"), col("sh"),
+          col("bk.b").as("b"), col("bk.k").as("k"))
+      banded.as("x").join(banded.as("y"),
+          col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sh").as("sha"), col("y.sh").as("shb"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long")
+            .as("hamming"))
+        .filter(col("hamming") <= 3)
+    }),
+
     // --- MinHash signatures + LSH band keys per document -------------------
     "q41_dedup_minhash" -> ((s, d) => signatures(s, d).drop("sh")),
 
@@ -1739,6 +1791,38 @@ object Dedup {
            CAST(COALESCE(per.clipped, 0) AS BIGINT) AS clipped_tokens,
            CAST(b.n - COALESCE(per.clipped, 0) AS BIGINT) AS kept_tokens
          FROM base b LEFT JOIN per USING (doc_id)""",
+
+    "q192_simhash64_dedup" -> {
+      val votes = (0 until SimhashBits64).map(b =>
+        s"""list_sum(list_transform(ht, h ->
+              CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) AS v$b""")
+        .mkString(",\n              ")
+      val shBits = (0 until SimhashBits64).map(b =>
+        s"CASE WHEN v$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH ht AS (
+            SELECT doc_id,
+              list_transform(string_split(text, ' '), w ->
+                CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS ht
+            FROM documents),
+          votes AS (
+            SELECT doc_id,
+              $votes
+            FROM ht),
+          sim AS (SELECT doc_id, $shBits AS sh FROM votes),
+          banded AS (
+            SELECT doc_id, sh, j AS b,
+              (sh >> (j * 15)) & ${(1L << 15) - 1} AS k
+            FROM sim, UNNEST(range(0, 4)) AS u(j)),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              x.sh AS sha, y.sh AS shb
+            FROM banded x JOIN banded y
+              ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id)
+          SELECT doc_a, doc_b,
+            CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+          FROM cand WHERE bit_count(xor(sha, shb)) <= 3"""
+    },
 
     "q190_span_leakage" ->
       """WITH base AS (

@@ -583,6 +583,36 @@ class DedupSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
   }
 
+  test("q192: banded Hamming join finds EVERY Hamming<=3 pair (pigeonhole completeness)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    def sim60(tk: Array[String]): Long = {
+      val votes = new Array[Int](60)
+      tk.foreach { w =>
+        val h = java.lang.Long.parseLong(
+          graft.operators.TextFns.md5hex(w).take(15), 16)
+        (0 until 60).foreach { b =>
+          votes(b) += (if (((h >> b) & 1) == 1) 1 else -1)
+        }
+      }
+      (0 until 60).map(b => if (votes(b) >= 0) 1L << b else 0L).sum
+    }
+    val fps = docs.map { case (id, tk) => id -> sim60(tk) }
+    // brute all-pairs ground truth at this SF
+    val expected = (for {
+      i <- fps.indices; j <- (i + 1) until fps.length
+      (ia, sa) = fps(i); (ib, sb) = fps(j)
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= 3
+    } yield (math.min(ia, ib), math.max(ia, ib), h.toLong)).toSet
+    val got = Dedup.queries("q192_simhash64_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missed=${expected.diff(got)} extra=${got.diff(expected)}")
+    assert(got.nonEmpty, "testdata should contain simhash near-dups")
+  }
+
   test("q133: estimator audit matches a JVM minhash+jaccard recompute") {
     import graft.operators.{Dedup => D}
     def md5hex(s: String): String =
