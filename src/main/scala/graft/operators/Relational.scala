@@ -992,6 +992,66 @@ object Relational {
             .as("decayed_cents"))
     }),
 
+    // --- CUPED variance reduction (experimentation analytics) -------------------
+    // The standard pre-experiment covariate adjustment (Deng et al. 2013):
+    // per user, y = purchase cents in the last 15 days, x = cents before
+    // that; pooled θ = cov(x,y)/var(x); adjusted mean per arm =
+    // ȳ − θ(x̄_arm − x̄); adjusted variance = var(y) − 2θcov + θ²var(x).
+    // DISCIPLINE: no per-user float ever aggregates — every moment (n, Σx,
+    // Σy, Σxy, Σx², Σy²) accumulates exactly in DECIMAL(38) per arm, and
+    // θ/means/variances are a fixed sequence of SCALAR float ops on those
+    // exact integers, so the result is bit-identical across engines and
+    // partition orders (the naive per-user ŷ = y − θx sum is not). Shape:
+    // one narrow scan → one user_id agg → one 2-row arm agg.
+    "q193_cuped" -> ((s, d) => {
+      val D = DecimalType(38, 0)
+      val ev = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+      val cut = ev.agg(
+        date_sub(max(col("ts")).cast("date"), 15).as("cut_day"))
+      val perUser = ev.join(broadcast(cut))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < col("cut_day").cast("timestamp"),
+            col("c")).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= col("cut_day").cast("timestamp"),
+            col("c")).otherwise(0L)).as("y"))
+        .select((col("user_id") % 2 === 0).as("arm_a"),
+          col("x").cast(D).as("x"), col("y").cast(D).as("y"))
+      val arms = perUser.groupBy(col("arm_a"))
+        .agg(count(lit(1)).cast(D).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val g = arms.agg(sum(col("n")).as("gn"), sum(col("sx")).as("gsx"),
+        sum(col("sy")).as("gsy"), sum(col("sxx")).as("gsxx"),
+        sum(col("sxy")).as("gsxy"))
+      // pooled θ and global x mean from exact global moments (scalar float
+      // algebra in fixed order); per-arm means/vars likewise
+      val withG = arms.join(broadcast(g))
+      def dbl(c: Column) = c.cast("double")
+      val thetaNum = dbl(col("gn") * col("gsxy") - col("gsx") * col("gsy"))
+      val thetaDen = dbl(col("gn") * col("gsxx") - col("gsx") * col("gsx"))
+      val theta = thetaNum / thetaDen
+      val gxbar = dbl(col("gsx")) / dbl(col("gn"))
+      val xbar = dbl(col("sx")) / dbl(col("n"))
+      val ybar = dbl(col("sy")) / dbl(col("n"))
+      val varY = (dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) /
+        dbl(col("n"))) / (dbl(col("n")) - 1)
+      val varX = (dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) /
+        dbl(col("n"))) / (dbl(col("n")) - 1)
+      val covXY = (dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")) /
+        dbl(col("n"))) / (dbl(col("n")) - 1)
+      val varAdj = varY - lit(2.0) * theta * covXY + theta * theta * varX
+      withG.select(col("arm_a"), col("n").cast("long").as("n_users"),
+        ybar.as("mean_y"),
+        (ybar - theta * (xbar - gxbar)).as("mean_cuped"),
+        varY.as("var_y"), varAdj.as("var_cuped"),
+        (lit(1.0) - varAdj / varY).as("var_reduction"))
+    }),
+
     // --- per-group OLS trend (exact-moment linear regression) ------------------
     // q100's exact-moment discipline extended from correlation to the
     // regression line: per event type, slope and intercept of value (exact
@@ -3224,6 +3284,65 @@ object Relational {
              10000 * dd * dd * n >
                38416 * CAST(n1 AS HUGEINT) * n2 * x * (n - x)
            ELSE FALSE END AS significant
+         FROM alg""",
+
+    "q193_cuped" ->
+      """WITH ev AS (
+           SELECT user_id, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events WHERE event_type = 'purchase'),
+         cut AS (
+           SELECT CAST(MAX(ts) AS DATE) - INTERVAL 15 DAY AS cut_day
+           FROM ev),
+         per_user AS (
+           SELECT user_id % 2 = 0 AS arm_a,
+             CAST(SUM(CASE WHEN ts < CAST(cut_day AS TIMESTAMP)
+                           THEN c ELSE 0 END) AS HUGEINT) AS x,
+             CAST(SUM(CASE WHEN ts >= CAST(cut_day AS TIMESTAMP)
+                           THEN c ELSE 0 END) AS HUGEINT) AS y
+           FROM ev, cut GROUP BY user_id),
+         arms AS (
+           SELECT arm_a, CAST(COUNT(1) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+           FROM per_user GROUP BY arm_a),
+         g AS (
+           SELECT SUM(n) AS gn, SUM(sx) AS gsx, SUM(sy) AS gsy,
+             SUM(sxx) AS gsxx, SUM(sxy) AS gsxy
+           FROM arms),
+         alg AS (
+           SELECT arm_a, n, sx, sy, sxx, sxy, syy,
+             CAST(gn * gsxy - gsx * gsy AS DOUBLE)
+               / CAST(gn * gsxx - gsx * gsx AS DOUBLE) AS theta,
+             CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE) AS gxbar
+           FROM arms, g)
+         SELECT arm_a, CAST(n AS BIGINT) AS n_users,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+             - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - gxbar)
+             AS mean_cuped,
+           (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_y,
+           (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+             - 2.0 * theta * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1))
+             + theta * theta * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1)) AS var_cuped,
+           1.0 - ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1)
+               - 2.0 * theta * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1))
+               + theta * theta * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1)))
+             / ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1)) AS var_reduction
          FROM alg""",
 
     "q188_decayed_counts" ->

@@ -1252,6 +1252,58 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q193: CUPED matches a BigInt-moment recompute and reduces variance") {
+    def mic(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), mic(r.getTimestamp(1)),
+        BigDecimal(r.getDouble(2)).setScale(2).*(100).toLongExact))
+    val dayUs = 86400L * 1000000
+    val maxTs = ev.map(_._2).max
+    val cutUs = (maxTs - Math.floorMod(maxTs, dayUs)) - 15 * dayUs
+    val perUser = ev.groupBy(_._1).map { case (u, es) =>
+      (u % 2 == 0,
+        BigInt(es.filter(_._2 < cutUs).map(_._3).sum),
+        BigInt(es.filter(_._2 >= cutUs).map(_._3).sum))
+    }.toSeq
+    case class M(n: BigInt, sx: BigInt, sy: BigInt, sxx: BigInt,
+                 sxy: BigInt, syy: BigInt)
+    def mom(g: Seq[(Boolean, BigInt, BigInt)]) = M(g.size,
+      g.map(_._2).sum, g.map(_._3).sum, g.map(e => e._2 * e._2).sum,
+      g.map(e => e._2 * e._3).sum, g.map(e => e._3 * e._3).sum)
+    val byArm = perUser.groupBy(_._1).view.mapValues(mom).toMap
+    val gl = mom(perUser)
+    val theta = (gl.n * gl.sxy - gl.sx * gl.sy).toDouble /
+      (gl.n * gl.sxx - gl.sx * gl.sx).toDouble
+    val gxbar = gl.sx.toDouble / gl.n.toDouble
+    val got = Relational.queries("q193_cuped")(spark, sfDir).collect()
+      .map(r => r.getBoolean(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(got.keySet == Set(true, false))
+    got.foreach { case (arm, (n, meanY, meanC, varY, varC, red)) =>
+      val m = byArm(arm)
+      assert(n == m.n.toLong)
+      val nd = m.n.toDouble
+      val eMeanY = m.sy.toDouble / nd
+      assert(meanY == eMeanY)
+      assert(meanC == eMeanY - theta * (m.sx.toDouble / nd - gxbar))
+      val eVarY = (m.syy.toDouble - m.sy.toDouble * m.sy.toDouble / nd) /
+        (nd - 1)
+      val eCov = (m.sxy.toDouble - m.sx.toDouble * m.sy.toDouble / nd) /
+        (nd - 1)
+      val eVarX = (m.sxx.toDouble - m.sx.toDouble * m.sx.toDouble / nd) /
+        (nd - 1)
+      val eVarC = eVarY - 2.0 * theta * eCov + theta * theta * eVarX
+      assert(varY == eVarY && varC == eVarC)
+      assert(red == 1.0 - eVarC / eVarY)
+      // the whole point: the covariate genuinely reduces variance
+      assert(varC < varY, s"arm $arm: CUPED must reduce variance")
+    }
+  }
+
   test("q174: z² and the significance bit match a BigInt recompute") {
     val evs = graft.Tables.load(spark, sfDir, "events")
       .select("event_id", "event_type").collect()
