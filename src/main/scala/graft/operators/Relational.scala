@@ -1052,6 +1052,32 @@ object Relational {
         (lit(1.0) - varAdj / varY).as("var_reduction"))
     }),
 
+    // --- Benford's-law first-digit audit -----------------------------------------
+    // The forensic data-quality read (fabricated or re-scaled numeric
+    // columns flunk it): distribution of the first significant digit of
+    // price cents vs Benford's log10(1+1/d). The digit comes from the
+    // DECIMAL-exact cents rendered as a decimal string (no float log, no
+    // sci-notation risk on integers); expected probabilities are the SAME
+    // Scala-computed double literals embedded in both engines' plans, so
+    // the comparison columns are bit-identical. One narrow scan + one
+    // 9-key hash agg + a broadcast total.
+    "q194_benford_audit" -> ((s, d) => {
+      val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")
+      val digits = t(s, d, "lineitem")
+        .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      digits.join(broadcast(tot))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("total")).as("observed"),
+          element_at(array((1 to 9).map(dd =>
+            lit(math.log10(1.0 + 1.0 / dd))): _*), col("digit"))
+            .as("benford_p"))
+        .select(col("digit"), col("n"), col("observed"), col("benford_p"),
+          (col("observed") - col("benford_p")).as("deviation"))
+    }),
+
     // --- per-group OLS trend (exact-moment linear regression) ------------------
     // q100's exact-moment discipline extended from correlation to the
     // regression line: per event type, slope and intercept of value (exact
@@ -3285,6 +3311,26 @@ object Relational {
                38416 * CAST(n1 AS HUGEINT) * n2 * x * (n - x)
            ELSE FALSE END AS significant
          FROM alg""",
+
+    "q194_benford_audit" -> {
+      // e-notation forces DuckDB to parse each literal as DOUBLE directly;
+      // a bare decimal literal becomes DECIMAL first and loses a ulp.
+      val ps = (1 to 9).map(dd => s"${math.log10(1.0 + 1.0 / dd)}e0")
+        .mkString("[", ", ", "]")
+      s"""WITH digits AS (
+            SELECT CAST(substr(CAST(
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                AS VARCHAR), 1, 1) AS INT) AS digit,
+              COUNT(1) AS n
+            FROM lineitem
+            GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM digits)
+          SELECT digit, CAST(n AS BIGINT) AS n,
+            CAST(n AS DOUBLE) / total AS observed,
+            ($ps)[digit] AS benford_p,
+            CAST(n AS DOUBLE) / total - ($ps)[digit] AS deviation
+          FROM digits, tot"""
+    },
 
     "q193_cuped" ->
       """WITH ev AS (

@@ -1304,6 +1304,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q194: first-digit counts exact; Benford constants and deviations match") {
+    val cents = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_extendedprice").collect()
+      .map(r => BigDecimal(r.getDouble(0)).setScale(2).*(100).toLongExact)
+    val expected = cents.map(_.toString.head.asDigit)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = cents.length.toDouble
+    val got = Relational.queries("q194_benford_audit")(spark, sfDir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (d, (n, obs, p, dev)) =>
+      assert(n == expected(d))
+      assert(obs == n / total)
+      assert(p == math.log10(1.0 + 1.0 / d))
+      assert(dev == obs - p)
+    }
+    // prices are roughly Benford-ish on a broad TPC-H price range: digit 1
+    // is the most common observed first digit
+    assert(got.maxBy(_._2._1)._1 == 1)
+  }
+
   test("q174: z² and the significance bit match a BigInt recompute") {
     val evs = graft.Tables.load(spark, sfDir, "events")
       .select("event_id", "event_type").collect()
