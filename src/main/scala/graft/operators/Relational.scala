@@ -160,6 +160,50 @@ object Relational {
     agg.join(last, Seq("user_id")).join(modal, Seq("user_id"))
   }
 
+  /** (xa, xb) 10-bit binned layout dims of lineitem — shared by the
+    * q125/q189/q195 layout family. */
+  private def layoutBinned(s: SparkSession, d: String): DataFrame = {
+    val dims = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("a"), col("l_partkey").as("b"))
+    val bounds = dims.agg(
+      min(col("a")).as("amin"), max(col("a")).as("amax"),
+      min(col("b")).as("bmin"), max(col("b")).as("bmax"))
+    def bin(v: String, lo: String, hi: String) =
+      least(lit(1023L),
+        expr(s"((cast($v as decimal(38,0)) - $lo) * 1024) div ($hi - $lo + 1)"))
+    dims.join(broadcast(bounds))
+      .select(bin("a", "amin", "amax").as("xa"),
+        bin("b", "bmin", "bmax").as("xb"))
+  }
+
+  /** Per-row Morton/z code over [[layoutBinned]] — (xa, xb, code). */
+  private def zorderCoded(s: SparkSession, d: String): DataFrame = {
+    val z = (0 until 10).map(k =>
+        shiftleft(shiftright(col("xa"), k).bitwiseAND(lit(1L)), 2 * k) +
+          shiftleft(shiftright(col("xb"), k).bitwiseAND(lit(1L)), 2 * k + 1))
+      .reduce(_ + _)
+    layoutBinned(s, d).select(col("xa"), col("xb"), z.as("code"))
+  }
+
+  /** Per-row Hilbert code (10 unrolled rotate/flip levels) over
+    * [[layoutBinned]] — (xa, xb, code). */
+  private def hilbertCoded(s: SparkSession, d: String): DataFrame = {
+    var cur = layoutBinned(s, d).select(col("xa"), col("xb"),
+      col("xa").as("hx"), col("xb").as("hy"), lit(0L).as("hd"))
+    (9 to 0 by -1).foreach { k =>
+      val sv = 1L << k
+      val rx = shiftright(col("hx"), k).bitwiseAND(lit(1L))
+      val ry = shiftright(col("hy"), k).bitwiseAND(lit(1L))
+      cur = cur.select(col("xa"), col("xb"),
+        when(ry === 0, when(rx === 1, lit(1023L) - col("hy"))
+          .otherwise(col("hy"))).otherwise(col("hx")).as("hx"),
+        when(ry === 0, when(rx === 1, lit(1023L) - col("hx"))
+          .otherwise(col("hx"))).otherwise(col("hy")).as("hy"),
+        (col("hd") + lit(sv * sv) * (rx * 3).bitwiseXOR(ry)).as("hd"))
+    }
+    cur.select(col("xa"), col("xb"), col("hd").as("code"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- scans / filter / projection (pushdown-verified in RelationalSpec) --
@@ -1157,28 +1201,12 @@ object Relational {
     // shift/mask/add tree — straight-line whole-stage codegen, no UDF. At
     // 100 TB: write-side, range-partition by z and this bucket summary IS
     // the manifest-stats table; the query itself is one scan + one agg.
-    "q125_zorder_layout" -> ((s, d) => {
-      val dims = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("a"), col("l_partkey").as("b"))
-      val bounds = dims.agg(
-        min(col("a")).as("amin"), max(col("a")).as("amax"),
-        min(col("b")).as("bmin"), max(col("b")).as("bmax"))
-      def bin(v: String, lo: String, hi: String) =
-        least(lit(1023L),
-          expr(s"((cast($v as decimal(38,0)) - $lo) * 1024) div ($hi - $lo + 1)"))
-      val binned = dims.join(broadcast(bounds))
-        .select(bin("a", "amin", "amax").as("xa"),
-          bin("b", "bmin", "bmax").as("xb"))
-      val z = (0 until 10).map(k =>
-          shiftleft(shiftright(col("xa"), k).bitwiseAND(lit(1L)), 2 * k) +
-            shiftleft(shiftright(col("xb"), k).bitwiseAND(lit(1L)), 2 * k + 1))
-        .reduce(_ + _)
-      binned.withColumn("zbucket", shiftright(z, 10))
+    "q125_zorder_layout" -> ((s, d) =>
+      zorderCoded(s, d).withColumn("zbucket", shiftright(col("code"), 10))
         .groupBy(col("zbucket"))
         .agg(count(lit(1)).as("n"),
           min(col("xa")).as("xa_min"), max(col("xa")).as("xa_max"),
-          min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"))
-    }),
+          min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"))),
 
     // --- Hilbert-curve layout (the locality tier above z-order) -----------------
     // q125's bucket audit under a Hilbert space-filling curve: unlike
@@ -1192,36 +1220,44 @@ object Relational {
     // pins the JVM reference round-trip (d2xy∘xy2d = id, consecutive
     // codes adjacent — the property z-order provably fails) and SQL==JVM
     // on the corpus.
-    "q189_hilbert_layout" -> ((s, d) => {
-      val dims = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("a"), col("l_partkey").as("b"))
-      val bounds = dims.agg(
-        min(col("a")).as("amin"), max(col("a")).as("amax"),
-        min(col("b")).as("bmin"), max(col("b")).as("bmax"))
-      def bin(v: String, lo: String, hi: String) =
-        least(lit(1023L),
-          expr(s"((cast($v as decimal(38,0)) - $lo) * 1024) div ($hi - $lo + 1)"))
-      val binned = dims.join(broadcast(bounds))
-        .select(bin("a", "amin", "amax").as("xa"),
-          bin("b", "bmin", "bmax").as("xb"))
-      var cur = binned.select(col("xa"), col("xb"),
-        col("xa").as("hx"), col("xb").as("hy"), lit(0L).as("hd"))
-      (9 to 0 by -1).foreach { k =>
-        val sv = 1L << k
-        val rx = shiftright(col("hx"), k).bitwiseAND(lit(1L))
-        val ry = shiftright(col("hy"), k).bitwiseAND(lit(1L))
-        cur = cur.select(col("xa"), col("xb"),
-          when(ry === 0, when(rx === 1, lit(1023L) - col("hy"))
-            .otherwise(col("hy"))).otherwise(col("hx")).as("hx"),
-          when(ry === 0, when(rx === 1, lit(1023L) - col("hx"))
-            .otherwise(col("hx"))).otherwise(col("hy")).as("hy"),
-          (col("hd") + lit(sv * sv) * (rx * 3).bitwiseXOR(ry)).as("hd"))
-      }
-      cur.withColumn("hbucket", shiftright(col("hd"), 10))
+    "q189_hilbert_layout" -> ((s, d) =>
+      hilbertCoded(s, d).withColumn("hbucket", shiftright(col("code"), 10))
         .groupBy(col("hbucket"))
         .agg(count(lit(1)).as("n"),
           min(col("xa")).as("xa_min"), max(col("xa")).as("xa_max"),
-          min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"))
+          min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"))),
+
+    // --- layout-quality comparison (z-order vs Hilbert, quantified) -------------
+    // The layout-maintenance monitoring read: per curve layout, the
+    // row-weighted mean bucket bounding-box semi-perimeter
+    // ((xa_max−xa_min)+(xb_max−xb_min)) — the proxy for per-file zone-map
+    // width, i.e. how much a range predicate over either dimension can
+    // prune. Bucket = code >> 9 (512 curve cells, the odd power — at
+    // power-of-FOUR granularity both curves tile identical aligned
+    // squares and the numbers are vacuously equal). Honest geometry: even
+    // at the odd power the two curves' ALIGNED buckets both span ~32×16
+    // (a Morton half-block and two edge-adjacent Hilbert squares have the
+    // same bbox), so neither dominates the other here — Hilbert's
+    // adjacency advantage (q189's spec) shows on arbitrary RANGE
+    // segments, not aligned buckets. What the audit does decide, with a
+    // number: BOTH curves beat the lexicographic (sort-by-a-then-b)
+    // layout every real table starts from by ~an order of magnitude —
+    // the spec pins that against a JVM lex baseline. Weighted mean is
+    // Σn·sp / Σn, exact integers into one float division.
+    "q195_layout_quality" -> ((s, d) => {
+      def quality(layout: String, coded: DataFrame) =
+        coded.withColumn("bucket", shiftright(col("code"), 9))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            ((max(col("xa")) - min(col("xa"))) +
+              (max(col("xb")) - min(col("xb")))).as("sp"))
+          .select(lit(layout).as("layout"), col("n"), col("sp"))
+          .groupBy(col("layout"))
+          .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("total_rows"),
+            (sum(col("n") * col("sp")).cast("double") / sum(col("n")))
+              .as("avg_semiperimeter"))
+      quality("zorder", zorderCoded(s, d))
+        .unionAll(quality("hilbert", hilbertCoded(s, d)))
     }),
 
     // --- CDC -> SCD2 compaction (consecutive-run collapse) ---------------------
@@ -2164,7 +2200,7 @@ object Relational {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem
@@ -3522,4 +3558,70 @@ object Relational {
            END AS kappa
          FROM alg"""
   )
+
+  /** Full oracle map: the base entries plus q195, whose oracle re-derives
+    * both per-row code columns (the same CTE fragments as q125/q189's
+    * oracles) and buckets them at the odd 512-cell granularity. */
+  val oracles: Map[String, String] = {
+    val binned =
+      """bounds AS (
+           SELECT MIN(l_orderkey) AS amin, MAX(l_orderkey) AS amax,
+                  MIN(l_partkey) AS bmin, MAX(l_partkey) AS bmax
+           FROM lineitem),
+         b AS (
+           SELECT
+             CAST(least(1023, ((CAST(l_orderkey AS HUGEINT) - amin) * 1024)
+                              // (amax - amin + 1)) AS BIGINT) AS xa,
+             CAST(least(1023, ((CAST(l_partkey AS HUGEINT) - bmin) * 1024)
+                              // (bmax - bmin + 1)) AS BIGINT) AS xb
+           FROM lineitem CROSS JOIN bounds)"""
+    val zc =
+      """zc AS (
+           SELECT xa, xb,
+             CAST(list_sum(list_transform(range(0, 10), k ->
+               (((xa >> k) & 1) << (2 * k))
+               + (((xb >> k) & 1) << (2 * k + 1)))) AS BIGINT) AS code
+           FROM b)"""
+    def lvl(i: Int, k: Int): String = {
+      val prev = if (i == 0) "h_in" else s"h${i - 1}"
+      val ss = (1L << k) * (1L << k)
+      s"""h$i AS (
+            SELECT xa, xb,
+              CASE WHEN ry = 0 THEN
+                     CASE WHEN rx = 1 THEN 1023 - hy ELSE hy END
+                   ELSE hx END AS hx,
+              CASE WHEN ry = 0 THEN
+                     CASE WHEN rx = 1 THEN 1023 - hx ELSE hx END
+                   ELSE hy END AS hy,
+              hd + $ss * xor(rx * 3, ry) AS hd
+            FROM (SELECT *, (hx >> $k) & 1 AS rx, (hy >> $k) & 1 AS ry
+                  FROM $prev))"""
+    }
+    val hilbert = ("""h_in AS (
+           SELECT xa, xb, xa AS hx, xb AS hy, CAST(0 AS BIGINT) AS hd
+           FROM b)""" +:
+      (9 to 0 by -1).zipWithIndex.map { case (k, i) => lvl(i, k) })
+      .mkString(",\n")
+    oraclesBase +
+      ("q195_layout_quality" ->
+        s"""WITH $binned,
+            $zc,
+            $hilbert,
+            zb AS (
+              SELECT code >> 9 AS bucket, COUNT(1) AS n,
+                (MAX(xa) - MIN(xa)) + (MAX(xb) - MIN(xb)) AS sp
+              FROM zc GROUP BY 1),
+            hb AS (
+              SELECT hd >> 9 AS bucket, COUNT(1) AS n,
+                (MAX(xa) - MIN(xa)) + (MAX(xb) - MIN(xb)) AS sp
+              FROM h9 GROUP BY 1)
+            SELECT 'zorder' AS layout, COUNT(1) AS n_buckets,
+              CAST(SUM(n) AS BIGINT) AS total_rows,
+              CAST(SUM(n * sp) AS DOUBLE) / SUM(n) AS avg_semiperimeter
+            FROM zb
+            UNION ALL
+            SELECT 'hilbert', COUNT(1), CAST(SUM(n) AS BIGINT),
+              CAST(SUM(n * sp) AS DOUBLE) / SUM(n)
+            FROM hb""")
+  }
 }

@@ -1327,6 +1327,49 @@ class RelationalSpec extends SparkSpec {
     assert(got.maxBy(_._2._1)._1 == 1)
   }
 
+  test("q195: layout quality matches a JVM recompute; Hilbert strictly tighter") {
+    // JVM recompute of both code columns over the binned dims
+    val dims = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (amin, amax) = (dims.map(_._1).min, dims.map(_._1).max)
+    val (bmin, bmax) = (dims.map(_._2).min, dims.map(_._2).max)
+    def bin(v: Long, lo: Long, hi: Long): Int =
+      math.min(1023L, (v - lo) * 1024 / (hi - lo + 1)).toInt
+    val cells = dims.map { case (a, b) =>
+      (bin(a, amin, amax), bin(b, bmin, bmax)) }
+    def zc(x: Int, y: Int): Long = (0 until 10).map(k =>
+      (((x >> k) & 1).toLong << (2 * k)) +
+        (((y >> k) & 1).toLong << (2 * k + 1))).sum
+    def stats(codes: Array[((Int, Int), Long)]): (Long, Long, Double) = {
+      val buckets = codes.groupBy(_._2 >> 9).values.map { g =>
+        val xs = g.map(_._1._1); val ys = g.map(_._1._2)
+        (g.length.toLong,
+          (xs.max - xs.min + (ys.max - ys.min)).toLong)
+      }.toSeq
+      (buckets.length.toLong, buckets.map(_._1).sum,
+        buckets.map(b => b._1 * b._2).sum.toDouble / buckets.map(_._1).sum)
+    }
+    val expZ = stats(cells.map(c => c -> zc(c._1, c._2)))
+    val expH = stats(cells.map(c => c -> hilbertXy2d(1024, c._1, c._2)))
+    val got = Relational.queries("q195_layout_quality")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("zorder") == expZ && got("hilbert") == expH)
+    // the number that justifies curve layouts: both beat the lexicographic
+    // (sort by a, then b) layout's bucket spans by a wide margin — lex
+    // buckets cover the full y range, curves stay ~32x16
+    val lexBuckets = cells.sortBy(identity).grouped(512).map { g =>
+      (g.length.toLong,
+        (g.map(_._1).max - g.map(_._1).min +
+          (g.map(_._2).max - g.map(_._2).min)).toLong)
+    }.toSeq
+    val lexAvg = lexBuckets.map(b => b._1 * b._2).sum.toDouble /
+      lexBuckets.map(_._1).sum
+    assert(got("zorder")._3 < lexAvg / 5 && got("hilbert")._3 < lexAvg / 5,
+      s"curves=${got("zorder")._3}/${got("hilbert")._3} lex=$lexAvg")
+  }
+
   test("q174: z² and the significance bit match a BigInt recompute") {
     val evs = graft.Tables.load(spark, sfDir, "events")
       .select("event_id", "event_type").collect()
