@@ -82,13 +82,16 @@ class MinKLongs(k: Int) extends MinK[Long](k)
 
 /** A (priority, id, weight) triple for Duffield priority sampling: the
   * ordering NEGATES the double priority so [[MinK]]'s k-smallest machinery
-  * keeps the k LARGEST priorities, id tie-break. Same bounded-partial
-  * contract: any stratum's map-side state is k slots. */
+  * keeps the k LARGEST priorities, id tie-break. The ordering is TOTAL
+  * over all three fields — (pri, id) ties cannot occur on real input (one
+  * row per doc id), but a total order is what makes the merge laws
+  * unconditional (MaxKPriorityLawsSpec exercises adversarial ties). Same
+  * bounded-partial contract: any stratum's map-side state is k slots. */
 case class PriorityDoc(pri: Double, id: Long, w: Long)
 
 object PriorityDoc {
   implicit val ordering: Ordering[PriorityDoc] =
-    Ordering.by((r: PriorityDoc) => (-r.pri, r.id))
+    Ordering.by((r: PriorityDoc) => (-r.pri, r.id, r.w))
 }
 
 /** k largest-priority (pri, id, w) triples per group. */
