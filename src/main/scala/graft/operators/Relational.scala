@@ -1096,6 +1096,56 @@ object Relational {
         (lit(1.0) - varAdj / varY).as("var_reduction"))
     }),
 
+    // --- Mann–Whitney U test (nonparametric A/B) ---------------------------------
+    // The rank-sum sibling of q174's z-test — no normality assumption on
+    // the metric. Per event type, arms = event_id parity; U is computed
+    // WITHOUT ranking any row: from the per-value count histogram,
+    // 2U = Σ_v na(v)·(2·cumB(<v) + nb(v)) (ties contribute the half via
+    // the doubling — everything stays integer). The normal approximation
+    // with tie correction collapses to ONE exact rational:
+    // z² = 3·(2U − n1n2)²·n(n−1) / (n1n2·[n(n−1)(n+1) − Σ(t³−t)]),
+    // every product in DECIMAL(38); the single division is the only float
+    // op, and the α=0.05 verdict is a pure integer inequality (the q174
+    // discipline). Shape: one histogram agg, one type-partitioned
+    // cumulative window over DISTINCT values, one per-type agg.
+    "q196_mann_whitney" -> ((s, d) => {
+      val D = DecimalType(38, 0)
+      val ev = t(s, d, "events").select(col("event_type"),
+        (col("event_id") % 2 === 0).as("arm_a"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+      val hist = ev.groupBy(col("event_type"), col("c"))
+        .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("nb"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.withColumn("cumb",
+        coalesce(sum(col("nb")).over(w), lit(0L)))
+      val agg = cum.groupBy(col("event_type"))
+        .agg(sum(col("na")).as("n1"), sum(col("nb")).as("n2"),
+          sum(col("na").cast(D) *
+            (lit(2).cast(D) * col("cumb").cast(D) + col("nb").cast(D)))
+            .as("u2"),
+          sum((col("na") + col("nb")).cast(D) * (col("na") + col("nb")).cast(D)
+            * (col("na") + col("nb")).cast(D) -
+            (col("na") + col("nb")).cast(D)).as("ties"))
+      agg.select(col("event_type"), col("n1"), col("n2"),
+          col("u2").as("u2d"), col("u2").cast("long").as("u2"),
+          (col("n1") + col("n2")).cast(D).as("n"),
+          (col("n1").cast(D) * col("n2").cast(D)).as("n12"),
+          col("ties"))
+        .select(col("event_type"), col("n1"), col("n2"), col("u2"),
+          (lit(3).cast(D) * (col("u2d") - col("n12"))
+            * (col("u2d") - col("n12"))
+            * col("n") * (col("n") - 1)).as("z2num"),
+          (col("n12") * (col("n") * (col("n") - 1) * (col("n") + 1)
+            - col("ties"))).as("z2den"))
+        .select(col("event_type"), col("n1"), col("n2"), col("u2"),
+          (col("z2num").cast("double") / col("z2den").cast("double"))
+            .as("z2"),
+          (lit(10000).cast(D) * col("z2num") >
+            lit(38416).cast(D) * col("z2den")).as("significant"))
+    }),
+
     // --- Benford's-law first-digit audit -----------------------------------------
     // The forensic data-quality read (fabricated or re-scaled numeric
     // columns flunk it): distribution of the first significant digit of
@@ -3346,6 +3396,41 @@ object Relational {
              10000 * dd * dd * n >
                38416 * CAST(n1 AS HUGEINT) * n2 * x * (n - x)
            ELSE FALSE END AS significant
+         FROM alg""",
+
+    "q196_mann_whitney" ->
+      """WITH ev AS (
+           SELECT event_type, event_id % 2 = 0 AS arm_a,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         hist AS (
+           SELECT event_type, c,
+             CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           FROM ev GROUP BY 1, 2),
+         cum AS (
+           SELECT *, COALESCE(SUM(nb) OVER (PARTITION BY event_type
+               ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cumb
+           FROM hist),
+         agg AS (
+           SELECT event_type,
+             CAST(SUM(na) AS BIGINT) AS n1, CAST(SUM(nb) AS BIGINT) AS n2,
+             SUM(CAST(na AS HUGEINT) * (2 * CAST(cumb AS HUGEINT) + nb))
+               AS u2d,
+             SUM(CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb)
+               - (na + nb)) AS ties
+           FROM cum GROUP BY 1),
+         alg AS (
+           SELECT event_type, n1, n2, u2d,
+             CAST(n1 + n2 AS HUGEINT) AS n,
+             CAST(n1 AS HUGEINT) * n2 AS n12, ties
+           FROM agg)
+         SELECT event_type, n1, n2, CAST(u2d AS BIGINT) AS u2,
+           CAST(3 * (u2d - n12) * (u2d - n12) * n * (n - 1) AS DOUBLE)
+             / CAST(n12 * (n * (n - 1) * (n + 1) - ties) AS DOUBLE) AS z2,
+           10000 * (3 * (u2d - n12) * (u2d - n12) * n * (n - 1)) >
+             38416 * (n12 * (n * (n - 1) * (n + 1) - ties)) AS significant
          FROM alg""",
 
     "q194_benford_audit" -> {

@@ -1370,6 +1370,35 @@ class RelationalSpec extends SparkSpec {
       s"curves=${got("zorder")._3}/${got("hilbert")._3} lex=$lexAvg")
   }
 
+  test("q196: U from brute pairwise comparison; tie-corrected z² matches") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) % 2 == 0,
+        BigDecimal(r.getDouble(2)).setScale(2).*(100).toLongExact))
+    val got = Relational.queries("q196_mann_whitney")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    ev.groupBy(_._1).foreach { case (ty, g) =>
+      val a = g.filter(_._2).map(_._3)
+      val b = g.filterNot(_._2).map(_._3)
+      // brute 2U: every (a, b) pair contributes 2 if a > b, 1 if tied
+      val u2 = BigInt(a.map(x =>
+        2L * b.count(_ < x) + b.count(_ == x)).sum)
+      val (n1, n2) = (BigInt(a.length), BigInt(b.length))
+      val n = n1 + n2
+      val ties = g.map(_._3).groupBy(identity).values
+        .map(t => BigInt(t.size).pow(3) - t.size).sum
+      val num = 3 * (u2 - n1 * n2).pow(2) * n * (n - 1)
+      val den = n1 * n2 * (n * (n - 1) * (n + 1) - ties)
+      val (gn1, gn2, gu2, gz2, gsig) = got(ty)
+      assert((gn1, gn2, gu2) == ((n1.toLong, n2.toLong, u2.toLong)), ty)
+      assert(gz2 == num.toDouble / den.toDouble, ty)
+      assert(gsig == (10000 * num > 38416 * den), ty)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q174: z² and the significance bit match a BigInt recompute") {
     val evs = graft.Tables.load(spark, sfDir, "events")
       .select("event_id", "event_type").collect()
