@@ -1146,6 +1146,56 @@ object Relational {
             lit(38416).cast(D) * col("z2den")).as("significant"))
     }),
 
+    // --- Kruskal–Wallis H test (k-sample rank ANOVA) -----------------------------
+    // q196's k-sample extension: do the five event types draw their values
+    // from the same distribution? Rank sums come from the value-count
+    // histogram with NO row ranking (2R_j = Σ_v n_j(v)·(2·cum(<v)+t+1),
+    // all integer — midranks via the doubled form), then the five groups
+    // PIVOT to one row so H = 12/(n(n+1))·ΣR_j²/n_j − 3(n+1) and its tie
+    // correction are a FIXED-ORDER chain of scalar float ops over exact
+    // integers (the q193 discipline — a float agg over groups would be
+    // partition-order-dependent). Verdict at α=0.05 vs the χ²(4) critical
+    // value as the same literal in both engines. One histogram agg + one
+    // type-partitioned cumulative window + a 5-column conditional agg.
+    "q197_kruskal_wallis" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = t(s, d, "events").select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+      val hist = ev.groupBy(col("c"))
+        .agg(count(lit(1)).as("t"), types.map(ty =>
+          sum(when(col("event_type") === ty, 1L).otherwise(0L))
+            .as(s"n_$ty")): _*)
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // the cumulative runs over the value HISTOGRAM — a (distinct cents)-
+      // sized aggregation output, not corpus rows, which is exactly the
+      // post-reduction case the catalog window guard structurally allows
+      val cum = hist.withColumn("cum",
+        coalesce(sum(col("t")).over(w), lit(0L)))
+      val D = DecimalType(38, 0)
+      val agg = cum.agg(
+        sum(col("t")).as("n"),
+        sum(col("t").cast(D) * col("t").cast(D) * col("t").cast(D) -
+          col("t").cast(D)).as("ties") +:
+          types.flatMap(ty => Seq(
+            sum(col(s"n_$ty")).as(s"cnt_$ty"),
+            sum(col(s"n_$ty").cast(D) *
+              (lit(2) * col("cum") + col("t") + 1).cast(D)).as(s"r2_$ty"))): _*)
+      def dbl(c: Column) = c.cast("double")
+      val n = dbl(col("n"))
+      // ΣR_j²/n_j = Σ (2R_j)²/(4 n_j), accumulated left-to-right over the
+      // FIXED type order — deterministic
+      val sumR = types.map(ty =>
+        dbl(col(s"r2_$ty")) * dbl(col(s"r2_$ty")) /
+          (lit(4.0) * dbl(col(s"cnt_$ty")))).reduceLeft(_ + _)
+      val h = lit(12.0) / (n * (n + 1)) * sumR - lit(3.0) * (n + 1)
+      val corr = lit(1.0) - dbl(col("ties")) / (n * n * n - n)
+      agg.select(col("n").cast("long").as("n"),
+          h.as("h"), (h / corr).as("h_tie_corrected"))
+        .select(col("n"), col("h"), col("h_tie_corrected"),
+          (col("h_tie_corrected") > 9.487729036781154).as("significant"))
+    }),
+
     // --- Benford's-law first-digit audit -----------------------------------------
     // The forensic data-quality read (fabricated or re-scaled numeric
     // columns flunk it): distribution of the first significant digit of
@@ -3397,6 +3447,53 @@ object Relational {
                38416 * CAST(n1 AS HUGEINT) * n2 * x * (n - x)
            ELSE FALSE END AS significant
          FROM alg""",
+
+    // Kruskal–Wallis twin: the same fixed type order and the same textual
+    // float-op sequence, so every scalar step is bit-identical.
+    "q197_kruskal_wallis" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val histCols = types.map(ty =>
+        s"""CAST(SUM(CASE WHEN event_type = '$ty' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_$ty""").mkString(",\n             ")
+      val aggCols = types.map(ty =>
+        s"""CAST(SUM(n_$ty) AS BIGINT) AS cnt_$ty,
+            SUM(CAST(n_$ty AS HUGEINT) * (2 * cum + t + 1)) AS r2_$ty""")
+        .mkString(",\n             ")
+      val sumR = types.map(ty =>
+        s"""CAST(r2_$ty AS DOUBLE) * CAST(r2_$ty AS DOUBLE)
+            / (4.0 * CAST(cnt_$ty AS DOUBLE))""").mkString(" + ")
+      s"""WITH ev AS (
+            SELECT event_type,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events),
+          hist AS (
+            SELECT c, COUNT(1) AS t,
+             $histCols
+            FROM ev GROUP BY c),
+          cum AS (
+            SELECT *, COALESCE(SUM(t) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM hist),
+          agg AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS n,
+              SUM(CAST(t AS HUGEINT) * t * t - t) AS ties,
+             $aggCols
+            FROM cum),
+          alg AS (
+            SELECT n, ties, ($sumR) AS sumr,
+              CAST(n AS DOUBLE) AS nd
+            FROM agg),
+          hh AS (
+            SELECT n,
+              12.0 / (nd * (nd + 1)) * sumr - 3.0 * (nd + 1) AS h,
+              (12.0 / (nd * (nd + 1)) * sumr - 3.0 * (nd + 1))
+                / (1.0 - CAST(ties AS DOUBLE) / (nd * nd * nd - nd))
+                AS h_tie_corrected
+            FROM alg)
+          SELECT n, h, h_tie_corrected,
+            h_tie_corrected > 9.487729036781154e0 AS significant
+          FROM hh"""
+    },
 
     "q196_mann_whitney" ->
       """WITH ev AS (

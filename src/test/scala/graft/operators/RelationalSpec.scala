@@ -1399,6 +1399,39 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q197: H equals a textbook midrank recompute with tie correction") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2).*(100).toLongExact))
+    val n = ev.length
+    // textbook: average (mid) ranks over the pooled sample, rank sums per
+    // group, H = 12/(n(n+1))·ΣR²/n_j − 3(n+1), tie-corrected divisor
+    val sorted = ev.map(_._2).sorted
+    val rankOf: Map[Long, Double] = sorted.zipWithIndex
+      .groupBy(_._1).view.mapValues { g =>
+        g.map(_._2 + 1).sum.toDouble / g.size }.toMap
+    val groups = ev.groupBy(_._1)
+    val sumR2 = Seq("click", "error", "purchase", "signup", "view").map { ty =>
+      val g = groups(ty)
+      val r = g.map(e => rankOf(e._2)).sum
+      r * r / g.size
+    }.sum
+    val h = 12.0 / (n.toDouble * (n + 1)) * sumR2 - 3.0 * (n + 1)
+    val ties = ev.map(_._2).groupBy(identity).values
+      .map(t => t.size.toLong * t.size * t.size - t.size).sum
+    val hc = h / (1.0 - ties.toDouble / (n.toDouble * n * n - n))
+    val r = Relational.queries("q197_kruskal_wallis")(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == n.toLong)
+    // the engine path uses exact-integer 2R sums then fixed-order float
+    // algebra; the textbook midrank path accumulates doubles — agree to
+    // relative 1e-9 (both are the same statistic)
+    assert(math.abs(r(0).getDouble(1) - h) / math.abs(h) < 1e-9)
+    assert(math.abs(r(0).getDouble(2) - hc) / math.abs(hc) < 1e-9)
+    assert(r(0).getBoolean(3) == (r(0).getDouble(2) > 9.487729036781154))
+  }
+
   test("q174: z² and the significance bit match a BigInt recompute") {
     val evs = graft.Tables.load(spark, sfDir, "events")
       .select("event_id", "event_type").collect()
