@@ -1196,6 +1196,50 @@ object Relational {
           (col("h_tie_corrected") > 9.487729036781154).as("significant"))
     }),
 
+    // --- Spearman rank correlation ------------------------------------------------
+    // The rank sibling of q100's exact-moment Pearson: monotone association
+    // between quantity and price per return flag, robust to the metric's
+    // scale. Midranks come from per-dimension value HISTOGRAMS in the
+    // doubled integer form (2·rank = 2·cum(<v) + t + 1 — ties get exact
+    // average ranks, nothing fractional); each row looks its two doubled
+    // ranks up through equi joins, and ρ is Pearson over the integer rank
+    // pairs: six DECIMAL(38) moments, then scalar float algebra whose only
+    // libm call is sqrt — IEEE-exact and bit-portable. Scale shape: two
+    // (group × distinct-value) histograms with group-partitioned
+    // cumulatives, two broadcast-able lookup joins, one moment agg.
+    "q198_spearman" -> ((s, d) => {
+      val D = DecimalType(38, 0)
+      val li = t(s, d, "lineitem").select(col("l_returnflag").as("g"),
+        (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("q"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("p"))
+      def rank2(dim: String): DataFrame = {
+        val w = Window.partitionBy(col("g")).orderBy(col(dim))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        li.groupBy(col("g"), col(dim)).agg(count(lit(1)).as("t"))
+          .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+          .select(col("g"), col(dim),
+            (lit(2) * col("cum") + col("t") + 1).as(s"r2_$dim"))
+      }
+      li.join(rank2("q"), Seq("g", "q"))
+        .join(rank2("p"), Seq("g", "p"))
+        .select(col("g"), col("r2_q").cast(D).as("x"),
+          col("r2_p").cast(D).as("y"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).cast(D).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("g").as("l_returnflag"), col("n").cast("long").as("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))).as("spearman_rho"))
+    }),
+
     // --- Benford's-law first-digit audit -----------------------------------------
     // The forensic data-quality read (fabricated or re-scaled numeric
     // columns flunk it): distribution of the first significant digit of
@@ -3447,6 +3491,39 @@ object Relational {
                38416 * CAST(n1 AS HUGEINT) * n2 * x * (n - x)
            ELSE FALSE END AS significant
          FROM alg""",
+
+    "q198_spearman" ->
+      """WITH li AS (
+           SELECT l_returnflag AS g,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS p
+           FROM lineitem),
+         rq AS (
+           SELECT g, q, 2 * COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + t + 1 AS r2_q
+           FROM (SELECT g, q, COUNT(1) AS t FROM li GROUP BY g, q)),
+         rp AS (
+           SELECT g, p, 2 * COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + t + 1 AS r2_p
+           FROM (SELECT g, p, COUNT(1) AS t FROM li GROUP BY g, p)),
+         ranked AS (
+           SELECT li.g, CAST(r2_q AS HUGEINT) AS x,
+             CAST(r2_p AS HUGEINT) AS y
+           FROM li JOIN rq ON li.g = rq.g AND li.q = rq.q
+           JOIN rp ON li.g = rp.g AND li.p = rp.p),
+         mom AS (
+           SELECT g, CAST(COUNT(1) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+           FROM ranked GROUP BY g)
+         SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE) /
+             sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+         FROM mom""",
 
     // Kruskal–Wallis twin: the same fixed type order and the same textual
     // float-op sequence, so every scalar step is bit-identical.

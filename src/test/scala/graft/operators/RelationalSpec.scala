@@ -1432,6 +1432,40 @@ class RelationalSpec extends SparkSpec {
     assert(r(0).getBoolean(3) == (r(0).getDouble(2) > 9.487729036781154))
   }
 
+  test("q198: Spearman equals Pearson over textbook midranks") {
+    val rows = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2).*(100).toLongExact,
+        BigDecimal(r.getDouble(2)).setScale(2).*(100).toLongExact))
+    def midranks(vs: Seq[Long]): Map[Long, Double] =
+      vs.sorted.zipWithIndex.groupBy(_._1).view
+        .mapValues(g => g.map(_._2 + 1).sum.toDouble / g.size).toMap
+    val expected = rows.groupBy(_._1).view.mapValues { g =>
+      val rx = midranks(g.map(_._2)); val ry = midranks(g.map(_._3))
+      val xs = g.map(e => rx(e._2)); val ys = g.map(e => ry(e._3))
+      val n = g.size
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val den = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum *
+        ys.map(y => (y - my) * (y - my)).sum)
+      (n.toLong, num / den)
+    }.toMap
+    val got = Relational.queries("q198_spearman")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (g, (n, rho)) =>
+      val (en, erho) = expected(g)
+      assert(n == en)
+      assert(math.abs(rho - erho) < 1e-9, s"$g: $rho vs $erho")
+      // the synthetic generator draws quantity and price independently, so
+      // the true monotone association is ~0 — the statistic must say so
+      // (|rho| well inside the null band), which is itself the check that
+      // ranks, not raw magnitudes, drive the value
+      assert(math.abs(rho) < 0.1, s"$g: independent dims must give rho~0")
+    }
+  }
+
   test("q174: z² and the significance bit match a BigInt recompute") {
     val evs = graft.Tables.load(spark, sfDir, "events")
       .select("event_id", "event_type").collect()
