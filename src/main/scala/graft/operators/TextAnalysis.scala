@@ -287,6 +287,46 @@ object TextAnalysis {
             .as("chars_per_symbol"))
     }),
 
+    // --- greedy bigram-LM decode (the trained-model demo) -------------------
+    // The q123 bigram counts USED as a language model: starting from the
+    // modal token, follow the argmax successor (count DESC, token ASC — a
+    // total order, so the chain is deterministic) for 10 steps — greedy
+    // decoding, the temperature-0 inference every LM serving stack
+    // bottoms out in. Ten unrolled steps (the q178/q118 no-driver-loop
+    // discipline); each step is a vocabulary-sized filter + a 1-row
+    // argmax broadcast back as a scalar — corpus touched exactly once for
+    // the count tables. A dead-end token (no successor) ends the chain in
+    // both engines identically: the 1-row frame goes empty and later
+    // steps emit nothing.
+    "q199_bigram_decode" -> ((s, d) => {
+      val steps = 10
+      val toksDf = t(s, d)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val bigrams = toksDf
+        .select(explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => struct(element_at(col("tk"), i).as("w1"),
+              element_at(col("tk"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+      val seed = t(s, d)
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(1)
+        .select(lit(0).as("step"), col("w").as("token"), col("cnt"))
+      val chain = (1 to steps).scanLeft(seed) { (cur, i) =>
+        bigrams
+          .join(broadcast(cur.select(col("token").as("prev"))),
+            col("w1") === col("prev"))
+          .orderBy(col("cnt").desc, col("w2")).limit(1)
+          .select(lit(i).as("step"), col("w2").as("token"), col("cnt"))
+      }
+      chain.reduce(_ unionAll _)
+    }),
+
     // --- token counting: whitespace + BPE-ish regex ------------------------
     "q30_text_tokens" -> ((s, d) =>
       t(s, d).select(
@@ -1289,6 +1329,34 @@ object TextAnalysis {
             FROM s0),
           ${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")}
           $selects"""
+    },
+
+    // Greedy-decode twin: the same total-order argmax chain, 10 unrolled
+    // CTE steps over the bigram counts.
+    "q199_bigram_decode" -> {
+      def step(i: Int): String = {
+        val prev = if (i == 1) "s0" else s"s${i - 1}"
+        s"""s$i AS (
+              SELECT $i AS step, b.w2 AS token, b.cnt
+              FROM bg b JOIN $prev p ON b.w1 = p.token
+              ORDER BY b.cnt DESC, b.w2 LIMIT 1)"""
+      }
+      s"""WITH tk AS (
+            SELECT string_split(text, ' ') AS tk FROM documents),
+          bg AS (
+            SELECT tk[i] AS w1, tk[i+1] AS w2, COUNT(1) AS cnt
+            FROM tk, UNNEST(range(1, len(tk))) AS u(i)
+            GROUP BY 1, 2),
+          uni AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+          s0 AS (
+            SELECT 0 AS step, w AS token, COUNT(1) AS cnt
+            FROM uni WHERE len(w) > 0
+            GROUP BY w ORDER BY COUNT(1) DESC, w LIMIT 1),
+          ${(1 to 10).map(step).mkString(",\n")}
+          ${(0 to 10).map(i =>
+            s"SELECT step, token, CAST(cnt AS BIGINT) AS cnt FROM s$i")
+            .mkString(" UNION ALL ")}"""
     },
 
     // Exact vocabulary-overlap twin: same distinct (term, source) frame,

@@ -716,6 +716,34 @@ class RepetitionNoveltySpec extends SparkSpec {
     }
   }
 
+  test("q199: greedy decode equals a JVM argmax chain over the bigram counts") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong)
+    val bg = docs.flatMap(tk => tk.zip(tk.drop(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val seed = uni.toSeq.minBy { case (w, c) => (-c, w) }
+    val chain = scala.collection.mutable.ListBuffer(
+      (0, seed._1, seed._2))
+    var cur = seed._1
+    var i = 1
+    var alive = true
+    while (i <= 10 && alive) {
+      val succ = bg.collect { case ((a, b), c) if a == cur => (b, c) }
+      if (succ.isEmpty) alive = false
+      else {
+        val (b, c) = succ.toSeq.minBy { case (b, c) => (-c, b) }
+        chain += ((i, b, c)); cur = b; i += 1
+      }
+    }
+    val out = TextAnalysis.queries("q199_bigram_decode")(spark, sfDir)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == chain.toSeq, s"got=$out expected=$chain")
+    assert(out.length >= 2, "the modal token should have a successor")
+  }
+
   /** Materialize a constructed docs frame as a parquet dir the query
     * contract (SparkSession, sfDir) can read. */
   private def writeDocs(df: org.apache.spark.sql.DataFrame): String = {
