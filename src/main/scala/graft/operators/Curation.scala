@@ -404,6 +404,28 @@ object Curation {
           .as("est_total_w"))
   }
 
+  /** Per-source sample size for the q200 pipeline's final stage. */
+  val PipelineV2K = 8
+
+  /** The SAMPLED-DOCS face of Duffield priority sampling (q187 emits the
+    * estimator face): k largest-priority docs per source under an
+    * arbitrary weight column, same md5-derived priorities, same bounded
+    * [[MaxKPriority]] map-side state. */
+  def prioritySampleDocs(docs: DataFrame, weightCol: String, k: Int): DataFrame = {
+    val maxk = udaf(new MaxKPriority(k))
+    docs.select(col("source"), col("doc_id"),
+        greatest(col(weightCol), lit(1L)).as("w"),
+        (expr("cast(conv(substring(md5(concat('ps|', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+          + 1).as("u"))
+      .withColumn("pri",
+        col("w").cast("double") * lit(1152921504606846976L).cast("double") /
+          col("u"))
+      .groupBy(col("source"))
+      .agg(maxk(col("pri"), col("doc_id"), col("w")).as("cand"))
+      .select(col("source"), explode(col("cand")).as("x"))
+      .select(col("source"), col("x.id").as("doc_id"), col("x.w").as("w"))
+  }
+
   /** Deterministic span-corruption preview (T5-style denoising prep): for
     * every token position, the mask decision is a pure function of
     * (doc_id, position) — first hex char of md5("mask|doc_id|i") < '4', a
@@ -597,6 +619,27 @@ object Curation {
     // --- priority sampling + subset-sum estimator audit (q187) -------------
     "q187_priority_sample" -> ((s, d) =>
       prioritySample(t(s, d), PrioritySampleK)),
+
+    // --- curation pipeline v2 (the round-7 tiers composed end-to-end) ------
+    // q70's sibling built from this round's operators: (1) ExactSubstr
+    // clip accounting over the SHARED window memo — a doc survives iff its
+    // first-occurrence-clean mass is >= 32 tokens AND >= half the doc
+    // (verbatim-recycled content is dropped, canonical copies stay);
+    // (2) the q37 Gopher quality verdict on raw text (the same expression
+    // object as q37/q70 — filters cannot drift); (3) per-source Duffield
+    // priority sampling weighted by CLEAN token mass, k=8, bounded MaxK
+    // map-side state. Every corpus-scale artifact (dup windows, owners) is
+    // the memoized index-store frame; the pipeline itself adds only
+    // doc-sized joins and a vocabulary of scalars.
+    "q200_curation_pipeline_v2" -> ((s, d) => {
+      val clip = Dedup.queries("q177_exactsubstr_clip")(s, d)
+      val survivors = t(s, d).join(clip, "doc_id")
+        .filter(col("kept_tokens") >= 32 &&
+          col("kept_tokens") * 2 >= col("n_tok"))
+      val qual = survivors.filter(TextAnalysis.gopherPass(col("text")))
+      prioritySampleDocs(qual, "kept_tokens", PipelineV2K)
+        .select(col("source"), col("doc_id"), col("w").as("kept_tokens"))
+    }),
 
     // --- deterministic weighted sample (length-biased, k per stratum) -----
     "q84_weighted_sample" -> ((s, d) =>
@@ -838,6 +881,47 @@ object Curation {
             COALESCE(h.n_bloom_hits, 0) > 0 AS bloom_contaminated
           FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
           WHERE d.source <> '$BenchSource'""",
+
+    // Pipeline-v2 twin: q177's oracle wrapped as the clip CTE (one source
+    // of truth for the span accounting), the q70 gopher fragment, and the
+    // ranked-window form of priority sampling.
+    "q200_curation_pipeline_v2" ->
+      s"""WITH clipc AS (${Dedup.oracles("q177_exactsubstr_clip")}),
+          surv AS (
+            SELECT d.doc_id, d.source, d.text, c.kept_tokens
+            FROM documents d JOIN clipc c ON d.doc_id = c.doc_id
+            WHERE c.kept_tokens >= 32 AND c.kept_tokens * 2 >= c.n_tok),
+          qm AS (
+            SELECT doc_id,
+              len(tk) AS n_tok,
+              CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+                / len(tk) AS mean_tok_len,
+              CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                AS DOUBLE) / length(text) AS sym_ratio,
+              CASE WHEN len(sh) > 0
+                   THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+                   ELSE 0.0 END AS rep_ratio
+            FROM (SELECT doc_id, text, $oToksFrag AS tk,
+                    ${oShingles(oToksFrag, 3)} AS sh FROM surv)),
+          qual AS (
+            SELECT s.source, s.doc_id, s.kept_tokens
+            FROM surv s JOIN qm m ON s.doc_id = m.doc_id
+            WHERE m.n_tok >= 20 AND m.n_tok <= 90
+              AND m.mean_tok_len >= 3.0 AND m.mean_tok_len <= 10.0
+              AND m.sym_ratio < 0.1 AND m.rep_ratio < 0.2),
+          pri AS (
+            SELECT source, doc_id, GREATEST(kept_tokens, 1) AS w,
+              CAST(concat('0x', substr(md5(concat('ps|',
+                CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1 AS u
+            FROM qual),
+          ranked AS (
+            SELECT source, doc_id, w,
+              ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY CAST(w AS DOUBLE) * 1152921504606846976 / u DESC,
+                  doc_id) AS rn
+            FROM pri)
+          SELECT source, doc_id, CAST(w AS BIGINT) AS kept_tokens
+          FROM ranked WHERE rn <= $PipelineV2K""",
 
     "q187_priority_sample" ->
       s"""WITH base AS (

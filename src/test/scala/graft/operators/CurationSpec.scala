@@ -383,6 +383,39 @@ class CurationSpec extends SparkSpec {
     assert(out.nonEmpty, "phrase absent from testdata — pick a commoner pair")
   }
 
+  test("q200: pipeline v2 = clip-survivors ∩ gopher-pass, priority-sampled (JVM top-k)") {
+    val clip = graft.operators.Dedup
+      .queries("q177_exactsubstr_clip")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val pass = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextAnalysis.gopherPass(col("text")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val qualifying = pass.collect { case (id, src, p)
+      if p && clip.contains(id) &&
+        clip(id)._2 >= 32 && clip(id)._2 * 2 >= clip(id)._1 =>
+      (src, id, clip(id)._2) }
+    def u(id: Long): Long =
+      java.lang.Long.parseLong(
+        graft.operators.TextFns.md5hex(s"ps|$id").take(15), 16) + 1
+    val expected = qualifying.groupBy(_._1).toSeq.flatMap { case (src, g) =>
+      g.map { case (_, id, w) =>
+        (math.max(w, 1L).toDouble * 1152921504606846976L.toDouble / u(id),
+          id, w) }
+        .sortBy { case (p, id, _) => (-p, id) }
+        .take(Curation.PipelineV2K)
+        .map { case (_, id, w) => (src, id, w) }
+    }.toSet
+    val got = Curation.queries("q200_curation_pipeline_v2")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${expected.diff(got)} extra=${got.diff(expected)}")
+    assert(got.nonEmpty)
+    // the clip stage genuinely filters (some doc is dropped for span reuse)
+    assert(pass.count(_._3) > qualifying.length,
+      "clip stage should drop at least one quality-passing doc")
+  }
+
   test("q187: priority-sample estimator equals the JVM Duffield recompute") {
     val k = Curation.PrioritySampleK
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
