@@ -1151,17 +1151,27 @@ object TextAnalysis {
           col("sym_ratio"), col("rep_ratio")))
   }
 
-  /** The four q37 metric expressions over a raw text column. */
+  /** The four q37 metric expressions over a raw text column. The token and
+    * shingle arrays are [[TextFns.bindOnce]]-bound: each metric referenced
+    * them several times, and without projection-style subexpression
+    * elimination (filters have none) every reference re-ran the split /
+    * shingle construction — the actual hot path of the q70/q200 gopher
+    * stage (~3x the whole rest of the metrics). */
   private def gopherMetrics(text: org.apache.spark.sql.Column) = {
     val tk = toks(text)
-    val sh = shingles(tk, 3)
     (size(tk).cast("long"),
-     aggregate(transform(tk, w => length(w)), lit(0), (a, x) => a + x)
-       .cast("double") / size(tk),
+     bindOnce(tk) { t =>
+       aggregate(transform(t, w => length(w)), lit(0), (a, x) => a + x)
+         .cast("double") / size(t)
+     },
      length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") / length(text),
-     when(size(sh) > 0,
-       lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
-       .otherwise(lit(0.0)))
+     bindOnce(tk) { t =>
+       bindOnce(shingles(t, 3)) { s =>
+         when(size(s) > 0,
+           lit(1.0) - size(array_distinct(s)).cast("double") / size(s))
+           .otherwise(lit(0.0))
+       }
+     })
   }
 
   private def gopherVerdict(nTok: org.apache.spark.sql.Column,

@@ -42,6 +42,16 @@ object TextFns {
         i => concat_ws(" ", slice(tk, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Evaluate `c` ONCE per row and hand it to `f` as a bound lambda
+    * variable — manual common-subexpression elimination for expensive
+    * array expressions referenced several times inside one predicate.
+    * Filter predicates get no codegen subexpression elimination, so e.g.
+    * the gopher repetition ratio re-built its shingle array (a ~1.5 s/SF0.1
+    * corpus pass) once per reference; wrapped this way the array
+    * materializes once and the references read the lambda variable. */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Seeded portable hash of a string column: md5 hex of "<seed>|<value>". */
   def seededMd5(seed: Int, c: Column): Column =
     md5(concat(lit(s"$seed|"), c))
