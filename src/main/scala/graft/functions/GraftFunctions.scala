@@ -29,7 +29,10 @@ object GraftFunctions {
     ("graft_nfc", classOf[NfcNormalize].getName,
       args => NfcNormalize(args(0))),
     ("graft_sorted_intersect_count", classOf[SortedIntersectCount].getName,
-      args => SortedIntersectCount(args(0), args(1))))
+      args => SortedIntersectCount(args(0), args(1))),
+    ("graft_hilbert", classOf[HilbertIndex].getName,
+      args => HilbertIndex(args(0), args(1),
+        args(2).eval().asInstanceOf[Int])))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

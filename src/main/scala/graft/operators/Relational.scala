@@ -168,9 +168,14 @@ object Relational {
     val bounds = dims.agg(
       min(col("a")).as("amin"), max(col("a")).as("amax"),
       min(col("b")).as("bmin"), max(col("b")).as("bmax"))
+    // Pure int64 binning (floor division; operands non-negative). Exact twin
+    // of the oracle's HUGEINT `//` whenever (v-lo)*1024 fits in int64 — true
+    // up to keys ~9e15, i.e. far past the 100 TB key range (sf100k orderkeys
+    // are ~6e14). The previous decimal(38) formulation was bit-identical but
+    // cost ~2 s/600k rows at sf0.1 — decimal multiply/div per row is the
+    // whole layout family's hot loop; long arithmetic is ~40× cheaper.
     def bin(v: String, lo: String, hi: String) =
-      least(lit(1023L),
-        expr(s"((cast($v as decimal(38,0)) - $lo) * 1024) div ($hi - $lo + 1)"))
+      least(lit(1023L), expr(s"(($v - $lo) * 1024) div ($hi - $lo + 1)"))
     dims.join(broadcast(bounds))
       .select(bin("a", "amin", "amax").as("xa"),
         bin("b", "bmin", "bmax").as("xb"))
@@ -185,9 +190,24 @@ object Relational {
     layoutBinned(s, d).select(col("xa"), col("xb"), z.as("code"))
   }
 
-  /** Per-row Hilbert code (10 unrolled rotate/flip levels) over
-    * [[layoutBinned]] — (xa, xb, code). */
+  /** Per-row Hilbert code over [[layoutBinned]] — (xa, xb, code). The walk
+    * is the native codegen'd [[graft.functions.HilbertIndex]] Expression
+    * (one 10-iteration rotate/flip loop per row), bit-identical to the
+    * unrolled Column-tree formulation it replaced (pinned by
+    * `RelationalSpec`'s "native graft_hilbert == unrolled SQL" test). */
   private def hilbertCoded(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    layoutBinned(s, d).select(col("xa"), col("xb"),
+      call_function("graft_hilbert", col("xa"), col("xb"), lit(10)).as("code"))
+  }
+
+  /** Spec access to [[hilbertCoded]] (private otherwise). */
+  private[operators] def hilbertCodedForSpec(s: SparkSession, d: String): DataFrame =
+    hilbertCoded(s, d)
+
+  /** The pre-r8 unrolled Column-tree Hilbert walk, kept as the spec twin
+    * that pins [[hilbertCoded]]'s native Expression bit-for-bit. */
+  private[operators] def hilbertCodedUnrolled(s: SparkSession, d: String): DataFrame = {
     var cur = layoutBinned(s, d).select(col("xa"), col("xb"),
       col("xa").as("hx"), col("xb").as("hy"), lit(0L).as("hd"))
     (9 to 0 by -1).foreach { k =>

@@ -1252,6 +1252,14 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q189: native graft_hilbert codes equal the unrolled SQL formulation bit-for-bit") {
+    val native = Relational.hilbertCodedForSpec(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val unrolled = Relational.hilbertCodedUnrolled(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(native.length == unrolled.length && native.sameElements(unrolled))
+  }
+
   test("q193: CUPED matches a BigInt-moment recompute and reduces variance") {
     def mic(ts: java.sql.Timestamp): Long =
       ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
