@@ -205,6 +205,33 @@ object Relational {
   private[operators] def hilbertCodedForSpec(s: SparkSession, d: String): DataFrame =
     hilbertCoded(s, d)
 
+  /** Spec access to [[zorderCoded]] / [[layoutBinned]]. */
+  private[operators] def zorderCodedForSpec(s: SparkSession, d: String): DataFrame =
+    zorderCoded(s, d)
+
+  /** Materializes a coded frame CLUSTERED by `code` — `files`
+    * range-partitions, rows sorted by code within each — and returns the
+    * read-back. This is the actual 100 TB deliverable behind the
+    * q125/q189/q195 in-memory audits: with the curve code as the table's
+    * physical order, each parquet file/row-group carries tight (xa, xb)
+    * min/max zone maps, so a 2-D range predicate prunes whole files at scan
+    * time instead of reading the corpus (`ClusteredLayoutSpec` measures the
+    * skipping against a lexicographic layout via scan-node metrics).
+    * The write path is `repartitionByRange` (one skew-aware range shuffle —
+    * the same shape Delta/Iceberg `OPTIMIZE ZORDER BY` runs) + per-partition
+    * sort; deterministic output dir per (tag, input dir), overwrite mode, so
+    * repeated runs rewrite in place rather than accumulating. */
+  private[operators] def clusteredRoundtrip(s: SparkSession, d: String,
+      coded: DataFrame, tag: String, files: Int): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_clustered_${tag}_" +
+        java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    coded.repartitionByRange(files, col("code"))
+      .sortWithinPartitions(col("code"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+  }
+
   /** The pre-r8 unrolled Column-tree Hilbert walk, kept as the spec twin
     * that pins [[hilbertCoded]]'s native Expression bit-for-bit. */
   private[operators] def hilbertCodedUnrolled(s: SparkSession, d: String): DataFrame = {
@@ -1386,6 +1413,22 @@ object Relational {
     // on the corpus.
     "q189_hilbert_layout" -> ((s, d) =>
       hilbertCoded(s, d).withColumn("hbucket", shiftright(col("code"), 10))
+        .groupBy(col("hbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xa")).as("xa_min"), max(col("xa")).as("xa_max"),
+          min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"))),
+
+    // --- Hilbert-CLUSTERED table round-trip (the write path, oracle-gated) ------
+    // q189 through the materialized layout: write the coded frame
+    // range-partitioned + sorted by Hilbert code to parquet (the actual
+    // clustered-table deliverable — see [[clusteredRoundtrip]]), read it
+    // back, and run the identical bucket audit. Hash-green against the same
+    // oracle as q189 proves the clustering write is exactly row-preserving;
+    // `ClusteredLayoutSpec` proves the layout then PAYS (2-D range scans
+    // skip files lex layouts must read).
+    "q175_hilbert_clustered" -> ((s, d) =>
+      clusteredRoundtrip(s, d, hilbertCoded(s, d), "hilbert", 16)
+        .withColumn("hbucket", shiftright(col("code"), 10))
         .groupBy(col("hbucket"))
         .agg(count(lit(1)).as("n"),
           min(col("xa")).as("xa_min"), max(col("xa")).as("xa_max"),
@@ -3882,6 +3925,9 @@ object Relational {
       (9 to 0 by -1).zipWithIndex.map { case (k, i) => lvl(i, k) })
       .mkString(",\n")
     oraclesBase +
+      // identical rows to q189: the clustered write is row-preserving, so
+      // the read-back bucket audit has the same oracle
+      ("q175_hilbert_clustered" -> oraclesBase("q189_hilbert_layout")) +
       ("q195_layout_quality" ->
         s"""WITH $binned,
             $zc,
