@@ -1246,14 +1246,21 @@ object Relational {
     // --- Spearman rank correlation ------------------------------------------------
     // The rank sibling of q100's exact-moment Pearson: monotone association
     // between quantity and price per return flag, robust to the metric's
-    // scale. Midranks come from per-dimension value HISTOGRAMS in the
-    // doubled integer form (2·rank = 2·cum(<v) + t + 1 — ties get exact
-    // average ranks, nothing fractional); each row looks its two doubled
-    // ranks up through equi joins, and ρ is Pearson over the integer rank
-    // pairs: six DECIMAL(38) moments, then scalar float algebra whose only
-    // libm call is sqrt — IEEE-exact and bit-portable. Scale shape: two
-    // (group × distinct-value) histograms with group-partitioned
-    // cumulatives, two broadcast-able lookup joins, one moment agg.
+    // scale. Midranks are the doubled integer form (2·rank = 2·cnt(<v) + t
+    // + 1 — ties get exact average ranks, nothing fractional), and ρ is
+    // Pearson over the integer rank pairs: six DECIMAL(38) moments, then
+    // scalar float algebra whose only libm call is sqrt — IEEE-exact and
+    // bit-portable. Scale shape, split by dimension cardinality: quantity
+    // cents have a BOUNDED domain (150 (group, value) cells), so its rank
+    // map is a broadcast lookup — no corpus shuffle. Price cents are
+    // nearly UNIQUE (a histogram would be corpus-sized — broadcasting it
+    // was measured a wash), so price midranks come from one window pass
+    // over the rows themselves: rank() gives cnt(<v)+1 and a RANGE(0,0)
+    // count gives the tie size t on the SAME per-group sort, i.e. ONE
+    // corpus shuffle total. The per-group sort is the honest cost of exact
+    // ranks on a continuous variable (group count is small here); a
+    // two-phase range-partitioned rank was measured slower at this scale
+    // and needs cross-branch partition-boundary consistency.
     "q198_spearman" -> ((s, d) => {
       val D = DecimalType(38, 0)
       val li = t(s, d, "lineitem").select(col("l_returnflag").as("g"),
@@ -1269,8 +1276,10 @@ object Relational {
           .select(col("g"), col(dim),
             (lit(2) * col("cum") + col("t") + 1).as(s"r2_$dim"))
       }
-      li.join(rank2("q"), Seq("g", "q"))
-        .join(rank2("p"), Seq("g", "p"))
+      val wp = Window.partitionBy(col("g")).orderBy(col("p"))
+      li.withColumn("r2_p", lit(2) * rank().over(wp) +
+          count(lit(1)).over(wp.rangeBetween(0, 0)) - 1)
+        .join(broadcast(rank2("q")), Seq("g", "q"))
         .select(col("g"), col("r2_q").cast(D).as("x"),
           col("r2_p").cast(D).as("y"))
         .groupBy(col("g"))
@@ -2332,9 +2341,17 @@ object Relational {
         .groupBy(session_window(col("ts"), SessionGap).as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("sw.start").as("s_start"), col("sw.end").as("s_end"))
-      val deltas = sess.select(col("s_start").as("ts"), lit(1).as("delta"))
-        .unionAll(sess.select(col("s_end").as("ts"), lit(-1).as("delta")))
-        .select(date_trunc("DAY", col("ts")).as("day"), col("ts"), col("delta"))
+      // End deltas bucket by the session's LAST INCLUDED instant
+      // (trunc(end − 1µs)) — the same rule the carry cells use. A session
+      // ending exactly at midnight is open through the prior day only; its
+      // −1 must land there, not depress the next day's prefix from row one.
+      val deltas = sess
+        .select(date_trunc("DAY", col("s_start")).as("day"),
+          col("s_start").as("ts"), lit(1).as("delta"))
+        .unionAll(sess.select(
+          date_trunc("DAY", col("s_end") - expr("INTERVAL 1 MICROSECOND"))
+            .as("day"),
+          col("s_end").as("ts"), lit(-1).as("delta")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("day")).orderBy(col("ts"), col("delta"))
       val prefix = deltas
@@ -3828,9 +3845,12 @@ object Relational {
              MAX(ts) + INTERVAL $SessionGapHours HOUR AS s_end
            FROM s GROUP BY user_id, sid),
          deltas AS (
-           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, delta
-           FROM (SELECT s_start AS ts, 1 AS delta FROM sess
-                 UNION ALL SELECT s_end, -1 FROM sess)),
+           SELECT CAST(date_trunc('day', s_start) AS TIMESTAMP) AS day,
+                  s_start AS ts, 1 AS delta FROM sess
+           UNION ALL
+           SELECT CAST(date_trunc('day', s_end - INTERVAL 1 MICROSECOND)
+                    AS TIMESTAMP) AS day,
+                  s_end AS ts, -1 AS delta FROM sess),
          prefix AS (
            SELECT day, MAX(run) AS max_prefix FROM (
              SELECT day,

@@ -1097,6 +1097,32 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.max >= 2, "testdata should overlap sessions somewhere")
   }
 
+  test("q181: a session ending exactly at midnight does not depress the next day's peak") {
+    // planted edge the corpus may never hit: user 1's session is
+    // [day0 12:00, day1 00:00) — open through day0 only, half-open end —
+    // while user 2 runs [day1 01:00, day1 13:00). Day1's true peak is 1;
+    // bucketing the midnight −1 into day1 (the pre-fix formulation) put a
+    // leading −1 in its prefix and reported 0.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q181").toString
+    try {
+      Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-03-10 12:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-03-11 01:00:00")))
+        .toDF("user_id", "ts")
+        .write.parquet(s"$dir/events.parquet")
+      val got = Relational.queries("q181_peak_concurrency")(spark, dir)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got == Seq(
+        ("2024-03-10 00:00:00.0", 0L, 1L),
+        ("2024-03-11 00:00:00.0", 0L, 1L)), got.mkString(", "))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("q182: kappa equals the textbook (po-pe)/(1-pe) on JVM-counted cells") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select("n_chars", "text").collect()
