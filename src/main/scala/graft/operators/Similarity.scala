@@ -857,13 +857,24 @@ object Similarity {
         .localCheckpoint(false)
     })
 
-  private def residualAdcScored(s: SparkSession, d: String): DataFrame = {
+  private def residualAdcScored(s: SparkSession, d: String): DataFrame =
+    residualAdcScoredFor(s, d,
+      embs(s, d).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+
+  /** ADC scores for an ARBITRARY (query_id, qv: array<double>) frame
+    * against the FROZEN residual IVF-PQ index of `d` — the serving-path
+    * core shared by the q137/q140 batch queries and the streaming serve
+    * twin ([[graft.streaming.AnnServeStream]]): the index (centroids,
+    * residual codebooks, corpus code frame) is built/memoized once; each
+    * call touches only the probed lists' 2-byte codes with the query side
+    * broadcast. */
+  private[graft] def residualAdcScoredFor(s: SparkSession, d: String,
+      q: DataFrame): DataFrame = {
     val e = embs(s, d)
     val cb = trainResidualCodebooks(e, d)
     val cent = trainCentroids(e)
     val corpus = residualCodes(s, d)
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cid"))
     val probed = q.join(broadcast(cent))
@@ -882,6 +893,22 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cid").as("list_id"),
         adc.as("adc"))
+  }
+
+  /** Answers a (query_id, qv: array<double>) frame with top-[[LshTopK]]
+    * neighbors per query against the frozen residual IVF-PQ index of `d` —
+    * identical semantics (and identical rows, spec-pinned) to q137 when fed
+    * the corpus query vectors, including the self-exclusion
+    * `query_id =!= vec_id`. The production serve shape: static index, live
+    * queries. */
+  def serveIvfPq(s: SparkSession, d: String, queriesDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id"))
+    residualAdcScoredFor(s, d, queriesDf)
+      .withColumn("nn_rank", row_number().over(w).cast("long"))
+      .filter(col("nn_rank") <= LshTopK)
+      .select(col("query_id"), col("nn_rank"), col("vec_id"),
+        col("list_id"), col("adc"))
   }
 
   // --------------- residual IVF-PQ (q137): PQ over v − c(list) ------------

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+import graft.operators.Similarity
+
+/** Streaming ANN serving over a FROZEN IVF-PQ index — the production shape
+  * batch q137 only simulates: the index (coarse centroids, residual
+  * codebooks, corpus PQ-code frame) is built ONCE and never changes while
+  * query vectors arrive live in micro-batches.
+  *
+  * Per batch, [[Similarity.serveIvfPq]] broadcasts the batch's query side
+  * (probed lists + ADC distance tables — tiny: batch_size × nProbe rows)
+  * against the static code frame, so each micro-batch costs one equi join
+  * over the probed lists' 2-byte codes, independent of stream history. No
+  * cross-batch state exists at all — queries are answered within their
+  * batch — which is why this is `foreachBatch` rather than
+  * `mapGroupsWithState`: the per-batch work is a full top-k DataFrame plan
+  * (window rank over join results), not per-key state folding.
+  *
+  * At cluster scale the answered batches would feed a real sink (Kafka
+  * topic, serving store); here each batch's results append to a memoized
+  * results table the spec reads back ([[results]]), checkpointed per batch
+  * so lineage stays O(1) in batch count (the [[NearDupLineageStream]]
+  * block-hygiene discipline). */
+class AnnServeStream(spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  @volatile private var answered: DataFrame =
+    Seq.empty[(Long, Long, Long, Long, Double)]
+      .toDF("query_id", "nn_rank", "vec_id", "list_id", "adc")
+      .localCheckpoint(true)
+
+  /** Answer one micro-batch of (query_id, qv) and fold the results in.
+    * Synchronized: micro-batches arrive serially per query, but [[results]]
+    * readers must never observe a mid-fold frame. */
+  def absorb(batchQueries: DataFrame): Unit = synchronized {
+    if (!batchQueries.isEmpty) {
+      val out = Similarity.serveIvfPq(spark, dir, batchQueries)
+      val prev = answered
+      answered = prev.unionAll(out).localCheckpoint(true)
+      prev.unpersist()
+      ()
+    }
+  }
+
+  /** All (query_id, nn_rank, vec_id, list_id, adc) answered so far. */
+  def results: DataFrame = answered
+
+  /** Wires a streaming (query_id, qv) frame into the serve loop. */
+  def writer(queries: DataFrame): DataStreamWriter[Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => absorb(batch) }
+
+  def start(queries: DataFrame): StreamingQuery = writer(queries).start()
+}
