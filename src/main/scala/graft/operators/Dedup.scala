@@ -61,18 +61,17 @@ object Dedup {
     * and everything downstream of the pairs). One lazily-checkpointed
     * frame is the 100 TB stage-boundary persist; at sf scale it is a few
     * tens of MB of block store for the session. */
-  private val sharedSigs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val sharedSigs = graft.SessionMemo.ofFrames()
 
   private def sigBase(s: SparkSession, d: String): DataFrame =
-    sharedSigs.computeIfAbsent((s, d), _ => {
+    sharedSigs.getOrCompute(s, d) {
       graft.functions.GraftFunctions.register(s)
       docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
         .select(col("doc_id"), col("source"),
           shingles(toks(col("text")), 3).as("sh"))
         .withColumn("mhs", minhashSig(col("sh"), NumHashes, 0))
         .localCheckpoint(false)
-    })
+    }
 
   /** Signature frame for q41: doc_id, sh, mh0..mh7, b0..b3 — derived from
     * the shared signature stage. */
@@ -471,16 +470,14 @@ object Dedup {
   // identical — input set, so its labels are not interchangeable.)
   // The memo holds pair-sized data only and lives for the session; keys are
   // (session, dir) so concurrent sessions/dirs never cross-contaminate.
-  private val sharedPairs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private val sharedLabels =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val sharedPairs = graft.SessionMemo.ofFrames()
+  private val sharedLabels = graft.SessionMemo.ofFrames()
 
   /** The q42 trigram near-dup pair list (i, j, jac) — computed once per
     * (session, sf dir) from the shared signature stage, lazily
     * materialized (checkpoint on first action). */
   private def trigramPairs(s: SparkSession, d: String): DataFrame =
-    sharedPairs.computeIfAbsent((s, d), _ =>
+    sharedPairs.getOrCompute(s, d)(
       lshPairsFromSigs(sigBase(s, d), numHashes = NumHashes,
         bandSize = BandSize, tNum = TrigramTNum, tDen = TrigramTDen)
         .localCheckpoint(false))
@@ -489,7 +486,7 @@ object Dedup {
     * the cluster-label table of the near-dup family, computed once per
     * (session, sf dir). The CC result frames are already checkpoint-backed. */
   private def nearDupLabels(s: SparkSession, d: String): DataFrame =
-    sharedLabels.computeIfAbsent((s, d), _ =>
+    sharedLabels.getOrCompute(s, d)(
       connectedComponents(trigramPairs(s, d).select(col("i"), col("j"))))
 
   /** q160 body, public for constructed-corpus specs: total doc→entity map
@@ -524,8 +521,7 @@ object Dedup {
   // the pair memos the row bound here is the DUPLICATED window count, not
   // the corpus window count — the wdf >= 2 filter runs before the
   // checkpoint, so boilerplate-free corpora pin almost nothing.
-  private val sharedDupWindows =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val sharedDupWindows = graft.SessionMemo.ofFrames()
 
   /** Window width shared by the q110/q139 family (tokens per digest). */
   val DupWindowW = 32
@@ -535,7 +531,7 @@ object Dedup {
     * — memoized per (session, sf dir). Within-doc repetition is q72's
     * axis and stays excluded (distinct-doc df, not occurrence count). */
   private def dupWindowPositions(s: SparkSession, d: String): DataFrame =
-    sharedDupWindows.computeIfAbsent((s, d), _ => {
+    sharedDupWindows.getOrCompute(s, d) {
       val W = DupWindowW
       val wins = docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
         .select(col("doc_id"), toks(col("text")).as("tk"))
@@ -550,7 +546,7 @@ object Dedup {
         .filter(col("wdf") >= 2)
         .select(col("wh"))
       wins.join(dupWh, "wh").localCheckpoint(false)
-    })
+    }
 
   /** Per-doc union length of [p, p+W) token intervals over (doc_id, p)
     * rows — the gaps-and-islands sweep the q176/q177 accounting queries
@@ -587,6 +583,111 @@ object Dedup {
   def corpusTrigramPairs(s: SparkSession, d: String): DataFrame =
     trigramPairs(s, d)
 
+  /** q78's containment dedup over an ARBITRARY (doc_id, sh: array<string>
+    * raw shingles) frame — frame-parameterized for the planted-skew specs
+    * (a mega-doc swallowing hundreds of small docs; boilerplate shingles
+    * shared corpus-wide that the df cap must refuse as block keys). */
+  private[graft] def containmentFromShingles(shingled: DataFrame): DataFrame = {
+    // the digest projection (md5 per shingle) is the CPU cost center and
+    // has FOUR consumers (df pass, corpus count, both verify sides) —
+    // materialize it once (lazily: first action pays, the rest reuse);
+    // at 100 TB this is a stage-boundary persist.
+    val base = shingled
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          transform(col("sh"), x => md5(x)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(false)
+    // blocking keys travel as int64 (first 15 hex chars of the digest —
+    // bijective enough for rarity counting, and the oracle applies the
+    // identical truncation): the df shuffle carries 8-byte longs instead
+    // of 32-byte hex strings. Only the final verify touches full digests.
+    val ex = base.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("hs"))
+      .select(col("doc_id"), col("n"),
+        conv(substring(col("hs"), 1, 15), 16, 10).cast("long").as("h"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    // filter the df table down to rare digests BEFORE the big join: the
+    // re-join shuffle then carries only the rare side of the vocabulary,
+    // and boilerplate digests never travel twice
+    val dfcRare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs))
+      .filter(col("df") * 20 <= col("n_docs"))
+      .select(col("h"))
+    val rare = ex.join(dfcRare, "h")
+      .select(col("doc_id"), col("n"), col("h"))
+    // 2 smallest rare digests per doc via the bounded MinKLongs partial:
+    // aggregation state is 2 slots regardless of how many rare digests a
+    // long doc carries (collect_list would buffer them all)
+    val mink2 = udaf(new MinKLongs(2))
+    val bot = rare
+      .groupBy(col("doc_id"), col("n"))
+      .agg(mink2(col("h")).as("hs"))
+      .select(col("doc_id").as("a"), col("n").as("na"),
+        explode(col("hs")).as("h"))
+    // size prefilter: containment >= 0.8 forces |A| <= 1.25|B|
+    // (|A∩B| <= |B|), so wildly-mismatched candidates are provably
+    // non-qualifying — dropping them here cannot change the output
+    val cand = bot
+      .join(rare.select(col("doc_id").as("b"), col("n").as("nb"), col("h")),
+        "h")
+      .filter(col("a") =!= col("b") && col("na") * 4 <= col("nb") * 5)
+      .select(col("a"), col("b")).distinct()
+    // verify: |A∩B|/|A| over the full digest arrays. Both sides are
+    // array_sort'ed upstream, so the native merge-count expression does
+    // the intersect in one allocation-free walk (vs array_intersect
+    // materializing the intersection just for size() to count it).
+    graft.functions.GraftFunctions.register(shingled.sparkSession)
+    cand
+      .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a").as("contained"), col("b").as("container"),
+        size(col("sha")).cast("long").as("n_sh"),
+        (TextFns.sortedIntersectCount(col("sha"), col("shb")).cast("double") /
+          size(col("sha"))).as("containment"))
+      .filter(col("containment") >= 0.8)
+  }
+
+  /** q192's 60-bit SimHash + Hamming≤3 banded dedup over an ARBITRARY
+    * (doc_id, text) frame — frame-parameterized so the planted-skew specs
+    * can drive it (a clone family putting one band key over half the
+    * corpus) exactly like `lshNearDupPairs` serves the q42 family. */
+  private[graft] def simhash64Pairs(docsDf: DataFrame): DataFrame = {
+    val bands = 4
+    val bandBits = 15
+    val ht = transform(toks(col("text")), w =>
+      conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+    val base = docsDf.repartition(TextFns.cpuPartitions, col("doc_id"))
+      .select(col("doc_id"), ht.as("ht"))
+    val votes = base.select(col("doc_id") +:
+      (0 until SimhashBits64).map { b =>
+        aggregate(col("ht"), lit(0), (acc, h) =>
+          acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1)
+            .otherwise(-1)).as(s"v$b")
+      }: _*)
+    val sim = votes.select(col("doc_id"),
+      (0 until SimhashBits64).map(b =>
+        when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sh"))
+    val banded = sim.select(col("doc_id"), col("sh"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("b"),
+          shiftright(col("sh"), j * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("k"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.b").as("b"), col("bk.k").as("k"))
+    banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sh").as("sha"), col("y.sh").as("shb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- exact dedup: hash-groupBy, keep min doc_id per content hash -------
@@ -609,68 +710,10 @@ object Dedup {
     // only (exact set intersect over the two digest arrays). Everything
     // shuffles as 32-byte digests; the per-doc window is partitioned by
     // doc (never global).
-    "q78_containment_dedup" -> ((s, d) => {
-      // the digest projection (md5 per shingle) is the CPU cost center and
-      // has FOUR consumers (df pass, corpus count, both verify sides) —
-      // materialize it once (lazily: first action pays, the rest reuse);
-      // at 100 TB this is a stage-boundary persist. The shingle arrays
-      // themselves come from the shared signature stage (sigBase), so the
-      // tokenize+shingle scan is not re-run here.
-      val base = sigBase(s, d)
-        .select(col("doc_id"),
-          array_sort(array_distinct(
-            transform(col("sh"), x => md5(x)))).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .localCheckpoint(false)
-      // blocking keys travel as int64 (first 15 hex chars of the digest —
-      // bijective enough for rarity counting, and the oracle applies the
-      // identical truncation): the df shuffle carries 8-byte longs instead
-      // of 32-byte hex strings. Only the final verify touches full digests.
-      val ex = base.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("hs"))
-        .select(col("doc_id"), col("n"),
-          conv(substring(col("hs"), 1, 15), 16, 10).cast("long").as("h"))
-      val nDocs = base.agg(count(lit(1)).as("n_docs"))
-      // filter the df table down to rare digests BEFORE the big join: the
-      // re-join shuffle then carries only the rare side of the vocabulary,
-      // and boilerplate digests never travel twice
-      val dfcRare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .join(broadcast(nDocs))
-        .filter(col("df") * 20 <= col("n_docs"))
-        .select(col("h"))
-      val rare = ex.join(dfcRare, "h")
-        .select(col("doc_id"), col("n"), col("h"))
-      // 2 smallest rare digests per doc via the bounded MinKLongs partial:
-      // aggregation state is 2 slots regardless of how many rare digests a
-      // long doc carries (collect_list would buffer them all)
-      val mink2 = udaf(new MinKLongs(2))
-      val bot = rare
-        .groupBy(col("doc_id"), col("n"))
-        .agg(mink2(col("h")).as("hs"))
-        .select(col("doc_id").as("a"), col("n").as("na"),
-          explode(col("hs")).as("h"))
-      // size prefilter: containment >= 0.8 forces |A| <= 1.25|B|
-      // (|A∩B| <= |B|), so wildly-mismatched candidates are provably
-      // non-qualifying — dropping them here cannot change the output
-      val cand = bot
-        .join(rare.select(col("doc_id").as("b"), col("n").as("nb"), col("h")),
-          "h")
-        .filter(col("a") =!= col("b") && col("na") * 4 <= col("nb") * 5)
-        .select(col("a"), col("b")).distinct()
-      // verify: |A∩B|/|A| over the full digest arrays. Both sides are
-      // array_sort'ed upstream, so the native merge-count expression does
-      // the intersect in one allocation-free walk (vs array_intersect
-      // materializing the intersection just for size() to count it).
-      graft.functions.GraftFunctions.register(s)
-      cand
-        .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-        .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-        .select(col("a").as("contained"), col("b").as("container"),
-          size(col("sha")).cast("long").as("n_sh"),
-          (TextFns.sortedIntersectCount(col("sha"), col("shb")).cast("double") /
-            size(col("sha"))).as("containment"))
-        .filter(col("containment") >= 0.8)
-    }),
+    "q78_containment_dedup" -> ((s, d) =>
+      // the shingle arrays come from the shared signature stage (sigBase),
+      // so the tokenize+shingle scan is not re-run here
+      containmentFromShingles(sigBase(s, d).select(col("doc_id"), col("sh")))),
 
     // --- cross-source leakage matrix (where do near-dups come from?) -------
     // The provenance view of the q42 pair list: which source pairs share
@@ -1177,41 +1220,8 @@ object Dedup {
     // The completeness guarantee (every Hamming<=3 pair found) is
     // spec-proven against a brute all-pairs JVM scan. All integer bit
     // arithmetic — bit-identical across engines.
-    "q192_simhash64_dedup" -> ((s, d) => {
-      val bands = 4
-      val bandBits = 15
-      val ht = transform(toks(col("text")), w =>
-        conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
-      val base = docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
-        .select(col("doc_id"), ht.as("ht"))
-      val votes = base.select(col("doc_id") +:
-        (0 until SimhashBits64).map { b =>
-          aggregate(col("ht"), lit(0), (acc, h) =>
-            acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1)
-              .otherwise(-1)).as(s"v$b")
-        }: _*)
-      val sim = votes.select(col("doc_id"),
-        (0 until SimhashBits64).map(b =>
-          when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sh"))
-      val banded = sim.select(col("doc_id"), col("sh"),
-        explode(array((0 until bands).map(j =>
-          struct(lit(j).as("b"),
-            shiftright(col("sh"), j * bandBits)
-              .bitwiseAND(lit((1L << bandBits) - 1)).as("k"))): _*)).as("bk"))
-        .select(col("doc_id"), col("sh"),
-          col("bk.b").as("b"), col("bk.k").as("k"))
-      banded.as("x").join(banded.as("y"),
-          col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.sh").as("sha"), col("y.sh").as("shb"))
-        .distinct()
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long")
-            .as("hamming"))
-        .filter(col("hamming") <= 3)
-    }),
+    "q192_simhash64_dedup" -> ((s, d) =>
+      simhash64Pairs(docs(s, d))),
 
     // --- MinHash signatures + LSH band keys per document -------------------
     "q41_dedup_minhash" -> ((s, d) => signatures(s, d).drop("sh")),
