@@ -808,17 +808,14 @@ object Similarity {
   // raw PQ codes, residual PQ codes — lazily checkpointed, first consumer
   // pays (q115/q116/q117/q137/q140 all read them; the Dedup memo
   // discipline).
-  private val ivfAssignCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private val pqCodesFrameCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private val resCodesFrameCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val ivfAssignCache = graft.SessionMemo.ofFrames()
+  private val pqCodesFrameCache = graft.SessionMemo.ofFrames()
+  private val resCodesFrameCache = graft.SessionMemo.ofFrames()
 
   /** Corpus IVF assignment under the default trained 8-list centroids —
     * (vec_id, v, cid), one broadcast argmax-cosine hash agg, memoized. */
   private def ivfAssigned(s: SparkSession, d: String): DataFrame =
-    ivfAssignCache.computeIfAbsent((s, d), _ => {
+    ivfAssignCache.getOrCompute(s, d) {
       val e = embs(s, d)
       val cent = trainCentroids(e)
       e.join(broadcast(cent))
@@ -829,20 +826,20 @@ object Similarity {
         .agg(first(col("v")).as("v"), max(col("sc")).as("best"))
         .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid"))
         .localCheckpoint(false)
-    })
+    }
 
   /** Raw-codebook PQ codes of the full corpus — (vec_id, s0..s{M−1}
     * struct(code, d2)) — memoized. */
   private def pqEncodedCorpus(s: SparkSession, d: String): DataFrame =
-    pqCodesFrameCache.computeIfAbsent((s, d), _ => {
+    pqCodesFrameCache.getOrCompute(s, d) {
       val e = embs(s, d)
       pqEncoded(e, trainPqCodebooks(e, d)).localCheckpoint(false)
-    })
+    }
 
   /** Residual PQ codes (PQ over v − c(list)) with the list id —
     * (vec_id, cid, c0..c{M−1}) — memoized. */
   private def residualCodes(s: SparkSession, d: String): DataFrame =
-    resCodesFrameCache.computeIfAbsent((s, d), _ => {
+    resCodesFrameCache.getOrCompute(s, d) {
       val e = embs(s, d)
       val cb = trainResidualCodebooks(e, d)
       val cent = trainCentroids(e)
@@ -855,7 +852,7 @@ object Similarity {
           }
         }: _*)
         .localCheckpoint(false)
-    })
+    }
 
   private def residualAdcScored(s: SparkSession, d: String): DataFrame =
     residualAdcScoredFor(s, d,

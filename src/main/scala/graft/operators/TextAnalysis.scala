@@ -189,18 +189,17 @@ object TextAnalysis {
   // checkpointed (which also stops the round-over-round plan nesting), and
   // let every consumer read the pinned frames. State is vocabulary-sized
   // (the 100 TB story: a real tokenizer train materializes exactly these).
-  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Seq[DataFrame], Seq[DataFrame])]
+  private val bpeCache =
+    new graft.SessionMemo[(Seq[DataFrame], Seq[DataFrame])](v => v._1 ++ v._2)
 
   // The q199 decode chain reads the bigram count table in all ten steps
   // (and the bench runs the query three times) — memoize it with the
   // ladder discipline: vocabulary-pair-sized, checkpointed once per
   // (session, dir).
-  private val bigramCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+  private val bigramCache = graft.SessionMemo.ofFrames()
 
   private def bigramCounts(s: SparkSession, d: String): DataFrame =
-    bigramCache.computeIfAbsent((s, d), _ =>
+    bigramCache.getOrCompute(s, d)(
       t(s, d).select(col("doc_id"), toks(col("text")).as("tk"))
         .select(explode(when(size(col("tk")) >= 2,
           transform(sequence(lit(1), size(col("tk")) - 1),
@@ -215,7 +214,7 @@ object TextAnalysis {
   /** (top pair per round 1..R, seq frames for stages 0..R), memoized. */
   private def bpeLadder(s: SparkSession, d: String)
       : (Seq[DataFrame], Seq[DataFrame]) =
-    bpeCache.computeIfAbsent((s, d), _ => {
+    bpeCache.getOrCompute(s, d) {
       var cur = bpeSeq0(s, d).localCheckpoint(false)
       val tops = Seq.newBuilder[DataFrame]
       val seqs = Seq.newBuilder[DataFrame]
@@ -227,7 +226,7 @@ object TextAnalysis {
         seqs += cur
       }
       (tops.result(), seqs.result())
-    })
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

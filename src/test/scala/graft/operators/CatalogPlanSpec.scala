@@ -108,18 +108,30 @@ class CatalogPlanSpec extends SparkSpec {
   }
 
   test("no query uses a partition-less window (the single-task sort killer)") {
-    // A no-partition window whose input already passed a grouping
-    // aggregation is bounded by GROUP cardinality, not corpus rows — the
-    // shape q197's histogram cumulative uses. The killer this guard exists
-    // for is a global window directly over scan-sized input; that still
-    // fails here (no aggregation between the window and its scans).
-    def postAggregation(w: WindowExec): Boolean =
-      w.child.collectFirst {
-        case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => a
-      }.isDefined
+    // A no-partition window is safe only when its INPUT is provably
+    // bounded by aggregation-group cardinality, not corpus rows — the
+    // shape q197's histogram cumulative uses. The walk goes from the
+    // window TOWARD its sources: an aggregate bounds everything above it
+    // (grouped = group cardinality; ungrouped = 1 row); a JOIN is bounded
+    // only if EVERY input branch is (the r7 guard searched the whole
+    // subtree with collectFirst, so an aggregate re-joined against
+    // corpus-sized input — the exact killer — passed); a Generate
+    // (explode) can re-expand a bounded frame and a data-source scan is
+    // corpus-sized, so both are unbounded.
+    import org.apache.spark.sql.execution._
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: GenerateExec => false
+      case _: LocalTableScanExec => true
+      case _: RangeExec => false
+      case _: LeafExecNode => false // file/RDD/memory scans: corpus-sized
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        bounded(j.left) && bounded(j.right)
+      case other => other.children.nonEmpty && other.children.forall(bounded)
+    }
     catalogPlans.foreach { case (name, plan) =>
       val global = plan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty && !postAggregation(w) => w
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
       }
       assert(global.isEmpty,
         s"$name sorts all rows in one task via a no-partition window")
