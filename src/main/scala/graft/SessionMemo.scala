@@ -20,19 +20,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * mid-life cleanup. */
 final class SessionMemo[V](framesOf: V => Seq[DataFrame]) {
   private val entries = new ConcurrentHashMap[(SparkSession, String), V]
-  private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
+  private val hooked = new ConcurrentHashMap[SparkSession, SparkListener]()
 
   def getOrCompute(s: SparkSession, d: String)(compute: => V): V = {
-    if (hooked.add(s)) {
-      s.sparkContext.addSparkListener(new SparkListener {
-        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-          evict(s)
-      })
+    // opportunistic sweep: sessions whose context already stopped can never
+    // fire their listener again (and `newSession()` clones of a live
+    // context never get an ApplicationEnd of their own) — drop any entry
+    // whose owner is dead before adding new ones, so a long-lived
+    // multi-session process can't accumulate dead sessions' frames.
+    sweepStopped()
+    val listener = new SparkListener {
+      override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+        evict(s)
     }
+    if (hooked.putIfAbsent(s, listener) == null)
+      s.sparkContext.addSparkListener(listener)
     entries.computeIfAbsent((s, d), _ => compute)
   }
 
-  /** Drops every entry owned by `s`, best-effort unpersisting its frames. */
+  private def sweepStopped(): Unit = {
+    import scala.jdk.CollectionConverters._
+    hooked.keySet.asScala.toSeq
+      .filter(s => try s.sparkContext.isStopped catch { case _: Throwable => true })
+      .foreach(evict)
+  }
+
+  /** Drops every entry owned by `s`, best-effort unpersisting its frames,
+    * and detaches the eviction listener from the (possibly shared)
+    * SparkContext so repeated session churn can't pile up listeners. */
   def evict(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     entries.keySet.asScala.toSeq.filter(_._1 eq s).foreach { k =>
@@ -42,7 +57,10 @@ final class SessionMemo[V](framesOf: V => Seq[DataFrame]) {
         }
       }
     }
-    hooked.remove(s)
+    Option(hooked.remove(s)).foreach { l =>
+      try { s.sparkContext.removeSparkListener(l); () }
+      catch { case _: Throwable => () }
+    }
     ()
   }
 

@@ -219,18 +219,28 @@ object Relational {
     * skipping against a lexicographic layout via scan-node metrics).
     * The write path is `repartitionByRange` (one skew-aware range shuffle —
     * the same shape Delta/Iceberg `OPTIMIZE ZORDER BY` runs) + per-partition
-    * sort; deterministic output dir per (tag, input dir), overwrite mode, so
-    * repeated runs rewrite in place rather than accumulating. */
+    * sort. The output dir carries a full input-dir digest plus a
+    * process+session-unique component, and the (eager) write is memoized
+    * per (session, tag, dir): concurrent JVMs/sessions can never clobber
+    * each other's files, and a re-run within a session returns the SAME
+    * read-back frame instead of overwriting parquet a previously returned
+    * frame is still lazily reading. */
+  private val clusteredMemo = graft.SessionMemo.ofFrames()
+  private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
+
   private[operators] def clusteredRoundtrip(s: SparkSession, d: String,
-      coded: DataFrame, tag: String, files: Int): DataFrame = {
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_clustered_${tag}_" +
-        java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
-    coded.repartitionByRange(files, col("code"))
-      .sortWithinPartitions(col("code"))
-      .write.mode("overwrite").parquet(out)
-    s.read.parquet(out)
-  }
+      coded: => DataFrame, tag: String, files: Int): DataFrame =
+    clusteredMemo.getOrCompute(s, s"clustered|$tag|$files|$d") {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_clustered_${tag}_${digest}_${jvmTag}_s" +
+          java.lang.Integer.toHexString(System.identityHashCode(s))).getAbsolutePath
+      coded.repartitionByRange(files, col("code"))
+        .sortWithinPartitions(col("code"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    }
 
   /** The pre-r8 unrolled Column-tree Hilbert walk, kept as the spec twin
     * that pins [[hilbertCoded]]'s native Expression bit-for-bit. */

@@ -33,6 +33,14 @@ class AnnServeStream(spark: SparkSession, dir: String) {
       .toDF("query_id", "nn_rank", "vec_id", "list_id", "adc")
       .localCheckpoint(true)
 
+  // Superseded checkpointed frames are RETIRED, not unpersisted in place:
+  // a caller that grabbed results() before this batch may still be running
+  // an action on the old frame, and localCheckpoint truncated its lineage,
+  // so an eager unpersist would leave that frame unrecoverable (missing
+  // blocks). Retired frames are released together in [[close]], after the
+  // stream — and therefore every reader the spec wires — has stopped.
+  private val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
   /** Answer one micro-batch of (query_id, qv) and fold the results in.
     * Synchronized: micro-batches arrive serially per query, but [[results]]
     * readers must never observe a mid-fold frame. */
@@ -41,13 +49,26 @@ class AnnServeStream(spark: SparkSession, dir: String) {
       val out = Similarity.serveIvfPq(spark, dir, batchQueries)
       val prev = answered
       answered = prev.unionAll(out).localCheckpoint(true)
-      prev.unpersist()
+      retired += prev
       ()
     }
   }
 
-  /** All (query_id, nn_rank, vec_id, list_id, adc) answered so far. */
+  /** All (query_id, nn_rank, vec_id, list_id, adc) answered so far.
+    * The frame stays valid across subsequent batches (each batch swaps in a
+    * NEW checkpoint; old ones are only released by [[close]]) — but it is a
+    * snapshot: re-call to observe later batches. */
   def results: DataFrame = answered
+
+  /** Releases every checkpointed frame this serve loop created. Call after
+    * the streaming query (and any reader of a [[results]] snapshot) has
+    * stopped; every previously returned frame is invalid afterwards. */
+  def close(): Unit = synchronized {
+    (retired.toSeq :+ answered).foreach { df =>
+      try { df.unpersist(); () } catch { case _: Throwable => () }
+    }
+    retired.clear()
+  }
 
   /** Wires a streaming (query_id, qv) frame into the serve loop. */
   def writer(queries: DataFrame): DataStreamWriter[Row] =

@@ -41,10 +41,13 @@ class StreamingAnnServeSpec extends SparkSpec {
     val q = serve.start(mem.toDF().toDF("query_id", "qv"))
     try {
       var streamed = Set.empty[(Long, Long, Long, Long, Double)]
+      var firstSnap: Option[(org.apache.spark.sql.DataFrame, Long)] = None
       queries.grouped((queries.length + 2) / 3).foreach { c =>
         mem.addData(c.toSeq)
         q.processAllAvailable()
-        val now = rows(serve.results)
+        val snap = serve.results
+        val now = rows(snap)
+        if (firstSnap.isEmpty) firstSnap = Some((snap, now.size.toLong))
         // batches only ADD answers (static index: nothing is revised)
         assert(streamed.subsetOf(now))
         streamed = now
@@ -55,7 +58,11 @@ class StreamingAnnServeSpec extends SparkSpec {
       }
       assert(streamed == expected,
         s"missing=${expected.diff(streamed).take(3)} extra=${streamed.diff(expected).take(3)}")
-    } finally q.stop()
+      // a results() frame obtained BEFORE later batches must still be
+      // actionable after them: superseded checkpoints are retired (released
+      // only by close()), never unpersisted under a live reader
+      firstSnap.foreach { case (df, n) => assert(df.count() == n) }
+    } finally { q.stop(); serve.close() }
   }
 
   test("a query batch disjoint from the corpus queries is answered from the same frozen index") {
