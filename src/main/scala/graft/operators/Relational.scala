@@ -1019,20 +1019,29 @@ object Relational {
       val li = t(s, d, "lineitem").select(col("l_returnflag"), cents.as("c"))
       val hist = li.groupBy(col("l_returnflag"), col("c"))
         .agg(count(lit(1)).as("cnt"))
-      val cuts = histRankWalk(hist, "l_returnflag", "c",
-        (1 to 9).map(k => s"cut$k" -> s"($k * n + 9) div 10"))
-        .select(col("l_returnflag") +: (1 to 9).map(k => col(s"cut$k")): _*)
-      // assign bins to the HISTOGRAM, not the corpus: a distinct value's
-      // bin is a function of (c, cuts), so per-bin stats are cnt-weighted
-      // sums/min/max over hist rows — identical output, and because this
-      // side consumes the SAME hist exchange the cuts subtree built,
-      // Spark's ReuseExchange makes the whole query ONE corpus scan + one
-      // (group, value) shuffle (the r8 fix: the old corpus re-scan made
-      // q128 2× the cost of its q186 sibling).
-      hist.join(broadcast(cuts), "l_returnflag")
+      // assign bins INSIDE the cumulative frame — no join-back at all: a
+      // value's bin is 1 + #{k : c > cut_k}, and since cut_k is the least
+      // value whose cum count reaches rank_k while cum is monotone over the
+      // ascending distinct values, c > cut_k ⟺ the mass strictly below c
+      // (cum − cnt) already reached rank_k. That algebraic inversion turns
+      // the r7 shape (corpus re-scan + broadcast join, 2 scans) and the r8
+      // intent (ReuseExchange, which AQE declined to fire — the two hist
+      // subtrees canonicalize apart under the window's extra exchange) into
+      // ONE scan → (group, value) hist agg → group-partitioned window →
+      // bin groupBy. The window sorts distinct values only (q186's cost).
+      val wCum = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("c").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val below = col("cum") - col("cnt")
+      hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
         .select(col("l_returnflag"), col("c"), col("cnt"),
-          (lit(1L) + (1 to 9).map(k =>
-            (col("c") > col(s"cut$k")).cast("long")).reduce(_ + _)).as("bin"))
+          when(col("c").isNotNull,
+            lit(1L) + (1 to 9).map(k =>
+              (below >= expr(s"($k * n + 9) div 10")).cast("long"))
+              .reduce(_ + _)).as("bin"))
         .groupBy(col("l_returnflag"), col("bin"))
         .agg(sum(col("cnt")).as("n"),
           min(col("c")).as("c_min"), max(col("c")).as("c_max"))
