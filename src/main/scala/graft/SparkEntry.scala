@@ -33,7 +33,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.Curation.queries ++
-      operators.Sketches.queries
+      operators.Sketches.queries ++
+      operators.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
       operators.Curation.oracles ++
-      operators.Sketches.oracles
+      operators.Sketches.oracles ++
+      operators.Graph.oracles
 }

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the order network — the relationship-shaped
+  * workloads a training-data pipeline runs against its provenance graph
+  * (who-bought-from-whom here; doc-cites-doc or page-links-page at work).
+  *
+  * The graph: an undirected bipartite customer↔supplier network, one edge
+  * per distinct (o_custkey, l_suppkey) pair appearing in an order. Node ids
+  * disambiguate the two key spaces arithmetically (customer c → 2c,
+  * supplier s → 2s+1), so the whole graph lives in one BIGINT column pair —
+  * no structs on the shuffle.
+  *
+  * INTEGER-EXACT iteration: PageRank's textbook form is float arithmetic,
+  * whose cross-partition addition order makes distributed results
+  * non-reproducible (and oracle-uncomparable). Both operators here run the
+  * fixpoint in scaled integers — rank mass in units of 1e-12, every
+  * division a floor division of non-negative operands (where Spark's `div`
+  * and DuckDB's `//` agree bit-for-bit) — so a 1000-executor run, a
+  * local[32] run, and the DuckDB oracle produce IDENTICAL ranks, not
+  * merely close ones. Convergence loss from flooring is bounded by
+  * #iterations × 1e-12 of rank mass: irrelevant at ranking granularity.
+  *
+  * Scale shape: the edge list is the only corpus-sized frame. It is built
+  * once per (session, dir) — repartitioned by source node and lazily
+  * checkpointed (the stage-boundary persist every iteration reuses, instead
+  * of re-joining orders⋈lineitem per iteration) — and each iteration is ONE
+  * edge-sized shuffle (the contribution groupBy); rank/degree state is
+  * node-sized. That is exactly Pregel's superstep cost model expressed as
+  * DataFrame plans, with Catalyst free to broadcast the node-sized side.
+  */
+object Graph {
+
+  /** Rank mass scale: ranks are integers in units of SCALE⁻¹. */
+  val Scale = 1000000000000L
+  val PrIters = 3
+  val PrTopN = 25
+  val BfsHops = 3
+
+  /** One lazily-checkpointed (src, dst) frame per (session, dir), both edge
+    * directions materialized, partitioned by src so every iteration's
+    * rank⋈edges join and contribution groupBy reuse the layout. */
+  private val sharedEdges = graft.SessionMemo.ofFrames()
+
+  private[operators] def edges(s: SparkSession, d: String): DataFrame =
+    sharedEdges.getOrCompute(s, d) {
+      val pairs = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+        .distinct()
+      pairs.select(col("c").as("src"), col("sp").as("dst"))
+        .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
+        .repartition(TextFns.cpuPartitions, col("src"))
+        .localCheckpoint(false)
+    }
+
+  private def kindOf(node: Column): Column =
+    when(node % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- PageRank, integer-exact, 3 unrolled power iterations ---------------
+    // r₀ = ⌊SCALE/N⌋ per node; each step r'(v) = ⌊15·⌊SCALE/N⌋/100⌋ +
+    // ⌊85·Σ_{u→v}⌊r(u)/deg(u)⌋/100⌋ — damping 0.85, all floor divisions of
+    // non-negative integers, so sums are order-independent and the result
+    // is reproducible across any partitioning. No dangling-mass term is
+    // needed: the graph is symmetric, so every node has out-degree ≥ 1.
+    // Per iteration: one edge-sized join+groupBy (contributions) and one
+    // node-sized join (teleport + damp); N rides along via a broadcast
+    // 1-row aggregate, never a driver-side collect. The rank side carries a
+    // shuffle_hash hint: the default sort-merge strategy would re-SORT the
+    // (already src-partitioned, checkpointed) edge list on every iteration,
+    // while a shuffle-hash join builds from the node-sized rank table and
+    // STREAMS the edges — the Pregel-correct asymmetry at any scale.
+    "q201_bipartite_pagerank" -> ((s, d) => {
+      val e = edges(s, d)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      var r = deg.crossJoin(broadcast(nn))
+        .select(col("src").as("node"), col("deg"),
+          expr(s"$Scale div n_nodes").as("r"))
+      (1 to PrIters).foreach { _ =>
+        val contrib = r.hint("shuffle_hash").join(e, col("node") === col("src"))
+          .select(col("dst"), expr("r div deg").as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("cin"))
+        r = deg.crossJoin(broadcast(nn))
+          .join(contrib.hint("shuffle_hash"), col("src") === col("dst"))
+          .select(col("src").as("node"), col("deg"),
+            expr(s"((15 * ($Scale div n_nodes)) div 100) + (85 * cin) div 100")
+              .as("r"))
+      }
+      r.select(col("node").as("node_id"), kindOf(col("node")).as("kind"),
+          col("r").as("rank"))
+        .orderBy(col("rank").desc, col("node_id"))
+        .limit(PrTopN)
+    }),
+
+    // --- BFS k-hop reachability census --------------------------------------
+    // From the smallest customer node, 3 unrolled relaxation steps
+    // (dist' = min(dist, 1 + dist of any in-neighbor)), then nodes per hop
+    // count. The frontier frame is node-sized; each step is one edge join +
+    // node groupBy — the as-at-scale shape for "how much of the graph is
+    // within k hops of this seed" (contamination blast radius over a
+    // citation graph). Unreached nodes are absent, not ∞ — the census
+    // counts only reached hops.
+    "q202_bfs_khop" -> ((s, d) => {
+      val e = edges(s, d)
+      val seed = e.agg(min(when(col("src") % 2 === 0, col("src"))).as("seed"))
+      var dist = e.select(col("src").as("node")).distinct()
+        .crossJoin(broadcast(seed))
+        .filter(col("node") === col("seed"))
+        .select(col("node"), lit(0L).as("hops"))
+      (1 to BfsHops).foreach { _ =>
+        val nxt = dist.hint("shuffle_hash").join(e, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
+        dist = dist.select(col("node"), col("hops")).unionByName(nxt)
+          .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+      }
+      dist.groupBy(col("hops")).agg(count(lit(1)).as("n_nodes"))
+    })
+  )
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracles — the identical integer fixpoints, unrolled as CTEs.
+  // ---------------------------------------------------------------------------
+
+  private def oPre(): String =
+    s"""WITH pairs AS (SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS sp
+       |               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT c AS src, sp AS dst FROM pairs
+       |      UNION ALL SELECT sp AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src, COUNT(1) AS deg FROM e GROUP BY 1),
+       |nn AS (SELECT COUNT(1) AS n FROM deg)""".stripMargin
+
+  private def oPrIter(i: Int): String =
+    s""",
+       |c$i AS (SELECT e.dst AS node, SUM(r${i - 1}.r // r${i - 1}.deg) AS cin
+       |        FROM r${i - 1} JOIN e ON r${i - 1}.node = e.src GROUP BY 1),
+       |r$i AS (SELECT d.src AS node, d.deg,
+       |          ((15 * ($Scale // n)) // 100) + (85 * c$i.cin) // 100 AS r
+       |        FROM deg d JOIN c$i ON d.src = c$i.node CROSS JOIN nn)""".stripMargin
+
+  private def oBfsIter(i: Int): String =
+    s""",
+       |d$i AS (SELECT node, MIN(hops) AS hops FROM (
+       |    SELECT node, hops FROM d${i - 1}
+       |    UNION ALL SELECT e.dst AS node, d${i - 1}.hops + 1 AS hops
+       |    FROM d${i - 1} JOIN e ON d${i - 1}.node = e.src) GROUP BY 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q201_bipartite_pagerank" ->
+      (oPre() +
+        s""",
+           |r0 AS (SELECT src AS node, deg, $Scale // n AS r
+           |       FROM deg CROSS JOIN nn)""".stripMargin +
+        (1 to PrIters).map(oPrIter).mkString +
+        s"""
+           |SELECT node AS node_id,
+           |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           |  CAST(r AS BIGINT) AS rank
+           |FROM r$PrIters ORDER BY rank DESC, node_id LIMIT $PrTopN""".stripMargin),
+
+    "q202_bfs_khop" ->
+      (oPre() +
+        s""",
+           |s AS (SELECT MIN(c) AS seed FROM pairs),
+           |d0 AS (SELECT seed AS node, CAST(0 AS BIGINT) AS hops FROM s)""".stripMargin +
+        (1 to BfsHops).map(oBfsIter).mkString +
+        s"""
+           |SELECT hops, COUNT(1) AS n_nodes FROM d$BfsHops GROUP BY 1""".stripMargin)
+  )
+}

@@ -133,7 +133,87 @@ object Similarity {
           .as("recall"))
   }
 
+  // -------------------- distributed Lloyd k-means (q203) --------------------
+
+  /** Clusters for the q203 Lloyd fixpoint; init = the quantized vectors of
+    * vec_id 0..KmK-1 (deterministic, data-dependent, oracle-expressible). */
+  val KmK = 8
+  val KmIters = 2
+
+  /** Embeddings quantized to non-negative integer coordinates:
+    * ⌊(x+1)·1000⌋ per dimension. Lloyd's iteration in float is
+    * order-dependent (centroid means drift with partition addition order);
+    * in scaled integers every distance, sum, and floor-divided mean is
+    * exact and reproducible across any partitioning — the same
+    * integer-exactness discipline as the PageRank board. Quantization loss
+    * (≤ 1e-3 per coordinate) is far below the inter-cluster scale. */
+  private val kmVecsMemo = graft.SessionMemo.ofFrames()
+
+  private def kmQuantized(s: SparkSession, d: String): DataFrame =
+    kmVecsMemo.getOrCompute(s, d) {
+      // lazily checkpointed: the unrolled Lloyd plan references the
+      // quantized corpus 2·KmIters+1 times (each assign + each update);
+      // one materialization replaces five scan+quantize subtrees.
+      Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(cast(embedding as array<double>), x -> cast(floor((x + 1.0d) * 1000.0d) as bigint))")
+          .as("qv"))
+        .localCheckpoint(false)
+    }
+
+  /** One assignment pass: nearest centroid (squared L2, tie → lowest cid)
+    * under the K-row broadcast centroid frame. The corpus never shuffles —
+    * each row scores K distances inside codegen (zip_with fold) and a
+    * vec_id-partitioned window picks the argmin. */
+  private def kmAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("qv"), col("cid"), expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+        .as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("cid"), col("dist"))
+  }
+
+  /** Centroid update: per-cluster floor-divided integer means, computed as
+    * EmbDim unrolled `sum(qv[d])` aggregates (map-side partial, no explode,
+    * no (row × dim) blow-up) reassembled into the centroid array. Empty
+    * clusters drop out — identically in the oracle's inner join. */
+  private def kmUpdate(assigned: DataFrame): DataFrame = {
+    val sums = (0 until EmbDim).map(k =>
+      sum(element_at(col("qv"), k + 1)).as(s"s$k"))
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cid"),
+        array((0 until EmbDim).map(k => expr(s"s$k div n")): _*).as("cv"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- distributed k-means (Lloyd), integer-exact, 2 unrolled rounds -------
+    // The clustering workload behind SemDeDup/IVF made a first-class
+    // operator: KmK centroids seeded from vec_id < KmK, KmIters full
+    // assign→update rounds, then a final assignment; output is the
+    // per-cluster census (size, total distortion, centroid coordinate sum —
+    // a scalar digest that pins the centroid arrays without comparing
+    // lists). Scale shape: per round, one broadcast of the K-row centroid
+    // frame + one corpus-sized groupBy(cid) with EmbDim running sums —
+    // Lloyd's cost is O(corpus × K × dim) compute and ONE shuffle per
+    // round, which is exactly how petabyte k-means is run (the corpus
+    // stays put; only K × dim state moves).
+    "q203_kmeans_lloyd" -> ((s, d) => {
+      val vecs = kmQuantized(s, d)
+      val init = vecs.filter(col("vec_id") < KmK)
+        .select(col("vec_id").cast("long").as("cid"), col("qv").as("cv"))
+      val fin = (1 to KmIters).foldLeft(init)((c, _) => kmUpdate(kmAssign(vecs, c)))
+      val last = kmAssign(vecs, fin)
+      last.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("distortion"))
+        .join(fin.select(col("cid"),
+          expr("aggregate(cv, 0L, (acc, x) -> acc + x)").as("centroid_sum")), "cid")
+        .select(col("cid").as("cluster_id"), col("n_members"),
+          col("distortion"), col("centroid_sum"))
+    }),
 
     // --- brute-force cosine top-k (baseline) -------------------------------
     "q50_knn_brute" -> ((s, d) => {
@@ -1490,7 +1570,42 @@ object Similarity {
        |                      AND t3.sub = 3 AND t3.code = w.c3
        |            WHERE p.query_id <> w.vec_id)""".stripMargin
 
+  // q203 oracle: the identical integer Lloyd fixpoint, unrolled as CTEs.
+  private def oKmAssign(i: Int, cent: String): String =
+    s""",
+       |sc$i AS (SELECT q.vec_id, q.qv, c.cid,
+       |    list_sum(list_transform(range(1, ${EmbDim + 1}),
+       |      k -> (q.qv[k] - c.cv[k]) * (q.qv[k] - c.cv[k]))) AS dist
+       |  FROM q CROSS JOIN $cent c),
+       |a$i AS (SELECT vec_id, qv, cid, dist FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                ORDER BY dist, cid) AS rn FROM sc$i)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def oKmUpdate(i: Int): String =
+    s""",
+       |c$i AS (SELECT cid, list(sv ORDER BY k) AS cv FROM (
+       |    SELECT cid, k, CAST(SUM(qv[k]) // COUNT(1) AS BIGINT) AS sv
+       |    FROM a$i, unnest(range(1, ${EmbDim + 1})) AS r(k)
+       |    GROUP BY cid, k) GROUP BY cid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q203_kmeans_lloyd" ->
+      (s"""WITH q AS (SELECT vec_id,
+          |    list_transform(CAST(embedding AS DOUBLE[]),
+          |      x -> CAST(floor((x + 1.0) * 1000.0) AS BIGINT)) AS qv
+          |  FROM embeddings),
+          |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < $KmK)""".stripMargin +
+        (1 to KmIters).map(i => oKmAssign(i, s"c${i - 1}") + oKmUpdate(i)).mkString +
+        oKmAssign(KmIters + 1, s"c$KmIters") +
+        s"""
+           |SELECT s.cid AS cluster_id, s.n_members, s.distortion,
+           |  CAST(list_sum(c$KmIters.cv) AS BIGINT) AS centroid_sum
+           |FROM (SELECT cid, COUNT(1) AS n_members,
+           |        CAST(SUM(dist) AS BIGINT) AS distortion
+           |      FROM a${KmIters + 1} GROUP BY 1) s
+           |JOIN c$KmIters ON s.cid = c$KmIters.cid""".stripMargin),
+
     "q50_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, $oEmb AS v FROM embeddings),
             scored AS (

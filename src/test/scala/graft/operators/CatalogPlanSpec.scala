@@ -36,11 +36,17 @@ class CatalogPlanSpec extends SparkSpec {
   // source-cardinality aggregates (#sources² rows) so pairs with EMPTY
   // vocabulary intersection still emit; the corpus-scale intersection leg
   // itself is a term-keyed equi self-join, never part of the BNL.
+  // q203's broadcast build is the Lloyd centroid frame: a groupBy(cid)
+  // aggregate whose cardinality is bounded by the constant KmK (= 8), i.e.
+  // model state like q52's centroid LocalTableScan — it is grouped (so the
+  // scalar-build sanction below can't see the bound), but corpus size
+  // cannot leak into it.
   private val bnlAllowed =
     Set("q50_knn_brute", "q54_knn_quantized", "q82_knn_projected",
       "q112_hard_negatives", "q116_pq_adc",
       "q124_ann_recall", "q129_ivf_recall", "q135_chi_square",
-      "q142_matryoshka_recall", "q148_knn_purity", "q155_vocab_overlap")
+      "q142_matryoshka_recall", "q148_knn_purity", "q155_vocab_overlap",
+      "q203_kmeans_lloyd")
 
   // Sanctioned build sides: a no-grouping-key aggregate (1-row scalar) or a
   // LocalTableScan (driver-local literal model state, e.g. q52's learned
