@@ -63,6 +63,33 @@ object Graph {
   private def kindOf(node: Column): Column =
     when(node % 2 === 0, lit("customer")).otherwise(lit("supplier"))
 
+  /** The q201 fixpoint over an arbitrary (src, dst) edge frame — factored
+    * out so the streaming twin ([[graft.streaming.GraphRankStream]]) can
+    * run the IDENTICAL plan against its incrementally-maintained edge
+    * table. Deterministic for any edge frame: integer arithmetic end to
+    * end, full tie-break on the top-N. */
+  private[graft] def pagerankOn(e: DataFrame): DataFrame = {
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    var r = deg.crossJoin(broadcast(nn))
+      .select(col("src").as("node"), col("deg"),
+        expr(s"$Scale div n_nodes").as("r"))
+    (1 to PrIters).foreach { _ =>
+      val contrib = r.hint("shuffle_hash").join(e, col("node") === col("src"))
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("cin"))
+      r = deg.crossJoin(broadcast(nn))
+        .join(contrib.hint("shuffle_hash"), col("src") === col("dst"))
+        .select(col("src").as("node"), col("deg"),
+          expr(s"((15 * ($Scale div n_nodes)) div 100) + (85 * cin) div 100")
+            .as("r"))
+    }
+    r.select(col("node").as("node_id"), kindOf(col("node")).as("kind"),
+        col("r").as("rank"))
+      .orderBy(col("rank").desc, col("node_id"))
+      .limit(PrTopN)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- PageRank, integer-exact, 3 unrolled power iterations ---------------
@@ -78,28 +105,7 @@ object Graph {
     // (already src-partitioned, checkpointed) edge list on every iteration,
     // while a shuffle-hash join builds from the node-sized rank table and
     // STREAMS the edges — the Pregel-correct asymmetry at any scale.
-    "q201_bipartite_pagerank" -> ((s, d) => {
-      val e = edges(s, d)
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val nn = deg.agg(count(lit(1)).as("n_nodes"))
-      var r = deg.crossJoin(broadcast(nn))
-        .select(col("src").as("node"), col("deg"),
-          expr(s"$Scale div n_nodes").as("r"))
-      (1 to PrIters).foreach { _ =>
-        val contrib = r.hint("shuffle_hash").join(e, col("node") === col("src"))
-          .select(col("dst"), expr("r div deg").as("contrib"))
-          .groupBy(col("dst")).agg(sum(col("contrib")).as("cin"))
-        r = deg.crossJoin(broadcast(nn))
-          .join(contrib.hint("shuffle_hash"), col("src") === col("dst"))
-          .select(col("src").as("node"), col("deg"),
-            expr(s"((15 * ($Scale div n_nodes)) div 100) + (85 * cin) div 100")
-              .as("r"))
-      }
-      r.select(col("node").as("node_id"), kindOf(col("node")).as("kind"),
-          col("r").as("rank"))
-        .orderBy(col("rank").desc, col("node_id"))
-        .limit(PrTopN)
-    }),
+    "q201_bipartite_pagerank" -> ((s, d) => pagerankOn(edges(s, d))),
 
     // --- BFS k-hop reachability census --------------------------------------
     // From the smallest customer node, 3 unrolled relaxation steps

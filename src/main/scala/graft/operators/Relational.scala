@@ -910,6 +910,42 @@ object Relational {
           (col("c") < col("c_lo") || col("c") > col("c_hi")).as("clipped"))
     }),
 
+    // --- MAD robust outlier census (q205) ---------------------------------------
+    // The robust-statistics tier above q95's winsorize: per event type, the
+    // median absolute deviation and the count of |v − med| > 3σ̂ outliers
+    // under the robust scale σ̂ = 1.4826·MAD — the dispersion measure that
+    // survives the exact heavy tails winsorize clips. TWO exact medians
+    // with ONE corpus pass: the deviation histogram is the value histogram
+    // RE-KEYED by |c − med| (a histogram-sized projection + re-agg — the
+    // corpus is never touched again), and both medians come from the
+    // shared rank walk. The 3·1.4826 fence is the integer inequality
+    // 10000·|c−med| > 44478·MAD — no float anywhere, so the census is
+    // partition-order reproducible and oracle-exact.
+    "q205_mad_outliers" -> ((s, d) => {
+      val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+      val ev = t(s, d, "events").select(col("event_type"), cents.as("c"))
+      val hist = ev.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = histRankWalk(hist, "event_type", "c",
+        Seq("med" -> "(n + 1) div 2"))
+        .select(col("event_type"), col("n").as("n_rows"), col("med"))
+      val dev = hist.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("c") - col("med")).as("ad"),
+          col("cnt"))
+        .groupBy(col("event_type"), col("ad")).agg(sum(col("cnt")).as("cnt"))
+      val mad = histRankWalk(dev, "event_type", "ad",
+        Seq("mad" -> "(n + 1) div 2"))
+        .select(col("event_type"), col("mad"))
+      val fences = med.join(mad, "event_type")
+      dev.join(broadcast(fences), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n_rows")).as("n_rows"),
+          max(col("med")).as("median_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(when(lit(10000L) * col("ad") > lit(44478L) * col("mad"),
+            col("cnt")).otherwise(0L)).as("n_outliers"))
+    }),
+
     // --- approximate distinct (HLL sketch; the at-scale counterpart of q09) ----
     // The raw HLL value is engine-specific (DuckDB's sketch differs), so the
     // oracle checks the deterministic half: exact_parts hash-matches, and the
@@ -3175,6 +3211,49 @@ object Relational {
            hc.c IS NULL AS filled
          FROM grid LEFT JOIN hc
            ON grid.user_id = hc.user_id AND grid.hour = hc.hour""",
+
+    "q205_mad_outliers" ->
+      """WITH ev AS (
+           SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         hist AS (
+           SELECT event_type, c, COUNT(1) AS cnt FROM ev GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, c,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM hist),
+         med AS (
+           SELECT event_type, MAX(n) AS n_rows,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS med
+           FROM cum GROUP BY 1),
+         dev AS (
+           SELECT hist.event_type, ABS(hist.c - med.med) AS ad,
+             CAST(SUM(hist.cnt) AS BIGINT) AS cnt
+           FROM hist JOIN med ON hist.event_type = med.event_type
+           GROUP BY 1, 2),
+         dcum AS (
+           SELECT event_type, ad, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM dev),
+         mad AS (
+           SELECT event_type,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN ad END) AS mad
+           FROM dcum GROUP BY 1)
+         SELECT dev.event_type, MAX(med.n_rows) AS n_rows,
+           MAX(med.med) AS median_cents, MAX(mad.mad) AS mad_cents,
+           CAST(SUM(CASE WHEN 10000 * dev.ad > 44478 * mad.mad
+             THEN dev.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM dev
+         JOIN med ON dev.event_type = med.event_type
+         JOIN mad ON dev.event_type = mad.event_type
+         GROUP BY 1""",
 
     "q95_winsorize" ->
       """WITH ev AS (

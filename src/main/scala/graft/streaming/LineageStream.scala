@@ -50,6 +50,14 @@ class NearDupLineageStream(spark: SparkSession) {
   @volatile private var labelTable: DataFrame =
     Seq.empty[(Long, Long)].toDF("doc_id", "component").localCheckpoint(true)
 
+  // Superseded label tables are RETIRED, not unpersisted in place: a
+  // [[labels]] reader from the previous batch may still be running an
+  // action on the old (lineage-truncated) frame. Released in [[close]] —
+  // the AnnServeStream discipline. The index and per-batch increment stay
+  // eagerly unpersisted: they never escape this class, so no reader can
+  // hold them.
+  private val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
   /** Fold one micro-batch of (doc_id, text) into the lineage. Synchronized:
     * micro-batches arrive serially per query, but the label table must
     * never be read mid-fold by [[labels]] consumers racing a batch. */
@@ -65,8 +73,19 @@ class NearDupLineageStream(spark: SparkSession) {
       index = prevIndex.unionByName(inc).localCheckpoint(true)
       prevIndex.unpersist()
       inc.unpersist()
-      prevLabels.unpersist()
+      retired += prevLabels
+      ()
     }
+  }
+
+  /** Releases the current and every retired label-table checkpoint (and
+    * the signature index). Call after the stream and any [[labels]] reader
+    * have stopped; previously returned frames are invalid afterwards. */
+  def close(): Unit = synchronized {
+    (retired.toSeq :+ labelTable :+ index).foreach { df =>
+      try { df.unpersist(); () } catch { case _: Throwable => () }
+    }
+    retired.clear()
   }
 
   /** The current cluster-label table (doc_id, component) — equal to batch

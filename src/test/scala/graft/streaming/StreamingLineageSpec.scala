@@ -50,7 +50,7 @@ class StreamingLineageSpec extends SparkSpec {
         assert(got == expected,
           s"after ${seen.size} docs: ${got.diff(expected)} / ${expected.diff(got)}")
       }
-    } finally q.stop()
+    } finally { q.stop(); lineage.close() }
   }
 
   test("arrival order does not matter: shuffled replay converges to the same labels") {
@@ -76,6 +76,6 @@ class StreamingLineageSpec extends SparkSpec {
       val got = lineage.labels.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == expected)
-    } finally q.stop()
+    } finally { q.stop(); lineage.close() }
   }
 }
