@@ -910,6 +910,86 @@ object Relational {
           (col("c") < col("c_lo") || col("c") > col("c_hi")).as("clipped"))
     }),
 
+    // --- weekly cohort retention (q206) -----------------------------------------
+    // The product-analytics staple: users bucketed by first-seen ISO week,
+    // per (cohort, week-offset) active-user counts and exact retention in
+    // parts-per-million (integer floor division — no float ratio whose
+    // rounding could drift between engines). Shape: one distinct
+    // (user, week) projection, one user-keyed min-agg (cohort), one
+    // user-keyed join back, then everything is (weeks × offsets)-sized;
+    // cohort sizes broadcast. At 100 TB the user-keyed join is the only
+    // shuffle pair and both sides are already user-partitioned aggregates.
+    "q206_cohort_retention" -> ((s, d) => {
+      val uw = t(s, d, "events")
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      val sizes = cohort.groupBy(col("cw"))
+        .agg(count(lit(1)).as("cohort_size"))
+      uw.join(cohort, "user_id")
+        .select(col("cw"), expr("datediff(wk, cw) div 7").as("offset_weeks"))
+        .groupBy(col("cw"), col("offset_weeks"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cw")
+        .select(col("cw").as("cohort_week"), col("offset_weeks"),
+          col("n_active"), col("cohort_size"),
+          expr("(1000000 * n_active) div cohort_size").as("retention_ppm"))
+    }),
+
+    // --- RFM customer segmentation (q207) ---------------------------------------
+    // Recency/frequency/monetary quartile codes over the order history —
+    // the marketing-analytics workload that exercises THREE independent
+    // global quantile computations at once. Each dimension's quartile cuts
+    // come from the shared histogram rank walk over a VALUE histogram
+    // (recency: distinct days ≤ date span; frequency: distinct counts;
+    // monetary: distinct cents — all value-domain-bounded, so the
+    // single-partition cumulative runs post-aggregation over
+    // histogram-sized frames, the sanctioned q197 shape). Codes join back
+    // as one broadcast 3-cut row per dimension; the segment census is a
+    // (4×4×4)-bounded aggregate. Recency is measured against the corpus
+    // max date (broadcast 1-row agg), so the query is reproducible, not
+    // wall-clock-dependent.
+    "q207_rfm_segments" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        col("o_orderdate"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
+      val cust = o.crossJoin(broadcast(maxd))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("lastd"),
+          count(lit(1)).as("freq"), sum(col("cents")).as("monetary"),
+          max(col("maxd")).as("maxd"))
+        .select(col("o_custkey"),
+          datediff(col("maxd"), col("lastd")).cast("long").as("recency"),
+          col("freq"), col("monetary"))
+      def cuts(valueCol: String): DataFrame = {
+        val hist = cust.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+          .withColumn("g", lit(1))
+        // final global re-agg (no grouping key) so the broadcast build is
+        // the sanctioned 1-row scalar shape, not a grouped-by-constant agg
+        histRankWalk(hist, "g", valueCol,
+          (1 to 3).map(k => s"${valueCol}_cut$k" -> s"($k * n + 3) div 4"))
+          .agg(max(col(s"${valueCol}_cut1")).as(s"${valueCol}_cut1"),
+            max(col(s"${valueCol}_cut2")).as(s"${valueCol}_cut2"),
+            max(col(s"${valueCol}_cut3")).as(s"${valueCol}_cut3"))
+      }
+      def code(valueCol: String): Column =
+        lit(1L) + (1 to 3).map(k =>
+          (col(valueCol) > col(s"${valueCol}_cut$k")).cast("long")).reduce(_ + _)
+      cust
+        .crossJoin(broadcast(cuts("recency")))
+        .crossJoin(broadcast(cuts("freq")))
+        .crossJoin(broadcast(cuts("monetary")))
+        .select(concat(lit("R"), code("recency"),
+          lit("F"), code("freq"), lit("M"), code("monetary")).as("segment"),
+          col("monetary"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary")).as("total_monetary_cents"))
+    }),
+
     // --- MAD robust outlier census (q205) ---------------------------------------
     // The robust-statistics tier above q95's winsorize: per event type, the
     // median absolute deviation and the count of |v − med| > 3σ̂ outliers
@@ -3211,6 +3291,66 @@ object Relational {
            hc.c IS NULL AS filled
          FROM grid LEFT JOIN hc
            ON grid.user_id = hc.user_id AND grid.hour = hc.hour""",
+
+    "q206_cohort_retention" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+           FROM events),
+         coh AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY 1),
+         sizes AS (SELECT cw, COUNT(1) AS cohort_size FROM coh GROUP BY 1),
+         act AS (
+           SELECT coh.cw, date_diff('day', coh.cw, uw.wk) // 7 AS offset_weeks,
+             COUNT(1) AS n_active
+           FROM uw JOIN coh ON uw.user_id = coh.user_id GROUP BY 1, 2)
+         SELECT act.cw AS cohort_week, act.offset_weeks, act.n_active,
+           sizes.cohort_size,
+           (1000000 * act.n_active) // sizes.cohort_size AS retention_ppm
+         FROM act JOIN sizes ON act.cw = sizes.cw""",
+
+    "q207_rfm_segments" -> {
+      def oCuts(dim: String) =
+        s"""${dim}_cuts AS (
+           |  SELECT
+           |    MIN(CASE WHEN cum >= (1 * n + 3) // 4 THEN v END) AS ${dim}_c1,
+           |    MIN(CASE WHEN cum >= (2 * n + 3) // 4 THEN v END) AS ${dim}_c2,
+           |    MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS ${dim}_c3
+           |  FROM (
+           |    SELECT v,
+           |      CAST(SUM(cnt) OVER (ORDER BY v
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |        AS cum,
+           |      CAST(SUM(cnt) OVER () AS BIGINT) AS n
+           |    FROM (SELECT $dim AS v, COUNT(1) AS cnt FROM cust GROUP BY 1)))""".stripMargin
+      def oCode(dim: String) =
+        s"""(1 + CAST(cust.$dim > ${dim}_c1 AS BIGINT)
+           |   + CAST(cust.$dim > ${dim}_c2 AS BIGINT)
+           |   + CAST(cust.$dim > ${dim}_c3 AS BIGINT))""".stripMargin
+      s"""WITH o AS (
+         |  SELECT o_custkey, o_orderdate,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |maxd AS (SELECT MAX(o_orderdate) AS maxd FROM o),
+         |cust AS (
+         |  SELECT o_custkey,
+         |    CAST(date_diff('day', MAX(o_orderdate),
+         |      (SELECT maxd FROM maxd)) AS BIGINT) AS recency,
+         |    COUNT(1) AS freq,
+         |    CAST(SUM(cents) AS BIGINT) AS monetary
+         |  FROM o GROUP BY 1),
+         |${oCuts("recency")},
+         |${oCuts("freq")},
+         |${oCuts("monetary")}
+         |SELECT segment, COUNT(1) AS n_customers,
+         |  CAST(SUM(monetary) AS BIGINT) AS total_monetary_cents
+         |FROM (
+         |  SELECT 'R' || CAST(${oCode("recency")} AS VARCHAR)
+         |      || 'F' || CAST(${oCode("freq")} AS VARCHAR)
+         |      || 'M' || CAST(${oCode("monetary")} AS VARCHAR) AS segment,
+         |    cust.monetary
+         |  FROM cust
+         |  CROSS JOIN recency_cuts CROSS JOIN freq_cuts CROSS JOIN monetary_cuts)
+         |GROUP BY 1""".stripMargin
+    },
 
     "q205_mad_outliers" ->
       """WITH ev AS (

@@ -69,6 +69,53 @@ class RelationalSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("q206: cohort retention equals a sequential recompute; offset-0 is always 100%") {
+    val out = Relational.queries("q206_cohort_retention")(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val uw = graft.Tables.load(spark, sfDir, "events")
+      .selectExpr("user_id", "cast(date_trunc('week', ts) as date) as wk")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
+    val cohort = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val sizes = cohort.values.groupBy(identity).map { case (w, vs) => w -> vs.size.toLong }
+    val expected = uw.groupBy { case (u, wk) =>
+      (cohort(u), java.time.temporal.ChronoUnit.DAYS.between(cohort(u), wk) / 7)
+    }.map { case ((cw, off), vs) =>
+      val n = vs.size.toLong
+      (cw.toString, off) -> (n, sizes(cw), 1000000L * n / sizes(cw))
+    }
+    assert(out == expected)
+    // every cohort retains itself fully at offset 0
+    out.collect { case ((_, 0L), (_, _, ppm)) => assert(ppm == 1000000L) }
+  }
+
+  test("q207: RFM segments equal a sequential quartile recompute; census covers all customers") {
+    val out = Relational.queries("q207_rfm_segments")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_custkey", "cast(o_orderdate as date) as d",
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as long) as cents")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val maxd = orders.map(_._2).max
+    val cust = orders.groupBy(_._1).map { case (c, os) =>
+      (c, java.time.temporal.ChronoUnit.DAYS.between(os.map(_._2).max, maxd),
+        os.size.toLong, os.map(_._3).sum)
+    }.toSeq
+    def quartileCode(vs: Seq[Long]): Long => Long = {
+      val sorted = vs.sorted
+      val n = sorted.length
+      val cuts = (1 to 3).map(k => sorted((k * n + 3) / 4 - 1))
+      v => 1L + cuts.count(v > _)
+    }
+    val (rc, fc, mc) = (quartileCode(cust.map(_._2)),
+      quartileCode(cust.map(_._3)), quartileCode(cust.map(_._4)))
+    val expected = cust.groupBy { case (_, r, f, m) =>
+      s"R${rc(r)}F${fc(f)}M${mc(m)}"
+    }.map { case (seg, vs) => seg -> (vs.size.toLong, vs.map(_._4).sum) }
+    assert(out == expected)
+    assert(out.values.map(_._1).sum == cust.size.toLong)
+  }
+
   test("q205: MAD and outlier census equal a sequential sorted recompute") {
     val out = Relational.queries("q205_mad_outliers")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
