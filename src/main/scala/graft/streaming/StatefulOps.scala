@@ -655,6 +655,44 @@ object StatefulOps {
       }
   }
 
+  case class RetEvent(user_id: Long, day: Long) // day = epoch days (UTC)
+  case class RetState(cohortDay: Long, offsets: Set[Long])
+  case class RetRow(user_id: Long, cohort_day: Long, offset_weeks: Long)
+
+  /** Streaming twin of q206's weekly cohort retention: per-user state is
+    * the cohort week (epoch-day of its Monday) plus the set of week
+    * offsets already emitted — bounded by the date span in weeks, the same
+    * bound the batch (weeks × offsets) output carries. Emits one
+    * (user, cohort, offset) row the first time a user is active in a
+    * week — Append mode, so the downstream cohort census is a plain
+    * count-distinct fold over emitted rows (spec-pinned equal to batch
+    * q206 on ts-ordered replay; within a batch days are sorted first, so
+    * batch boundaries cannot reorder a user's first week). Week
+    * truncation is the arithmetic form of date_trunc('week'):
+    * day − ((day + 3) mod 7), Monday-aligned from the Thursday epoch. */
+  def retentionStream(events: Dataset[RetEvent]): Dataset[RetRow] = {
+    import events.sparkSession.implicits._
+    def weekStart(day: Long): Long = day - ((day + 3) % 7)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, batch, state) =>
+          var s = state.getOption.getOrElse(RetState(-1L, Set.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RetRow]
+          batch.map(_.day).toSeq.sorted.foreach { day =>
+            val wk = weekStart(day)
+            if (s.cohortDay < 0) s = RetState(wk, Set.empty)
+            val off = (wk - s.cohortDay) / 7
+            if (!s.offsets.contains(off)) {
+              s = s.copy(offsets = s.offsets + off)
+              out += RetRow(uid, s.cohortDay, off)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   case class KeyedValue(key: String, value: Float)
   case class RunningMin(key: String, min: Float)
 
