@@ -40,6 +40,8 @@ object Graph {
   val PrIters = 3
   val PrTopN = 25
   val BfsHops = 3
+  val HitsIters = 2
+  val HitsTopN = 10
 
   /** One lazily-checkpointed (src, dst) frame per (session, dir), both edge
     * directions materialized, partitioned by src so every iteration's
@@ -107,6 +109,58 @@ object Graph {
     // STREAMS the edges — the Pregel-correct asymmetry at any scale.
     "q201_bipartite_pagerank" -> ((s, d) => pagerankOn(edges(s, d))),
 
+    // --- HITS hubs & authorities, integer-exact -----------------------------
+    // Kleinberg's HITS is bipartite-natural here: customers are pure hubs,
+    // suppliers pure authorities, and the directed edge set is just the
+    // (c → s) pair list (no symmetrization). Two unrolled rounds of
+    //   a(s) = Σ_{c→s} h(c),  h(c) = Σ_{c→s} a(s)
+    // with each side rescaled after its sweep to max = SCALE via one
+    // integer floor division by the broadcast maximum — the normalization
+    // HITS needs to converge, made exact (no float L2 norm whose partial
+    // sums would be partition-order-dependent). Every sweep is one
+    // edge-sized shuffle-hash join + groupBy; maxima are broadcast 1-row
+    // aggregates; each side's frame is lazily checkpointed per round (the
+    // BPE-ladder discipline) — raw and max both consume it, and without a
+    // lineage cut every reuse would replay the whole upstream tree (the
+    // first formulation planned 80 shuffles; this one plans ~16 with the
+    // node-sized state materialized once per sweep). The rescale product
+    // runs in DECIMAL(38) ≙ HUGEINT
+    // (raw·SCALE reaches ~1e28 — past int64 — before the division brings
+    // it back under SCALE). Output: top suppliers by authority and top customers by
+    // hub score, fully tie-broken.
+    "q208_hits" -> ((s, d) => {
+      val e = edges(s, d).filter(col("src") % 2 === 0) // c → s direction only
+      var h = e.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(Scale).as("h"))
+      var a: DataFrame = null
+      (1 to HitsIters).foreach { _ =>
+        val araw = h.hint("shuffle_hash").join(e, col("node") === col("src"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
+        val amax = araw.agg(max(col("raw")).as("mx"))
+        a = araw.crossJoin(broadcast(amax))
+          .select(col("dst").as("node"),
+            expr(s"(cast(raw as decimal(38,0)) * $Scale) div mx").as("a"))
+          .localCheckpoint(false)
+        val hraw = a.hint("shuffle_hash")
+          .join(e.select(col("src"), col("dst").as("node")), "node")
+          .groupBy(col("src")).agg(sum(col("a")).as("raw"))
+        val hmax = hraw.agg(max(col("raw")).as("mx"))
+        h = hraw.crossJoin(broadcast(hmax))
+          .select(col("src").as("node"),
+            expr(s"(cast(raw as decimal(38,0)) * $Scale) div mx").as("h"))
+          .localCheckpoint(false)
+      }
+      val topAuth = a.orderBy(col("a").desc, col("node"))
+        .limit(HitsTopN)
+        .select(col("node").as("node_id"), lit("authority").as("role"),
+          col("a").as("score"))
+      val topHub = h.orderBy(col("h").desc, col("node"))
+        .limit(HitsTopN)
+        .select(col("node").as("node_id"), lit("hub").as("role"),
+          col("h").as("score"))
+      topAuth.unionByName(topHub)
+    }),
+
     // --- BFS k-hop reachability census --------------------------------------
     // From the smallest customer node, 3 unrolled relaxation steps
     // (dist' = min(dist, 1 + dist of any in-neighbor)), then nodes per hop
@@ -159,7 +213,37 @@ object Graph {
        |    UNION ALL SELECT e.dst AS node, d${i - 1}.hops + 1 AS hops
        |    FROM d${i - 1} JOIN e ON d${i - 1}.node = e.src) GROUP BY 1)""".stripMargin
 
+  private def oHitsIter(i: Int): String =
+    s""",
+       |ar$i AS (SELECT e.dst, SUM(h${i - 1}.h) AS raw
+       |         FROM h${i - 1} JOIN e ON h${i - 1}.node = e.src GROUP BY 1),
+       |a$i AS (SELECT dst AS node,
+       |          CAST((CAST(raw AS HUGEINT) * $Scale)
+       |               // (SELECT MAX(raw) FROM ar$i) AS BIGINT) AS a
+       |        FROM ar$i),
+       |hr$i AS (SELECT e.src, SUM(a$i.a) AS raw
+       |         FROM a$i JOIN e ON a$i.node = e.dst GROUP BY 1),
+       |h$i AS (SELECT src AS node,
+       |          CAST((CAST(raw AS HUGEINT) * $Scale)
+       |               // (SELECT MAX(raw) FROM hr$i) AS BIGINT) AS h
+       |        FROM hr$i)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q208_hits" ->
+      (s"""WITH pairs AS (SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS sp
+          |               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |e AS (SELECT c AS src, sp AS dst FROM pairs),
+          |h0 AS (SELECT DISTINCT src AS node, CAST($Scale AS BIGINT) AS h FROM e)""".stripMargin +
+        (1 to HitsIters).map(oHitsIter).mkString +
+        s"""
+           |SELECT * FROM (
+           |  SELECT node AS node_id, 'authority' AS role, a AS score
+           |  FROM a$HitsIters ORDER BY a DESC, node LIMIT $HitsTopN)
+           |UNION ALL
+           |SELECT * FROM (
+           |  SELECT node AS node_id, 'hub' AS role, h AS score
+           |  FROM h$HitsIters ORDER BY h DESC, node LIMIT $HitsTopN)""".stripMargin),
 
     "q201_bipartite_pagerank" ->
       (oPre() +

@@ -990,6 +990,39 @@ object Relational {
           sum(col("monetary")).as("total_monetary_cents"))
     }),
 
+    // --- daily latency-style percentile rollup (q209) ---------------------------
+    // The observability staple: exact p50/p95/p99 of value cents per
+    // (event_type, day) — the two-dimensional sibling of q95's cuts, with
+    // the cumulative window partitioned by the COMPOSITE group (so
+    // parallelism scales with types × days, not types). percentile_disc
+    // ceil-rank semantics, all integer; one corpus pass into a
+    // (group × distinct-cents) histogram, then group-sized walks. This is
+    // the query monitoring dashboards run hourly at fleet scale — the
+    // histogram reduction is what keeps it viable when a day holds 1e10
+    // events of a few thousand distinct values.
+    "q209_daily_percentiles" -> ((s, d) => {
+      val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+      val ev = t(s, d, "events").select(col("event_type"),
+        to_date(col("ts")).as("day"), cents.as("c"))
+      val hist = ev.groupBy(col("event_type"), col("day"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("c").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"), col("day"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= expr("(50 * n + 99) div 100"), col("c")))
+            .as("p50_cents"),
+          min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("c")))
+            .as("p95_cents"),
+          min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("c")))
+            .as("p99_cents"))
+    }),
+
     // --- MAD robust outlier census (q205) ---------------------------------------
     // The robust-statistics tier above q95's winsorize: per event type, the
     // median absolute deviation and the count of |v − med| > 3σ̂ outliers
@@ -3351,6 +3384,27 @@ object Relational {
          |  CROSS JOIN recency_cuts CROSS JOIN freq_cuts CROSS JOIN monetary_cuts)
          |GROUP BY 1""".stripMargin
     },
+
+    "q209_daily_percentiles" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         hist AS (
+           SELECT event_type, day, c, COUNT(1) AS cnt
+           FROM ev GROUP BY 1, 2, 3),
+         cum AS (
+           SELECT event_type, day, c,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type, day ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type, day) AS BIGINT) AS n
+           FROM hist)
+         SELECT event_type, day, MAX(n) AS n,
+           MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN c END) AS p50_cents,
+           MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN c END) AS p95_cents,
+           MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN c END) AS p99_cents
+         FROM cum GROUP BY 1, 2""",
 
     "q205_mad_outliers" ->
       """WITH ev AS (

@@ -43,6 +43,37 @@ class GraphSpec extends SparkSpec {
     assert(total <= BigInt(Graph.Scale) && total >= BigInt(n) * ((15L * base) / 100L))
   }
 
+  test("q208 HITS equals a sequential BigInt recompute; roles are bipartite-pure") {
+    val e = edgeList().filter(_._1 % 2 == 0) // c → s only
+    var h: Map[Long, Long] = e.map(_._1).distinct.map(_ -> Graph.Scale).toMap
+    var a = Map.empty[Long, Long]
+    (1 to Graph.HitsIters).foreach { _ =>
+      val araw = e.groupBy(_._2).map { case (s, es) =>
+        s -> es.map(x => BigInt(h(x._1))).sum
+      }
+      val amax = araw.values.max
+      a = araw.map { case (s, r) => s -> (r * Graph.Scale / amax).toLong }
+      val hraw = e.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(x => BigInt(a(x._2))).sum
+      }
+      val hmax = hraw.values.max
+      h = hraw.map { case (c, r) => c -> (r * Graph.Scale / hmax).toLong }
+    }
+    val expected =
+      a.toSeq.sortBy { case (n, s) => (-s, n) }.take(Graph.HitsTopN)
+        .map { case (n, s) => (n, "authority", s) } ++
+      h.toSeq.sortBy { case (n, s) => (-s, n) }.take(Graph.HitsTopN)
+        .map { case (n, s) => (n, "hub", s) }
+    val got = Graph.queries("q208_hits")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.toSet == expected.toSet && got.size == expected.size)
+    // bipartite purity: authorities are suppliers (odd), hubs customers (even)
+    got.foreach { case (node, role, score) =>
+      assert((role == "authority") == (node % 2 == 1))
+      assert(score > 0 && score <= Graph.Scale)
+    }
+  }
+
   test("q202 BFS census equals a sequential BFS; hops alternate bipartite sides") {
     val e = edgeList()
     val adj = e.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }

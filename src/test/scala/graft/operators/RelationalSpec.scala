@@ -116,6 +116,27 @@ class RelationalSpec extends SparkSpec {
     assert(out.values.map(_._1).sum == cust.size.toLong)
   }
 
+  test("q209: daily percentiles equal a sequential sorted recompute; monotone p50<=p95<=p99") {
+    val out = Relational.queries("q209_daily_percentiles")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val rows = graft.Tables.load(spark, sfDir, "events")
+      .selectExpr("event_type", "cast(ts as date) as day", "value").collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    val expected = rows.groupBy(_._1).map { case (k, v) =>
+      val cs = v.map(_._2).sorted
+      val n = cs.length
+      def p(q: Int) = cs((q * n + 99) / 100 - 1)
+      k -> (n.toLong, p(50), p(95), p(99))
+    }
+    assert(out == expected)
+    out.values.foreach { case (_, p50, p95, p99) =>
+      assert(p50 <= p95 && p95 <= p99)
+    }
+  }
+
   test("q205: MAD and outlier census equal a sequential sorted recompute") {
     val out = Relational.queries("q205_mad_outliers")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
