@@ -17,6 +17,22 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("lineitem round-trips through ORC (the second columnar format)") {
+    withTempDir { dir =>
+      val src = Tables.load(spark, sfDir, "lineitem")
+      src.write.orc(s"$dir/li_orc")
+      val back = spark.read.orc(s"$dir/li_orc")
+      assert(back.schema == src.schema)
+      assert(back.count() == src.count())
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+      // pushdown parity with parquet: ORC scans also take predicates
+      val f = back.filter(col("l_quantity") > 45)
+      val plan = f.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [") &&
+        plan.contains("GreaterThan(l_quantity"), plan.take(600))
+    }
+  }
+
   test("documents round-trip through JSON lines") {
     withTempDir { dir =>
       val src = Tables.load(spark, sfDir, "documents")

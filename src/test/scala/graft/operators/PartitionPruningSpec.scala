@@ -19,6 +19,61 @@ class PartitionPruningSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: a selective dim join prunes partitions at RUNTIME") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    try {
+      Tables.load(spark, sfDir, "events")
+        .write.partitionBy("event_type").parquet(s"$dir/ev_by_type")
+      val fact = spark.read.parquet(s"$dir/ev_by_type")
+      // dim carries the partition key; the filter is on a NON-key column,
+      // so static pruning can't see it — only DPP's runtime subquery can
+      import spark.implicits._
+      // two traps this spec pins: (1) the dim must be a FILE relation —
+      // over a LocalRelation Catalyst folds the filter into the literal
+      // rows (ConvertToLocalRelation) and DPP never sees a predicate;
+      // (2) the dim predicate must survive BooleanSimplification as a
+      // shape isLikelySelective recognizes — `flag = true` simplifies to
+      // a bare attribute, which does NOT qualify, so the filter column is
+      // a string tier compared by equality
+      Seq(("click", "hot"), ("view", "cold"), ("purchase", "cold"),
+        ("signup", "cold"), ("error", "cold")).toDF("event_type", "tier")
+        .write.parquet(s"$dir/dim")
+      val dim = spark.read.parquet(s"$dir/dim")
+      // NOTE: the fact side must stay a bare scan below the join —
+      // injecting input_file_name() here would add a non-deterministic
+      // Project that findExpressionAndTrackLineageDown refuses to walk,
+      // silently disabling DPP; runtime pruning is verified through the
+      // scan node's numOutputRows metric instead
+      val joined = fact.join(dim, Seq("event_type")).filter(col("tier") === "hot")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan.take(1200))
+      val expected = Tables.load(spark, sfDir, "events")
+        .filter(col("event_type") === "click").count()
+      // drive THIS queryExecution (count() would spawn a separate one and
+      // leave these metrics untouched)
+      assert(joined.collect().length.toLong == expected)
+      // runtime effect: the fact scan emitted ONLY the pruned partition's
+      // rows — without DPP it would emit every partition's
+      def walk(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          p +: walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      val factScan = walk(joined.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.toString.contains("ev_by_type") => f }
+      assert(factScan.nonEmpty, "no fact scan found")
+      assert(factScan.map(_.metrics("numOutputRows").value).sum == expected,
+        "fact scan read rows beyond the DPP-selected partition")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   private def runPruningCheck(dir: String): Unit = {
     Tables.load(spark, sfDir, "documents")
       .write.partitionBy("source").parquet(s"$dir/docs_by_source")
