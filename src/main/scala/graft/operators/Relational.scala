@@ -910,33 +910,6 @@ object Relational {
           (col("c") < col("c_lo") || col("c") > col("c_hi")).as("clipped"))
     }),
 
-    // --- weekly cohort retention (q206) -----------------------------------------
-    // The product-analytics staple: users bucketed by first-seen ISO week,
-    // per (cohort, week-offset) active-user counts and exact retention in
-    // parts-per-million (integer floor division — no float ratio whose
-    // rounding could drift between engines). Shape: one distinct
-    // (user, week) projection, one user-keyed min-agg (cohort), one
-    // user-keyed join back, then everything is (weeks × offsets)-sized;
-    // cohort sizes broadcast. At 100 TB the user-keyed join is the only
-    // shuffle pair and both sides are already user-partitioned aggregates.
-    "q206_cohort_retention" -> ((s, d) => {
-      val uw = t(s, d, "events")
-        .select(col("user_id"),
-          to_date(date_trunc("week", col("ts"))).as("wk"))
-        .distinct()
-      val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
-      val sizes = cohort.groupBy(col("cw"))
-        .agg(count(lit(1)).as("cohort_size"))
-      uw.join(cohort, "user_id")
-        .select(col("cw"), expr("datediff(wk, cw) div 7").as("offset_weeks"))
-        .groupBy(col("cw"), col("offset_weeks"))
-        .agg(count(lit(1)).as("n_active"))
-        .join(broadcast(sizes), "cw")
-        .select(col("cw").as("cohort_week"), col("offset_weeks"),
-          col("n_active"), col("cohort_size"),
-          expr("(1000000 * n_active) div cohort_size").as("retention_ppm"))
-    }),
-
     // --- RFM customer segmentation (q207) ---------------------------------------
     // Recency/frequency/monetary quartile codes over the order history —
     // the marketing-analytics workload that exercises THREE independent
@@ -1021,42 +994,6 @@ object Relational {
             .as("p95_cents"),
           min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("c")))
             .as("p99_cents"))
-    }),
-
-    // --- MAD robust outlier census (q205) ---------------------------------------
-    // The robust-statistics tier above q95's winsorize: per event type, the
-    // median absolute deviation and the count of |v − med| > 3σ̂ outliers
-    // under the robust scale σ̂ = 1.4826·MAD — the dispersion measure that
-    // survives the exact heavy tails winsorize clips. TWO exact medians
-    // with ONE corpus pass: the deviation histogram is the value histogram
-    // RE-KEYED by |c − med| (a histogram-sized projection + re-agg — the
-    // corpus is never touched again), and both medians come from the
-    // shared rank walk. The 3·1.4826 fence is the integer inequality
-    // 10000·|c−med| > 44478·MAD — no float anywhere, so the census is
-    // partition-order reproducible and oracle-exact.
-    "q205_mad_outliers" -> ((s, d) => {
-      val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
-      val ev = t(s, d, "events").select(col("event_type"), cents.as("c"))
-      val hist = ev.groupBy(col("event_type"), col("c"))
-        .agg(count(lit(1)).as("cnt"))
-      val med = histRankWalk(hist, "event_type", "c",
-        Seq("med" -> "(n + 1) div 2"))
-        .select(col("event_type"), col("n").as("n_rows"), col("med"))
-      val dev = hist.join(broadcast(med), "event_type")
-        .select(col("event_type"), abs(col("c") - col("med")).as("ad"),
-          col("cnt"))
-        .groupBy(col("event_type"), col("ad")).agg(sum(col("cnt")).as("cnt"))
-      val mad = histRankWalk(dev, "event_type", "ad",
-        Seq("mad" -> "(n + 1) div 2"))
-        .select(col("event_type"), col("mad"))
-      val fences = med.join(mad, "event_type")
-      dev.join(broadcast(fences), "event_type")
-        .groupBy(col("event_type"))
-        .agg(max(col("n_rows")).as("n_rows"),
-          max(col("med")).as("median_cents"),
-          max(col("mad")).as("mad_cents"),
-          sum(when(lit(10000L) * col("ad") > lit(44478L) * col("mad"),
-            col("cnt")).otherwise(0L)).as("n_outliers"))
     }),
 
     // --- approximate distinct (HLL sketch; the at-scale counterpart of q09) ----
@@ -3325,21 +3262,6 @@ object Relational {
          FROM grid LEFT JOIN hc
            ON grid.user_id = hc.user_id AND grid.hour = hc.hour""",
 
-    "q206_cohort_retention" ->
-      """WITH uw AS (
-           SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
-           FROM events),
-         coh AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY 1),
-         sizes AS (SELECT cw, COUNT(1) AS cohort_size FROM coh GROUP BY 1),
-         act AS (
-           SELECT coh.cw, date_diff('day', coh.cw, uw.wk) // 7 AS offset_weeks,
-             COUNT(1) AS n_active
-           FROM uw JOIN coh ON uw.user_id = coh.user_id GROUP BY 1, 2)
-         SELECT act.cw AS cohort_week, act.offset_weeks, act.n_active,
-           sizes.cohort_size,
-           (1000000 * act.n_active) // sizes.cohort_size AS retention_ppm
-         FROM act JOIN sizes ON act.cw = sizes.cw""",
-
     "q207_rfm_segments" -> {
       def oCuts(dim: String) =
         s"""${dim}_cuts AS (
@@ -3405,49 +3327,6 @@ object Relational {
            MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN c END) AS p95_cents,
            MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN c END) AS p99_cents
          FROM cum GROUP BY 1, 2""",
-
-    "q205_mad_outliers" ->
-      """WITH ev AS (
-           SELECT event_type,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-           FROM events),
-         hist AS (
-           SELECT event_type, c, COUNT(1) AS cnt FROM ev GROUP BY 1, 2),
-         cum AS (
-           SELECT event_type, c,
-             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS cum,
-             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
-           FROM hist),
-         med AS (
-           SELECT event_type, MAX(n) AS n_rows,
-             MIN(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS med
-           FROM cum GROUP BY 1),
-         dev AS (
-           SELECT hist.event_type, ABS(hist.c - med.med) AS ad,
-             CAST(SUM(hist.cnt) AS BIGINT) AS cnt
-           FROM hist JOIN med ON hist.event_type = med.event_type
-           GROUP BY 1, 2),
-         dcum AS (
-           SELECT event_type, ad, cnt,
-             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY ad
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS cum,
-             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
-           FROM dev),
-         mad AS (
-           SELECT event_type,
-             MIN(CASE WHEN cum >= (n + 1) // 2 THEN ad END) AS mad
-           FROM dcum GROUP BY 1)
-         SELECT dev.event_type, MAX(med.n_rows) AS n_rows,
-           MAX(med.med) AS median_cents, MAX(mad.mad) AS mad_cents,
-           CAST(SUM(CASE WHEN 10000 * dev.ad > 44478 * mad.mad
-             THEN dev.cnt ELSE 0 END) AS BIGINT) AS n_outliers
-         FROM dev
-         JOIN med ON dev.event_type = med.event_type
-         JOIN mad ON dev.event_type = mad.event_type
-         GROUP BY 1""",
 
     "q95_winsorize" ->
       """WITH ev AS (

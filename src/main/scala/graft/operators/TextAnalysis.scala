@@ -228,46 +228,7 @@ object TextAnalysis {
       (tops.result(), seqs.result())
     }
 
-  /** Minimum bigram occurrences for a q204 collocation candidate. */
-  val MinColloc = 3
-  val CollocTopN = 50
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // --- PMI collocation mining (q204) --------------------------------------
-    // Top bigram collocations by pointwise mutual information — the phrase
-    // extractor feeding tokenizer-vocab and stop-phrase curation. PMI's log
-    // is monotone, so ranking needs only the RATIO p(ab)/(p(a)p(b)) =
-    // c_ab·Nt² / (Nbg·c_a·c_b), emitted exactly as parts-per-million via
-    // one floor division in DECIMAL(38) ≙ HUGEINT (the stats-board
-    // discipline — no float logs, no cross-engine rounding). Scale shape:
-    // bigram and unigram counts are one corpus pass each (map-side partial
-    // aggs); the two count joins broadcast the VOCABULARY-sized unigram
-    // table; the ≥ MinColloc filter prunes the bigram tail before any join;
-    // totals ride along as broadcast 1-row aggregates. Nothing corpus-sized
-    // shuffles twice, nothing sorts the corpus (top-N is TakeOrdered over
-    // the filtered collocation table).
-    "q204_pmi_collocations" -> ((s, d) => {
-      val base = t(s, d).select(toks(col("text")).as("tk"))
-      val uni = base.select(explode(col("tk")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val bg = base.select(explode(expr(
-          "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
-            "(a, b) -> named_struct('w1', a, 'w2', b))")).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-      val nt = uni.agg(sum(col("c")).as("nt"))
-      val nbg = bg.agg(sum(col("c_ab")).as("nbg"))
-      bg.filter(col("c_ab") >= MinColloc)
-        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
-        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
-        .crossJoin(broadcast(nt)).crossJoin(broadcast(nbg))
-        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
-          expr("cast((cast(c_ab as decimal(38,0)) * nt * nt * 1000000) div " +
-            "(cast(nbg as decimal(38,0)) * c_a * c_b) as bigint)").as("pmi_ppm"))
-        .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
-        .limit(CollocTopN)
-    }),
 
     // --- BPE merge discovery (tokenizer training, 3 exact rounds) ----------
     // The core loop of byte-pair-encoding tokenizer training (Sennrich et
@@ -1272,24 +1233,6 @@ object TextAnalysis {
     s"len(list_filter($oToks, w -> list_contains($oStopList, w)))"
 
   val oracles: Map[String, String] = Map(
-
-    "q204_pmi_collocations" ->
-      s"""WITH t AS (SELECT $oToks AS tk FROM documents),
-         |uni AS (SELECT u.w, COUNT(1) AS c FROM t, unnest(tk) AS u(w) GROUP BY 1),
-         |bg AS (SELECT w1, w2, COUNT(1) AS c_ab FROM (
-         |    SELECT tk[i] AS w1, tk[i + 1] AS w2
-         |    FROM t, unnest(range(1, len(tk))) AS r(i)) GROUP BY 1, 2),
-         |tot AS (SELECT (SELECT SUM(c) FROM uni) AS nt,
-         |               (SELECT SUM(c_ab) FROM bg) AS nbg)
-         |SELECT bg.w1, bg.w2, bg.c_ab, u1.c AS c_a, u2.c AS c_b,
-         |  CAST((CAST(bg.c_ab AS HUGEINT) * nt * nt * 1000000)
-         |       // (CAST(nbg AS HUGEINT) * u1.c * u2.c) AS BIGINT) AS pmi_ppm
-         |FROM bg
-         |JOIN uni u1 ON u1.w = bg.w1
-         |JOIN uni u2 ON u2.w = bg.w2
-         |CROSS JOIN tot
-         |WHERE bg.c_ab >= $MinColloc
-         |ORDER BY pmi_ppm DESC, bg.w1, bg.w2 LIMIT $CollocTopN""".stripMargin,
     // BPE merge twin: same word-frequency reduction, double-space boundary
     // representation, freq-weighted pair counts via lateral unnest, total-
     // order argmax, and DuckDB's identical left-to-right replace. The

@@ -659,14 +659,14 @@ object StatefulOps {
   case class RetState(cohortDay: Long, offsets: Set[Long])
   case class RetRow(user_id: Long, cohort_day: Long, offset_weeks: Long)
 
-  /** Streaming twin of q206's weekly cohort retention: per-user state is
+  /** Streaming twin of q79's weekly cohort retention: per-user state is
     * the cohort week (epoch-day of its Monday) plus the set of week
     * offsets already emitted — bounded by the date span in weeks, the same
     * bound the batch (weeks × offsets) output carries. Emits one
     * (user, cohort, offset) row the first time a user is active in a
     * week — Append mode, so the downstream cohort census is a plain
     * count-distinct fold over emitted rows (spec-pinned equal to batch
-    * q206 on ts-ordered replay; within a batch days are sorted first, so
+    * q79 on ts-ordered replay; within a batch days are sorted first, so
     * batch boundaries cannot reorder a user's first week). Week
     * truncation is the arithmetic form of date_trunc('week'):
     * day − ((day + 3) mod 7), Monday-aligned from the Thursday epoch. */

@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Ground-truth recomputes for the corpus-scale graph family (q201/q202)
-  * and the integer Lloyd k-means (q203) / PMI collocations (q204): each
+/** Ground-truth recomputes for the corpus-scale graph family
+  * (q201/q202/q208) and the integer Lloyd k-means (q203): each
   * query's distributed integer fixpoint is re-run sequentially in plain
   * Scala (BigInt / Long maps, no Spark) at sf0.001 and compared EXACTLY —
   * the determinism claim these operators make is bit-identity under any
@@ -125,29 +125,6 @@ class GraphSpec extends SparkSpec {
     val got = Similarity.queries("q203_kmeans_lloyd")(spark, sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    assert(got == expected)
-  }
-
-  test("q204 PMI collocations equal a sequential recompute (exact ppm arithmetic)") {
-    val texts = graft.Tables.load(spark, sfDir, "documents")
-      .select(col("text")).collect().map(_.getString(0)).toSeq
-    val tokd = texts.map(_.split(" ", -1).toSeq)
-    val uni = tokd.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
-    val bg = tokd.flatMap(tk => tk.zip(tk.drop(1)))
-      .groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
-    val nt = BigInt(uni.values.sum)
-    val nbg = BigInt(bg.values.sum)
-    val expected = bg.toSeq
-      .filter(_._2 >= TextAnalysis.MinColloc)
-      .map { case ((w1, w2), cab) =>
-        val ppm = (BigInt(cab) * nt * nt * 1000000) / (nbg * uni(w1) * uni(w2))
-        (w1, w2, cab, uni(w1), uni(w2), ppm.toLong)
-      }
-      .sortBy { case (w1, w2, _, _, _, ppm) => (-ppm, w1, w2) }
-      .take(TextAnalysis.CollocTopN)
-    val got = TextAnalysis.queries("q204_pmi_collocations")(spark, sfDir).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).toSeq
     assert(got == expected)
   }
 }

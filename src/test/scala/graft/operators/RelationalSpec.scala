@@ -69,26 +69,6 @@ class RelationalSpec extends SparkSpec {
     assert(out == expected)
   }
 
-  test("q206: cohort retention equals a sequential recompute; offset-0 is always 100%") {
-    val out = Relational.queries("q206_cohort_retention")(spark, sfDir).collect()
-      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    val uw = graft.Tables.load(spark, sfDir, "events")
-      .selectExpr("user_id", "cast(date_trunc('week', ts) as date) as wk")
-      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
-    val cohort = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
-    val sizes = cohort.values.groupBy(identity).map { case (w, vs) => w -> vs.size.toLong }
-    val expected = uw.groupBy { case (u, wk) =>
-      (cohort(u), java.time.temporal.ChronoUnit.DAYS.between(cohort(u), wk) / 7)
-    }.map { case ((cw, off), vs) =>
-      val n = vs.size.toLong
-      (cw.toString, off) -> (n, sizes(cw), 1000000L * n / sizes(cw))
-    }
-    assert(out == expected)
-    // every cohort retains itself fully at offset 0
-    out.collect { case ((_, 0L), (_, _, ppm)) => assert(ppm == 1000000L) }
-  }
-
   test("q207: RFM segments equal a sequential quartile recompute; census covers all customers") {
     val out = Relational.queries("q207_rfm_segments")(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -135,30 +115,6 @@ class RelationalSpec extends SparkSpec {
     out.values.foreach { case (_, p50, p95, p99) =>
       assert(p50 <= p95 && p95 <= p99)
     }
-  }
-
-  test("q205: MAD and outlier census equal a sequential sorted recompute") {
-    val out = Relational.queries("q205_mad_outliers")(spark, sfDir).collect()
-      .map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    val rows = graft.Tables.load(spark, sfDir, "events")
-      .select("event_type", "value").collect()
-      .map(r => (r.getString(0),
-        (BigDecimal(r.getDouble(1)).setScale(2,
-          BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
-    val expected = rows.groupBy(_._1).map { case (et, v) =>
-      val cs = v.map(_._2).sorted
-      val n = cs.length
-      // percentile_disc at ceil-rank (n+1) div 2 — the engine's median rule
-      val med = cs((n + 1) / 2 - 1)
-      val ads = cs.map(c => math.abs(c - med)).sorted
-      val mad = ads((n + 1) / 2 - 1)
-      val outliers = ads.count(ad => 10000L * ad > 44478L * mad).toLong
-      et -> (n.toLong, med, mad, outliers)
-    }
-    assert(out == expected)
-    // robustness contract: MAD is positive and below half the value range
-    out.values.foreach { case (_, _, mad, _) => assert(mad > 0) }
   }
 
   test("q128: equal-frequency bins equal a JVM percentile recompute; near-uniform") {

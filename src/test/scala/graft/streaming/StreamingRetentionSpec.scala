@@ -7,15 +7,15 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import StatefulOps._
 
-/** Batch==stream for the weekly cohort retention: the real sf0.001 events
+/** Batch==stream for weekly cohort retention: the real sf0.001 events
   * replayed ts-ordered across micro-batches through [[StatefulOps
   * .retentionStream]] must produce an Append-mode (user, cohort, offset)
-  * log whose census equals batch q206 exactly — counts, cohort sizes, and
-  * the integer ppm retention. */
+  * activation log whose census equals batch q79_retention_cohorts exactly
+  * — same cohorts, same offsets, same distinct-user counts. */
 class StreamingRetentionSpec extends SparkSpec {
   import spark.implicits._
 
-  test("streamed retention census equals batch q206 on ts-ordered replay") {
+  test("streamed retention census equals batch q79 on ts-ordered replay") {
     implicit val sqlCtx = spark.sqlContext
 
     val ev = graft.Tables.load(spark, sfDir, "events")
@@ -43,18 +43,15 @@ class StreamingRetentionSpec extends SparkSpec {
       val rows = spark.table("retention_rows").as[RetRow].collect()
       // one row per (user, offset): a user's week activates exactly once
       assert(rows.map(r => (r.user_id, r.offset_weeks)).distinct.length == rows.length)
-      val sizes = rows.filter(_.offset_weeks == 0L)
-        .groupBy(_.cohort_day).map { case (cd, v) => cd -> v.length.toLong }
       val census = rows.groupBy(r => (r.cohort_day, r.offset_weeks))
         .map { case ((cd, off), v) =>
-          val n = v.length.toLong
-          (java.time.LocalDate.ofEpochDay(cd).toString, off) ->
-            (n, sizes(cd), 1000000L * n / sizes(cd))
+          (java.time.LocalDate.ofEpochDay(cd).toString, off) -> v.length.toLong
         }
       val batch = graft.operators.Relational
-        .queries("q206_cohort_retention")(spark, sfDir).collect()
-        .map(r => (r.getDate(0).toString, r.getLong(1)) ->
-          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        .queries("q79_retention_cohorts")(spark, sfDir)
+        .selectExpr("cast(cohort_week as date) as cw", "week_offset", "n_users")
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
       assert(census == batch)
     } finally q.stop()
   }
