@@ -134,21 +134,25 @@ object Graph {
         .select(col("node"), lit(Scale).as("h"))
       var a: DataFrame = null
       (1 to HitsIters).foreach { _ =>
+        // the RAW sweep aggregate is what gets checkpointed: both its
+        // consumers (the broadcast max and the rescale) then read one
+        // materialized node-sized frame instead of re-running the edge
+        // join; the rescale itself is a narrow projection, not worth a cut
         val araw = h.hint("shuffle_hash").join(e, col("node") === col("src"))
           .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
+          .localCheckpoint(false)
         val amax = araw.agg(max(col("raw")).as("mx"))
         a = araw.crossJoin(broadcast(amax))
           .select(col("dst").as("node"),
             expr(s"(cast(raw as decimal(38,0)) * $Scale) div mx").as("a"))
-          .localCheckpoint(false)
         val hraw = a.hint("shuffle_hash")
           .join(e.select(col("src"), col("dst").as("node")), "node")
           .groupBy(col("src")).agg(sum(col("a")).as("raw"))
+          .localCheckpoint(false)
         val hmax = hraw.agg(max(col("raw")).as("mx"))
         h = hraw.crossJoin(broadcast(hmax))
           .select(col("src").as("node"),
             expr(s"(cast(raw as decimal(38,0)) * $Scale) div mx").as("h"))
-          .localCheckpoint(false)
       }
       val topAuth = a.orderBy(col("a").desc, col("node"))
         .limit(HitsTopN)

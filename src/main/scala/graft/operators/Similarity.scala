@@ -162,18 +162,26 @@ object Similarity {
     }
 
   /** One assignment pass: nearest centroid (squared L2, tie → lowest cid)
-    * under the K-row broadcast centroid frame. The corpus never shuffles —
-    * each row scores K distances inside codegen (zip_with fold) and a
-    * vec_id-partitioned window picks the argmin. */
-  private def kmAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    * under the K-row broadcast centroid frame. Each row scores K distances
+    * inside codegen (zip_with fold); the argmin is a plain `min` over the
+    * packed key dist·KmK + cid — the same total order as (dist, cid)
+    * lexicographic, but a LONG, so the aggregate stays a HashAggregate
+    * with map-side partials (one row per vector crosses the exchange).
+    * A min(struct) spelling falls back to SortAggregate; a rank window
+    * adds a per-partition sort — both regress to sorting what a hash can
+    * fold. Packing headroom: dist ≤ dims·(coord span)² < 2^27 here, and
+    * even 2^59 keeps dist·KmK+cid exact in int64. */
+  private def kmAssign(vecs: DataFrame, cent: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("qv"), col("cid"), expr(
         "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
         .as("dist"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("qv"), col("cid"), col("dist"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min(col("dist") * KmK + col("cid")).as("bestkey"),
+        first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("qv"),
+        (col("bestkey") % KmK).as("cid"),
+        expr(s"bestkey div $KmK").as("dist"))
 
   /** Centroid update: per-cluster floor-divided integer means, computed as
     * EmbDim unrolled `sum(qv[d])` aggregates (map-side partial, no explode,
