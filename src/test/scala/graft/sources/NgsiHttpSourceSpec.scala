@@ -25,6 +25,23 @@ class NgsiHttpSourceSpec extends SparkSpec {
     try ss.getLocalPort finally ss.close()
   }
 
+  /** The source's listener binds lazily when the query plans its first
+    * batch; a post racing that bind dies with ConnectException (the one
+    * full-suite flake this spec ever showed, under host load). Probe with
+    * a bare TCP connect until the port is up before the first post. */
+  private def waitListening(port: Int): Unit = {
+    val deadline = System.nanoTime() + 45L * 1000 * 1000 * 1000
+    var up = false
+    while (!up && System.nanoTime() < deadline) {
+      try {
+        val sock = new java.net.Socket()
+        try { sock.connect(new java.net.InetSocketAddress("127.0.0.1", port), 500); up = true }
+        finally sock.close()
+      } catch { case _: java.io.IOException => Thread.sleep(100) }
+    }
+    assert(up, s"listener on $port never came up")
+  }
+
   private def post(port: Int, body: String, headers: Map[String, String]): Int = {
     val b = HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/notify"))
       .POST(HttpRequest.BodyPublishers.ofString(body))
@@ -41,6 +58,7 @@ class NgsiHttpSourceSpec extends SparkSpec {
       .outputMode(OutputMode.Append())
       .start()
     try {
+      waitListening(port)
       assert(post(port, notification,
         Map("Fiware-Service" -> "demo", "Fiware-ServicePath" -> "/test")) == 200)
       assert(post(port, notification, Map.empty) == 200)
@@ -61,6 +79,7 @@ class NgsiHttpSourceSpec extends SparkSpec {
       .outputMode(OutputMode.Update())
       .start()
     try {
+      waitListening(port)
       post(port, notification, Map.empty)
       post(port, notification.replace("21.5", "19.5"), Map.empty)
       q.processAllAvailable()
@@ -80,6 +99,7 @@ class NgsiHttpSourceSpec extends SparkSpec {
       .outputMode(OutputMode.Append())
       .start()
     try {
+      waitListening(port)
       val client = HttpClient.newHttpClient()
       (1 to 500).foreach { i =>
         val req = HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/notify"))
@@ -162,6 +182,7 @@ class NgsiHttpSourceSpec extends SparkSpec {
           }
         })
       }
+      waitListening(port)
       pool.foreach(_.start())
       pool.foreach(_.join())
       assert(errors.get() == 0, s"${errors.get()} posts failed")
@@ -195,6 +216,7 @@ class NgsiHttpSourceSpec extends SparkSpec {
       .writeStream.format("memory").queryName("ngsi_tee1")
       .outputMode(OutputMode.Append()).start()
     try {
+      waitListening(port1)
       (1 to 5).foreach { i =>
         assert(post(port1, notification.replace("R1", s"A$i"),
           Map("Fiware-Service" -> "tee")) == 200)
@@ -212,6 +234,7 @@ class NgsiHttpSourceSpec extends SparkSpec {
       .writeStream.format("memory").queryName("ngsi_tee2")
       .outputMode(OutputMode.Append()).start()
     try {
+      waitListening(port2)
       (1 to 2).foreach { i =>
         assert(post(port2, notification.replace("R1", s"C$i"), Map.empty) == 200)
       }
@@ -299,6 +322,7 @@ class NgsiHttpSourceSpec extends SparkSpec {
       .outputMode(OutputMode.Append())
       .start()
     try {
+      waitListening(port)
       // garbage a public port WILL receive: not-JSON, truncated JSON, binary
       assert(post(port, "this is not json", Map.empty) == 400)
       assert(post(port, """{"data": [ {"id": """, Map.empty) == 400)
@@ -324,6 +348,7 @@ class NgsiHttpSourceSpec extends SparkSpec {
       .outputMode(OutputMode.Append())
       .start()
     try {
+      waitListening(port)
       val get = HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/")).GET().build()
       val code = HttpClient.newHttpClient()
         .send(get, HttpResponse.BodyHandlers.discarding()).statusCode()
