@@ -15,9 +15,11 @@ class GraftSqlSpec extends SparkSpec {
 
   test("graft_q TVF returns row-identical results to the DataFrame path") {
     GraftSql.register(spark, sfDir)
-    // five operators across the families: join, agg, dedup, ANN, layout
+    // seven operators across the families: join, agg, dedup, ANN, layout,
+    // graph fixpoint, clustering
     Seq("q03_join_broadcast", "q02_agg_groupby", "q78_containment_dedup",
-      "q117_ivf_pq", "q189_hilbert_layout").foreach { name =>
+      "q117_ivf_pq", "q189_hilbert_layout", "q201_bipartite_pagerank",
+      "q203_kmeans_lloyd").foreach { name =>
       val viaSql = rows(spark.sql(s"SELECT * FROM graft_q('$name')"))
       val viaDf = rows(SparkEntry.queries(name)(spark, sfDir))
       assert(viaSql == viaDf, s"$name: SQL and DataFrame paths diverge")
