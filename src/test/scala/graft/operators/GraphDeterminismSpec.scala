@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Direct witness of the integer-fixpoint determinism claim: the graph and
+  * clustering queries must produce BIT-IDENTICAL rows under different
+  * physical partitionings. Each query runs under three different
+  * `spark.sql.shuffle.partitions` settings (different task decompositions,
+  * different partial-aggregation merge orders, different join build
+  * orders); any float accumulation anywhere in the fixpoints would show
+  * up here as a diff, exactly as it would moving from local[4] to a
+  * 1000-executor cluster. */
+class GraphDeterminismSpec extends SparkSpec {
+
+  private val queriesUnderTest = Seq(
+    "q201_bipartite_pagerank" -> Graph.queries("q201_bipartite_pagerank"),
+    "q202_bfs_khop" -> Graph.queries("q202_bfs_khop"),
+    "q208_hits" -> Graph.queries("q208_hits"),
+    "q203_kmeans_lloyd" -> Similarity.queries("q203_kmeans_lloyd"))
+
+  test("graph/clustering fixpoints are bit-identical under 3 different partitionings") {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.shuffle.partitions")
+    def runAll(): Map[String, Seq[String]] =
+      queriesUnderTest.map { case (name, fn) =>
+        name -> fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      }.toMap
+    try {
+      conf.set("spark.sql.shuffle.partitions", "4")
+      val base = runAll()
+      base.foreach { case (n, rows) => assert(rows.nonEmpty, n) }
+      Seq("7", "13").foreach { p =>
+        conf.set("spark.sql.shuffle.partitions", p)
+        val alt = runAll()
+        queriesUnderTest.foreach { case (name, _) =>
+          assert(alt(name) == base(name),
+            s"$name differs between shuffle.partitions=4 and $p")
+        }
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", saved)
+  }
+}
