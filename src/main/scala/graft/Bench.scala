@@ -113,7 +113,6 @@ object Bench {
       // the same knob a real deployment sets per streaming job. 2 measured
       // best for this micro-batch size (1/2/4 within noise, 32 was 2×).
       val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", partitions)
       // No-data micro-batches exist to advance the watermark when no rows
       // arrive (eager state eviction). This harness calls
       // processAllAvailable after every ADD, so each data batch drags an
@@ -124,15 +123,21 @@ object Bench {
       // batch's watermark.
       val savedNoData = spark.conf
         .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      val stream = MemoryStream[String]
-      val agg = graft.streaming.NgsiStreams.minTemperatureStream(
-        stream.toDF().select(col("value")))
-      val q = agg.writeStream
-        .format("noop")
-        .outputMode("update")
-        .start()
+      // conf mutation and query start live INSIDE the restore scope: a
+      // failure anywhere after the first set (stream build, sink init)
+      // must not leave the session with streaming-leg tuning — the outer
+      // catch reports an err string and the caller keeps using the session
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
+        spark.conf.set("spark.sql.shuffle.partitions", partitions)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        val stream = MemoryStream[String]
+        val agg = graft.streaming.NgsiStreams.minTemperatureStream(
+          stream.toDF().select(col("value")))
+        q = agg.writeStream
+          .format("noop")
+          .outputMode("update")
+          .start()
         val bodies = (0 until perBatch).map { i =>
           s"""{"subscriptionId":"bench","data":[{"id":"R${i % 50}","type":"Room","temperature":{"type":"Float","value":${20.0 + (i % 15)},"metadata":{}}}]}"""
         }
@@ -145,7 +150,7 @@ object Bench {
         val n = batches.toLong * perBatch
         s"""{"pipeline":"example1_min_temperature","notifications":$n,"batches":$batches,"elapsed_sec":$sec,"notifications_per_sec":${n / sec}}"""
       } finally {
-        q.stop()
+        if (q != null) q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", savedParts)
         savedNoData match {
           case Some(v) => spark.conf

@@ -175,11 +175,16 @@ object Graph {
     // counts only reached hops.
     "q202_bfs_khop" -> ((s, d) => {
       val e = edges(s, d)
-      val seed = e.agg(min(when(col("src") % 2 === 0, col("src"))).as("seed"))
-      var dist = e.select(col("src").as("node")).distinct()
-        .crossJoin(broadcast(seed))
-        .filter(col("node") === col("seed"))
-        .select(col("node"), lit(0L).as("hops"))
+      // the frontier starts as the 1-row seed aggregate itself — deriving
+      // it by filtering a distinct over all nodes would add a pointless
+      // edge-sized shuffle to produce one row
+      // lazily checkpointed: the relaxation lineage references dist twice
+      // per level (union + expansion), so the seed subtree would otherwise
+      // replay 2^BfsHops times
+      var dist = e.agg(min(when(col("src") % 2 === 0, col("src"))).as("seed"))
+        .filter(col("seed").isNotNull)
+        .select(col("seed").as("node"), lit(0L).as("hops"))
+        .localCheckpoint(false)
       (1 to BfsHops).foreach { _ =>
         val nxt = dist.hint("shuffle_hash").join(e, col("node") === col("src"))
           .select(col("dst").as("node"), (col("hops") + 1).as("hops"))

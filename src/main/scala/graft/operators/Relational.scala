@@ -228,14 +228,31 @@ object Relational {
   private val clusteredMemo = graft.SessionMemo.ofFrames()
   private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
 
+  // Per-JVM-unique dirs would otherwise accumulate in tmpdir across runs
+  // (the price of never clobbering another process's files): every dir
+  // this JVM creates is deleted by one shutdown hook.
+  private val clusteredDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      clusteredDirs.forEach { dir =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        ()
+      }
+    }))
+  }
+
   private[operators] def clusteredRoundtrip(s: SparkSession, d: String,
       coded: => DataFrame, tag: String, files: Int): DataFrame =
     clusteredMemo.getOrCompute(s, s"clustered|$tag|$files|$d") {
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      // EVERY memo-key component is also in the dir name — two live memo
+      // entries can never resolve to the same path, so no overwrite can
+      // happen under a frame another entry still lazily reads
       val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_clustered_${tag}_${digest}_${jvmTag}_s" +
+        s"graft_clustered_${tag}_${files}_${TextFns.md5hex(d).take(12)}_" +
+          s"${jvmTag}_s" +
           java.lang.Integer.toHexString(System.identityHashCode(s))).getAbsolutePath
+      clusteredDirs.add(out)
       coded.repartitionByRange(files, col("code"))
         .sortWithinPartitions(col("code"))
         .write.mode("overwrite").parquet(out)
@@ -929,6 +946,9 @@ object Relational {
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast("long").as("cents"))
       val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
+      // FOUR consumers (three cut histograms + the coding pass) read the
+      // per-customer aggregate: lazily checkpoint it so the orders scan +
+      // customer groupBy run once (the containmentDigests discipline)
       val cust = o.crossJoin(broadcast(maxd))
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("lastd"),
@@ -937,6 +957,7 @@ object Relational {
         .select(col("o_custkey"),
           datediff(col("maxd"), col("lastd")).cast("long").as("recency"),
           col("freq"), col("monetary"))
+        .localCheckpoint(false)
       def cuts(valueCol: String): DataFrame = {
         val hist = cust.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
           .withColumn("g", lit(1))

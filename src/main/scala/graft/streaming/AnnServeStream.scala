@@ -37,9 +37,11 @@ class AnnServeStream(spark: SparkSession, dir: String) {
   // a caller that grabbed results() before this batch may still be running
   // an action on the old frame, and localCheckpoint truncated its lineage,
   // so an eager unpersist would leave that frame unrecoverable (missing
-  // blocks). Retired frames are released together in [[close]], after the
-  // stream — and therefore every reader the spec wires — has stopped.
-  private val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  // blocks). [[RetiredFrames]] bounds the window: a snapshot stays valid
+  // for at least 2 subsequent batches, older generations are released as
+  // the stream advances (total block storage stays O(1) in batch count,
+  // not quadratic); everything else is released in [[close]].
+  private val retired = new RetiredFrames()
 
   /** Answer one micro-batch of (query_id, qv) and fold the results in.
     * Synchronized: micro-batches arrive serially per query, but [[results]]
@@ -49,25 +51,21 @@ class AnnServeStream(spark: SparkSession, dir: String) {
       val out = Similarity.serveIvfPq(spark, dir, batchQueries)
       val prev = answered
       answered = prev.unionAll(out).localCheckpoint(true)
-      retired += prev
-      ()
+      retired.retire(prev)
     }
   }
 
   /** All (query_id, nn_rank, vec_id, list_id, adc) answered so far.
-    * The frame stays valid across subsequent batches (each batch swaps in a
-    * NEW checkpoint; old ones are only released by [[close]]) — but it is a
-    * snapshot: re-call to observe later batches. */
+    * A snapshot: it stays valid for at least the next 2 batches (the
+    * [[RetiredFrames]] window), then may be released — re-fetch to observe
+    * later batches or to hold results longer. */
   def results: DataFrame = answered
 
   /** Releases every checkpointed frame this serve loop created. Call after
     * the streaming query (and any reader of a [[results]] snapshot) has
     * stopped; every previously returned frame is invalid afterwards. */
   def close(): Unit = synchronized {
-    (retired.toSeq :+ answered).foreach { df =>
-      try { df.unpersist(); () } catch { case _: Throwable => () }
-    }
-    retired.clear()
+    retired.closeAll(answered)
   }
 
   /** Wires a streaming (query_id, qv) frame into the serve loop. */

@@ -25,9 +25,9 @@ import graft.operators.Graph
   *    so the honest incremental unit is the edge set, and the fixpoint
   *    re-runs over it (3 edge-sized joins; at cluster scale, the nightly
   *    rank refresh over a continuously-maintained edge table);
-  *  - superseded pair-table checkpoints are RETIRED, not unpersisted under
-  *    a possibly live reader, and released together in [[close]] (the
-  *    AnnServeStream rule).
+  *  - superseded pair-table checkpoints are RETIRED through the bounded
+  *    [[RetiredFrames]] window, never unpersisted under a possibly live
+  *    reader (the AnnServeStream rule), with O(1) retained generations.
   */
 class GraphRankStream(spark: SparkSession) {
   import spark.implicits._
@@ -35,7 +35,7 @@ class GraphRankStream(spark: SparkSession) {
   @volatile private var pairTable: DataFrame =
     Seq.empty[(Long, Long)].toDF("c", "sp").localCheckpoint(true)
 
-  private val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val retired = new RetiredFrames()
 
   /** Fold one micro-batch of raw (o_custkey, l_suppkey) observations. */
   def absorb(batchPairs: DataFrame): Unit = synchronized {
@@ -46,8 +46,7 @@ class GraphRankStream(spark: SparkSession) {
           (col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp")))
         .distinct()
         .localCheckpoint(true)
-      retired += prev
-      ()
+      retired.retire(prev)
     }
   }
 
@@ -67,12 +66,9 @@ class GraphRankStream(spark: SparkSession) {
       .foreachBatch { (batch: DataFrame, _: Long) => absorb(batch) }
       .start()
 
-  /** Releases every checkpointed pair table this stream created; previously
-    * returned [[ranks]] frames are invalid afterwards. */
+  /** Releases every retained checkpoint; previously returned [[ranks]]
+    * frames are invalid afterwards. */
   def close(): Unit = synchronized {
-    (retired.toSeq :+ pairTable).foreach { df =>
-      try { df.unpersist(); () } catch { case _: Throwable => () }
-    }
-    retired.clear()
+    retired.closeAll(pairTable)
   }
 }

@@ -29,10 +29,11 @@ import graft.operators.Dedup
   * State discipline: the index and the label table are the ONLY
   * accumulating state; both are eagerly localCheckpoint-ed each batch so
   * lineage stays O(1) in batch count (a thousand-batch stream would
-  * otherwise carry a thousand-union plan). Superseded checkpoints are
-  * unpersisted immediately — same block-hygiene rule as the CC rounds. At
-  * cluster scale the two tables would live as real checkpointed/Delta
-  * tables; the shapes (narrow index, pair-sized folds) are unchanged.
+  * otherwise carry a thousand-union plan). Superseded label checkpoints
+  * retire through the bounded [[RetiredFrames]] window; internal frames
+  * are unpersisted immediately — same block-hygiene rule as the CC
+  * rounds. At cluster scale the two tables would live as real
+  * checkpointed/Delta tables; the shapes are unchanged.
   *
   * Driver-side coordination only touches handles, never data: foreachBatch
   * is the documented Structured Streaming idiom for maintaining a
@@ -50,13 +51,13 @@ class NearDupLineageStream(spark: SparkSession) {
   @volatile private var labelTable: DataFrame =
     Seq.empty[(Long, Long)].toDF("doc_id", "component").localCheckpoint(true)
 
-  // Superseded label tables are RETIRED, not unpersisted in place: a
-  // [[labels]] reader from the previous batch may still be running an
-  // action on the old (lineage-truncated) frame. Released in [[close]] —
-  // the AnnServeStream discipline. The index and per-batch increment stay
+  // Superseded label tables are RETIRED through the bounded
+  // [[RetiredFrames]] window, not unpersisted in place: a [[labels]]
+  // reader from the previous batch may still be running an action on the
+  // old (lineage-truncated) frame. The index and per-batch increment stay
   // eagerly unpersisted: they never escape this class, so no reader can
   // hold them.
-  private val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val retired = new RetiredFrames()
 
   /** Fold one micro-batch of (doc_id, text) into the lineage. Synchronized:
     * micro-batches arrive serially per query, but the label table must
@@ -73,19 +74,15 @@ class NearDupLineageStream(spark: SparkSession) {
       index = prevIndex.unionByName(inc).localCheckpoint(true)
       prevIndex.unpersist()
       inc.unpersist()
-      retired += prevLabels
-      ()
+      retired.retire(prevLabels)
     }
   }
 
-  /** Releases the current and every retired label-table checkpoint (and
-    * the signature index). Call after the stream and any [[labels]] reader
+  /** Releases the retained label-table checkpoints, the current one, and
+    * the signature index. Call after the stream and any [[labels]] reader
     * have stopped; previously returned frames are invalid afterwards. */
   def close(): Unit = synchronized {
-    (retired.toSeq :+ labelTable :+ index).foreach { df =>
-      try { df.unpersist(); () } catch { case _: Throwable => () }
-    }
-    retired.clear()
+    retired.closeAll(labelTable, index)
   }
 
   /** The current cluster-label table (doc_id, component) — equal to batch
