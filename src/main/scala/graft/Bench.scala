@@ -150,7 +150,9 @@ object Bench {
         val n = batches.toLong * perBatch
         s"""{"pipeline":"example1_min_temperature","notifications":$n,"batches":$batches,"elapsed_sec":$sec,"notifications_per_sec":${n / sec}}"""
       } finally {
-        if (q != null) q.stop()
+        // stop() can itself throw (hung micro-batch, terminal query error);
+        // the conf restores below must run regardless
+        if (q != null) { try { q.stop() } catch { case _: Throwable => () } }
         spark.conf.set("spark.sql.shuffle.partitions", savedParts)
         savedNoData match {
           case Some(v) => spark.conf

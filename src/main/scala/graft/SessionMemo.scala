@@ -52,9 +52,7 @@ final class SessionMemo[V](framesOf: V => Seq[DataFrame]) {
     import scala.jdk.CollectionConverters._
     entries.keySet.asScala.toSeq.filter(_._1 eq s).foreach { k =>
       Option(entries.remove(k)).foreach { v =>
-        framesOf(v).foreach { df =>
-          try { df.unpersist(); () } catch { case _: Throwable => () }
-        }
+        framesOf(v).foreach(FrameBlocks.release)
       }
     }
     Option(hooked.remove(s)).foreach { l =>

@@ -563,7 +563,7 @@ object Curation {
     // remaining stage reads qual or the raw corpus, so dd's pinned blocks
     // are dead — drop them now rather than waiting for a driver full-GC
     // (repeated pipeline runs otherwise accumulate until CC slows down)
-    dd.unpersist()
+    graft.FrameBlocks.release(dd)
     // 4. decontamination — benchmark grams from the ORIGINAL corpus (the
     // eval suite is external data and is not itself curated)
     val benchGrams = docs.filter(col("source") === BenchSource)

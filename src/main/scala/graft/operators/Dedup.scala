@@ -209,7 +209,7 @@ object Dedup {
           .getOrElse(ccAlternatingStars(p, maxIters)._1)
         // both variants return frames backed by their own (eager)
         // checkpoints, so the pair snapshot's blocks are dead
-        p.unpersist()
+        graft.FrameBlocks.release(p)
         res
       case "label-prop" =>
         ccLabelProp(pairs, maxIters, failOnCap = true).get
@@ -244,14 +244,14 @@ object Dedup {
         .filter(col("lbl") < col("old")).count()
       // superseded round: drop its checkpoint blocks eagerly (see the
       // matching note in ccAlternatingStars)
-      labels.unpersist()
+      graft.FrameBlocks.release(labels)
       labels = next
     }
     // the result (if any) is itself checkpointed, so the edge blocks are
     // dead either way
-    edges.unpersist()
+    graft.FrameBlocks.release(edges)
     if (changed > 0) {
-      labels.unpersist()
+      graft.FrameBlocks.release(labels)
       if (failOnCap)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIters rounds " +
@@ -315,7 +315,7 @@ object Dedup {
       // the ContextCleaner — in a long session (or the bench's repeated
       // runs) the pinned blocks otherwise accumulate until memory
       // pressure shows up as monotonically slowing CC queries.
-      edges.unpersist()
+      graft.FrameBlocks.release(edges)
       edges = small
     }
     if (!converged)
@@ -327,8 +327,8 @@ object Dedup {
       .select(col("id").as("doc_id"),
         coalesce(col("component"), col("id")).as("component"))
       .localCheckpoint(true)
-    nodes.unpersist()
-    edges.unpersist()
+    graft.FrameBlocks.release(nodes)
+    graft.FrameBlocks.release(edges)
     (labels, it)
   }
 

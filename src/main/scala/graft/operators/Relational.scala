@@ -226,6 +226,7 @@ object Relational {
     * read-back frame instead of overwriting parquet a previously returned
     * frame is still lazily reading. */
   private val clusteredMemo = graft.SessionMemo.ofFrames()
+  private val rfmCustMemo = graft.SessionMemo.ofFrames()
   private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
 
   // Per-JVM-unique dirs would otherwise accumulate in tmpdir across runs
@@ -948,16 +949,21 @@ object Relational {
       val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
       // FOUR consumers (three cut histograms + the coding pass) read the
       // per-customer aggregate: lazily checkpoint it so the orders scan +
-      // customer groupBy run once (the containmentDigests discipline)
-      val cust = o.crossJoin(broadcast(maxd))
-        .groupBy(col("o_custkey"))
-        .agg(max(col("o_orderdate")).as("lastd"),
-          count(lit(1)).as("freq"), sum(col("cents")).as("monetary"),
-          max(col("maxd")).as("maxd"))
-        .select(col("o_custkey"),
-          datediff(col("maxd"), col("lastd")).cast("long").as("recency"),
-          col("freq"), col("monetary"))
-        .localCheckpoint(false)
+      // customer groupBy run once — MEMOIZED per (session, dir) like every
+      // other stage checkpoint, so repeated invocations reuse one pinned
+      // copy (and SessionMemo releases it at session end) instead of
+      // leaking one anonymous checkpoint per call
+      val cust = rfmCustMemo.getOrCompute(s, d) {
+        o.crossJoin(broadcast(maxd))
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("lastd"),
+            count(lit(1)).as("freq"), sum(col("cents")).as("monetary"),
+            max(col("maxd")).as("maxd"))
+          .select(col("o_custkey"),
+            datediff(col("maxd"), col("lastd")).cast("long").as("recency"),
+            col("freq"), col("monetary"))
+          .localCheckpoint(false)
+      }
       def cuts(valueCol: String): DataFrame = {
         val hist = cust.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
           .withColumn("g", lit(1))

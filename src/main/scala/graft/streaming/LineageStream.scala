@@ -72,8 +72,8 @@ class NearDupLineageStream(spark: SparkSession) {
       labelTable = Dedup.updateLabels(prevLabels, newPairs)
       val prevIndex = index
       index = prevIndex.unionByName(inc).localCheckpoint(true)
-      prevIndex.unpersist()
-      inc.unpersist()
+      graft.FrameBlocks.release(prevIndex)
+      graft.FrameBlocks.release(inc)
       retired.retire(prevLabels)
     }
   }

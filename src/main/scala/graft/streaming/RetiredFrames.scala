@@ -20,17 +20,14 @@ private[streaming] final class RetiredFrames(keep: Int = 2) {
   def retire(df: DataFrame): Unit = synchronized {
     buf.enqueue(df)
     while (buf.size > keep) {
-      val old = buf.dequeue()
-      try { old.unpersist(); () } catch { case _: Throwable => () }
+      graft.FrameBlocks.release(buf.dequeue())
     }
   }
 
   /** Releases every retained generation plus the given current frames;
     * every previously returned frame is invalid afterwards. */
   def closeAll(current: DataFrame*): Unit = synchronized {
-    (buf.toSeq ++ current).foreach { df =>
-      try { df.unpersist(); () } catch { case _: Throwable => () }
-    }
+    (buf.toSeq ++ current).foreach(graft.FrameBlocks.release)
     buf.clear()
   }
 }

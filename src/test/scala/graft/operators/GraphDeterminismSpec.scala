@@ -7,9 +7,12 @@ import graft.SparkSpec
   * physical partitionings. Each query runs under three different
   * `spark.sql.shuffle.partitions` settings (different task decompositions,
   * different partial-aggregation merge orders, different join build
-  * orders); any float accumulation anywhere in the fixpoints would show
-  * up here as a diff, exactly as it would moving from local[4] to a
-  * 1000-executor cluster. */
+  * orders). Scope honesty: the memoized edge/quantization stages
+  * materialize ONCE (their determinism is integer projections pinned by
+  * GraphSpec's sequential recomputes); what varies here is everything
+  * downstream — the iteration joins, partial aggregations, rescales, and
+  * top-k — where a float accumulation would diff, exactly as it would
+  * moving from local[4] to a 1000-executor cluster. */
 class GraphDeterminismSpec extends SparkSpec {
 
   private val queriesUnderTest = Seq(
