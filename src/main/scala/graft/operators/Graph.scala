@@ -92,6 +92,46 @@ object Graph {
       .limit(PrTopN)
   }
 
+
+  /** The q208 fixpoint over an arbitrary DIRECTED (src=hub, dst=authority)
+    * edge frame — factored out like [[pagerankOn]] so the streaming twin
+    * can answer HITS over its incrementally-maintained pair table. */
+  private[graft] def hitsOn(e: DataFrame): DataFrame = {
+      var h = e.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(Scale).as("h"))
+      var a: DataFrame = null
+      (1 to HitsIters).foreach { _ =>
+        // the RAW sweep aggregate is what gets checkpointed: both its
+        // consumers (the broadcast max and the rescale) then read one
+        // materialized node-sized frame instead of re-running the edge
+        // join; the rescale itself is a narrow projection, not worth a cut
+        val araw = h.hint("shuffle_hash").join(e, col("node") === col("src"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
+          .localCheckpoint(false)
+        val amax = araw.agg(max(col("raw")).as("mx"))
+        a = araw.crossJoin(broadcast(amax))
+          .select(col("dst").as("node"),
+            expr(s"(cast(raw as decimal(38,0)) * $Scale) div mx").as("a"))
+        val hraw = a.hint("shuffle_hash")
+          .join(e.select(col("src"), col("dst").as("node")), "node")
+          .groupBy(col("src")).agg(sum(col("a")).as("raw"))
+          .localCheckpoint(false)
+        val hmax = hraw.agg(max(col("raw")).as("mx"))
+        h = hraw.crossJoin(broadcast(hmax))
+          .select(col("src").as("node"),
+            expr(s"(cast(raw as decimal(38,0)) * $Scale) div mx").as("h"))
+      }
+      val topAuth = a.orderBy(col("a").desc, col("node"))
+        .limit(HitsTopN)
+        .select(col("node").as("node_id"), lit("authority").as("role"),
+          col("a").as("score"))
+      val topHub = h.orderBy(col("h").desc, col("node"))
+        .limit(HitsTopN)
+        .select(col("node").as("node_id"), lit("hub").as("role"),
+          col("h").as("score"))
+      topAuth.unionByName(topHub)
+      }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- PageRank, integer-exact, 3 unrolled power iterations ---------------
@@ -128,42 +168,9 @@ object Graph {
     // (raw·SCALE reaches ~1e28 — past int64 — before the division brings
     // it back under SCALE). Output: top suppliers by authority and top customers by
     // hub score, fully tie-broken.
-    "q208_hits" -> ((s, d) => {
-      val e = edges(s, d).filter(col("src") % 2 === 0) // c → s direction only
-      var h = e.select(col("src").as("node")).distinct()
-        .select(col("node"), lit(Scale).as("h"))
-      var a: DataFrame = null
-      (1 to HitsIters).foreach { _ =>
-        // the RAW sweep aggregate is what gets checkpointed: both its
-        // consumers (the broadcast max and the rescale) then read one
-        // materialized node-sized frame instead of re-running the edge
-        // join; the rescale itself is a narrow projection, not worth a cut
-        val araw = h.hint("shuffle_hash").join(e, col("node") === col("src"))
-          .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
-          .localCheckpoint(false)
-        val amax = araw.agg(max(col("raw")).as("mx"))
-        a = araw.crossJoin(broadcast(amax))
-          .select(col("dst").as("node"),
-            expr(s"(cast(raw as decimal(38,0)) * $Scale) div mx").as("a"))
-        val hraw = a.hint("shuffle_hash")
-          .join(e.select(col("src"), col("dst").as("node")), "node")
-          .groupBy(col("src")).agg(sum(col("a")).as("raw"))
-          .localCheckpoint(false)
-        val hmax = hraw.agg(max(col("raw")).as("mx"))
-        h = hraw.crossJoin(broadcast(hmax))
-          .select(col("src").as("node"),
-            expr(s"(cast(raw as decimal(38,0)) * $Scale) div mx").as("h"))
-      }
-      val topAuth = a.orderBy(col("a").desc, col("node"))
-        .limit(HitsTopN)
-        .select(col("node").as("node_id"), lit("authority").as("role"),
-          col("a").as("score"))
-      val topHub = h.orderBy(col("h").desc, col("node"))
-        .limit(HitsTopN)
-        .select(col("node").as("node_id"), lit("hub").as("role"),
-          col("h").as("score"))
-      topAuth.unionByName(topHub)
-    }),
+    "q208_hits" -> ((s, d) =>
+      hitsOn(edges(s, d).filter(col("src") % 2 === 0))), // c → s direction only
+
 
     // --- BFS k-hop reachability census --------------------------------------
     // From the smallest customer node, 3 unrolled relaxation steps

@@ -59,6 +59,15 @@ class GraphRankStream(spark: SparkSession) {
         .unionByName(p.select(col("sp").as("src"), col("c").as("dst"))))
   }
 
+  /** Top hubs & authorities over every edge absorbed so far —
+    * bit-identical to batch q208 run over the same pair set (HITS wants
+    * the DIRECTED customer→supplier orientation, which is exactly the
+    * pair table itself). */
+  def hits: DataFrame = {
+    val p = pairTable
+    Graph.hitsOn(p.select(col("c").as("src"), col("sp").as("dst")))
+  }
+
   /** Attach to a streaming (o_custkey, l_suppkey) frame. */
   def attach(pairs: DataFrame): StreamingQuery =
     pairs.writeStream

@@ -50,12 +50,17 @@ class StreamingGraphSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
         assert(got == expected)
       }
-      // after full replay: bit-identical to the committed batch q201
+      // after full replay: bit-identical to the committed batch q201/q208
       val batch = Graph.queries("q201_bipartite_pagerank")(s, sfDir).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
       val fin = grs.ranks.collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
       assert(fin == batch)
+      val batchHits = Graph.queries("q208_hits")(s, sfDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val finHits = grs.hits.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(finHits == batchHits)
     } finally { q.stop(); grs.close() }
   }
 }
