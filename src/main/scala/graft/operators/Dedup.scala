@@ -258,7 +258,18 @@ object Dedup {
             "(component diameter exceeds the cap); raise maxIters or switch " +
             "the propagation step to large-star/small-star")
       None
-    } else Some(labels.select(col("id").as("doc_id"), col("lbl").as("component")))
+    } else {
+      // Re-checkpoint AFTER the rename so the returned frame is rooted at
+      // its own LogicalRDD — FrameBlocks.release is deliberately shallow,
+      // and callers that retire superseded label tables (LineageStream)
+      // must be able to free this frame's storage directly. Returning the
+      // Project over the loop checkpoint would pin that checkpoint forever.
+      val out = labels
+        .select(col("id").as("doc_id"), col("lbl").as("component"))
+        .localCheckpoint(true)
+      graft.FrameBlocks.release(labels)
+      Some(out)
+    }
   }
 
   /** Alternating large-star/small-star CC (Kiveris et al. §3, two-phase):

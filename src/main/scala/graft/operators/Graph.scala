@@ -100,14 +100,22 @@ object Graph {
       var h = e.select(col("src").as("node")).distinct()
         .select(col("node"), lit(Scale).as("h"))
       var a: DataFrame = null
+      // Round discipline (the CC-loop rule): each sweep's RAW aggregate is
+      // eagerly checkpointed — both its consumers (the broadcast max and
+      // the rescale) read one materialized node-sized frame instead of
+      // re-running the edge join — and the PREVIOUS round's checkpoints
+      // are released as soon as the frame that supersedes them
+      // materializes. Without the release, every hitsOn call (one per
+      // micro-batch in GraphRankStream.hits) pinned 2×HitsIters node-sized
+      // RDDs until session end.
+      var prevARaw: DataFrame = null
+      var prevHRaw: DataFrame = null
       (1 to HitsIters).foreach { _ =>
-        // the RAW sweep aggregate is what gets checkpointed: both its
-        // consumers (the broadcast max and the rescale) then read one
-        // materialized node-sized frame instead of re-running the edge
-        // join; the rescale itself is a narrow projection, not worth a cut
         val araw = h.hint("shuffle_hash").join(e, col("node") === col("src"))
           .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
+        // araw materialized ⇒ h (rooted at the previous hraw) is dead
+        if (prevHRaw ne null) graft.FrameBlocks.release(prevHRaw)
         val amax = araw.agg(max(col("raw")).as("mx"))
         a = araw.crossJoin(broadcast(amax))
           .select(col("dst").as("node"),
@@ -115,11 +123,16 @@ object Graph {
         val hraw = a.hint("shuffle_hash")
           .join(e.select(col("src"), col("dst").as("node")), "node")
           .groupBy(col("src")).agg(sum(col("a")).as("raw"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
+        // hraw materialized ⇒ the previous round's araw is dead (the
+        // current araw still backs `a`, read by the final top-N)
+        if (prevARaw ne null) graft.FrameBlocks.release(prevARaw)
         val hmax = hraw.agg(max(col("raw")).as("mx"))
         h = hraw.crossJoin(broadcast(hmax))
           .select(col("src").as("node"),
             expr(s"(cast(raw as decimal(38,0)) * $Scale) div mx").as("h"))
+        prevARaw = araw
+        prevHRaw = hraw
       }
       val topAuth = a.orderBy(col("a").desc, col("node"))
         .limit(HitsTopN)
@@ -129,7 +142,14 @@ object Graph {
         .limit(HitsTopN)
         .select(col("node").as("node_id"), lit("hub").as("role"),
           col("h").as("score"))
-      topAuth.unionByName(topHub)
+      // Materialize the (≤ 2·HitsTopN row) answer as its OWN checkpoint so
+      // the final round's node-sized frames release too; the returned
+      // frame is LogicalRDD-rooted, so stream callers can retire it
+      // through FrameBlocks like any other.
+      val out = topAuth.unionByName(topHub).localCheckpoint(true)
+      graft.FrameBlocks.release(prevARaw)
+      graft.FrameBlocks.release(prevHRaw)
+      out
       }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -656,7 +656,7 @@ object StatefulOps {
   }
 
   case class RetEvent(user_id: Long, day: Long) // day = epoch days (UTC)
-  case class RetState(cohortDay: Long, offsets: Set[Long])
+  case class RetState(cohortDay: Option[Long], offsets: Set[Long])
   case class RetRow(user_id: Long, cohort_day: Long, offset_weeks: Long)
 
   /** Streaming twin of q79's weekly cohort retention: per-user state is
@@ -669,23 +669,31 @@ object StatefulOps {
     * q79 on ts-ordered replay; within a batch days are sorted first, so
     * batch boundaries cannot reorder a user's first week). Week
     * truncation is the arithmetic form of date_trunc('week'):
-    * day − ((day + 3) mod 7), Monday-aligned from the Thursday epoch. */
+    * day − ((day + 3) floorMod 7), Monday-aligned from the Thursday
+    * epoch — floorMod, not %, so pre-1970 days (negative epoch-days)
+    * truncate to the correct Monday instead of mis-aligning by a week.
+    * The uninitialized state is Option[Long] = None, NOT a negative
+    * sentinel: legitimate cohort Mondays at or before 1970-01-04 are
+    * negative (weekStart(0) = −3), and a `< 0` test would re-initialize
+    * such a user's cohort every batch, breaking the append-log
+    * uniqueness contract. */
   def retentionStream(events: Dataset[RetEvent]): Dataset[RetRow] = {
     import events.sparkSession.implicits._
-    def weekStart(day: Long): Long = day - ((day + 3) % 7)
+    def weekStart(day: Long): Long = day - Math.floorMod(day + 3, 7)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[RetState, RetRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, batch, state) =>
-          var s = state.getOption.getOrElse(RetState(-1L, Set.empty))
+          var s = state.getOption.getOrElse(RetState(None, Set.empty))
           val out = scala.collection.mutable.ArrayBuffer.empty[RetRow]
           batch.map(_.day).toSeq.sorted.foreach { day =>
             val wk = weekStart(day)
-            if (s.cohortDay < 0) s = RetState(wk, Set.empty)
-            val off = (wk - s.cohortDay) / 7
+            if (s.cohortDay.isEmpty) s = RetState(Some(wk), Set.empty)
+            val cohort = s.cohortDay.get
+            val off = (wk - cohort) / 7
             if (!s.offsets.contains(off)) {
               s = s.copy(offsets = s.offsets + off)
-              out += RetRow(uid, s.cohortDay, off)
+              out += RetRow(uid, cohort, off)
             }
           }
           state.update(s)

@@ -51,4 +51,41 @@ class RetiredFramesSpec extends SparkSpec {
     // released frames are genuinely invalid, not lazily recomputable
     intercept[Exception] { g4.count() }
   }
+
+  test("updateLabels returns a checkpoint-rooted frame that release can free") {
+    // the LineageStream retirement path: the label table IS the stream's
+    // accumulating state, so connectedComponents (and updateLabels on top
+    // of it) must hand back a frame whose root is its own LogicalRDD —
+    // a Project-rooted return would pin the loop's checkpoint forever
+    // because FrameBlocks.release is deliberately shallow.
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "component")
+    val pairs = Seq((2L, 3L), (10L, 11L)).toDF("i", "j")
+    val updated = graft.operators.Dedup.updateLabels(labels, pairs)
+    val id = rddId(updated) // fails loudly if the root is not a LogicalRDD
+    assert(registered(id))
+    // correctness first: the bridge 2–3 merges 3 into component 1
+    val got = updated.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) == 1L && got(11L) == 10L)
+    graft.FrameBlocks.release(updated)
+    assert(!registered(id))
+  }
+
+  test("hitsOn leaves no per-call node-sized checkpoints pinned") {
+    // GraphRankStream.hits runs hitsOn once per consumer pull; before the
+    // round-release discipline each call pinned 2×HitsIters node-sized
+    // RDDs until session end. Now the only surviving registration is the
+    // (≤ 2·topN row) result frame itself, which is checkpoint-rooted so
+    // the caller can retire it like any other.
+    val e = Seq((0L, 1L), (0L, 3L), (2L, 1L)).toDF("src", "dst")
+      .localCheckpoint(true)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = graft.operators.Graph.hitsOn(e)
+    assert(out.count() > 0)
+    val outId = rddId(out)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before - outId
+    assert(leaked.isEmpty, s"hitsOn pinned extra checkpoint RDDs: $leaked")
+    graft.FrameBlocks.release(out)
+    assert(!registered(outId))
+    graft.FrameBlocks.release(e)
+  }
 }

@@ -55,4 +55,28 @@ class StreamingRetentionSpec extends SparkSpec {
       assert(census == batch)
     } finally q.stop()
   }
+
+  test("pre-1970 cohorts keep one stable Monday-aligned cohort across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // 1969-12-27 is a Saturday: epoch-day −5, whose Monday is −10
+    // (1969-12-22). Under the old negative-sentinel state every batch
+    // re-initialized the cohort (cohortDay < 0 always true) and the signed
+    // `%` mis-aligned the week to Wednesday; this pins the fixed contract:
+    // ONE cohort, Monday-aligned, no duplicate (user, offset) rows.
+    val in = MemoryStream[RetEvent]
+    val q = retentionStream(in.toDS()).writeStream
+      .format("memory").queryName("retention_pre1970")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(RetEvent(7L, -5L)); q.processAllAvailable()  // Sat 1969-12-27
+      in.addData(RetEvent(7L, -3L)); q.processAllAvailable()  // Mon 1969-12-29
+      in.addData(RetEvent(7L, 4L));  q.processAllAvailable()  // Mon 1970-01-05
+      val rows = spark.table("retention_pre1970").as[RetRow].collect().sortBy(_.offset_weeks)
+      assert(rows.forall(_.cohort_day == -10L),
+        s"cohort must stay pinned to Monday 1969-12-22 (−10): ${rows.toSeq}")
+      assert(rows.map(_.offset_weeks).toSeq == Seq(0L, 1L, 2L), rows.toSeq)
+      assert(rows.map(r => (r.user_id, r.offset_weeks)).distinct.length == rows.length)
+    } finally q.stop()
+  }
 }
