@@ -14,6 +14,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.muteExpectedWarnings() // setLogLevel re-applies root config; re-mute after it
     // Warm-up: run every query once at the smallest SF. Generated code is
     // identical across SF dirs (only file paths differ), so this JIT-compiles
     // and janino-caches each plan's codegen classes for ~free; the timed run

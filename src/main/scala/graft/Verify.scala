@@ -14,6 +14,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.muteExpectedWarnings() // setLogLevel re-applies root config; re-mute after it
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
