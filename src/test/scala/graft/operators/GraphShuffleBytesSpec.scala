@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Measured proof of SCALE.md's graph-tier claim (the ShuffleBytesSpec
+  * discipline applied to q201/q208/q202): each iteration moves EDGE-SIZED
+  * volume — never edge×degree, never quadratic in nodes — and every
+  * shuffled row is a constant-width numeric tuple (ids + int64/decimal
+  * partials; no strings, no adjacency lists). A stage-metrics listener
+  * totals real shuffle-write bytes/records with broadcast joins DISABLED,
+  * so the node-sized sides shuffle exactly as they would on a
+  * 1000-executor cluster; the checkpointed edge list is materialized
+  * BEFORE the tally so the one-time input spread (orders⋈lineitem →
+  * repartition by src) is excluded, matching how a production deployment
+  * amortizes the edge build across every downstream fixpoint. */
+class GraphShuffleBytesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private class ShuffleTally extends SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        ()
+      }
+    }
+  }
+
+  private def measure(work: => Unit): (Long, Long) = {
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      work
+      var last = -1L
+      var spins = 0
+      while (tally.bytes.get() != last && spins < 50) {
+        last = tally.bytes.get(); spins += 1; Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(tally)
+    (tally.bytes.get(), tally.records.get())
+  }
+
+  private def noBroadcast[A](work: => A): A = {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try work
+    finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  // materialized once, outside every tally (the amortized input spread)
+  private lazy val e = { val f = Graph.edges(spark, dir); f.count(); f }
+  private lazy val nEdges = e.count()
+  private lazy val nNodes = e.select(col("src")).distinct().count()
+
+  test("q201 PageRank: per-iteration shuffle volume is edge-sized (measured)") {
+    val (bytes, records) = noBroadcast(measure {
+      assert(Graph.pagerankOn(e).collect().length == Graph.PrTopN)
+    })
+    info(f"pagerank shuffled ${bytes}%,d B / ${records}%,d records " +
+      f"(${bytes.toDouble / records}%.1f B/rec; $nEdges edges, $nNodes nodes, " +
+      f"${Graph.PrIters} iters)")
+    // Row bound: per iteration the contribution join moves ≤ |E| join
+    // outputs + |V| rank rows + agg partials (map-side pre-combined),
+    // plus the one-time degree/teleport scaffolding — measured ~1.1 rows
+    // per edge per iteration; bound at 1.5. An edge×degree (neighborhood
+    // materialization) formulation would blow through this by the
+    // average-degree factor (~60 on this graph).
+    assert(records <= (Graph.PrIters + 1).toLong * 3L * nEdges / 2L,
+      s"pagerank shuffled $records records for $nEdges edges — " +
+        "per-iteration volume is no longer edge-sized")
+    // Width bound: (node id, int64 partial) tuples, compressed — no
+    // strings, no vectors, no adjacency lists ride the exchanges.
+    assert(bytes / records <= 32,
+      s"${bytes / records} B/record — graph shuffle rows outgrew numeric tuples")
+  }
+
+  test("q208 HITS: per-sweep shuffle volume is edge-sized (measured)") {
+    val de = e.filter(col("src") % 2 === 0) // customer→supplier direction
+    val nDirected = de.count()
+    val (bytes, records) = noBroadcast(measure {
+      assert(Graph.hitsOn(de).collect().length == 2 * Graph.HitsTopN)
+    })
+    info(f"hits shuffled ${bytes}%,d B / ${records}%,d records " +
+      f"(${bytes.toDouble / records}%.1f B/rec; $nDirected directed edges, " +
+      f"${Graph.HitsIters} rounds)")
+    // 2 sweeps per round, each ≤ |E| join outputs + node-sized raw/agg
+    // partials; the DECIMAL(38) rescale rows are node-sized. Measured
+    // ~1.03 rows per edge per sweep; bound at 1.5.
+    assert(records <= Graph.HitsIters.toLong * 3L * nDirected,
+      s"hits shuffled $records records for $nDirected directed edges")
+    assert(bytes / records <= 32,
+      s"${bytes / records} B/record — HITS shuffle rows outgrew numeric tuples")
+  }
+
+  test("q202 BFS: per-hop shuffle volume is bounded by reached edges (measured)") {
+    val (bytes, records) = noBroadcast(measure {
+      assert(Graph.queries("q202_bfs_khop")(spark, dir).collect().nonEmpty)
+    })
+    info(f"bfs shuffled ${bytes}%,d B / ${records}%,d records " +
+      f"(${bytes.toDouble / records}%.1f B/rec; $nEdges edges, ${Graph.BfsHops} hops)")
+    // Each hop: frontier rows (≤ |V|) + expansion join outputs (≤ |E|) +
+    // min-agg partials (≤ |V| pre-combined). The census tail is
+    // hop-count-sized.
+    assert(records <= Graph.BfsHops.toLong * (nEdges + 2L * nNodes) * 3L / 2L,
+      s"bfs shuffled $records records for $nEdges edges")
+    assert(bytes / records <= 32,
+      s"${bytes / records} B/record — BFS shuffle rows outgrew numeric tuples")
+  }
+}
