@@ -221,13 +221,27 @@ object Curation {
   }
 
   /** The frozen words for [[bloomScan]]: the benchmark slice's distinct
-    * n-grams folded through the same `BloomAggregate` the q71 query uses. */
-  def trainBloom(docs: DataFrame, benchSource: String, n: Int): Array[Long] =
-    docs.filter(col("source") === benchSource)
-      .select(explode(array_distinct(shingles(toks(col("text")), n))).as("gram"))
-      .agg(udaf(Sketches.BloomAggregate, org.apache.spark.sql.Encoders.STRING)(
-        col("gram")).as("words"))
-      .collect()(0).getSeq[Long](0).toArray
+    * n-grams folded through the same `BloomAggregate` the q71 query uses.
+    * Store-backed ([[graft.ModelStore]]): the deployment story for this
+    * variant is precisely "train the suite filter once at train-cutoff
+    * time, serve it for every later ingest", so the words persist
+    * content-addressed on (benchmark-slice digest, n, filter geometry)
+    * and a new session reloads the identical bits instead of re-folding
+    * the slice. The fold is order-independent (bitwise OR), so retrain
+    * and reload agree exactly (ModelStoreSpec pins the INT64 transport). */
+  def trainBloom(docs: DataFrame, benchSource: String, n: Int): Array[Long] = {
+    val slice = docs.filter(col("source") === benchSource)
+    graft.ModelStore.rowsToLongs(
+      graft.ModelStore.getOrTrain(docs.sparkSession, "bloom_words",
+        graft.ModelStore.digestOf(slice, Seq("doc_id", "text")),
+        s"n=$n,bits=${Sketches.BloomBits},hashes=${Sketches.BloomHashes}")(
+        graft.ModelStore.longsToRows(
+          slice
+            .select(explode(array_distinct(shingles(toks(col("text")), n))).as("gram"))
+            .agg(udaf(Sketches.BloomAggregate, org.apache.spark.sql.Encoders.STRING)(
+              col("gram")).as("words"))
+            .collect()(0).getSeq[Long](0).toArray)))
+  }
 
   /** Deterministic k-per-stratum sample of a (<strata>, doc_id) frame.
     * Sample identity is a pure function of doc_id (md5 order): reproducible

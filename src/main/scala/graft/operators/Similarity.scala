@@ -33,7 +33,7 @@ object Similarity {
   /** Embeddings widened to double with the L2 norm precomputed once per
     * vector (pair scoring then divides by the two cached norms — same
     * arithmetic, same bits as computing norms inside the pair). */
-  private def embs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.load(s, d, "embeddings")
       .repartition(TextFns.cpuPartitions, col("vec_id")) // spread the per-pair dot products across cores
@@ -754,7 +754,15 @@ object Similarity {
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]
   def trainPqCodebooks(e: DataFrame, key: String): Array[Array[Array[Double]]] =
-    pqCache.computeIfAbsent(key, _ => lloydSubspaceCodebooks(pqTrainSample(e)))
+    pqCache.computeIfAbsent(key, _ =>
+      // per-JVM memo stays (saves the repeated digest scan inside a
+      // session); the store behind it makes the artifact survive the JVM
+      graft.ModelStore.rowsToCodebooks(
+        graft.ModelStore.getOrTrain(e.sparkSession, "pq_codebook",
+          graft.ModelStore.digestOf(e, Seq("vec_id", "v")),
+          s"M=$PqM,K=$PqK,n=$PqSample")(
+          graft.ModelStore.codebooksToRows(
+            lloydSubspaceCodebooks(pqTrainSample(e))))))
 
   /** The shared PQ training sample: `PqSample` vectors in fixed md5(vec_id)
     * order (deterministic, value-unbiased, a TakeOrdered — no global sort),
@@ -1014,15 +1022,20 @@ object Similarity {
     * oracle (training only shapes codebook QUALITY — the oracle rechecks
     * encode/search under the exported tables, whatever they contain). */
   def trainResidualCodebooks(e: DataFrame, key: String): Array[Array[Array[Double]]] =
-    pqResCache.computeIfAbsent(key, _ => {
-      val cents = trainCentroidArrays(e)
-      val byId = cents.toMap
-      val residuals = pqTrainSample(e).map { v =>
-        val c = byId(nearest(cents, v))
-        Array.tabulate(v.length)(i => v(i) - c(i))
-      }
-      lloydSubspaceCodebooks(residuals)
-    })
+    pqResCache.computeIfAbsent(key, _ =>
+      graft.ModelStore.rowsToCodebooks(
+        graft.ModelStore.getOrTrain(e.sparkSession, "pq_residual",
+          graft.ModelStore.digestOf(e, Seq("vec_id", "v")),
+          s"M=$PqM,K=$PqK,n=$PqSample,cents=8x5")(
+          graft.ModelStore.codebooksToRows {
+            val cents = trainCentroidArrays(e)
+            val byId = cents.toMap
+            val residuals = pqTrainSample(e).map { v =>
+              val c = byId(nearest(cents, v))
+              Array.tabulate(v.length)(i => v(i) - c(i))
+            }
+            lloydSubspaceCodebooks(residuals)
+          })))
 
   // ---------------- learned OPQ rotation (q138) ----------------------------
 
@@ -1059,6 +1072,19 @@ object Similarity {
   def trainOpqModel(e: DataFrame, key: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) =
     opqCache.computeIfAbsent(key, _ => {
+      val rows = graft.ModelStore.getOrTrain(e.sparkSession, "opq",
+        graft.ModelStore.digestOf(e, Seq("vec_id", "v")),
+        s"iters=$OpqIters,M=$PqM,K=$PqK,n=$PqSample") {
+        val (rot, cb) = trainOpqModelUncached(e)
+        graft.ModelStore.matrixToRows(rot) ++
+          graft.ModelStore.codebooksToRows(cb)
+      }
+      (graft.ModelStore.rowsToMatrix(rows),
+        graft.ModelStore.rowsToCodebooks(rows))
+    })
+
+  private def trainOpqModelUncached(e: DataFrame)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
       val sample = pqTrainSample(e)
       val n = EmbDim
       def matVec(r: Array[Array[Double]], v: Array[Double]): Array[Double] =
@@ -1138,7 +1164,7 @@ object Similarity {
         }
       }
       (rot, cb)
-    })
+    }
 
   /** Deterministic one-sided Jacobi SVD of a square matrix: returns (U, V)
     * with M = U·S·Vᵀ (S implicit in the column norms consumed away by the
@@ -1328,9 +1354,25 @@ object Similarity {
   /** Driver-side form of [[trainCentroids]] — the learned (cid, centroid)
     * arrays, for consumers that need the model IN driver memory (residual
     * codebook training subtracts each sample vector's centroid before
-    * Lloyd's). Same bit-deterministic training run. */
+    * Lloyd's). Same bit-deterministic training run.
+    *
+    * Store-backed: the artifact is content-addressed on (corpus digest,
+    * nLists, iters) in [[graft.ModelStore]], so a NEW session reloads the
+    * persisted centroids instead of retraining — at 100 TB the trained
+    * index artifacts are the deliverable, not a per-JVM cache entry.
+    * Training is bit-deterministic and parquet round-trips the doubles
+    * exactly, so reload == retrain bit for bit (ModelStoreSpec). */
   private def trainCentroidArrays(e: DataFrame, nLists: Int = 8,
-                                  iters: Int = 5): Array[(Long, Array[Double])] = {
+                                  iters: Int = 5): Array[(Long, Array[Double])] =
+    graft.ModelStore.rowsToCentroids(
+      graft.ModelStore.getOrTrain(e.sparkSession, "ivf_centroids",
+        graft.ModelStore.digestOf(e, Seq("vec_id", "v")),
+        s"lists=$nLists,iters=$iters")(
+        graft.ModelStore.centroidsToRows(
+          trainCentroidArraysUncached(e, nLists, iters))))
+
+  private def trainCentroidArraysUncached(e: DataFrame, nLists: Int,
+                                          iters: Int): Array[(Long, Array[Double])] = {
     graft.functions.GraftFunctions.register(e.sparkSession)
 
     // Training sample: k-means for a coarse quantizer is trained on a

@@ -211,21 +211,62 @@ object TextAnalysis {
         .agg(count(lit(1)).as("cnt"))
         .localCheckpoint(false))
 
-  /** (top pair per round 1..R, seq frames for stages 0..R), memoized. */
+  /** Spec hook: drop the session's memoized ladder so a re-run exercises
+    * the store-replay path (simulating a new session on a warm store). */
+  private[graft] def evictBpeCache(s: SparkSession): Unit = bpeCache.evict(s)
+
+  /** (top pair per round 1..R, seq frames for stages 0..R), memoized.
+    *
+    * Store-backed ([[graft.ModelStore]]): the merge table IS the trained
+    * tokenizer — at 100 TB it is the artifact a training run ships — so
+    * it persists content-addressed on (corpus digest, round count). A
+    * session that finds the artifact REPLAYS the ladder (R cheap
+    * bpeApply stages — encoding the corpus under the loaded tokenizer,
+    * exactly what deployment does) and skips the R pair-count + argmax
+    * discovery rounds entirely; a cold store trains once and records
+    * the merges it found. Both paths apply identical merge values to
+    * identical stage-0 frames, so the resulting ladder is the same
+    * frame-for-frame (ModelStoreSpec pins q178 across the two paths). */
   private def bpeLadder(s: SparkSession, d: String)
       : (Seq[DataFrame], Seq[DataFrame]) =
     bpeCache.getOrCompute(s, d) {
-      var cur = bpeSeq0(s, d).localCheckpoint(false)
-      val tops = Seq.newBuilder[DataFrame]
-      val seqs = Seq.newBuilder[DataFrame]
-      seqs += cur
-      (1 to BpeMergeRounds).foreach { _ =>
-        val top = bpeTop(bpePairCounts(cur)).localCheckpoint(false)
-        tops += top
-        cur = bpeApply(cur, top).localCheckpoint(false)
-        seqs += cur
+      import s.implicits._
+      def localTop(m: (Long, String, String, Long)): DataFrame =
+        Seq((m._2, m._3, m._4)).toDF("l", "r", "cnt")
+      val digest = graft.ModelStore.digestOf(
+        t(s, d).select(col("doc_id"), col("text")), Seq("doc_id", "text"))
+      val hyper = s"rounds=$BpeMergeRounds"
+      graft.ModelStore.lookupKv(s, "bpe_merges", digest, hyper) match {
+        case Some(merges) =>
+          var cur = bpeSeq0(s, d).localCheckpoint(false)
+          val seqs = Seq.newBuilder[DataFrame]
+          seqs += cur
+          val tops = merges.sortBy(_._1).map { m =>
+            val top = localTop(m)
+            cur = bpeApply(cur, top).localCheckpoint(false)
+            seqs += cur
+            top
+          }
+          (tops, seqs.result())
+        case None =>
+          graft.ModelStore.trains.incrementAndGet()
+          var cur = bpeSeq0(s, d).localCheckpoint(false)
+          val tops = Seq.newBuilder[DataFrame]
+          val seqs = Seq.newBuilder[DataFrame]
+          val merges = Seq.newBuilder[(Long, String, String, Long)]
+          seqs += cur
+          (1 to BpeMergeRounds).foreach { i =>
+            val top = bpeTop(bpePairCounts(cur)).localCheckpoint(false)
+            val r = top.collect()(0)
+            merges += ((i.toLong, r.getAs[String]("l"), r.getAs[String]("r"),
+              r.getAs[Long]("cnt")))
+            tops += top
+            cur = bpeApply(cur, top).localCheckpoint(false)
+            seqs += cur
+          }
+          graft.ModelStore.putKv(s, "bpe_merges", digest, hyper, merges.result())
+          (tops.result(), seqs.result())
       }
-      (tops.result(), seqs.result())
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
