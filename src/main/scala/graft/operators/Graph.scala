@@ -70,18 +70,23 @@ object Graph {
     * run the IDENTICAL plan against its incrementally-maintained edge
     * table. Deterministic for any edge frame: integer arithmetic end to
     * end, full tie-break on the top-N. */
-  private[graft] def pagerankOn(e: DataFrame): DataFrame = {
+  /** `hinted=false` drops the shuffle_hash pins so AQE plans the joins
+    * (AqeGraphSkewSpec runs the planted-hub workload through both tiers
+    * and proves identical bits — the integer fixpoint is plan-independent
+    * by construction, which is exactly what makes the comparison valid). */
+  private[graft] def pagerankOn(e: DataFrame, hinted: Boolean = true): DataFrame = {
+    def h(df: DataFrame): DataFrame = if (hinted) df.hint("shuffle_hash") else df
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     var r = deg.crossJoin(broadcast(nn))
       .select(col("src").as("node"), col("deg"),
         expr(s"$Scale div n_nodes").as("r"))
     (1 to PrIters).foreach { _ =>
-      val contrib = r.hint("shuffle_hash").join(e, col("node") === col("src"))
+      val contrib = h(r).join(e, col("node") === col("src"))
         .select(col("dst"), expr("r div deg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("cin"))
       r = deg.crossJoin(broadcast(nn))
-        .join(contrib.hint("shuffle_hash"), col("src") === col("dst"))
+        .join(h(contrib), col("src") === col("dst"))
         .select(col("src").as("node"), col("deg"),
           expr(s"((15 * ($Scale div n_nodes)) div 100) + (85 * cin) div 100")
             .as("r"))
