@@ -60,8 +60,9 @@ object Bench {
     // subtract from (i.e. "speed up") the aggregate
     val total = results.values.filter(_ >= 0).sum
     val streamingJson = streamingBench(spark)
+    val httpJson = httpSourceBench(spark)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"streaming":$streamingJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"streaming":[$streamingJson,$httpJson],"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout, and any line that embeds
     // a per-query map (~4 KB at 100+ queries) has twice been long enough to
     // get head-truncated out of the artifact. Persist the full JSON to a
@@ -166,6 +167,95 @@ object Bench {
       case e: Throwable =>
         val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ")
         s"""{"pipeline":"example1_min_temperature","err":"$msg"}"""
+    }
+  }
+
+  /** End-to-end throughput through the REAL HTTP push source — the
+    * reference's operating mode (`Example1.scala:17` listens for Orion
+    * notifications): an in-process multi-threaded load generator POSTs
+    * real HTTP notifications at `NgsiHttpSource`, and the measured leg is
+    * accept → parse → flatten → sliding-window min → noop sink. Reported
+    * next to the MemoryStream figure so the artifact separates pipeline
+    * cost (memory leg) from ingest cost (this leg); the elapsed clock
+    * covers first POST to fully-drained sink. Same per-job knobs as the
+    * memory leg (small stateful shuffle, no-data batches off). */
+  private[graft] def httpSourceBench(spark: SparkSession,
+                                     total: Int = 10000,
+                                     threads: Int = 8,
+                                     partitions: String = "2"): String = {
+    try {
+      val port = {
+        val ss = new java.net.ServerSocket(0)
+        try ss.getLocalPort finally ss.close()
+      }
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val savedNoData = spark.conf
+        .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", partitions)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        val agg = graft.streaming.NgsiStreams.minTemperatureStream(
+          graft.streaming.NgsiStreams.fromHttp(spark, port))
+        q = agg.writeStream
+          .format("noop")
+          .outputMode("update")
+          .start()
+        // wait for the listener to accept
+        var up = false
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (!up && System.nanoTime() < deadline) {
+          try {
+            val s = new java.net.Socket("127.0.0.1", port); s.close(); up = true
+          } catch { case _: Throwable => Thread.sleep(50) }
+        }
+        require(up, s"ngsi-http listener never came up on $port")
+        val bodies = (0 until 200).map { i =>
+          s"""{"subscriptionId":"bench","data":[{"id":"R${i % 50}","type":"Room","temperature":{"type":"Float","value":${20.0 + (i % 15)},"metadata":{}}}]}"""
+        }
+        val per = total / threads
+        val failures = new java.util.concurrent.atomic.AtomicLong(0L)
+        val t0 = System.nanoTime()
+        val ts = (0 until threads).map { _ =>
+          val th = new Thread(() => {
+            val client = java.net.http.HttpClient.newHttpClient()
+            var i = 0
+            while (i < per) {
+              val req = java.net.http.HttpRequest
+                .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port/notify"))
+                .POST(java.net.http.HttpRequest.BodyPublishers
+                  .ofString(bodies(i % bodies.length)))
+                .header("Fiware-Service", "bench")
+                .header("Fiware-ServicePath", "/bench")
+                .build()
+              val code = client.send(req,
+                java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+              if (code != 200) { failures.incrementAndGet(); () }
+              i += 1
+            }
+          })
+          th.start(); th
+        }
+        ts.foreach(_.join())
+        val postSec = (System.nanoTime() - t0) / 1e9
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = threads.toLong * per - failures.get()
+        s"""{"pipeline":"http_source_min_temperature","notifications":$n,"post_failures":${failures.get()},"post_sec":$postSec,"elapsed_sec":$sec,"notifications_per_sec":${n / sec}}"""
+      } finally {
+        if (q != null) { try { q.stop() } catch { case _: Throwable => () } }
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+        savedNoData match {
+          case Some(v) => spark.conf
+            .set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+          case None => spark.conf
+            .unset("spark.sql.streaming.noDataMicroBatches.enabled")
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ")
+        s"""{"pipeline":"http_source_min_temperature","err":"$msg"}"""
     }
   }
 }

@@ -738,8 +738,65 @@ object Curation {
           length(norm).cast("long").as("norm_len"),
           md5(norm).as("norm_fp"),
           substring(norm, 1, 10).as("norm_head"))
+    }),
+
+    // --- Deterministic epoch shuffle (training-order assignment) ----------
+    // A trainer consumes the corpus in a shuffled order per epoch, sharded
+    // so each worker streams one shard sequentially. Order is a pure
+    // function of (epoch salt, doc_id) — reproducible across runs,
+    // engines, and partitionings, and STABLE under corpus growth (a new
+    // doc lands somewhere without reshuffling everything, the q58 sample
+    // discipline applied to ordering). Shard COUNT derives from corpus
+    // size (broadcast 1-row count; [[EpochShardDocs]] docs per shard), so
+    // per-shard work is bounded at any corpus size: the per-shard
+    // position is a window over ~[[EpochShardDocs]] rows — partition
+    // count grows with the corpus, never partition size (the q66 packing
+    // rule). At 100 TB this materializes exactly what a data-loader
+    // needs: (doc -> shard, position) with no global sort anywhere.
+    "q204_epoch_shuffle" -> ((s, d) => {
+      val docs = t(s, d).select(col("doc_id"),
+        expr(s"md5(concat('$EpochSalt', cast(doc_id as string)))").as("h"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("h"),
+          expr(s"cast(conv(substring(h, 1, 12), 16, 10) as bigint) % " +
+            s"((n + ${EpochShardDocs - 1}) div $EpochShardDocs)").as("shard"))
+        .select(col("doc_id"), col("shard"),
+          row_number().over(Window.partitionBy(col("shard"))
+            .orderBy(col("h"), col("doc_id"))).cast("long").as("pos"))
+    }),
+
+    // --- Shard balance audit ----------------------------------------------
+    // The dual check a sharded epoch needs: does the hash sharding balance
+    // BYTES (not just doc counts)? Per shard: docs, total chars, and the
+    // exact integer imbalance |total_chars·n_shards − grand_total| — the
+    // deviation from perfect balance over the common denominator n_shards,
+    // comparable across shards without a float division. Histogram-sized
+    // after one scan (shards × 3 numbers); the grand totals ride on a
+    // broadcast 1-row aggregate.
+    "q205_shard_balance" -> ((s, d) => {
+      val docs = t(s, d).select(col("doc_id"), col("n_chars"),
+        expr(s"md5(concat('$EpochSalt', cast(doc_id as string)))").as("h"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val sharded = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n_chars"),
+          expr(s"cast(conv(substring(h, 1, 12), 16, 10) as bigint) % " +
+            s"((n + ${EpochShardDocs - 1}) div $EpochShardDocs)").as("shard"))
+      val per = sharded.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      val tot = per.agg(sum(col("total_chars")).as("grand_chars"),
+        count(lit(1)).as("n_shards"))
+      per.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("total_chars"),
+          abs(col("total_chars") * col("n_shards") - col("grand_chars"))
+            .as("imbalance_num"))
     })
   )
+
+  /** Epoch-shuffle dials: the salt names the epoch (a new epoch = a new
+    * salt = an independent order); shard size bounds per-shard work. */
+  val EpochSalt = "ep1|"
+  val EpochShardDocs = 256
 
   private val oPiiText =
     """CASE WHEN doc_id % 3 = 0
@@ -1099,7 +1156,38 @@ object Curation {
             md5(nfc_normalize(raw)) AS norm_fp,
             substr(nfc_normalize(raw), 1, 10) AS norm_head
           FROM (SELECT doc_id, '$NonNfcPrefix' || substr(text, 1, 40) AS raw
-                FROM documents)"""
+                FROM documents)""",
+
+    "q204_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+                       md5(concat('$EpochSalt', CAST(doc_id AS VARCHAR))) AS h
+                     FROM documents),
+            ns AS (SELECT (count(*) + ${EpochShardDocs - 1}) // $EpochShardDocs AS k
+                   FROM documents)
+          SELECT doc_id, shard,
+            ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+          FROM (SELECT doc_id, h,
+                  CAST(concat('0x', substr(h, 1, 12)) AS BIGINT)
+                    % (SELECT k FROM ns) AS shard
+                FROM h)""",
+
+    "q205_shard_balance" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+                       md5(concat('$EpochSalt', CAST(doc_id AS VARCHAR))) AS h
+                     FROM documents),
+            ns AS (SELECT (count(*) + ${EpochShardDocs - 1}) // $EpochShardDocs AS k
+                   FROM documents),
+            per AS (SELECT CAST(concat('0x', substr(h, 1, 12)) AS BIGINT)
+                      % (SELECT k FROM ns) AS shard,
+                      count(*) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS total_chars
+                    FROM h GROUP BY 1),
+            tot AS (SELECT CAST(sum(total_chars) AS BIGINT) AS grand_chars,
+                      count(*) AS n_shards
+                    FROM per)
+          SELECT shard, n_docs, total_chars,
+            abs(total_chars * n_shards - grand_chars) AS imbalance_num
+          FROM per CROSS JOIN tot"""
   )
 
   private def oToksFrag: String = "string_split(text, ' ')"

@@ -224,8 +224,45 @@ object Graph {
           .groupBy(col("node")).agg(min(col("hops")).as("hops"))
       }
       dist.groupBy(col("hops")).agg(count(lit(1)).as("n_nodes"))
+    }),
+
+    // --- co-purchase supplier projection (df-bounded, top-K) ----------------
+    // The bipartite→unipartite projection every co-occurrence graph build
+    // needs (suppliers sharing customers here; docs sharing citations /
+    // terms sharing contexts at work). The naive projection explodes: a
+    // customer of degree d emits C(d,2) supplier pairs, so one hub
+    // customer yields a quadratic blowup — the same failure mode as
+    // popular shingles in containment dedup, and the same fix (the q78 df
+    // ceiling): only customers with ≤ [[CoDegCap]] suppliers generate
+    // pairs, bounding per-customer fanout at C(cap,2) rows REGARDLESS of
+    // corpus size, while hub customers (a shared boilerplate signal, not
+    // a similarity signal) are excluded by construction. One equi-join on
+    // customer over the capped list, one hash agg, and a fully tie-broken
+    // top-K — no window over the pair set.
+    "q210_copurchase_topk" -> ((s, d) => {
+      val cs = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val low = cs.join(
+        cs.groupBy(col("c")).agg(count(lit(1)).as("dg"))
+          .filter(col("dg") <= CoDegCap).select(col("c")),
+        Seq("c"))
+      low.select(col("c"), col("sp").as("s1"))
+        .join(low.select(col("c"), col("sp").as("s2")), Seq("c"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("s1"), col("s2")).limit(CoTopN)
     })
   )
+
+  /** Co-purchase projection dials: customer-degree ceiling (the df-ceiling
+    * discipline) and the fully-tie-broken result cut. */
+  val CoDegCap = 24
+  val CoTopN = 50
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles — the identical integer fixpoints, unrolled as CTEs.
@@ -305,6 +342,18 @@ object Graph {
            |d0 AS (SELECT seed AS node, CAST(0 AS BIGINT) AS hops FROM s)""".stripMargin +
         (1 to BfsHops).map(oBfsIter).mkString +
         s"""
-           |SELECT hops, COUNT(1) AS n_nodes FROM d$BfsHops GROUP BY 1""".stripMargin)
+           |SELECT hops, COUNT(1) AS n_nodes FROM d$BfsHops GROUP BY 1""".stripMargin),
+
+    "q210_copurchase_topk" ->
+      s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+            |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            |deg AS (SELECT c, count(*) AS dg FROM cs GROUP BY c),
+            |low AS (SELECT cs.c, cs.sp FROM cs JOIN deg USING (c)
+            |        WHERE dg <= $CoDegCap),
+            |p AS (SELECT a.sp AS s1, b.sp AS s2, count(*) AS n_shared
+            |      FROM low a JOIN low b ON a.c = b.c AND a.sp < b.sp
+            |      GROUP BY 1, 2)
+            |SELECT s1, s2, n_shared FROM p
+            |ORDER BY n_shared DESC, s1, s2 LIMIT $CoTopN""".stripMargin
   )
 }

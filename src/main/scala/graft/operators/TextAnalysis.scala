@@ -1192,6 +1192,37 @@ object TextAnalysis {
           "p90" -> "(90 * n + 99) div 100"))
         .select(col("lang"), col("n").as("total_tokens"),
           col("p25"), col("p50"), col("p75"), col("p90"))
+    }),
+
+    // --- Pairwise source drift: exact total-variation distance -------------
+    // The distribution-shift audit a mixture pipeline runs before reweighing
+    // sources: for every source pair, TVD between their language
+    // distributions — ½·Σ_lang |p_a − p_b| — kept EXACT by cross-multiplied
+    // integers: the numerator Σ|c_a·n_b − c_b·n_a| over the common
+    // denominator 2·n_a·n_b (emitted as a second column; consumers divide,
+    // engines never disagree on a float sum). Langs absent from one source
+    // contribute their full mass, via the (pairs × langs) grid — every
+    // frame past the one corpus scan is histogram-sized (sources × langs),
+    // so the whole audit is broadcast-joined dimension work at any corpus
+    // size. 0 ≤ num/den ≤ 1, 0 = identical mix, 1 = disjoint.
+    "q206_tvd_drift" -> ((s, d) => {
+      val cnt = t(s, d).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
+        .join(tot.select(col("source").as("sb"), col("n").as("nb")),
+          col("sa") < col("sb"))
+      val langs = cnt.select(col("lang")).distinct()
+      pairs.join(broadcast(langs))
+        .join(cnt.select(col("source").as("sa"), col("lang"),
+          col("c").as("ca")), Seq("sa", "lang"), "left")
+        .join(cnt.select(col("source").as("sb"), col("lang"),
+          col("c").as("cb")), Seq("sb", "lang"), "left")
+        .groupBy(col("sa"), col("sb"), col("na"), col("nb"))
+        .agg(sum(abs(coalesce(col("ca"), lit(0L)) * col("nb") -
+          coalesce(col("cb"), lit(0L)) * col("na"))).as("tvd_num"))
+        .select(col("sa"), col("sb"), col("tvd_num"),
+          (col("na") * col("nb") * 2).as("tvd_den"))
     })
   )
 
@@ -2061,6 +2092,25 @@ object TextAnalysis {
             MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN n_chars END) AS p50,
             MIN(CASE WHEN cum >= (75 * n + 99) // 100 THEN n_chars END) AS p75,
             MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN n_chars END) AS p90
-          FROM cum GROUP BY lang"""
+          FROM cum GROUP BY lang""",
+
+    "q206_tvd_drift" ->
+      s"""WITH cnt AS (SELECT source, lang, count(*) AS c
+            |           FROM documents GROUP BY 1, 2),
+            |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+            |        FROM cnt GROUP BY 1),
+            |pr AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+            |       FROM tot a JOIN tot b ON a.source < b.source),
+            |langs AS (SELECT DISTINCT lang FROM cnt),
+            |grid AS (SELECT pr.sa, pr.na, pr.sb, pr.nb, langs.lang
+            |         FROM pr CROSS JOIN langs)
+            |SELECT sa, sb,
+            |  CAST(sum(abs(coalesce(ca.c, 0) * nb - coalesce(cb.c, 0) * na))
+            |    AS BIGINT) AS tvd_num,
+            |  na * nb * 2 AS tvd_den
+            |FROM grid
+            |LEFT JOIN cnt ca ON ca.source = grid.sa AND ca.lang = grid.lang
+            |LEFT JOIN cnt cb ON cb.source = grid.sb AND cb.lang = grid.lang
+            |GROUP BY sa, sb, na, nb""".stripMargin
   )
 }

@@ -184,7 +184,21 @@ private[sources] class NgsiHttpMicroBatchStream(
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
     s.createContext("/", (exchange: HttpExchange) => handle(exchange))
-    s.setExecutor(null) // single accept thread, like the reference's source
+    // Small accept pool: the reference's Netty listener serves concurrent
+    // broker connections from an event loop; `null` (the dispatcher
+    // thread) serializes whole request round-trips and caps measured
+    // ingest at ~2k notifications/s regardless of pipeline headroom.
+    // Handlers stay race-free — the buffer append (and capture tee) is
+    // the existing synchronized block, and sequence numbers are assigned
+    // inside it. Pool size is deliberately modest: ingest accept is not
+    // where 100 TB goes, it only has to outrun the downstream pipeline.
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      8,
+      (r: Runnable) => {
+        val t = new Thread(r, s"ngsi-http-$port")
+        t.setDaemon(true)
+        t
+      }))
     s.start()
     s
   }
@@ -314,6 +328,12 @@ private[sources] class NgsiHttpMicroBatchStream(
 
   override def stop(): Unit = {
     server.stop(0)
+    // server.stop does not shut down a user-provided executor; without
+    // this every stopped source would leak its accept pool
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
     if (captureOut != null) captureOut.close()
   }
 }
