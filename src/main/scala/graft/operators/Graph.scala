@@ -269,11 +269,12 @@ object Graph {
   // ---------------------------------------------------------------------------
 
   private def oPre(): String =
-    s"""WITH pairs AS (SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS sp
+    s"""WITH pairs AS MATERIALIZED (
+       |               SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS sp
        |               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |e AS (SELECT c AS src, sp AS dst FROM pairs
+       |e AS MATERIALIZED (SELECT c AS src, sp AS dst FROM pairs
        |      UNION ALL SELECT sp AS src, c AS dst FROM pairs),
-       |deg AS (SELECT src, COUNT(1) AS deg FROM e GROUP BY 1),
+       |deg AS MATERIALIZED (SELECT src, COUNT(1) AS deg FROM e GROUP BY 1),
        |nn AS (SELECT COUNT(1) AS n FROM deg)""".stripMargin
 
   private def oPrIter(i: Int): String =
@@ -291,17 +292,21 @@ object Graph {
        |    UNION ALL SELECT e.dst AS node, d${i - 1}.hops + 1 AS hops
        |    FROM d${i - 1} JOIN e ON d${i - 1}.node = e.src) GROUP BY 1)""".stripMargin
 
+  // MATERIALIZED: DuckDB inlines plain CTEs per reference, and each sweep
+  // references its raw aggregate twice (the max subquery and the rescale) —
+  // un-materialized, the ladder re-expands exponentially in rounds and the
+  // sf1 oracle run never finishes (the q178 BPE-oracle lesson applied here).
   private def oHitsIter(i: Int): String =
     s""",
-       |ar$i AS (SELECT e.dst, SUM(h${i - 1}.h) AS raw
+       |ar$i AS MATERIALIZED (SELECT e.dst, SUM(h${i - 1}.h) AS raw
        |         FROM h${i - 1} JOIN e ON h${i - 1}.node = e.src GROUP BY 1),
-       |a$i AS (SELECT dst AS node,
+       |a$i AS MATERIALIZED (SELECT dst AS node,
        |          CAST((CAST(raw AS HUGEINT) * $Scale)
        |               // (SELECT MAX(raw) FROM ar$i) AS BIGINT) AS a
        |        FROM ar$i),
-       |hr$i AS (SELECT e.src, SUM(a$i.a) AS raw
+       |hr$i AS MATERIALIZED (SELECT e.src, SUM(a$i.a) AS raw
        |         FROM a$i JOIN e ON a$i.node = e.dst GROUP BY 1),
-       |h$i AS (SELECT src AS node,
+       |h$i AS MATERIALIZED (SELECT src AS node,
        |          CAST((CAST(raw AS HUGEINT) * $Scale)
        |               // (SELECT MAX(raw) FROM hr$i) AS BIGINT) AS h
        |        FROM hr$i)""".stripMargin
@@ -309,10 +314,12 @@ object Graph {
   val oracles: Map[String, String] = Map(
 
     "q208_hits" ->
-      (s"""WITH pairs AS (SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS sp
+      (s"""WITH pairs AS MATERIALIZED (
+          |               SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS sp
           |               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-          |e AS (SELECT c AS src, sp AS dst FROM pairs),
-          |h0 AS (SELECT DISTINCT src AS node, CAST($Scale AS BIGINT) AS h FROM e)""".stripMargin +
+          |e AS MATERIALIZED (SELECT c AS src, sp AS dst FROM pairs),
+          |h0 AS MATERIALIZED (
+          |      SELECT DISTINCT src AS node, CAST($Scale AS BIGINT) AS h FROM e)""".stripMargin +
         (1 to HitsIters).map(oHitsIter).mkString +
         s"""
            |SELECT * FROM (
