@@ -790,6 +790,36 @@ object Curation {
         .select(col("shard"), col("n_docs"), col("total_chars"),
           abs(col("total_chars") * col("n_shards") - col("grand_chars"))
             .as("imbalance_num"))
+    }),
+
+    // --- Global rank without a global sort ---------------------------------
+    // The primitive under any "give every row its exact position in a
+    // total order" ask (epoch order materialization, stable pagination,
+    // percentile-exact export) — done WITHOUT a single-task global sort:
+    // two-level bucket rank. The bucket is the order key's own 2-hex-char
+    // prefix (256 buckets; fixed-width prefix order == total order
+    // prefix, so bucket-then-within-bucket IS the global order, ties
+    // across buckets impossible); bucket offsets are a prefix sum over
+    // the 256-row histogram (the sanctioned post-aggregation bounded
+    // global window — CatalogPlanSpec's walk proves the input is
+    // aggregate-bounded); within-bucket positions are a window PARTITIONED
+    // by bucket. Per-bucket size is n/256 — the deploy dial is the prefix
+    // LENGTH (k hex chars → 16^k buckets, chosen so buckets fit a task),
+    // which is exactly how range-partitioned sorts pick their splits, but
+    // with deterministic hash splits instead of sampled ones.
+    "q211_global_rank" -> ((s, d) => {
+      val docs = t(s, d).select(col("doc_id"),
+        expr(s"md5(concat('$EpochSalt', cast(doc_id as string)))").as("h"))
+        .withColumn("bucket",
+          expr("cast(conv(substring(h, 1, 2), 16, 10) as bigint)"))
+      val counts = docs.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      val offs = counts.select(col("bucket"),
+        (sum(col("c")).over(Window.orderBy(col("bucket"))) - col("c"))
+          .as("off"))
+      docs.join(broadcast(offs), Seq("bucket"))
+        .select(col("doc_id"),
+          (col("off") + row_number().over(Window.partitionBy(col("bucket"))
+            .orderBy(col("h"), col("doc_id")))).cast("long").as("rank"))
     })
   )
 
@@ -1187,7 +1217,14 @@ object Curation {
                     FROM per)
           SELECT shard, n_docs, total_chars,
             abs(total_chars * n_shards - grand_chars) AS imbalance_num
-          FROM per CROSS JOIN tot"""
+          FROM per CROSS JOIN tot""",
+
+    "q211_global_rank" ->
+      s"""SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rank
+          FROM (SELECT doc_id,
+                  md5(concat('$EpochSalt', CAST(doc_id AS VARCHAR))) AS h
+                FROM documents)"""
   )
 
   private def oToksFrag: String = "string_split(text, ' ')"

@@ -231,18 +231,25 @@ object TextAnalysis {
       : (Seq[DataFrame], Seq[DataFrame]) =
     bpeCache.getOrCompute(s, d) {
       import s.implicits._
-      def localTop(m: (Long, String, String, Long)): DataFrame =
-        Seq((m._2, m._3, m._4)).toDF("l", "r", "cnt")
+      // A round whose pair counts run dry has an EMPTY top (a corpus
+      // smaller than the round budget — the run-of-same-pair edge specs
+      // drive this); it merges nothing and is recorded as an absent round
+      // in the artifact, reconstructed as an empty frame on replay.
+      def localTop(m: Option[(Long, String, String, Long)]): DataFrame =
+        m.map(x => Seq((x._2, x._3, x._4)))
+          .getOrElse(Seq.empty[(String, String, Long)])
+          .toDF("l", "r", "cnt")
       val digest = graft.ModelStore.digestOf(
         t(s, d).select(col("doc_id"), col("text")), Seq("doc_id", "text"))
       val hyper = s"rounds=$BpeMergeRounds"
       graft.ModelStore.lookupKv(s, "bpe_merges", digest, hyper) match {
         case Some(merges) =>
+          val byRound = merges.map(m => m._1 -> m).toMap
           var cur = bpeSeq0(s, d).localCheckpoint(false)
           val seqs = Seq.newBuilder[DataFrame]
           seqs += cur
-          val tops = merges.sortBy(_._1).map { m =>
-            val top = localTop(m)
+          val tops = (1 to BpeMergeRounds).map { i =>
+            val top = localTop(byRound.get(i.toLong))
             cur = bpeApply(cur, top).localCheckpoint(false)
             seqs += cur
             top
@@ -257,9 +264,10 @@ object TextAnalysis {
           seqs += cur
           (1 to BpeMergeRounds).foreach { i =>
             val top = bpeTop(bpePairCounts(cur)).localCheckpoint(false)
-            val r = top.collect()(0)
-            merges += ((i.toLong, r.getAs[String]("l"), r.getAs[String]("r"),
-              r.getAs[Long]("cnt")))
+            top.collect().headOption.foreach { r =>
+              merges += ((i.toLong, r.getAs[String]("l"), r.getAs[String]("r"),
+                r.getAs[Long]("cnt")))
+            }
             tops += top
             cur = bpeApply(cur, top).localCheckpoint(false)
             seqs += cur

@@ -100,13 +100,37 @@ class CatalogPlanSpec extends SparkSpec {
     }
   }
 
+  /** Aggregation-boundedness walk shared by the BNL and global-window
+    * rules: true when every path from this node reaches an aggregate (or
+    * local literal data) before any corpus-sized source — the frame's row
+    * count is then group-cardinality, not corpus, no matter the SF. */
+  private def aggBounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    p match {
+      case _: BaseAggregateExec => true
+      case _: GenerateExec => false
+      case _: LocalTableScanExec => true
+      case _: RangeExec => false
+      case _: LeafExecNode => false // file/RDD/memory scans: corpus-sized
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        aggBounded(j.left) && aggBounded(j.right)
+      case other => other.children.nonEmpty && other.children.forall(aggBounded)
+    }
+  }
+
   test("no query plans a cartesian product; BNL only in the brute-force baselines") {
     catalogPlans.foreach { case (name, plan) =>
       assert(!plan.toString.contains("CartesianProduct"),
         s"$name plans a cartesian product")
       if (!bnlAllowed(name)) {
+        // A nested-loop join is sanctioned when its build side is a
+        // computed scalar, OR when BOTH sides are aggregation-bounded —
+        // a dimension × dimension grid (q206's source-pairs × langs) is
+        // group-cardinality work at any corpus size, the same boundedness
+        // standard the global-window rule applies.
         val bad = plan.collect {
-          case j: BroadcastNestedLoopJoinExec if !isScalarBuild(j) => j
+          case j: BroadcastNestedLoopJoinExec
+              if !isScalarBuild(j) && !(aggBounded(j.left) && aggBounded(j.right)) => j
         }
         assert(bad.isEmpty, s"$name plans a non-scalar nested-loop join")
       }
@@ -124,20 +148,9 @@ class CatalogPlanSpec extends SparkSpec {
     // corpus-sized input — the exact killer — passed); a Generate
     // (explode) can re-expand a bounded frame and a data-source scan is
     // corpus-sized, so both are unbounded.
-    import org.apache.spark.sql.execution._
-    def bounded(p: SparkPlan): Boolean = p match {
-      case _: BaseAggregateExec => true
-      case _: GenerateExec => false
-      case _: LocalTableScanExec => true
-      case _: RangeExec => false
-      case _: LeafExecNode => false // file/RDD/memory scans: corpus-sized
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-        bounded(j.left) && bounded(j.right)
-      case other => other.children.nonEmpty && other.children.forall(bounded)
-    }
     catalogPlans.foreach { case (name, plan) =>
       val global = plan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
+        case w: WindowExec if w.partitionSpec.isEmpty && !aggBounded(w.child) => w
       }
       assert(global.isEmpty,
         s"$name sorts all rows in one task via a no-partition window")

@@ -78,6 +78,19 @@ class EpochShuffleSpec extends SparkSpec {
     assert(self.map(c => (c * self.sum - c * self.sum).abs).sum == 0L)
   }
 
+  test("q211: bucketed two-level rank equals the naive global sort's rank") {
+    val got = Curation.queries("q211_global_rank")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr(s"md5(concat('${Curation.EpochSalt}', cast(doc_id as string)))")
+          .as("h"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .sorted.zipWithIndex
+      .map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    assert(got == expected)
+  }
+
   test("q210: the degree ceiling bounds per-customer pair fanout") {
     val r = Graph.queries("q210_copurchase_topk")(spark, sfDir).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
