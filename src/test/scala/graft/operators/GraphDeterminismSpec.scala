@@ -19,7 +19,13 @@ class GraphDeterminismSpec extends SparkSpec {
     "q201_bipartite_pagerank" -> Graph.queries("q201_bipartite_pagerank"),
     "q202_bfs_khop" -> Graph.queries("q202_bfs_khop"),
     "q208_hits" -> Graph.queries("q208_hits"),
-    "q203_kmeans_lloyd" -> Similarity.queries("q203_kmeans_lloyd"))
+    "q203_kmeans_lloyd" -> Similarity.queries("q203_kmeans_lloyd"),
+    // round-10 tier: ordering/ranking operators whose whole contract is
+    // partitioning-independence (epoch order, two-level global rank,
+    // tie-broken projection top-K)
+    "q204_epoch_shuffle" -> Curation.queries("q204_epoch_shuffle"),
+    "q210_copurchase_topk" -> Graph.queries("q210_copurchase_topk"),
+    "q211_global_rank" -> Curation.queries("q211_global_rank"))
 
   test("graph/clustering fixpoints are bit-identical under 3 different partitionings") {
     val conf = spark.conf
