@@ -820,8 +820,46 @@ object Curation {
         .select(col("doc_id"),
           (col("off") + row_number().over(Window.partitionBy(col("bucket"))
             .orderBy(col("h"), col("doc_id")))).cast("long").as("rank"))
-    })
+    }),
+
+    // --- Consistent sharding (highest-random-weight) ------------------------
+    // The q204 hash-mod sharding is stable only while the shard COUNT
+    // holds; growing k moves ~(k−1)/k of all docs — a full re-layout of a
+    // 100 TB corpus for one added shard. Rendezvous (HRW) hashing is the
+    // standard fix: shard(doc) = argmax_j md5(j | doc_id) over the j
+    // shards, a pure per-row computation (k md5s, k fixed by deployment,
+    // zero shuffles), under which growing k→k+1 moves EXACTLY the docs
+    // whose new shard wins the argmax — 1/(k+1) of the corpus in
+    // expectation, the information-theoretic floor. q213 turns that
+    // movement bound itself into an oracle-gated aggregate.
+    "q212_hrw_shard" -> ((s, d) =>
+      t(s, d).select(col("doc_id"), hrwShard(col("doc_id"), HrwShards))),
+
+    // --- Reshard movement audit (the minimal-movement witness) --------------
+    "q213_reshard_movement" -> ((s, d) =>
+      t(s, d).select(col("doc_id"),
+        hrwShard(col("doc_id"), HrwShards),
+        hrwShard(col("doc_id"), HrwShards + 1).as("shard_after"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard") =!= col("shard_after"), 1L).otherwise(0L))
+            .as("n_moved")))
   )
+
+  /** HRW dials: shard count fixed by deployment (k md5s per row). */
+  val HrwShards = 16
+
+  /** argmax_j md5(j | doc_id) as one codegen'd expression tree: the max is
+    * over a k-element literal-seeded struct array — no explode, no
+    * shuffle, no window; ties impossible in practice but broken by larger
+    * j deterministically (struct max compares h first, then j). */
+  private def hrwShard(docId: org.apache.spark.sql.Column, k: Int) = {
+    import org.apache.spark.sql.Column
+    val cands: Seq[Column] = (0 until k).map { j =>
+      struct(md5(concat(lit(s"$j|"), docId.cast("string"))).as("h"),
+        lit(j.toLong).as("j"))
+    }
+    array_max(array(cands: _*)).getField("j").as("shard")
+  }
 
   /** Epoch-shuffle dials: the salt names the epoch (a new epoch = a new
     * salt = an independent order); shard size bounds per-shard work. */
@@ -1224,7 +1262,36 @@ object Curation {
             ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rank
           FROM (SELECT doc_id,
                   md5(concat('$EpochSalt', CAST(doc_id AS VARCHAR))) AS h
-                FROM documents)"""
+                FROM documents)""",
+
+    "q212_hrw_shard" ->
+      s"""SELECT doc_id, j AS shard FROM (
+            SELECT d.doc_id, t.j,
+              ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                ORDER BY md5(CAST(t.j AS VARCHAR) || '|'
+                  || CAST(d.doc_id AS VARCHAR)) DESC, t.j DESC) AS rn
+            FROM documents d CROSS JOIN range($HrwShards) t(j))
+          WHERE rn = 1""",
+
+    "q213_reshard_movement" ->
+      s"""WITH s AS (SELECT doc_id, j AS shard FROM (
+              SELECT d.doc_id, t.j,
+                ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                  ORDER BY md5(CAST(t.j AS VARCHAR) || '|'
+                    || CAST(d.doc_id AS VARCHAR)) DESC, t.j DESC) AS rn
+              FROM documents d CROSS JOIN range($HrwShards) t(j))
+            WHERE rn = 1),
+          s2 AS (SELECT doc_id, j AS shard FROM (
+              SELECT d.doc_id, t.j,
+                ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                  ORDER BY md5(CAST(t.j AS VARCHAR) || '|'
+                    || CAST(d.doc_id AS VARCHAR)) DESC, t.j DESC) AS rn
+              FROM documents d CROSS JOIN range(${HrwShards + 1}) t(j))
+            WHERE rn = 1)
+          SELECT count(*) AS n_docs,
+            CAST(sum(CASE WHEN s.shard <> s2.shard THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_moved
+          FROM s JOIN s2 USING (doc_id)"""
   )
 
   private def oToksFrag: String = "string_split(text, ' ')"

@@ -91,6 +91,40 @@ class EpochShuffleSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q212/q213: HRW resharding moves only winners of the NEW shard") {
+    val k = Curation.HrwShards
+    def shards(kk: Int) = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"))
+      .collect().map(_.getLong(0)).map { id =>
+        id -> (0 until kk).map { j =>
+          (org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$j|$id"), j.toLong)
+        }.max._2
+      }.toMap
+    val before = shards(k)
+    val after = shards(k + 1)
+    val moved = before.keys.filter(id => before(id) != after(id)).toSeq
+    // the sharp HRW property: a doc moves IFF the added shard wins its
+    // argmax — every mover lands on the new shard, nothing reshuffles
+    // between surviving shards
+    assert(moved.forall(id => after(id) == k.toLong))
+    // movement ≈ n/(k+1): the minimal-movement bound (generous noise band)
+    val n = before.size.toDouble
+    assert(moved.length < 3 * n / (k + 1) && moved.length > n / (3 * (k + 1)),
+      s"moved ${moved.length} of ${before.size}")
+    // and the gated q213 aggregate equals this recompute exactly
+    val r = Curation.queries("q213_reshard_movement")(spark, sfDir)
+      .collect()(0)
+    assert(r.getLong(0) == before.size.toLong && r.getLong(1) == moved.length.toLong)
+    // mod-sharding for contrast: k -> k+1 moves nearly everything
+    val modMoved = before.keys.count { id =>
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(12), 16)
+      h % k != h % (k + 1)
+    }
+    assert(moved.length * 4 < modMoved,
+      s"HRW moved ${moved.length}, mod moved $modMoved — no advantage measured")
+  }
+
   test("q210: the degree ceiling bounds per-customer pair fanout") {
     val r = Graph.queries("q210_copurchase_topk")(spark, sfDir).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
