@@ -1382,6 +1382,52 @@ object Relational {
           (col("h_tie_corrected") > 9.487729036781154).as("significant"))
     }),
 
+    // --- Kolmogorov–Smirnov two-sample test --------------------------------------
+    // The ECDF-distance sibling of q196: per event type, does arm A's value
+    // distribution differ from arm B's ANYWHERE (not just in location)? The
+    // statistic is exact-integer throughout: at each distinct cent value v,
+    // the scaled ECDF gap is |cumA(≤v)·nB − cumB(≤v)·nA| (cross-multiplied
+    // to the common denominator nA·nB — no float ECDF ever exists), and
+    // D_num = max over v. Both cumulatives AND the arm totals ride ONE
+    // window pass over the (type × distinct cents) HISTOGRAM — the
+    // sanctioned post-aggregation window shape (q197): corpus rows never
+    // sort. Verdict at α=0.05 against the asymptotic critical value
+    // c=1.358 as a pure integer inequality (c² = 1844164/1e6):
+    // 1e6·D_num² > 1844164·nA·nB·(nA+nB), products in DECIMAL(38,0) ≙
+    // HUGEINT — exact up to ~1e8 rows per arm per type, beyond which both
+    // engines saturate identically (and at that n the verdict is long
+    // since decided). One histogram agg + one type-partitioned window +
+    // one type-sized reduction.
+    "q214_ks_test" -> ((s, d) => {
+      val D = DecimalType(38, 0)
+      val ev = t(s, d, "events").select(col("event_type"),
+        (col("event_id") % 2 === 0).as("arm_a"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+      val hist = ev.groupBy(col("event_type"), col("c"))
+        .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("nb"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = hist.select(col("event_type"),
+        sum(col("na")).over(wCum).as("cuma"),
+        sum(col("nb")).over(wCum).as("cumb"),
+        sum(col("na")).over(wAll).as("n_a"),
+        sum(col("nb")).over(wAll).as("n_b"))
+      cum.groupBy(col("event_type"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          max(abs(col("cuma").cast(D) * col("n_b").cast(D) -
+            col("cumb").cast(D) * col("n_a").cast(D))).as("d_num_d"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          col("d_num_d").cast("long").as("d_num"),
+          (col("d_num_d").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))).as("d"),
+          (lit(1000000).cast(D) * col("d_num_d") * col("d_num_d") >
+            lit(1844164).cast(D) * col("n_a").cast(D) * col("n_b").cast(D) *
+              (col("n_a") + col("n_b")).cast(D)).as("significant"))
+    }),
+
     // --- Spearman rank correlation ------------------------------------------------
     // The rank sibling of q100's exact-moment Pearson: monotone association
     // between quantity and price per return flag, robust to the metric's
@@ -3891,6 +3937,41 @@ object Relational {
            10000 * (3 * (u2d - n12) * (u2d - n12) * n * (n - 1)) >
              38416 * (n12 * (n * (n - 1) * (n + 1) - ties)) AS significant
          FROM alg""",
+
+    // KS twin: cumulatives INCLUDE the current row (ECDF at ≤ v); the D
+    // numerator and the α=0.05 verdict are the same cross-multiplied
+    // integer forms, HUGEINT ≙ DECIMAL(38,0).
+    "q214_ks_test" ->
+      """WITH ev AS (
+           SELECT event_type, event_id % 2 = 0 AS arm_a,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         hist AS (
+           SELECT event_type, c,
+             CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           FROM ev GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type,
+             SUM(na) OVER (PARTITION BY event_type ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+             SUM(nb) OVER (PARTITION BY event_type ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+             SUM(na) OVER (PARTITION BY event_type) AS n_a,
+             SUM(nb) OVER (PARTITION BY event_type) AS n_b
+           FROM hist),
+         agg AS (
+           SELECT event_type,
+             CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
+             MAX(ABS(CAST(cuma AS HUGEINT) * n_b
+               - CAST(cumb AS HUGEINT) * n_a)) AS d_num_h
+           FROM cum GROUP BY 1)
+         SELECT event_type, n_a, n_b, CAST(d_num_h AS BIGINT) AS d_num,
+           CAST(d_num_h AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
+           1000000 * d_num_h * d_num_h >
+             1844164 * CAST(n_a AS HUGEINT) * n_b * (n_a + n_b) AS significant
+         FROM agg""",
 
     "q194_benford_audit" -> {
       // e-notation forces DuckDB to parse each literal as DOUBLE directly;

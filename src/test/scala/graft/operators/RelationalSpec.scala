@@ -1514,6 +1514,32 @@ class RelationalSpec extends SparkSpec {
     assert(r(0).getBoolean(3) == (r(0).getDouble(2) > 9.487729036781154))
   }
 
+  test("q214: KS D equals a brute per-value ECDF-gap recompute") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) % 2 == 0,
+        BigDecimal(r.getDouble(2)).setScale(2).*(100).toLongExact))
+    val got = Relational.queries("q214_ks_test")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    ev.groupBy(_._1).foreach { case (ty, g) =>
+      val a = g.filter(_._2).map(_._3)
+      val b = g.filterNot(_._2).map(_._3)
+      val (na, nb) = (BigInt(a.length), BigInt(b.length))
+      // brute: scaled ECDF gap at every distinct pooled value
+      val dNum = g.map(_._3).distinct.map { v =>
+        (BigInt(a.count(_ <= v)) * nb - BigInt(b.count(_ <= v)) * na).abs
+      }.max
+      val (gna, gnb, gnum, gd, gsig) = got(ty)
+      assert((gna, gnb, gnum) == ((na.toLong, nb.toLong, dNum.toLong)), ty)
+      assert(gd == dNum.toDouble / (na.toDouble * nb.toDouble), ty)
+      assert(gsig ==
+        (1000000 * dNum * dNum > 1844164 * na * nb * (na + nb)), ty)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q198: Spearman equals Pearson over textbook midranks") {
     val rows = graft.Tables.load(spark, sfDir, "lineitem")
       .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
