@@ -125,6 +125,56 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("mean_bits"))
   }
 
+  /** Interpolated Kneser–Ney bigram surprisal (q215) — the
+    * continuation-probability rung above q123's add-one smoothing (Kneser &
+    * Ney 1995; Chen & Goodman 1999's interpolated form). With discount
+    * d = 3/4 the probability clears to ONE exact rational per transition:
+    *
+    *   P(c|p) = max(c(pc)−d, 0)/c(p) + d·N1+(p·)/c(p) · N1+(·c)/N1+(··)
+    *          = [max(4·c(pc)−3, 0)·N1 + 3·N1p·N1c] / [4·c(p)·N1]
+    *
+    * where N1p = distinct continuations of p, N1c = distinct predecessors
+    * of c (the "how many contexts has c completed" mass that makes KN the
+    * production LM smoother), N1 = distinct bigram types. num ≤ den always
+    * (proof: c(pc) ≤ c(p)−N1p+1 and N1c ≤ N1 bound the two terms), so the
+    * exact-integer bits currency digits(den) − digits(num) is well-defined
+    * and ≥ 0. All model tables are vocabulary-sized broadcasts; the corpus
+    * pass is one doc_id-keyed aggregation — the q113/q123 plan shape.
+    * int64 envelope: 4·c(p)·N1 ≤ 9.2e18 holds to ~1e9-token corpora with
+    * 1e9 bigram types; past that the products move to DECIMAL(38,0) and
+    * the digit count to a scaled comparison, with zero structural change. */
+  def knSurprisal(docs: DataFrame): DataFrame = {
+    val big = bigrams(docs)
+    val bgCnt = big.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c_bg"))
+    val ctx = bgCnt.groupBy(col("prev"))
+      .agg(sum(col("c_bg")).as("c_prev"), count(lit(1)).as("n1p"))
+    val cont = bgCnt.groupBy(col("cur")).agg(count(lit(1)).as("n1c"))
+    val n1 = bgCnt.agg(count(lit(1)).as("n1"))
+    val agg = big
+      .join(broadcast(bgCnt), Seq("prev", "cur"))
+      .join(broadcast(ctx), Seq("prev"))
+      .join(broadcast(cont), Seq("cur"))
+      .join(broadcast(n1))
+      .select(col("doc_id"),
+        (greatest(lit(0L), col("c_bg") * 4 - 3) * col("n1") +
+          lit(3L) * col("n1p") * col("n1c")).as("num"),
+        (col("c_prev") * 4 * col("n1")).as("den"))
+      .select(col("doc_id"),
+        (length(bin(col("den"))) - length(bin(col("num"))))
+          .cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"), sum(col("bits")).as("sum_bits"))
+    docs.select(col("doc_id"), col("source"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        when(coalesce(col("n_big"), lit(0L)) > 0,
+          col("sum_bits").cast("double") / col("n_big"))
+          .otherwise(lit(0.0)).as("mean_bits"))
+  }
+
   /** Number of unrolled BPE merge rounds for the q178/q184/q185 ladder.
     * 24 rounds (up from the 3 that demonstrated the loop) witnesses the
     * claim SCALE.md makes: the corpus is scanned exactly ONCE (the word-
@@ -547,6 +597,14 @@ object TextAnalysis {
     // to (prev,cur)-keyed shuffles and nothing else changes. A doc with
     // < 2 tokens has no transitions: n_big = 0, mean 0 via the left join.
     "q123_bigram_surprisal" -> ((s, d) => bigramSurprisal(t(s, d))),
+
+    // --- Kneser–Ney bigram surprisal (see [[knSurprisal]]) -----------------
+    // The production-LM smoother over the same bigram machinery: the
+    // backoff mass is CONTINUATION frequency (how many contexts a token
+    // completes), not raw frequency — the distinction that makes
+    // "Francisco" cheap after "San" but expensive elsewhere. Same
+    // vocabulary-sized broadcasts + one doc_id agg as q123.
+    "q215_kneser_ney" -> ((s, d) => knSurprisal(t(s, d))),
 
     // --- held-out bigram surprisal (the eval-hygiene composition) ----------
     // q123's model scored the data it was counted on — fine as a corpus
@@ -1696,6 +1754,45 @@ object TextAnalysis {
             JOIN bgc ON b.prev = bgc.prev AND b.cur = bgc.cur
             JOIN ctx ON b.prev = ctx.prev
             CROSS JOIN voc
+            GROUP BY b.doc_id)
+          SELECT d.doc_id, d.source,
+            COALESCE(a.n_big, 0) AS n_big,
+            COALESCE(a.sum_bits, 0) AS sum_bits,
+            CASE WHEN COALESCE(a.n_big, 0) > 0
+                 THEN CAST(a.sum_bits AS DOUBLE) / a.n_big
+                 ELSE 0.0 END AS mean_bits
+          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+
+    // KN twin: the same four model CTEs (bigram counts, context totals +
+    // distinct continuations, distinct predecessors, bigram-type count),
+    // the same cleared-rational num/den, digit counts via format('{:b}').
+    "q215_kneser_ney" ->
+      s"""WITH base AS (
+            SELECT doc_id, source, $oToks AS tk FROM documents),
+          big AS (
+            SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+            FROM base, UNNEST(range(1, len(tk))) AS r(i)),
+          bgc AS (
+            SELECT prev, cur, COUNT(1) AS c_bg FROM big GROUP BY prev, cur),
+          ctx AS (
+            SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_prev,
+              COUNT(1) AS n1p
+            FROM bgc GROUP BY prev),
+          cont AS (
+            SELECT cur, COUNT(1) AS n1c FROM bgc GROUP BY cur),
+          nn AS (SELECT COUNT(1) AS n1 FROM bgc),
+          agg AS (
+            SELECT b.doc_id, COUNT(1) AS n_big,
+              CAST(SUM(length(format('{:b}', 4 * ctx.c_prev * nn.n1))
+                       - length(format('{:b}',
+                           greatest(0, 4 * bgc.c_bg - 3) * nn.n1
+                             + 3 * ctx.n1p * cont.n1c))) AS BIGINT)
+                AS sum_bits
+            FROM big b
+            JOIN bgc ON b.prev = bgc.prev AND b.cur = bgc.cur
+            JOIN ctx ON b.prev = ctx.prev
+            JOIN cont ON b.cur = cont.cur
+            CROSS JOIN nn
             GROUP BY b.doc_id)
           SELECT d.doc_id, d.source,
             COALESCE(a.n_big, 0) AS n_big,

@@ -147,6 +147,51 @@ class RepetitionNoveltySpec extends SparkSpec {
     assert(out.values.exists(_._2 > 0L))
   }
 
+  test("q215: Kneser-Ney surprisal equals the integer-bit hand computation") {
+    // bigrams: (a,a)x3 from doc1, (a,b)x1 from doc2; doc3 has none.
+    // bgc: c(a,a)=3, c(a,b)=1. ctx a: c_prev=4, n1p=2. cont: n1c(a)=1,
+    // n1c(b)=1. N1=2 bigram types.
+    // (a,a): num = max(12−3,0)·2 + 3·2·1 = 24; den = 4·4·2 = 32 →
+    //        bits = len(bin 32) − len(bin 24) = 6 − 5 = 1
+    // (a,b): num = 1·2 + 6 = 8; den = 32 → bits = 6 − 4 = 2
+    val hand = TextAnalysis.knSurprisal(
+        docsOf((1L, "a a a a"), (2L, "a b"), (3L, "solo")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(hand.toSeq == Seq((1L, 3L, 3L, 1.0), (2L, 1L, 2L, 2.0),
+      (3L, 0L, 0L, 0.0)))
+  }
+
+  test("q215: Kneser-Ney surprisal on testdata equals a JVM recompute") {
+    val out = TextAnalysis.queries("q215_kneser_ney")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bigrams = docs.flatMap { case (_, t) =>
+      val tk = t.split(" ", -1); tk.zip(tk.drop(1))
+    }
+    val bgc = bigrams.groupBy(identity).map { case (b, v) => (b, v.length.toLong) }
+    val ctx = bigrams.groupBy(_._1).map { case (p, v) => (p, v.length.toLong) }
+    val n1p = bgc.keys.groupBy(_._1).map { case (p, v) => (p, v.size.toLong) }
+    val n1c = bgc.keys.groupBy(_._2).map { case (c, v) => (c, v.size.toLong) }
+    val n1 = bgc.size.toLong
+    def bl(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    val expected = docs.map { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val bits = tk.zip(tk.drop(1)).map { bg =>
+        val num = math.max(4 * bgc(bg) - 3, 0L) * n1 +
+          3L * n1p(bg._1) * n1c(bg._2)
+        val den = 4L * ctx(bg._1) * n1
+        assert(num <= den && num > 0, s"rational out of (0,1] for $bg")
+        bl(den) - bl(num)
+      }.sum
+      id -> ((tk.length - 1).toLong.max(0L), bits)
+    }.toMap
+    assert(out == expected)
+    assert(out.values.exists(_._2 > 0L))
+  }
+
   test("q132: calibration bins equal a JVM quartile recompute") {
     val out = TextAnalysis.queries("q132_score_calibration")(spark, sfDir)
       .collect()
