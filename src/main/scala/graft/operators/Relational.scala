@@ -1428,6 +1428,40 @@ object Relational {
               (col("n_a") + col("n_b")).cast(D)).as("significant"))
     }),
 
+    // --- exact rolling 7-day distinct users (WAU per day) ------------------------
+    // The observability staple exact sliding-window COUNT DISTINCT — the one
+    // rolling metric that is NOT mergeable (distinct isn't group-invertible,
+    // so no RANGE-frame trick applies). The naive plans are a per-day
+    // distinct over a 7-day self-join (7× corpus) or a global
+    // (user, day)-exploded distinct (7× active-pairs shuffled TWICE). This
+    // plan pays neither: a user active on day a covers [a, a+6], and the
+    // union of those per-user intervals is emitted DISJOINT directly from
+    // one lead() pass — each active day covers [day, min(next_day−1,
+    // day+6, maxd)] (consecutive covers chain, so their union is exactly
+    // the merged activity runs). Disjointness makes the final count a plain
+    // COUNT, not COUNT DISTINCT: one (user)-keyed shuffle for the lead
+    // window + one day-histogram agg, the exploded rows never exceed 7×
+    // the distinct (user, day) pairs and are map-side-combined into
+    // day-sized partials. Output days clamp to the corpus max day
+    // (broadcast 1-row scalar) so the window never reports past the data.
+    "q216_rolling_uniques" -> ((s, d) => {
+      val act = t(s, d, "events")
+        .select(col("user_id"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .distinct()
+      val maxd = act.agg(max(col("day")).as("maxd"))
+      val wLead = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      act.join(broadcast(maxd))
+        .select(col("user_id"), col("day"),
+          least(coalesce(lead(col("day"), 1).over(wLead) - 1,
+              lit(Long.MaxValue)),
+            col("day") + 6, col("maxd")).as("e"))
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("e"))).as("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("rolling_users"))
+    }),
+
     // --- Spearman rank correlation ------------------------------------------------
     // The rank sibling of q100's exact-moment Pearson: monotone association
     // between quantity and price per return flag, robust to the metric's
@@ -3972,6 +4006,26 @@ object Relational {
            1000000 * d_num_h * d_num_h >
              1844164 * CAST(n_a AS HUGEINT) * n_b * (n_a + n_b) AS significant
          FROM agg""",
+
+    // Rolling-uniques twin: the same lead()-derived disjoint cover
+    // intervals, exploded via range() (end-exclusive, hence e − day + 1).
+    "q216_rolling_uniques" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+           FROM events),
+         mx AS (SELECT MAX(day) AS maxd FROM act),
+         iv AS (
+           SELECT user_id, day,
+             LEAST(COALESCE(LEAD(day) OVER (PARTITION BY user_id
+                 ORDER BY day) - 1, 9223372036854775807),
+               day + 6, maxd) AS e
+           FROM act CROSS JOIN mx),
+         cov AS (
+           SELECT user_id, day + i AS day
+           FROM iv, UNNEST(range(0, e - day + 1)) AS r(i))
+         SELECT day, CAST(COUNT(1) AS BIGINT) AS rolling_users
+         FROM cov GROUP BY day""",
 
     "q194_benford_audit" -> {
       // e-notation forces DuckDB to parse each literal as DOUBLE directly;

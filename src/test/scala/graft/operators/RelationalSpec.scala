@@ -1540,6 +1540,25 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q216: rolling 7-day uniques equal a brute per-day membership scan") {
+    val act = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_date(to_date(col("ts"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val maxd = act.map(_._2).max
+    val brute = (act.map(_._2).min to maxd).map { day =>
+      day -> act.filter(a => a._2 >= day - 6 && a._2 <= day)
+        .map(_._1).distinct.length.toLong
+    }.filter(_._2 > 0).toMap
+    val got = Relational.queries("q216_rolling_uniques")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute)
+    // non-vacuous: the window actually carries users past their last
+    // active day somewhere (a day with no fresh activity still reports)
+    val activeDays = act.map(_._2).toSet
+    assert(brute.keySet.exists(d => !activeDays.contains(d)) ||
+      brute.values.exists(_ > 1))
+  }
+
   test("q198: Spearman equals Pearson over textbook midranks") {
     val rows = graft.Tables.load(spark, sfDir, "lineitem")
       .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
