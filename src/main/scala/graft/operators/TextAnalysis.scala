@@ -175,6 +175,44 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("mean_bits"))
   }
 
+  /** CDC boundary divisor: a 16-byte window whose rolling hash ≡ 0 mod 64
+    * opens a new chunk → ~64-char expected chunks on natural text. A power
+    * of two so the 100 TB deployment can swap the modulo for a mask with
+    * identical semantics. */
+  val CdcDiv = 64
+
+  /** Content-defined chunk rows (q217's stage one): every doc split at
+    * positions where the 16-byte Rabin–Karp window hash (the q55
+    * [[graft.functions.RollingHash]] expression — one O(n) codegen'd pass)
+    * is ≡ 0 mod [[CdcDiv]]. Boundaries are a pure function of local CONTENT,
+    * not position — the LBFS/rsync property: an insertion shifts every
+    * fixed-width chunk after it (q83's failure mode for storage dedup),
+    * but content-defined boundaries re-synchronize at the next hash match,
+    * so all later chunks keep their identity. Emits one (doc_id, source,
+    * digest, n_chars) row per chunk — fixed-width digests are all that
+    * ever shuffles. */
+  def cdcChunkRows(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        call_function("graft_rolling_hash", col("text"), lit(16)).as("rh"))
+      .select(col("doc_id"), col("source"), col("text"),
+        concat(array(lit(1)),
+          when(size(col("rh")) >= 2,
+            filter(sequence(lit(2), size(col("rh"))),
+              p => element_at(col("rh"), p) % CdcDiv === 0))
+            .otherwise(array().cast("array<int>"))).as("st"))
+    st.select(col("doc_id"), col("source"),
+        explode(zip_with(col("st"),
+          concat(slice(col("st"), lit(2),
+              greatest(size(col("st")) - 1, lit(0))),
+            array(length(col("text")) + 1)),
+          (s0, e) => struct(
+            md5(col("text").substr(s0, e - s0)).as("digest"),
+            (e - s0).cast("long").as("n_chars")))).as("c"))
+      .select(col("doc_id"), col("source"), col("c.digest").as("digest"),
+        col("c.n_chars").as("n_chars"))
+  }
+
   /** Number of unrolled BPE merge rounds for the q178/q184/q185 ladder.
     * 24 rounds (up from the 3 that demonstrated the loop) witnesses the
     * claim SCALE.md makes: the corpus is scanned exactly ONCE (the word-
@@ -605,6 +643,30 @@ object TextAnalysis {
     // "Francisco" cheap after "San" but expensive elsewhere. Same
     // vocabulary-sized broadcasts + one doc_id agg as q123.
     "q215_kneser_ney" -> ((s, d) => knSurprisal(t(s, d))),
+
+    // --- content-defined chunking dedup (see [[cdcChunkRows]]) -------------
+    // The storage-dedup accounting over CDC chunks: per doc, how many
+    // chunks, how many are shared with ANOTHER doc (or repeat within one),
+    // and the duplicated char mass. Chunk digests group once for the
+    // cross-doc census, then one digest-keyed join back + per-doc agg —
+    // the corpus never shuffles text, only (digest, doc_id, n_chars)
+    // fixed-width rows. Catches shifted/truncated re-crawls that
+    // fixed-window chunking (q83) misses by construction.
+    "q217_cdc_chunks" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val ch = cdcChunkRows(
+        t(s, d).repartition(TextFns.cpuPartitions, col("doc_id")))
+      val dd = ch.groupBy(col("digest"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+      ch.join(dd, Seq("digest"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_xdoc_chunks"),
+          sum(when(col("n_occ") >= 2, col("n_chars")).otherwise(0L))
+            .as("dup_chars"))
+    }),
 
     // --- held-out bigram surprisal (the eval-hygiene composition) ----------
     // q123's model scored the data it was counted on — fine as a corpus
@@ -1762,6 +1824,40 @@ object TextAnalysis {
                  THEN CAST(a.sum_bits AS DOUBLE) / a.n_big
                  ELSE 0.0 END AS mean_bits
           FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+
+    // CDC twin: the same 16-byte window hashes via the per-window
+    // polynomial macro, boundaries at hash ≡ 0 mod 64, chunk [st[i],
+    // st[i+1]) with the doc end as the COALESCE'd last fence; census and
+    // per-doc rollup mirror the Spark aggregation exactly.
+    "q217_cdc_chunks" ->
+      s"""WITH rh AS (
+            SELECT doc_id, source, text, $oRollingHash AS rh FROM documents),
+          st AS (
+            SELECT doc_id, source, text,
+              list_concat([1], list_filter(range(2, len(rh) + 1),
+                p -> rh[p] % $CdcDiv = 0)) AS st
+            FROM rh),
+          ch AS (
+            SELECT doc_id, source,
+              md5(substr(text, CAST(st[i] AS INT),
+                CAST(COALESCE(st[i+1], length(text) + 1) - st[i] AS INT)))
+                AS digest,
+              CAST(COALESCE(st[i+1], length(text) + 1) - st[i] AS BIGINT)
+                AS n_chars
+            FROM st, UNNEST(range(1, len(st) + 1)) AS r(i)),
+          dd AS (
+            SELECT digest, COUNT(DISTINCT doc_id) AS n_docs,
+              COUNT(1) AS n_occ
+            FROM ch GROUP BY digest)
+          SELECT c.doc_id, c.source, CAST(COUNT(1) AS BIGINT) AS n_chunks,
+            CAST(SUM(CASE WHEN d.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup_chunks,
+            CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_xdoc_chunks,
+            CAST(SUM(CASE WHEN d.n_occ >= 2 THEN n_chars ELSE 0 END)
+              AS BIGINT) AS dup_chars
+          FROM ch c JOIN dd d ON c.digest = d.digest
+          GROUP BY c.doc_id, c.source""",
 
     // KN twin: the same four model CTEs (bigram counts, context totals +
     // distinct continuations, distinct predecessors, bigram-type count),

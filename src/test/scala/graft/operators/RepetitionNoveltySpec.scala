@@ -192,6 +192,70 @@ class RepetitionNoveltySpec extends SparkSpec {
     assert(out.values.exists(_._2 > 0L))
   }
 
+  // --- q217 content-defined chunking --------------------------------------
+
+  /** JVM twin of the CDC split: 16-byte Rabin–Karp windows, boundary at
+    * hash ≡ 0 mod CdcDiv (ASCII corpus ⇒ byte positions == char positions). */
+  private def cdcChunks(s: String): Seq[String] = {
+    val b = s.getBytes("UTF-8"); val k = 16
+    val M = graft.functions.RollingHash.Mod
+    val B = graft.functions.RollingHash.Base
+    val rh =
+      if (b.length < k) Array.empty[Long]
+      else (0 to b.length - k).map { i =>
+        var h = 0L
+        (i until i + k).foreach(j => h = (h * B + (b(j) & 0xff)) % M)
+        h
+      }.toArray
+    val starts = 1 +: (2 to rh.length).filter(p => rh(p - 1) % TextAnalysis.CdcDiv == 0)
+    val ends = starts.drop(1) :+ (s.length + 1)
+    starts.zip(ends).map { case (st, e) => s.substring(st - 1, e - 1) }
+  }
+
+  test("q217: content-defined boundaries re-sync after a prefix insertion") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(600)(('a' + rnd.nextInt(27)).toChar)
+      .map(c => if (c > 'z') ' ' else c).mkString
+    val shifted = "xq " + base // every fixed-width chunk after pos 0 moves
+    val (c1, c2) = (cdcChunks(base), cdcChunks(shifted))
+    assert(c1.length >= 4, s"need boundaries to test resync, got ${c1.length}")
+    // all chunks except the leading (pre-resync) one keep their identity
+    assert(c1.drop(1).toSet.subsetOf(c2.toSet))
+    // ... and the distributed operator sees exactly that overlap
+    graft.functions.GraftFunctions.register(spark)
+    val rows = TextAnalysis.cdcChunkRows(
+        docsOf((1L, base), (2L, shifted)))
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).size >= c1.length - 1)
+    // reassemble: chunk chars per doc sum back to the doc length
+    assert(rows.filter(_._1 == 1L).map(_._3).sum == base.length)
+    assert(rows.filter(_._1 == 2L).map(_._3).sum == shifted.length)
+  }
+
+  test("q217: chunk stats on testdata equal a JVM recompute") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val all = docs.flatMap { case (id, t) => cdcChunks(t).map(c => (id, hex(c), c.length.toLong)) }
+    val occ = all.groupBy(_._2).view.mapValues(_.length).toMap
+    val nDocs = all.groupBy(_._2).view.mapValues(_.map(_._1).distinct.length).toMap
+    val expected = all.groupBy(_._1).view.mapValues { cs =>
+      (cs.length.toLong,
+        cs.count(c => occ(c._2) >= 2).toLong,
+        cs.count(c => nDocs(c._2) >= 2).toLong,
+        cs.filter(c => occ(c._2) >= 2).map(_._3).sum)
+    }.toMap
+    val got = TextAnalysis.queries("q217_cdc_chunks")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expected)
+    // non-vacuous: the corpus actually contains duplicated chunks
+    assert(got.values.exists(_._2 > 0))
+  }
+
   test("q132: calibration bins equal a JVM quartile recompute") {
     val out = TextAnalysis.queries("q132_score_calibration")(spark, sfDir)
       .collect()
