@@ -43,6 +43,9 @@ object Graph {
   val HitsIters = 2
   val HitsTopN = 10
 
+  /** q218 relaxation rounds (Bellman–Ford truncated at k hops). */
+  val SsspIters = 4
+
   /** One lazily-checkpointed (src, dst) frame per (session, dir), both edge
     * directions materialized, partitioned by src so every iteration's
     * rank⋈edges join and contribution groupBy reuse the layout. */
@@ -64,6 +67,30 @@ object Graph {
 
   private def kindOf(node: Column): Column =
     when(node % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+
+  /** Weighted (src, dst, w) twin of [[edges]] for q218: edge cost is the
+    * INVERSE interaction strength, w = 1 + ⌊6 / n_links⌋ ∈ [1, 7] where
+    * n_links = order⋈lineitem rows connecting the pair — frequently-traded
+    * relationships are "close", one-off ones "far" (the affinity-distance
+    * convention of co-occurrence graphs). Pure integers, so relaxed
+    * distances are exact and partitioning-independent like every fixpoint
+    * here. Same build/partition/checkpoint discipline as [[edges]]. */
+  private val sharedWeightedEdges = graft.SessionMemo.ofFrames()
+
+  private[operators] def weightedEdges(s: SparkSession, d: String): DataFrame =
+    sharedWeightedEdges.getOrCompute(s, d) {
+      val pairs = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("c"), col("sp"), (lit(1L) + expr("6 div n")).as("w"))
+      pairs.select(col("c").as("src"), col("sp").as("dst"), col("w"))
+        .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst"), col("w")))
+        .repartition(TextFns.cpuPartitions, col("src"))
+        .localCheckpoint(false)
+    }
 
   /** The q201 fixpoint over an arbitrary (src, dst) edge frame — factored
     * out so the streaming twin ([[graft.streaming.GraphRankStream]]) can
@@ -226,6 +253,34 @@ object Graph {
       dist.groupBy(col("hops")).agg(count(lit(1)).as("n_nodes"))
     }),
 
+    // --- weighted shortest paths (truncated Bellman–Ford) -------------------
+    // q202's weighted sibling: distance as accumulated edge COST (inverse
+    // interaction strength — see [[weightedEdges]]), SsspIters unrolled
+    // min-plus relaxations from the same seed. Exactly the q202 plan per
+    // round — one edge-sized shuffle-hash join (node-sized dist table
+    // builds, checkpointed src-partitioned edges stream) + one node groupBy
+    // min — with (dist + w) replacing (hops + 1); min over integers keeps
+    // the fixpoint order-independent and hash-exact. After k rounds the
+    // table holds the exact shortest distance among ≤ k-hop paths (the
+    // Bellman–Ford invariant), which is the blast-radius-with-affinity
+    // read. Census: nodes per (dist, kind) — distance histogram is
+    // ≤ k·maxCost-bounded, never corpus-sized.
+    "q218_weighted_sssp" -> ((s, d) => {
+      val e = weightedEdges(s, d)
+      var dist = e.agg(min(when(col("src") % 2 === 0, col("src"))).as("seed"))
+        .filter(col("seed").isNotNull)
+        .select(col("seed").as("node"), lit(0L).as("dist"))
+        .localCheckpoint(false)
+      (1 to SsspIters).foreach { _ =>
+        val nxt = dist.hint("shuffle_hash").join(e, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = dist.select(col("node"), col("dist")).unionByName(nxt)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      }
+      dist.groupBy(col("dist"), kindOf(col("node")).as("kind"))
+        .agg(count(lit(1)).as("n_nodes"))
+    }),
+
     // --- co-purchase supplier projection (df-bounded, top-K) ----------------
     // The bipartite→unipartite projection every co-occurrence graph build
     // needs (suppliers sharing customers here; docs sharing citations /
@@ -311,7 +366,31 @@ object Graph {
        |               // (SELECT MAX(raw) FROM hr$i) AS BIGINT) AS h
        |        FROM hr$i)""".stripMargin
 
+  private def oSsspIter(i: Int): String =
+    s""",
+       |w$i AS (SELECT node, MIN(dist) AS dist FROM (
+       |    SELECT node, dist FROM w${i - 1}
+       |    UNION ALL SELECT e.dst AS node, w${i - 1}.dist + e.w AS dist
+       |    FROM w${i - 1} JOIN e ON w${i - 1}.node = e.src) GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q218_weighted_sssp" ->
+      (s"""WITH wp AS MATERIALIZED (
+          |      SELECT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS sp,
+          |        1 + 6 // COUNT(1) AS w
+          |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |      GROUP BY 1, 2),
+          |e AS MATERIALIZED (SELECT c AS src, sp AS dst, w FROM wp
+          |      UNION ALL SELECT sp AS src, c AS dst, w FROM wp),
+          |s AS (SELECT MIN(c) AS seed FROM wp),
+          |w0 AS (SELECT seed AS node, CAST(0 AS BIGINT) AS dist FROM s)""".stripMargin +
+        (1 to SsspIters).map(oSsspIter).mkString +
+        s"""
+           |SELECT dist,
+           |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           |  COUNT(1) AS n_nodes
+           |FROM w$SsspIters GROUP BY 1, 2""".stripMargin),
 
     "q208_hits" ->
       (s"""WITH pairs AS MATERIALIZED (

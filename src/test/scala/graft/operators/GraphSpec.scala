@@ -94,6 +94,39 @@ class GraphSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q218 weighted SSSP census equals a sequential truncated Bellman-Ford") {
+    val e = Graph.weightedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // weights are the documented inverse-strength costs, within [1, 7]
+    assert(e.forall(x => x._3 >= 1 && x._3 <= 7))
+    assert(e.map(_._3).distinct.size > 1, "cost function degenerate")
+    val adj = e.groupBy(_._1).map { case (s, es) => s -> es.map(x => (x._2, x._3)) }
+    val seed = e.map(_._1).filter(_ % 2 == 0).min
+    var dist = Map[Long, Long](seed -> 0L)
+    (1 to Graph.SsspIters).foreach { _ =>
+      val relaxed = dist.toSeq.flatMap { case (node, dd) =>
+        adj(node).map { case (dst, w) => dst -> (dd + w) }
+      } ++ dist.toSeq
+      dist = relaxed.groupBy(_._1).map { case (node, ds) => node -> ds.map(_._2).min }
+    }
+    val expected = dist.toSeq
+      .groupBy { case (node, dd) => (dd, if (node % 2 == 0) "customer" else "supplier") }
+      .map { case (k, vs) => (k._1, k._2, vs.size.toLong) }.toSet
+    val got = Graph.queries("q218_weighted_sssp")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // same reachable set as the unweighted BFS at equal round count would
+    // give: relaxation explores by HOPS, weights only reprice the paths —
+    // every reached node sits within SsspIters hops of the seed
+    val bfsReach = {
+      val uadj = e.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      var f = Set(seed)
+      (1 to Graph.SsspIters).foreach(_ => f = f ++ f.flatMap(uadj(_)))
+      f
+    }
+    assert(dist.keySet == bfsReach)
+  }
+
   test("q203 k-means equals a sequential integer Lloyd recompute") {
     val vecs = graft.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
