@@ -93,6 +93,11 @@ object Relational {
     * that hot-dim replication (|hot| × S) stays broadcast-trivial. */
   val SaltBuckets: Int = 8
 
+  /** q219 compaction target: rewrite bins aim at this many chars (≙ bytes
+    * on the ASCII corpus; a deployment sets ~128 MB — here sized so the
+    * testdata manifest genuinely packs several files per bin at every SF). */
+  val CompactTargetBytes: Long = 2048L
+
   /** Per-user_id mergeable aggregate state (q146): count, exact decimal
     * sum, min, max — the four partials every downstream read (including
     * avg) derives from. Mergeable BY CONSTRUCTION: count/sum re-sum,
@@ -1460,6 +1465,35 @@ object Relational {
           explode(sequence(col("day"), col("e"))).as("day"))
         .groupBy(col("day"))
         .agg(count(lit(1)).as("rolling_users"))
+    }),
+
+    // --- compaction planner (small-file bin packing) -----------------------------
+    // The OPTIMIZE/compaction maintenance pass every lakehouse table needs:
+    // roll small files into ~target-sized rewrite bins. Files here are the
+    // (source, doc_id div 64) manifest entries with their char mass; within
+    // each source, files order by (bytes DESC, file_id) — a deterministic
+    // total order, largest-first so big files seed bins — and bin_id =
+    // ⌊cum_before / target⌋ (next-fit-by-quota: a file opens a new bin when
+    // the running mass crosses a target boundary). The window runs over the
+    // FILE MANIFEST, never corpus rows — exactly what a real OPTIMIZE
+    // planner scans — partitioned by source, so planning parallelizes
+    // across table partitions at any scale. Output is the rewrite manifest:
+    // files and byte mass per bin plus the file-id zone map (min/max) each
+    // rewritten bin will carry. All integers — hash-exact.
+    "q219_compaction_plan" -> ((s, d) => {
+      val files = t(s, d, "documents")
+        .groupBy(col("source"), expr("doc_id div 4").as("file_id"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("bytes").desc, col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cumb", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .select(col("source"), col("file_id"), col("bytes"),
+          expr(s"cumb div $CompactTargetBytes").as("bin_id"))
+        .groupBy(col("source"), col("bin_id"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+          min(col("file_id")).as("min_file"), max(col("file_id")).as("max_file"))
     }),
 
     // --- Spearman rank correlation ------------------------------------------------
@@ -4026,6 +4060,26 @@ object Relational {
            FROM iv, UNNEST(range(0, e - day + 1)) AS r(i))
          SELECT day, CAST(COUNT(1) AS BIGINT) AS rolling_users
          FROM cov GROUP BY day""",
+
+    // Compaction twin: same manifest build, same largest-first total order,
+    // same cum-before // target binning.
+    "q219_compaction_plan" ->
+      s"""WITH files AS (
+           SELECT source, doc_id // 4 AS file_id,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes
+           FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT source, file_id, bytes,
+             CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source
+               ORDER BY bytes DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumb
+           FROM files)
+         SELECT source, cumb // $CompactTargetBytes AS bin_id,
+           CAST(COUNT(1) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           MIN(file_id) AS min_file, MAX(file_id) AS max_file
+         FROM cum GROUP BY 1, 2""",
 
     "q194_benford_audit" -> {
       // e-notation forces DuckDB to parse each literal as DOUBLE directly;

@@ -1559,6 +1559,39 @@ class RelationalSpec extends SparkSpec {
       brute.values.exists(_ > 1))
   }
 
+  test("q219: compaction bins equal a JVM quota-packing recompute") {
+    val files = graft.Tables.load(spark, sfDir, "documents")
+      .groupBy(col("source"), expr("doc_id div 4").as("file_id"))
+      .agg(sum(col("n_chars")).as("bytes")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val T = Relational.CompactTargetBytes
+    val expected = files.groupBy(_._1).flatMap { case (src, fs) =>
+      val ordered = fs.sortBy(f => (-f._3, f._2))
+      val cumBefore = ordered.scanLeft(0L)(_ + _._3).dropRight(1)
+      ordered.zip(cumBefore)
+        .groupBy { case (_, cb) => cb / T }
+        .map { case (bin, members) =>
+          (src, bin, members.length.toLong, members.map(_._1._3).sum,
+            members.map(_._1._2).min, members.map(_._1._2).max)
+        }
+    }.toSet
+    val got = Relational.queries("q219_compaction_plan")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // the planner actually packs: some source has multiple bins, and every
+    // non-final bin carries at least a target's worth minus one file
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc.values.exists(_.size > 1))
+    bySrc.foreach { case (src, bins) =>
+      val maxBin = bins.map(_._2).max
+      val maxFile = files.filter(_._1 == src).map(_._3).max
+      bins.filter(_._2 < maxBin).foreach { b =>
+        assert(b._4 >= T - maxFile, s"$src bin ${b._2} underfull: ${b._4}")
+      }
+    }
+  }
+
   test("q198: Spearman equals Pearson over textbook midranks") {
     val rows = graft.Tables.load(spark, sfDir, "lineitem")
       .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
