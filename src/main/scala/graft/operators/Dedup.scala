@@ -1328,6 +1328,50 @@ object Dedup {
             .as("abs_err"))
     }),
 
+    // --- 1-bit minhash estimator audit (Li & Koenig 2010) ------------------
+    // The b-bit compression of the minhash family: store only the PARITY of
+    // each slot's minimum (last hex nibble mod 2) — 1 bit where the full
+    // signature keeps 128 — and estimate Jaccard from bit agreement with
+    // the collision-corrected unbiased form Ĵ = 2·(A/k) − 1 (baseline 1/2:
+    // unrelated docs agree on half the bits by chance), clipped at 0. Same
+    // pre-verify candidate set and audit economics as q133, so the two
+    // queries read side by side: what resemblance fidelity costs 128×
+    // less signature storage — the trade that matters when signatures for
+    // 10^11 docs must stay in memory for the band join. Everything integer
+    // until the fixed-order dyadic estimate (n/8 halves — bit-portable).
+    "q220_bbit_minhash" -> ((s, d) => {
+      val sig = signatures(s, d)
+      val banded = sig.select(col("doc_id"),
+        explode(array((0 until NumBands).map(j =>
+          struct(lit(j).as("b"), col(s"b$j").as("k"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+        .filter(col("k").isNotNull)
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .distinct()
+      val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+      val info = sig.select(col("doc_id"), col("sh"),
+        array((0 until NumHashes).map(i =>
+          when(substring(col(s"mh$i"), 32, 1).isin(oddHex: _*), 1L)
+            .otherwise(0L)): _*).as("bits"))
+      val est = greatest(lit(0.0),
+        lit(2.0) * col("n_bit_agree") / NumHashes - 1.0)
+      cand
+        .join(info.select(col("doc_id").as("i"), col("sh").as("shi"),
+          col("bits").as("bi")), "i")
+        .join(info.select(col("doc_id").as("j"), col("sh").as("shj"),
+          col("bits").as("bj")), "j")
+        .select(col("i"), col("j"),
+          size(filter(zip_with(col("bi"), col("bj"), (a, b) => a === b),
+            x => x)).cast("long").as("n_bit_agree"),
+          jaccard(col("shi"), col("shj")).as("jac"))
+        .select(col("i"), col("j"), col("n_bit_agree"),
+          est.as("est_1bit"), col("jac"),
+          abs(est - col("jac")).as("abs_err"))
+    }),
+
     // --- embedding-cosine near-dup, hyperplane-LSH-blocked -----------------
     // Norms are computed once per vector, not once per pair (same arithmetic
     // -> same bits as norm-in-the-pair, so the oracle formula is unchanged).
@@ -1519,6 +1563,40 @@ object Dedup {
           SELECT i, j, n_agree,
             CAST(n_agree AS DOUBLE) / $NumHashes AS est, jac,
             abs(CAST(n_agree AS DOUBLE) / $NumHashes - jac) AS abs_err
+          FROM scored"""
+    },
+
+    // 1-bit twin: same candidate CTEs as q133, slot parity from the last
+    // hex nibble, the same fixed-order dyadic estimate.
+    "q220_bbit_minhash" -> {
+      val bandedSql = (0 until NumBands).map { j =>
+        val cat = (0 until BandSize).map(r => s"mh${j * BandSize + r}")
+          .mkString(" || ")
+        s"SELECT doc_id, $j AS b, md5($cat) AS k FROM sig"
+      }.mkString(" UNION ALL ")
+      def bit(t: String, i: Int) =
+        s"""CASE WHEN substr($t.mh$i, 32, 1)
+              IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END"""
+      val agree = (0 until NumHashes)
+        .map(i => s"CAST((${bit("sx", i)}) = (${bit("sy", i)}) AS INT)")
+        .mkString(" + ")
+      s"""WITH sig AS ($oSigSelect),
+            banded AS ($bandedSql),
+            cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+                     FROM banded x JOIN banded y
+                       ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+            scored AS (
+              SELECT cand.i, cand.j,
+                CAST($agree AS BIGINT) AS n_bit_agree,
+                ${oJaccard("sx.sh", "sy.sh")} AS jac
+              FROM cand JOIN sig sx ON cand.i = sx.doc_id
+                        JOIN sig sy ON cand.j = sy.doc_id)
+          SELECT i, j, n_bit_agree,
+            GREATEST(0.0, 2.0 * CAST(n_bit_agree AS DOUBLE) / $NumHashes
+              - 1.0) AS est_1bit,
+            jac,
+            abs(GREATEST(0.0, 2.0 * CAST(n_bit_agree AS DOUBLE) / $NumHashes
+              - 1.0) - jac) AS abs_err
           FROM scored"""
     },
 

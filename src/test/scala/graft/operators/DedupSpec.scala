@@ -666,6 +666,55 @@ class DedupSpec extends SparkSpec {
       "every verified near-dup pair must appear in the pre-verify audit")
   }
 
+  test("q220: 1-bit minhash audit matches a JVM parity recompute") {
+    import graft.operators.{Dedup => D}
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sh = docs.map { case (id, t) =>
+      val tk = t.split(" ", -1)
+      id -> (if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toVector
+             else Vector.empty[String])
+    }.toMap
+    val sig = sh.collect { case (id, ss) if ss.nonEmpty =>
+      id -> (0 until D.NumHashes).map(seed =>
+        ss.iterator.map(x => md5hex(s"$seed|$x")).min).toVector
+    }
+    def bits(sg: Vector[String]): Vector[Int] =
+      sg.map(m => Integer.parseInt(m.substring(31), 16) % 2)
+    val byBand = sig.toSeq
+      .flatMap { case (id, sg) =>
+        (0 until D.NumBands).map(j =>
+          (j, sg(j * D.BandSize) + sg(j * D.BandSize + 1)) -> id)
+      }
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val cand = byBand.flatMap(ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)).toSet
+    val expected = cand.map { case (i, j) =>
+      val a = (0 until D.NumHashes)
+        .count(p => bits(sig(i))(p) == bits(sig(j))(p))
+      val (x, y) = (sh(i).toSet, sh(j).toSet)
+      (i, j) -> (a.toLong, (x & y).size.toDouble / (x | y).size)
+    }.toMap
+    val rows = D.queries("q220_bbit_minhash")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows.nonEmpty && rows.keySet == expected.keySet)
+    rows.foreach { case (k, (a, est, jac, absErr)) =>
+      assert((a, jac) == expected(k), s"pair $k")
+      assert(est == math.max(0.0, 2.0 * a / D.NumHashes - 1.0))
+      assert(absErr == math.abs(est - jac))
+    }
+    // the compression is honest: bit agreement can only blur the full
+    // signature's read, never sharpen the candidate set (same candidates)
+    val full = D.queries("q133_minhash_estimate")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.keySet == full)
+  }
+
   test("embedding near-dup: identical vectors share an LSH bucket with sim 1") {
     val e = Seq(
       (0L, Seq.fill(64)(0.5)), (1L, Seq.fill(64)(0.5)),
