@@ -60,6 +60,12 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] q138 export failed: ${e.getMessage}")
     }
+    // ... and the q221 PCA model (mean row + component rows).
+    try operators.Similarity.pcaModelTable(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/q221_pca")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] q221_pca export failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

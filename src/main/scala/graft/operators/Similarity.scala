@@ -557,6 +557,26 @@ object Similarity {
           col("r.code").as("code"), col("r.d2").as("d2"))
     }),
 
+    // --- PCA projection (see [[trainPcaModel]]) ----------------------------
+    // The learned-projection tier above q81's random JL planes: each vector
+    // centers against the broadcast literal mean and projects onto the
+    // top-PcaK eigenvector rows as codegen'd fixed-order dot products —
+    // narrow, ZERO shuffles, the q81/q138 corpus shape. Training is the
+    // bounded driver-side sample (model-scale, corpus-independent); at
+    // scale the projection pass is where PCA whitening, embedding
+    // compression, and visualization coordinates all come from. Oracle
+    // recomputes every projection from the Verify-exported model rows.
+    "q221_pca_project" -> ((s, d) => {
+      val e = embs(s, d)
+      val (mu, w, _) = trainPcaModel(e, d)
+      val centered = zip_with(col("v"),
+        array(mu.toIndexedSeq.map(lit): _*), (a, b) => a - b)
+      e.select(col("vec_id") +: col("label") +:
+        w.toIndexedSeq.zipWithIndex.map { case (row, k) =>
+          dot(centered, array(row.toIndexedSeq.map(lit): _*)).as(s"pc$k")
+        }: _*)
+    }),
+
     // --- IVF-PQ: coarse lists + ADC scoring (q117) -------------------------
     // The composition that IS the production 100 TB ANN index (FAISS
     // IVFPQ's shape): q52's learned coarse quantizer prunes the corpus to
@@ -1281,6 +1301,121 @@ object Similarity {
       yield (m.toLong, j.toLong, cb(m)(j).toSeq)).toDF("sub", "code", "cv")
   }
 
+  // ---------------------- PCA learned projection (q221) -------------------
+
+  /** Principal components kept by q221 (64 → 8, the learned counterpart of
+    * q81's random 64 → 16 JL sketch). */
+  val PcaK = 8
+
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Double], Array[Array[Double]], Array[Double])]
+
+  /** Learned PCA model (mean, top-[[PcaK]] components as rows, their
+    * eigenvalues) — the LEARNED projection tier above q81's fixed random
+    * planes: where JL preserves all directions equally well, PCA spends its
+    * budget on the directions the data actually varies in. Training follows
+    * the established bounded-sample discipline (the same deterministic
+    * md5-ordered [[pqTrainSample]] the PQ/OPQ/IVF models train on — FAISS's
+    * train-on-sample contract): exact fixed-order mean + covariance
+    * accumulation, then a cyclic symmetric Jacobi eigensolve (fixed 30
+    * sweeps, no data-dependent control flow — the [[jacobiSvdUV]]
+    * determinism rules), components ordered by (eigenvalue DESC, index) and
+    * sign-fixed so each component's largest-|entry| coordinate is positive.
+    * Model-scale cost, corpus-independent; persisted content-addressed via
+    * [[graft.ModelStore]] like every other trained artifact. */
+  def trainPcaModel(e: DataFrame, key: String)
+      : (Array[Double], Array[Array[Double]], Array[Double]) =
+    pcaCache.computeIfAbsent(key, _ => {
+      val rows = graft.ModelStore.getOrTrain(e.sparkSession, "pca",
+        graft.ModelStore.digestOf(e, Seq("vec_id", "v")),
+        s"k=$PcaK,n=$PqSample,dim=$EmbDim") {
+        val (mu, w, ev) = trainPcaUncached(e)
+        graft.ModelStore.matrixToRows(Array(mu), "mu") ++
+          graft.ModelStore.matrixToRows(w, "w") ++
+          graft.ModelStore.matrixToRows(Array(ev), "ev")
+      }
+      (graft.ModelStore.rowsToMatrix(rows, "mu")(0),
+        graft.ModelStore.rowsToMatrix(rows, "w"),
+        graft.ModelStore.rowsToMatrix(rows, "ev")(0))
+    })
+
+  private def trainPcaUncached(e: DataFrame)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val sample = pqTrainSample(e)
+    val n = EmbDim
+    val m = sample.length
+    val mu = Array.fill(n)(0.0)
+    sample.foreach { x =>
+      var i = 0; while (i < n) { mu(i) += x(i); i += 1 }
+    }
+    var i0 = 0
+    while (i0 < n) { mu(i0) /= m; i0 += 1 }
+    val c = Array.ofDim[Double](n, n)
+    sample.foreach { x =>
+      var i = 0
+      while (i < n) {
+        val xi = x(i) - mu(i); var j = i
+        while (j < n) { c(i)(j) += xi * (x(j) - mu(j)); j += 1 }
+        i += 1
+      }
+    }
+    for (i <- 0 until n; j <- i until n) { c(i)(j) /= m; c(j)(i) = c(i)(j) }
+    val (evals, vecs) = jacobiEigSym(c)
+    val order = evals.indices.sortBy(i => (-evals(i), i)).take(PcaK)
+    val comps = order.map { j =>
+      val w = Array.tabulate(n)(i => vecs(i)(j)) // column j = eigenvector
+      val piv = w.indices.maxBy(i => (math.abs(w(i)), -i))
+      if (w(piv) < 0) w.map(-_) else w
+    }.toArray
+    (mu, comps, order.map(evals(_)).toArray)
+  }
+
+  /** Deterministic cyclic Jacobi eigensolve for a symmetric matrix: fixed
+    * 30 sweeps over a fixed (p, q) order; returns (diagonal eigenvalues,
+    * eigenvector COLUMNS). The symmetric sibling of [[jacobiSvdUV]]. */
+  private def jacobiEigSym(c0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = c0.length
+    val a = Array.tabulate(n, n)((i, j) => c0(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to 30; p <- 0 until n; q <- (p + 1) until n) {
+      val apq = a(p)(q)
+      if (math.abs(apq) > 1e-15) {
+        val zeta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        val t = (if (zeta >= 0) 1.0 else -1.0) /
+          (math.abs(zeta) + math.sqrt(1.0 + zeta * zeta))
+        val cs = 1.0 / math.sqrt(1.0 + t * t)
+        val sn = cs * t
+        var k = 0
+        while (k < n) { // column rotation on a and v
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = cs * akp - sn * akq; a(k)(q) = sn * akp + cs * akq
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = cs * vkp - sn * vkq; v(k)(q) = sn * vkp + cs * vkq
+          k += 1
+        }
+        k = 0
+        while (k < n) { // row rotation on a (A ← JᵀAJ)
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = cs * apk - sn * aqk; a(q)(k) = sn * apk + cs * aqk
+          k += 1
+        }
+      }
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** PCA model table (row, rv) for a sf dir — Verify-exported: row 0 is the
+    * mean, rows 1..PcaK the components, so the q221 oracle reconstructs the
+    * exact projections in SQL. */
+  def pcaModelTable(s: SparkSession, d: String): DataFrame = {
+    val (mu, w, _) = trainPcaModel(embs(s, d), d)
+    import s.implicits._
+    ((0L, mu.toSeq) +: w.toIndexedSeq.zipWithIndex
+      .map { case (r, k) => ((k + 1).toLong, r.toSeq) })
+      .toDF("row", "rv")
+  }
+
   /** Squared L2 distance between subvector `sub` of `v` and a literal
     * codebook row — a codegen'd fixed-order fold, identical arithmetic to
     * the oracle's list_sum(list_transform(...)). */
@@ -1914,6 +2049,28 @@ object Similarity {
     "q115_pq_encode" ->
       s"""WITH $oPqBase
           SELECT vec_id, sub, code, d2 FROM enc""",
+
+    // PCA twin: projections recomputed from the exported model rows — the
+    // q138 list_sum(list_transform(...)) dot-product idiom, centered
+    // against the exported mean (row 0).
+    "q221_pca_project" -> {
+      val pcs = (0 until PcaK).map(k =>
+        s"MAX(CASE WHEN comp = ${k + 1} THEN y END) AS pc$k")
+        .mkString(",\n            ")
+      s"""WITH e AS (SELECT vec_id, label, $oEmb AS v FROM embeddings),
+          mu AS (SELECT rv AS mu FROM '$AuxDirToken/q221_pca/*.parquet'
+                 WHERE row = 0),
+          w AS (SELECT row AS comp, rv FROM '$AuxDirToken/q221_pca/*.parquet'
+                WHERE row >= 1),
+          proj AS (
+            SELECT e.vec_id, e.label, w.comp,
+              list_sum(list_transform(range(1, ${EmbDim + 1}),
+                k -> (e.v[k] - mu.mu[k]) * w.rv[k])) AS y
+            FROM e CROSS JOIN mu CROSS JOIN w)
+          SELECT vec_id, label,
+            $pcs
+          FROM proj GROUP BY vec_id, label"""
+    },
 
     // OPQ encode: rotated vectors reconstructed in SQL from the exported
     // rotation rows (list aggregation ordered by row index), then the q115

@@ -6,6 +6,53 @@ import graft.SparkSpec
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("q221: PCA model is orthonormal with descending eigenvalues; " +
+      "projections exact; component variance equals the eigenvalue") {
+    val e = Similarity.embs(spark, sfDir)
+    val (mu, w, ev) = Similarity.trainPcaModel(e, sfDir)
+    assert(w.length == Similarity.PcaK && w.head.length == graft.operators.TextFns.EmbDim)
+    // orthonormal rows
+    for (i <- w.indices; j <- w.indices) {
+      val d = w(i).zip(w(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"W row pair ($i,$j)")
+    }
+    // spectrum sorted, positive, sign convention applied
+    assert(ev.zip(ev.drop(1)).forall { case (a, b) => a >= b })
+    assert(ev.forall(_ > 0))
+    w.foreach { row =>
+      val piv = row.indices.maxBy(i => (math.abs(row(i)), -i))
+      assert(row(piv) > 0, "sign convention: pivot coordinate positive")
+    }
+    // exact projection recompute (same left-to-right fold the codegen dot
+    // product evaluates — bitwise equality expected)
+    val vecs = e.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def proj(v: Array[Double], k: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += (v(i) - mu(i)) * w(k)(i); i += 1 }
+      s
+    }
+    val got = Similarity.queries("q221_pca_project")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (0 until Similarity.PcaK).map(k => r.getDouble(2 + k))).toMap
+    assert(got.keySet == vecs.keySet)
+    got.foreach { case (id, pcs) =>
+      (0 until Similarity.PcaK).foreach(k =>
+        assert(pcs(k) == proj(vecs(id), k), s"vec $id pc$k"))
+    }
+    // the 500-vector corpus IS the (md5-ordered, 1024-cap) training sample,
+    // so each component's corpus variance must equal its eigenvalue and
+    // each projection must be mean-centered
+    (0 until Similarity.PcaK).foreach { k =>
+      val ys = vecs.values.map(proj(_, k))
+      val mean = ys.sum / ys.size
+      val variance = ys.map(y => y * y).sum / ys.size
+      assert(math.abs(mean) < 1e-9, s"pc$k mean $mean")
+      assert(math.abs(variance - ev(k)) / ev(k) < 1e-6,
+        s"pc$k variance $variance vs eigenvalue ${ev(k)}")
+    }
+  }
+
   test("brute-force knn ranks by cosine then vec_id, excludes self") {
     val out = Similarity.queries("q50_knn_brute")(spark, sfDir)
     val byQuery = out.collect()
