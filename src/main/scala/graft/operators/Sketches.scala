@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -634,6 +634,51 @@ object Sketches {
               lit(0.4) * col("n_exact").cast("double")).as("est_ok"))
     }),
 
+    // --- HLL rolling 7-day uniques: the sketch tier under q216 -------------
+    // q216 computes rolling distinct users EXACTLY and pays one corpus-pair
+    // shuffle for it; this is the 100 TB relaxation when even that is too
+    // much: one 64-register HLL per DAY, and the trailing-window read is
+    // pure register algebra — elementwise max over the last 7 days' sketches
+    // (the union law q109 exploits), computed as a RANGE(-6, 0) window over
+    // the (day × register) spine. Everything past the per-day register agg
+    // is (span-days × 64) rows: a deployment keeps one sketch per
+    // day/shard/source forever and answers ANY window (7-day, 30-day,
+    // month-to-date) from sketch algebra without re-touching events. The
+    // spine densifies calendar days so carry-over days (active only via the
+    // trailing window) still report, matching q216's day set; q216's exact
+    // answer rides along as the audit column the sketch replaces at scale.
+    "q222_hll_rolling_uniques" -> ((s, d) => {
+      val act = Tables.load(s, d, "events")
+        .select(unix_date(to_date(col("ts"))).cast("long").as("day"),
+          col("user_id").cast("string").as("term"))
+        .distinct()
+      val reg = hllRegs(act, Seq("day"))
+      val spine = act.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .select(col("day"),
+          explode(sequence(lit(0L), lit(HllRegisters - 1L))).as("idx"))
+      val wRoll = Window.partitionBy(col("idx")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      val rolled = spine.join(reg, Seq("day", "idx"), "left")
+        .select(col("day"), col("idx"), coalesce(col("m"), lit(0L)).as("m0"))
+        .select(col("day"), max(col("m0")).over(wRoll).as("m"))
+      val sk = rolled.groupBy(col("day"))
+        .agg(sum(when(col("m") === 0, 1L).otherwise(0L)).as("v_zero"),
+          sum(expr(s"shiftleft(cast(1 as bigint), cast($HllMaxRho - m as int))"))
+            .as("sum_pow"))
+        .withColumn("raw_est",
+          lit(HllAlpha64) * lit(HllRegisters.toDouble * HllRegisters) *
+            lit(HllPowScale.toDouble) / col("sum_pow"))
+      val exact = Relational.queries("q216_rolling_uniques")(s, d)
+        .select(col("day"), col("rolling_users").as("n_exact"))
+      sk.join(exact, Seq("day"))
+        .select(col("day"), col("n_exact"), col("v_zero"), col("sum_pow"),
+          col("raw_est"),
+          (col("raw_est") <= lit(2.5 * HllRegisters) ||
+            abs(col("raw_est") - col("n_exact").cast("double")) <=
+              lit(0.4) * col("n_exact").cast("double")).as("est_ok"))
+    }),
+
     // --- HLL union: pairwise cross-source distinct-vocabulary estimation ---
     // The PAYOFF of the sketch's union law: |vocab(a) ∪ vocab(b)| for every
     // source pair, WITHOUT touching terms again — merged registers are just
@@ -863,6 +908,80 @@ object Sketches {
                * ${HllPowScale.toDouble}) / sk.sum_pow AS raw_est
             FROM sk JOIN ex ON sk.source = ex.source)
           SELECT source, n_exact, v_zero, sum_pow, raw_est,
+            (raw_est <= ${2.5 * HllRegisters}
+             OR abs(raw_est - CAST(n_exact AS DOUBLE))
+                <= 0.4 * CAST(n_exact AS DOUBLE)) AS est_ok
+          FROM est"""
+    },
+
+    // Rolling-HLL twin: q216's exact CTEs for the audit column + the q107
+    // register walk keyed by day + the calendar × register spine and the
+    // RANGE(-6,0) rolling register max.
+    "q222_hll_rolling_uniques" -> {
+      val d1 = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)"
+      val d2 = "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+      s"""WITH act AS (
+            SELECT DISTINCT user_id,
+              CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+            FROM events),
+          mx AS (SELECT MIN(day) AS mind, MAX(day) AS maxd FROM act),
+          iv AS (
+            SELECT user_id, day,
+              LEAST(COALESCE(LEAD(day) OVER (PARTITION BY user_id
+                  ORDER BY day) - 1, 9223372036854775807),
+                day + 6, maxd) AS e
+            FROM act CROSS JOIN mx),
+          cov AS (
+            SELECT user_id, day + i AS day
+            FROM iv, UNNEST(range(0, e - day + 1)) AS r(i)),
+          ex AS (SELECT day, CAST(COUNT(1) AS BIGINT) AS n_exact
+                 FROM cov GROUP BY day),
+          hx AS (SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM act),
+          rr AS (
+            SELECT day,
+              CAST(($d1 * 16 + $d2) % $HllRegisters AS BIGINT) AS idx,
+              length(regexp_extract(substr(h, 3, $HllTailNibbles), '^0*')) AS z4,
+              substr(h, 3, $HllTailNibbles) AS tl
+            FROM hx),
+          rho AS (
+            SELECT day, idx,
+              CASE WHEN z4 = $HllTailNibbles THEN $HllMaxRho
+                   ELSE 4 * z4 +
+                     CASE WHEN substr(tl, z4 + 1, 1) = '1' THEN 3
+                          WHEN substr(tl, z4 + 1, 1) IN ('2', '3') THEN 2
+                          WHEN substr(tl, z4 + 1, 1) IN ('4', '5', '6', '7') THEN 1
+                          ELSE 0 END + 1
+              END AS rho
+            FROM rr),
+          reg AS (
+            SELECT day, idx, CAST(MAX(rho) AS BIGINT) AS m
+            FROM rho GROUP BY day, idx),
+          spine AS (
+            SELECT dd.day, ii.idx
+            FROM (SELECT mind + i AS day
+                  FROM mx, UNNEST(range(0, maxd - mind + 1)) AS r(i)) dd,
+                 (SELECT CAST(i AS BIGINT) AS idx
+                  FROM UNNEST(range(0, $HllRegisters)) AS r(i)) ii),
+          dense AS (
+            SELECT s.day, s.idx, COALESCE(reg.m, 0) AS m0
+            FROM spine s LEFT JOIN reg
+              ON s.day = reg.day AND s.idx = reg.idx),
+          rolled AS (
+            SELECT day, MAX(m0) OVER (PARTITION BY idx ORDER BY day
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS m
+            FROM dense),
+          sk AS (
+            SELECT day,
+              CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+              CAST(SUM(CAST(1 AS BIGINT) << ($HllMaxRho - m)) AS BIGINT)
+                AS sum_pow
+            FROM rolled GROUP BY day),
+          est AS (
+            SELECT sk.day, ex.n_exact, sk.v_zero, sk.sum_pow,
+              (CAST($HllAlpha64 AS DOUBLE) * ${HllRegisters.toDouble * HllRegisters}
+               * ${HllPowScale.toDouble}) / sk.sum_pow AS raw_est
+            FROM sk JOIN ex ON sk.day = ex.day)
+          SELECT day, n_exact, v_zero, sum_pow, raw_est,
             (raw_est <= ${2.5 * HllRegisters}
              OR abs(raw_est - CAST(n_exact AS DOUBLE))
                 <= 0.4 * CAST(n_exact AS DOUBLE)) AS est_ok

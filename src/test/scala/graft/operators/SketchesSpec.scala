@@ -309,6 +309,45 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("q222: rolling register merge == direct sketch of each window's user union") {
+    // The union law is the whole point: max-merging the last 7 days'
+    // sketches must yield EXACTLY the sketch of the union of those days'
+    // user sets. Recompute both sides in the JVM via HllAggregate's own
+    // fold and compare the query's harmonic sums / estimates bit-for-bit.
+    val act = graft.Tables.load(spark, sfDir, "events")
+      .select(unix_date(to_date(col("ts"))).cast("long").as("day"),
+        col("user_id").cast("string").as("term"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byDay = act.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (mind, maxd) = (act.map(_._1).min, act.map(_._1).max)
+    val exactRolling = (mind to maxd).map { day =>
+      day -> (math.max(mind, day - 6) to day)
+        .flatMap(dd => byDay.getOrElse(dd, Set.empty)).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val got = Sketches.queries("q222_hll_rolling_uniques")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    assert(got.keySet == exactRolling.keySet)
+    got.foreach { case (day, (nExact, vZero, sumPow, rawEst, estOk)) =>
+      val union = exactRolling(day)
+      assert(nExact == union.size.toLong, s"day $day exact-audit mismatch")
+      // direct sketch of the union set == the query's rolled registers
+      val regs = union.toSeq.sorted
+        .foldLeft(Sketches.HllAggregate.zero)(Sketches.HllAggregate.reduce)
+      assert(regs.count(_ == 0L).toLong == vZero, s"day $day v_zero")
+      assert(Sketches.hllSumPow(regs.toIndexedSeq) == sumPow, s"day $day sum_pow")
+      assert(Sketches.hllEstimate(sumPow) == rawEst, s"day $day raw_est")
+      assert(estOk == (rawEst <= 2.5 * Sketches.HllRegisters ||
+        math.abs(rawEst - nExact) <= 0.4 * nExact))
+      // reader-side corrected estimate stays inside the 40% audit band
+      val corrected = Sketches.hllCorrected(sumPow, vZero)
+      assert(math.abs(corrected - nExact) <= 0.4 * nExact,
+        s"day $day corrected $corrected vs exact $nExact")
+    }
+  }
+
   test("hll: streaming registers == batch fold (state-store merge law live)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
