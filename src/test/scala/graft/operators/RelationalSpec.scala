@@ -1540,6 +1540,48 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q223: Poisson-bootstrap CI equals a JVM recompute of the whole pipeline") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2).*(100).toLongExact))
+    def weight(b: Int, id: Long): Long = {
+      val h = TextFns.md5hex(s"bs|${b / 8}|$id")
+      val u = java.lang.Long.parseLong(h.substring(4 * (b % 8), 4 * (b % 8) + 4), 16)
+      val k = Relational.PoissonCdf16.indexWhere(u < _)
+      if (k < 0) Relational.PoissonCdf16.length.toLong else k.toLong
+    }
+    val got = Relational.queries("q223_bootstrap_ci")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6))).toMap
+    ev.groupBy(_._2).foreach { case (ty, g) =>
+      val means = (0 until Relational.BootReplicas).flatMap { b =>
+        val ws = g.map { case (id, _, c) => (weight(b, id), c) }
+        val sw = ws.map(_._1).sum
+        if (sw == 0) None
+        else Some(b -> (BigInt(ws.map { case (w, c) => w * c }.sum) * 10000
+          / sw).toLong)
+      }
+      val ordered = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+      val nb = ordered.length
+      val meanU = (BigInt(g.map(_._3).sum) * 10000 / g.length).toLong
+      val (gn, gmean, gboot, glo, ghi, gcov) = got(ty)
+      assert(gn == g.length.toLong, ty)
+      assert(gmean == meanU, ty)
+      assert(gboot == nb.toLong, ty)
+      assert(glo == ordered(1), ty)
+      assert(ghi == ordered(nb - 2), ty)
+      assert(gcov == (glo <= meanU && meanU <= ghi), ty)
+      // statistical sanity, not just plumbing: the interval is non-trivial
+      // (strictly ordered tails) and the replica spread brackets the
+      // point estimate on this corpus
+      assert(glo < ghi, ty)
+      assert(gcov, ty)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q216: rolling 7-day uniques equal a brute per-day membership scan") {
     val act = graft.Tables.load(spark, sfDir, "events")
       .select(col("user_id"), unix_date(to_date(col("ts"))).cast("long"))
