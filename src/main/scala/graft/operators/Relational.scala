@@ -115,6 +115,12 @@ object Relational {
   val PoissonCdf16: Seq[Long] =
     Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L, 65535L)
 
+  /** q224 burst rule: today beats BurstFactor× its trailing-week daily
+    * average (7·n > BurstFactor·weekly_sum) and clears an absolute floor
+    * (tiny cells can trip any ratio test). */
+  val BurstFactor = 3L
+  val MinBurstCount = 3L
+
   /** Per-user_id mergeable aggregate state (q146): count, exact decimal
     * sum, min, max — the four partials every downstream read (including
     * avg) derives from. Mergeable BY CONSTRUCTION: count/sum re-sum,
@@ -1517,6 +1523,40 @@ object Relational {
           col("ci_lo"), col("ci_hi"),
           (col("ci_lo") <= col("mean_u") && col("mean_u") <= col("ci_hi"))
             .as("covers_point"))
+    }),
+
+    // --- term-burst detection (corpus-monitoring anomaly board) --------------------
+    // The ingestion-monitoring staple: which items suddenly spiked today
+    // vs their own trailing week? Item = the props.k attribute (the
+    // 100-value payload key), day series per item, burst ⇔
+    // 7·n_today > 3·(trailing 7-day sum) with a small absolute floor —
+    // a pure integer inequality (no float rates), so the verdict is
+    // engine- and partitioning-independent. Days with no activity simply
+    // have no row, and the RANGE(-7,-1) frame on the integer day key
+    // counts them as zero implicitly — no calendar densify needed for
+    // SUM (unlike q222's register spine, where the window op is MAX).
+    // Warm-up: only days with a full trailing week inside the corpus are
+    // judged (global min-day broadcast). Shape: one corpus scan into the
+    // (item × day) histogram (map-side combinable), then a window over
+    // the value-domain-bounded histogram — items parallelize the window,
+    // corpus rows never sort. 100 TB: the histogram is items × days
+    // cells regardless of corpus size.
+    "q224_term_bursts" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        unix_date(to_date(col("ts"))).cast("long").as("day"))
+      val hist = ev.groupBy(col("item"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val mind = hist.agg(min(col("day")).as("mind"))
+      val w = Window.partitionBy(col("item")).orderBy(col("day"))
+        .rangeBetween(-7, -1)
+      hist
+        .withColumn("base_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+        .join(broadcast(mind))
+        .where(col("day") >= col("mind") + 7)
+        .select(col("item"), col("day"), col("n"), col("base_sum"),
+          (col("n") * 7 > col("base_sum") * BurstFactor &&
+            col("n") >= MinBurstCount).as("is_burst"))
     }),
 
     // --- exact rolling 7-day distinct users (WAU per day) ------------------------
@@ -4180,6 +4220,29 @@ object Relational {
             ci.ci_lo <= p.mean_u AND p.mean_u <= ci.ci_hi AS covers_point
           FROM pt p JOIN ci USING (event_type)"""
     },
+
+    // Burst twin: same (item × day) histogram, same RANGE(-7,-1) trailing
+    // frame, same integer inequality with the shared constants.
+    "q224_term_bursts" ->
+      s"""WITH ev AS (
+            SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+              CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+            FROM events),
+          hist AS (
+            SELECT item, day, CAST(COUNT(1) AS BIGINT) AS n
+            FROM ev GROUP BY 1, 2),
+          mind AS (SELECT MIN(day) AS mind FROM hist),
+          based AS (
+            SELECT item, day, n,
+              CAST(COALESCE(SUM(n) OVER (PARTITION BY item ORDER BY day
+                RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS base_sum
+            FROM hist)
+          SELECT item, day, n, base_sum,
+            (n * 7 > base_sum * $BurstFactor AND n >= $MinBurstCount)
+              AS is_burst
+          FROM based, mind
+          WHERE day >= mind + 7""",
 
     // Rolling-uniques twin: the same lead()-derived disjoint cover
     // intervals, exploded via range() (end-exclusive, hence e − day + 1).

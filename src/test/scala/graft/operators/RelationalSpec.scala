@@ -1582,6 +1582,28 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q224: burst flags equal a brute trailing-week recompute") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long"),
+        unix_date(to_date(col("ts"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hist = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val mind = ev.map(_._2).min
+    val got = Relational.queries("q224_term_bursts")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val expected = hist.keys.filter(_._2 >= mind + 7).map { case (item, day) =>
+      val base = (day - 7 until day)
+        .map(dd => hist.getOrElse((item, dd), 0L)).sum
+      val n = hist((item, day))
+      (item, day) -> (n, base,
+        n * 7 > base * Relational.BurstFactor && n >= Relational.MinBurstCount)
+    }.toMap
+    assert(got == expected)
+    // non-vacuous on this corpus: both verdicts occur
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+
   test("q216: rolling 7-day uniques equal a brute per-day membership scan") {
     val act = graft.Tables.load(spark, sfDir, "events")
       .select(col("user_id"), unix_date(to_date(col("ts"))).cast("long"))
