@@ -63,6 +63,16 @@ object Similarity {
       Integer.parseInt(md5hex(s"jl$o-$k").substring(0, 2), 16) - 127.5
     }
 
+  /** q225 DBSCAN dials, all in the ×16-quantized integer space of the
+    * first two JL projections: eps = 15.0 (240 quantized — sits between
+    * the NN-distance median and the saturation knee measured on the
+    * corpus), MinPts = 4 eps-neighbors (self excluded), and the positive
+    * shift that makes truncating `div` equal floor division for the cell
+    * keys on both engines. */
+  val DbscanEpsQ = 240L
+  val DbscanMinPts = 4L
+  val DbscanShift = 1L << 24
+
   /** The projected vector as ProjDim codegen'd dot products (narrow). */
   def jlProject(v: Column): Column =
     array(jlPlanes.take(ProjDim).toIndexedSeq.map { row =>
@@ -749,7 +759,98 @@ object Similarity {
     // oracle-checked end to end.
     "q144_semdedup" -> ((s, d) =>
       semDeDup(embs(s, d), trainCentroids(embs(s, d), SemDedupLists),
-        SemDedupTau))
+        SemDedupTau)),
+
+    // --- grid-bucketed DBSCAN (density clustering without a kNN graph) -----
+    // The density-based sibling of q203's k-means / q144's SemDeDup: no
+    // cluster count chosen up front, noise is a first-class verdict, and
+    // arbitrary-shape clusters survive. The naive DBSCAN needs an
+    // all-pairs (or kNN-index) neighborhood query; this is the textbook
+    // grid relaxation — project to 2 JL dims (the q81 planes, so the
+    // oracle embeds the same literals), quantize ×16 to an exact integer
+    // space, cell width = eps ⇒ every eps-neighbor lives in the 3×3
+    // adjacent cells, so candidate generation is a 9-offset EQUI-join on
+    // cell keys (never all-pairs; candidate volume = Σ|cell|·|3×3
+    // neighborhood|, bounded by the density dial eps). Core = ≥MinPts
+    // eps-neighbors; clusters = connected components over CORE-CORE
+    // edges (the shared star/label-prop CC); border points attach to
+    // their min core neighbor's cluster; everything else is noise
+    // (cluster −1). Integer d² everywhere ⇒ engine- and
+    // partitioning-independent verdicts. 100 TB: the grid join shuffles
+    // fixed-width (id, qx, qy, cell) rows; CC runs over core pairs only.
+    "q225_grid_dbscan" -> ((s, d) => {
+      val pts = embs(s, d).select(col("vec_id").as("id"),
+          floor(dot(col("v"),
+            array(jlPlanes(0).toIndexedSeq.map(lit): _*)) * 16)
+            .cast("long").as("qx"),
+          floor(dot(col("v"),
+            array(jlPlanes(1).toIndexedSeq.map(lit): _*)) * 16)
+            .cast("long").as("qy"))
+        .select(col("id"), col("qx"), col("qy"),
+          expr(s"(qx + $DbscanShift) div $DbscanEpsQ").as("cx"),
+          expr(s"(qy + $DbscanShift) div $DbscanEpsQ").as("cy"))
+        .localCheckpoint(true)
+      val probe = pts
+        .select(col("id").as("ia"), col("qx").as("qxa"), col("qy").as("qya"),
+          explode(expr("array(-1L, 0L, 1L)")).as("dx"),
+          col("cx"), col("cy"))
+        .select(col("ia"), col("qxa"), col("qya"),
+          (col("cx") + col("dx")).as("jx"), col("cy"),
+          explode(expr("array(-1L, 0L, 1L)")).as("dy"))
+        .select(col("ia"), col("qxa"), col("qya"), col("jx"),
+          (col("cy") + col("dy")).as("jy"))
+      val edges = probe
+        .join(pts.select(col("id").as("ib"), col("qx").as("qxb"),
+            col("qy").as("qyb"), col("cx").as("jx"), col("cy").as("jy")),
+          Seq("jx", "jy"))
+        .where(col("ia") =!= col("ib") &&
+          (col("qxa") - col("qxb")) * (col("qxa") - col("qxb")) +
+            (col("qya") - col("qyb")) * (col("qya") - col("qyb"))
+            <= DbscanEpsQ * DbscanEpsQ)
+        .select(col("ia"), col("ib"))
+        .localCheckpoint(true)
+      val cores = edges.groupBy(col("ia")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= DbscanMinPts).select(col("ia").as("id"))
+        .localCheckpoint(true)
+      val corePairs = edges
+        .join(cores.select(col("id").as("ia")), "ia")
+        .join(cores.select(col("id").as("ib")), "ib")
+        .where(col("ia") < col("ib"))
+        .select(col("ia").as("i"), col("ib").as("j"))
+      // density blobs are long-diameter by construction (chains of
+      // eps-balls), so min-label propagation would burn its round cap
+      // before converging — go straight to the O(log n)-round star CC
+      val comp = Dedup.connectedComponents(corePairs, algorithm = "star")
+        .select(col("doc_id").as("id"), col("component"))
+      // a core with no core neighbor is its own singleton cluster
+      val coreLbl = cores.join(comp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id"))
+          .as("cluster"))
+      val borderLbl = edges
+        .join(coreLbl.select(col("id").as("ib"), col("cluster")), "ib")
+        .join(cores.select(col("id").as("ia")), Seq("ia"), "left_anti")
+        .groupBy(col("ia")).agg(min(col("cluster")).as("cluster"))
+        .select(col("ia").as("id"), col("cluster"))
+      val out = pts.select(col("id"))
+        .join(coreLbl.withColumnRenamed("cluster", "core_cluster"),
+          Seq("id"), "left")
+        .join(borderLbl.withColumnRenamed("cluster", "border_cluster"),
+          Seq("id"), "left")
+        .select(col("id").as("vec_id"),
+          when(col("core_cluster").isNotNull, "core")
+            .when(col("border_cluster").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("core_cluster"), col("border_cluster"), lit(-1L))
+            .as("cluster"))
+        // re-root the result so the intermediate checkpoints can be freed
+        // NOW (the ccLabelProp discipline — returning a plan over them
+        // would pin their blocks for the session)
+        .localCheckpoint(true)
+      graft.FrameBlocks.release(pts)
+      graft.FrameBlocks.release(edges)
+      graft.FrameBlocks.release(cores)
+      out
+    })
   )
 
   // ------------------- product quantization (q115/q116) -------------------
@@ -2283,6 +2384,56 @@ object Similarity {
               WHERE ${oCosine("a.v", "b.v")} >= $SemDedupTau)
           SELECT r.vec_id, r.cid AS list_id, r.csim AS centroid_sim,
                  (d.vec_id IS NULL) AS kept
-          FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id"""
+          FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id""",
+
+    // DBSCAN twin: the same two JL plane literals, the same ×16 integer
+    // quantization, the same 3×3-cell candidate join and MinPts rule, and
+    // the CC over core-core edges as a recursive min-label reach.
+    "q225_grid_dbscan" ->
+      s"""WITH RECURSIVE pts AS (
+            SELECT vec_id AS id,
+              CAST(floor((${oJlDot(oEmb, 0)}) * 16) AS BIGINT) AS qx,
+              CAST(floor((${oJlDot(oEmb, 1)}) * 16) AS BIGINT) AS qy
+            FROM embeddings),
+          cells AS (
+            SELECT id, qx, qy,
+              (qx + $DbscanShift) // $DbscanEpsQ AS cx,
+              (qy + $DbscanShift) // $DbscanEpsQ AS cy
+            FROM pts),
+          edges AS (
+            SELECT a.id AS ia, b.id AS ib
+            FROM cells a JOIN cells b
+              ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+             AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+             AND a.id <> b.id
+             AND (a.qx - b.qx) * (a.qx - b.qx)
+               + (a.qy - b.qy) * (a.qy - b.qy)
+                 <= ${DbscanEpsQ * DbscanEpsQ}),
+          cores AS (
+            SELECT ia AS id FROM edges GROUP BY 1
+            HAVING COUNT(1) >= $DbscanMinPts),
+          cedges AS (
+            SELECT ia, ib FROM edges
+            WHERE ia IN (SELECT id FROM cores)
+              AND ib IN (SELECT id FROM cores)),
+          reach(node, lbl) AS (
+            SELECT id, id FROM cores
+            UNION
+            SELECT e.ib, r.lbl FROM reach r JOIN cedges e ON e.ia = r.node),
+          comp AS (SELECT node AS id, MIN(lbl) AS cluster
+                   FROM reach GROUP BY 1),
+          border AS (
+            SELECT e.ia AS id, MIN(c.cluster) AS cluster
+            FROM edges e JOIN comp c ON e.ib = c.id
+            WHERE e.ia NOT IN (SELECT id FROM cores)
+            GROUP BY 1)
+          SELECT p.id AS vec_id,
+            CASE WHEN cm.id IS NOT NULL THEN 'core'
+                 WHEN b.id IS NOT NULL THEN 'border'
+                 ELSE 'noise' END AS role,
+            COALESCE(cm.cluster, b.cluster, -1) AS cluster
+          FROM pts p
+          LEFT JOIN comp cm ON p.id = cm.id
+          LEFT JOIN border b ON p.id = b.id"""
   )
 }

@@ -751,4 +751,54 @@ class SimilaritySpec extends SparkSpec {
     // bounded output: k per label, never the whole label
     assert(out.count(_.getInt(0) == 0) == 3)
   }
+
+  test("q225: grid DBSCAN equals a brute all-pairs DBSCAN (grid is lossless)") {
+    // The grid join is a candidate RESTRICTION; cell width = eps is what
+    // makes it complete (any eps-pair lands in 3×3 adjacent cells). This
+    // recomputes DBSCAN with NO grid — full O(n²) neighborhoods in the
+    // JVM — and demands identical roles and identical min-core-id
+    // cluster labels.
+    val pts = Similarity.embs(spark, sfDir)
+      .select(col("vec_id"), col("v")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val qx = math.floor(Similarity.jlPlanes(0).zip(v)
+          .map { case (a, b) => a * b }.sum * 16).toLong
+        val qy = math.floor(Similarity.jlPlanes(1).zip(v)
+          .map { case (a, b) => a * b }.sum * 16).toLong
+        (r.getLong(0), qx, qy)
+      }
+    val eps2 = Similarity.DbscanEpsQ * Similarity.DbscanEpsQ
+    def neigh(p: (Long, Long, Long)) = pts.filter(q => q._1 != p._1 &&
+      (p._2 - q._2) * (p._2 - q._2) + (p._3 - q._3) * (p._3 - q._3) <= eps2)
+    val coreSet = pts.filter(p => neigh(p).length >= Similarity.DbscanMinPts)
+      .map(_._1).toSet
+    // CC over core-core eps-edges via union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byId = pts.map(p => p._1 -> p).toMap
+    for (a <- coreSet; b <- neigh(byId(a)).map(_._1) if coreSet(b)) union(a, b)
+    val coreCluster = coreSet.map(c => c -> find(c)).toMap
+    val expected = pts.map { p =>
+      if (coreSet(p._1)) (p._1, "core", coreCluster(p._1))
+      else {
+        val coreNb = neigh(p).map(_._1).filter(coreSet)
+        if (coreNb.nonEmpty) (p._1, "border", coreNb.map(coreCluster).min)
+        else (p._1, "noise", -1L)
+      }
+    }.toSet
+    val got = Similarity.queries("q225_grid_dbscan")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // non-vacuous: all three roles occur and there are ≥2 clusters
+    assert(Set("core", "border", "noise").subsetOf(got.map(_._2)))
+    assert(got.collect { case (_, "core", c) => c }.size > 1)
+  }
 }
