@@ -981,6 +981,62 @@ object Dedup {
           abs(col("nc_a") - col("nc_b")).as("chars_diff"))
     }),
 
+    // --- Fellegi–Sunter probabilistic linkage scoring ------------------------
+    // The decision layer production record linkage (Splink lineage) puts
+    // on top of blocking: per comparison field, the u-probability
+    // (agreement by CHANCE) is estimated from the candidate pairs
+    // themselves — blocked pairs are overwhelmingly non-matches, the
+    // standard estimator — while m is the fixed 9/10 prior; a pair's
+    // match score is the sum of per-field log-likelihood-ratio weights,
+    // positive evidence for agreement on a RARE field (low u), negative
+    // for disagreement. Everything stays in the exact digit-count bits
+    // currency (bits(x) = length of x's binary form): agreement weight =
+    // bits(9N) − bits(10·A_f), disagreement = bits(N) − bits(10·(N−A_f)),
+    // both clamped so empty cells can't divide by zero — no libm, no
+    // float probabilities, bit-identical across engines. Verdict: total
+    // score > 0 ⇔ posterior odds beat the prior. Shape: candidate pairs
+    // are the q162 sorted-neighborhood output (w·n, never quadratic),
+    // fields join back pair-sized, the u-estimates are ONE broadcast
+    // 1-row aggregate. At 100 TB nothing here exceeds pair volume.
+    "q226_fs_linkage" -> ((s, d) => {
+      val fields = docs(s, d).select(col("doc_id"), col("lang"),
+        col("source"), expr("n_chars div 64").as("band"),
+        md5(substring(col("text"), 1, 64)).as("pfx"))
+      val p = queries("q162_sorted_neighborhood")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+        .join(fields.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+          col("source").as("sa"), col("band").as("ba"),
+          col("pfx").as("pa")), "doc_a")
+        .join(fields.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+          col("source").as("sb"), col("band").as("bb"),
+          col("pfx").as("pb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("la") === col("lb")).as("ag_lang"),
+          (col("sa") === col("sb")).as("ag_src"),
+          (col("ba") === col("bb")).as("ag_band"),
+          (col("pa") === col("pb")).as("ag_pfx"))
+      val fs = Seq("lang", "src", "band", "pfx")
+      val stats = p.agg(count(lit(1)).as("n"),
+        fs.map(f => sum(when(col(s"ag_$f"), 1L).otherwise(0L))
+          .as(s"a_$f")): _*)
+      def bits(c: Column): Column = length(bin(c)).cast("long")
+      val scored = p.join(broadcast(stats))
+      val weightCols = fs.map { f =>
+        val a = greatest(col(s"a_$f"), lit(1L))
+        val na = greatest(col("n") - col(s"a_$f"), lit(1L))
+        when(col(s"ag_$f"), bits(col("n") * 9) - bits(a * 10))
+          .otherwise(bits(col("n")) - bits(na * 10)).as(s"w_$f")
+      }
+      scored
+        .select(Seq(col("doc_a"), col("doc_b"), col("ag_lang"),
+          col("ag_src"), col("ag_band"), col("ag_pfx")) ++ weightCols: _*)
+        .select(col("doc_a"), col("doc_b"), col("ag_lang"), col("ag_src"),
+          col("ag_band"), col("ag_pfx"),
+          (col("w_lang") + col("w_src") + col("w_band") + col("w_pfx"))
+            .as("score_bits"))
+        .withColumn("is_match", col("score_bits") > 0)
+    }),
+
     // --- duplicated-span detection (ExactSubstr-style, window granularity) --
     // Doc-level dedup (q40/q42/q78) cannot see a PARAGRAPH duplicated
     // across otherwise-different documents — the signal behind
@@ -1481,6 +1537,53 @@ object Dedup {
            a.lang = b.lang AS same_lang,
            CAST(abs(a.n_chars - b.n_chars) AS BIGINT) AS chars_diff
          FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 2""",
+
+    // FS twin: the q162 blocking CTEs verbatim, the same digit-count
+    // weights with the same clamps, the same score>0 verdict.
+    "q226_fs_linkage" -> {
+      def w(f: String) =
+        s"""CASE WHEN ag_$f
+              THEN length(format('{:b}', n * 9))
+                 - length(format('{:b}', GREATEST(a_$f, 1) * 10))
+              ELSE length(format('{:b}', n))
+                 - length(format('{:b}', GREATEST(n - a_$f, 1) * 10)) END"""
+      def a(f: String) =
+        s"CAST(SUM(CASE WHEN ag_$f THEN 1 ELSE 0 END) AS BIGINT) AS a_$f"
+      s"""WITH k AS (
+            SELECT doc_id,
+              array_to_string(list_sort(string_split(text, ' '))[1:5], ' ')
+                AS bkey
+            FROM documents),
+          r AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bkey, doc_id) AS rank
+            FROM k),
+          pr AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 2),
+          f AS (
+            SELECT doc_id, lang, source, n_chars // 64 AS band,
+              md5(substr(text, 1, 64)) AS pfx
+            FROM documents),
+          p AS (
+            SELECT pr.doc_a, pr.doc_b,
+              fa.lang = fb.lang AS ag_lang,
+              fa.source = fb.source AS ag_src,
+              fa.band = fb.band AS ag_band,
+              fa.pfx = fb.pfx AS ag_pfx
+            FROM pr
+            JOIN f fa ON pr.doc_a = fa.doc_id
+            JOIN f fb ON pr.doc_b = fb.doc_id),
+          st AS (
+            SELECT CAST(COUNT(1) AS BIGINT) AS n,
+              ${a("lang")}, ${a("src")}, ${a("band")}, ${a("pfx")}
+            FROM p)
+          SELECT doc_a, doc_b, ag_lang, ag_src, ag_band, ag_pfx,
+            CAST(${w("lang")} + ${w("src")} + ${w("band")} + ${w("pfx")}
+              AS BIGINT) AS score_bits,
+            (${w("lang")} + ${w("src")} + ${w("band")} + ${w("pfx")}) > 0
+              AS is_match
+          FROM p, st"""
+    },
 
     "q160_crosskey_entities" ->
       """WITH RECURSIVE keyed AS (

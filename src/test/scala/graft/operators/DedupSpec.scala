@@ -796,4 +796,48 @@ class DedupSpec extends SparkSpec {
     // candidate volume is exactly w·n − w(w+1)/2 — the SNM contract
     assert(out.size == w * ranked.length - w * (w + 1) / 2)
   }
+
+  test("q226: FS weights and verdicts equal a JVM recompute over the SNM pairs") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text").collect()
+      .map { r =>
+        val text = r.getString(4)
+        (r.getLong(0), (r.getString(1), r.getString(2), r.getLong(3) / 64,
+          TextFns.md5hex(text.substring(0, math.min(64, text.length))),
+          text.split(" ").sorted.take(5).mkString(" ")))
+      }.toMap
+    val ranked = docs.toSeq.sortBy { case (id, f) => (f._5, id) }
+    val pairs = for {
+      i <- ranked.indices; delta <- 1 to 2 if i + delta < ranked.length
+    } yield (ranked(i)._1, ranked(i + delta)._1)
+    def agree(a: Long, b: Long) = {
+      val (fa, fb) = (docs(a), docs(b))
+      Seq(fa._1 == fb._1, fa._2 == fb._2, fa._3 == fb._3, fa._4 == fb._4)
+    }
+    val n = pairs.length.toLong
+    val aCounts = pairs.map { case (a, b) => agree(a, b) }
+      .transpose.map(_.count(identity).toLong)
+    def bits(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    val expected = pairs.map { case (a, b) =>
+      val ws = agree(a, b).zip(aCounts).map { case (ag, cnt) =>
+        if (ag) bits(n * 9) - bits(math.max(cnt, 1L) * 10)
+        else bits(n) - bits(math.max(n - cnt, 1L) * 10)
+      }
+      val score = ws.sum
+      (a, b) -> (agree(a, b), score, score > 0)
+    }.toMap
+    val got = Dedup.queries("q226_fs_linkage")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Seq(r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5)), r.getLong(6), r.getBoolean(7))).toMap
+    assert(got == expected)
+    // FS semantics hold, not just plumbing: agreement on the RARE field
+    // (prefix hash) carries strictly more positive weight than agreement
+    // on the common one (lang), and both verdicts occur
+    val (aLang, aPfx) = (aCounts(0), aCounts(3))
+    assert(aPfx < aLang)
+    assert(bits(n * 9) - bits(math.max(aPfx, 1L) * 10) >
+      bits(n * 9) - bits(aLang * 10))
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
 }
