@@ -73,6 +73,15 @@ object Similarity {
   val DbscanMinPts = 4L
   val DbscanShift = 1L << 24
 
+  /** q227 margin-mining dials: k neighbors per end in the margin
+    * denominator; τ in millis (1150 ⇔ ratio margin 1.15 — sits between
+    * the median and p90 of the measured margin distribution at both test
+    * SFs, so both verdicts occur). The inequality form
+    * s·(2000k) > τ·(Σtop_src + Σtop_dst) is the ratio margin
+    * s / ((avg_src + avg_dst)/2) > τ/1000 cleared of divisions. */
+  val MarginK = 4
+  val MarginTauMillis = 1150L
+
   /** The projected vector as ProjDim codegen'd dot products (narrow). */
   def jlProject(v: Column): Column =
     array(jlPlanes.take(ProjDim).toIndexedSeq.map { row =>
@@ -849,6 +858,61 @@ object Similarity {
       graft.FrameBlocks.release(pts)
       graft.FrameBlocks.release(edges)
       graft.FrameBlocks.release(cores)
+      out
+    }),
+
+    // --- margin-criterion pair mining (bitext-mining shape) ----------------
+    // The CCMatrix/LASER method for mining ALIGNED pairs across two
+    // corpora: absolute cosine is useless (hubness — some vectors are
+    // close to everything), so a pair is mined only if its similarity
+    // beats the MARGIN — the candidate's own neighborhood average on BOTH
+    // ends (Artetxe & Schwenk ratio margin, k=4, top-k inclusive of the
+    // candidate). Sides here are vec_id parity; candidates come from the
+    // SAME q51 hyperplane buckets (an equi-join — never the A×B cross
+    // product), and the margin is evaluated over the retrieved
+    // neighborhood, exactly what FAISS-based mining pipelines do.
+    // Determinism: sims quantize to floor(1e6·cos) integers BEFORE any
+    // sum, so top-4 sums are order-independent and the mined verdict is
+    // the pure integer inequality 8000·s > τ·(Σtop4_src + Σtop4_dst).
+    // Only nodes with a full k=4 retrieved neighborhood on both ends are
+    // judged (a margin against a 2-element neighborhood is noise).
+    // 100 TB: pair volume is the bucket equi-join's, per-node state is
+    // the top-4 window over in-bucket candidates, everything after is
+    // node-sized.
+    "q227_margin_mining" -> ((s, d) => {
+      val e = embs(s, d).withColumn("bucket", lshBucket(col("v")))
+      val a = e.filter(col("vec_id") % 2 === 0).select(col("bucket"),
+        col("vec_id").as("src"), col("v").as("av"), col("nrm").as("an"))
+      val b = e.filter(col("vec_id") % 2 === 1).select(col("bucket"),
+        col("vec_id").as("dst"), col("v").as("bv"), col("nrm").as("bn"))
+      val cand = a.join(b, "bucket")
+        .select(col("src"), col("dst"),
+          floor(pairSim(col("av"), col("an"), col("bv"), col("bn")) * 1e6)
+            .cast("long").as("s"))
+        .localCheckpoint(true)
+      val wA = Window.partitionBy(col("src")).orderBy(col("s").desc, col("dst"))
+      val rankedA = cand.withColumn("rn", row_number().over(wA))
+      val topA = rankedA.filter(col("rn") <= MarginK)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("na"), sum(col("s")).as("sum4_src"))
+        .where(col("na") === MarginK)
+      val wB = Window.partitionBy(col("dst")).orderBy(col("s").desc, col("src"))
+      val topB = cand.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= MarginK)
+        .groupBy(col("dst"))
+        .agg(count(lit(1)).as("nb"), sum(col("s")).as("sum4_dst"))
+        .where(col("nb") === MarginK)
+      val out = rankedA.filter(col("rn") === 1)
+        .select(col("src"), col("dst"), col("s"))
+        .join(topA.select(col("src"), col("sum4_src")), "src")
+        .join(topB.select(col("dst"), col("sum4_dst")), "dst")
+        .select(col("src"), col("dst"), col("s").as("sim_u"),
+          col("sum4_src"), col("sum4_dst"),
+          (col("s") * (MarginK * 2000L) >
+            (col("sum4_src") + col("sum4_dst")) * MarginTauMillis)
+            .as("mined"))
+        .localCheckpoint(true)
+      graft.FrameBlocks.release(cand)
       out
     })
   )
@@ -2434,6 +2498,39 @@ object Similarity {
             COALESCE(cm.cluster, b.cluster, -1) AS cluster
           FROM pts p
           LEFT JOIN comp cm ON p.id = cm.id
-          LEFT JOIN border b ON p.id = b.id"""
+          LEFT JOIN border b ON p.id = b.id""",
+
+    // Margin-mining twin: same buckets, same floor(1e6·cos) integer sims,
+    // same inclusive top-4 sums and integer margin inequality.
+    "q227_margin_mining" ->
+      s"""WITH e AS (SELECT vec_id, $oEmb AS v, ${oLshBucket(oEmb)} AS bucket
+                     FROM embeddings),
+          cand AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+              CAST(floor(${oCosine("a.v", "b.v")} * 1e6) AS BIGINT) AS s
+            FROM e a JOIN e b
+              ON a.bucket = b.bucket
+             AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+          ra AS (
+            SELECT src, dst, s, ROW_NUMBER() OVER (PARTITION BY src
+              ORDER BY s DESC, dst) AS rn
+            FROM cand),
+          ta AS (
+            SELECT src, CAST(SUM(s) AS BIGINT) AS sum4_src
+            FROM ra WHERE rn <= $MarginK GROUP BY src
+            HAVING COUNT(1) = $MarginK),
+          rb AS (
+            SELECT src, dst, s, ROW_NUMBER() OVER (PARTITION BY dst
+              ORDER BY s DESC, src) AS rn
+            FROM cand),
+          tb AS (
+            SELECT dst, CAST(SUM(s) AS BIGINT) AS sum4_dst
+            FROM rb WHERE rn <= $MarginK GROUP BY dst
+            HAVING COUNT(1) = $MarginK)
+          SELECT r.src, r.dst, r.s AS sim_u, ta.sum4_src, tb.sum4_dst,
+            r.s * ${MarginK * 2000L} >
+              (ta.sum4_src + tb.sum4_dst) * $MarginTauMillis AS mined
+          FROM ra r JOIN ta USING (src) JOIN tb USING (dst)
+          WHERE r.rn = 1"""
   )
 }

@@ -801,4 +801,50 @@ class SimilaritySpec extends SparkSpec {
     assert(Set("core", "border", "noise").subsetOf(got.map(_._2)))
     assert(got.collect { case (_, "core", c) => c }.size > 1)
   }
+
+  test("q227: margin mining equals a JVM recompute; margin inverts raw-sim order") {
+    val e = Similarity.embs(spark, sfDir)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def bucket(v: Array[Double]) = (0 until TextFns.NumPlanes).map { b =>
+      if (TextFns.hyperplanes(b).zip(v).map { case (a, x) => a * x }.sum >= 0)
+        1 << b else 0
+    }.sum
+    def simU(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.floor(d / (na * nb) * 1e6).toLong
+    }
+    val byB = e.groupBy(p => bucket(p._2))
+    val cand = byB.values.flatMap { g =>
+      for { a <- g.toSeq if a._1 % 2 == 0; b <- g.toSeq if b._1 % 2 == 1 }
+        yield (a._1, b._1, simU(a._2, b._2))
+    }.toSeq
+    def top4(side: Iterable[(Long, Long, Long)], key: ((Long, Long, Long)) => Long,
+             tie: ((Long, Long, Long)) => Long): Map[Long, Long] =
+      side.groupBy(key).collect { case (k, g) if g.size >= Similarity.MarginK =>
+        k -> g.toSeq.sortBy(t => (-t._3, tie(t))).take(Similarity.MarginK)
+          .map(_._3).sum
+      }
+    val ta = top4(cand, _._1, _._2)
+    val tb = top4(cand, _._2, _._1)
+    val expected = cand.groupBy(_._1).flatMap { case (src, g) =>
+      val (_, dst, s0) = g.minBy(t => (-t._3, t._2))
+      for (sa <- ta.get(src); sb <- tb.get(dst)) yield (src, dst) -> (s0, sa, sb,
+        s0 * (Similarity.MarginK * 2000L) >
+          (sa + sb) * Similarity.MarginTauMillis)
+    }
+    val got = Similarity.queries("q227_margin_mining")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == expected)
+    // margin semantics: both verdicts occur, AND the margin reorders raw
+    // similarity (a high-sim pair rejected while a lower-sim pair mines) —
+    // the hubness correction that IS the point of the criterion
+    val mined = got.values.filter(_._4).map(_._1)
+    val rejected = got.values.filterNot(_._4).map(_._1)
+    assert(mined.nonEmpty && rejected.nonEmpty)
+    assert(rejected.max > mined.min)
+  }
 }
