@@ -914,6 +914,43 @@ object Similarity {
         .localCheckpoint(true)
       graft.FrameBlocks.release(cand)
       out
+    }),
+
+    // --- multi-probe LSH (the query-side recall dial) -----------------------
+    // The standard fix for LSH's recall cliff WITHOUT rebuilding or
+    // widening the index: each query probes its own bucket PLUS the
+    // NumPlanes buckets at Hamming distance 1 (one hyperplane bit
+    // flipped) — near neighbors that landed just across one hyperplane
+    // become reachable at the cost of probes, not index size
+    // (Lv et al.'s multi-probe LSH, the query-side knob FAISS exposes as
+    // nprobe). Plan shape is EXACTLY q51 with a 5-row probe explode on
+    // the (tiny, broadcast) query side; the corpus is untouched — same
+    // bucket equi-join, candidate volume multiplied by probes, never
+    // quadratic. Probe buckets are distinct by construction (distinct
+    // XOR masks), so no candidate dedup stage is needed. The spec pins
+    // the monotonicity the superset guarantees: per-query exact-top-k
+    // hits ≥ q51's single-probe hits.
+    "q228_knn_multiprobe" -> ((s, d) => {
+      val e = embs(s, d).withColumn("bucket", lshBucket(col("v")))
+      val probes = (lit(-1) +: (0 until TextFns.NumPlanes).map(lit(_))).toSeq
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket").as("b0"))
+        .select(col("query_id"), col("qv"), col("qn"), col("b0"),
+          explode(array(probes: _*)).as("flip"))
+        .select(col("query_id"), col("qv"), col("qn"),
+          when(col("flip") === -1, col("b0"))
+            .otherwise(col("b0").bitwiseXOR(expr("shiftleft(1, flip)")))
+            .as("qbucket"))
+      val scored = broadcast(q).join(e,
+          col("qbucket") === col("bucket") && col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          pairSim(col("qv"), col("qn"), col("v"), col("nrm")).as("sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("nn_rank", row_number().over(w).cast("long"))
+        .filter(col("nn_rank") <= LshTopK)
+        .select(col("query_id"), col("nn_rank"), col("vec_id"), col("sim"))
     })
   )
 
@@ -2531,6 +2568,29 @@ object Similarity {
             r.s * ${MarginK * 2000L} >
               (ta.sum4_src + tb.sum4_dst) * $MarginTauMillis AS mined
           FROM ra r JOIN ta USING (src) JOIN tb USING (dst)
-          WHERE r.rn = 1"""
+          WHERE r.rn = 1""",
+
+    // Multi-probe twin: q51's CTE with the 5-bucket probe list unnested on
+    // the query side (own bucket + each single-bit flip).
+    "q228_knn_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, $oEmb AS v, ${oLshBucket(oEmb)} AS bucket
+                     FROM embeddings),
+          q AS (
+            SELECT vec_id AS query_id, v,
+              CASE WHEN f = -1 THEN bucket
+                   ELSE xor(bucket, 1 << f) END AS qbucket
+            FROM e, UNNEST([${(-1 +: (0 until TextFns.NumPlanes)).mkString(", ")}])
+              AS r(f)
+            WHERE vec_id < $NumQueries),
+          scored AS (
+            SELECT q.query_id, c.vec_id,
+                   ${oCosine("q.v", "c.v")} AS sim
+            FROM q JOIN e c
+              ON q.qbucket = c.bucket AND q.query_id <> c.vec_id)
+          SELECT query_id, nn_rank, vec_id, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, vec_id) AS nn_rank
+            FROM scored)
+          WHERE nn_rank <= $LshTopK"""
   )
 }

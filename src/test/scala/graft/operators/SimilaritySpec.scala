@@ -847,4 +847,30 @@ class SimilaritySpec extends SparkSpec {
     assert(mined.nonEmpty && rejected.nonEmpty)
     assert(rejected.max > mined.min)
   }
+
+  test("q228: multi-probe recall dominates single-probe per query (and strictly somewhere)") {
+    // Probing Hamming-1 buckets only ADDS candidates; an exact-top-k
+    // member in the candidate set can only be displaced by a
+    // higher-similarity candidate, which is itself exact-top-k — so
+    // per-query hits are monotone in the probe set. This pins that
+    // superset argument against the real corpus, plus that the extra
+    // probes actually BUY something here (strict improvement somewhere).
+    def hitSets(name: String, k: Int): Map[Long, Set[Long]] =
+      Similarity.queries(name)(spark, sfDir).collect()
+        .filter(_.getLong(1) <= k)
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val brute = hitSets("q50_knn_brute", Similarity.LshTopK)
+    val single = hitSets("q51_knn_lsh", Similarity.LshTopK)
+    val multi = hitSets("q228_knn_multiprobe", Similarity.LshTopK)
+    val perQuery = brute.keys.toSeq.map { q =>
+      val exact = brute(q)
+      ((single.getOrElse(q, Set.empty) & exact).size,
+        (multi.getOrElse(q, Set.empty) & exact).size)
+    }
+    assert(perQuery.forall { case (s1, m1) => m1 >= s1 })
+    assert(perQuery.exists { case (s1, m1) => m1 > s1 })
+    // and every multi-probe candidate list is still capped at k
+    assert(multi.values.forall(_.size <= Similarity.LshTopK))
+  }
 }
