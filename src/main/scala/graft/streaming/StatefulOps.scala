@@ -655,6 +655,111 @@ object StatefulOps {
       }
   }
 
+  case class BurstEvent(item: Long, day: Long)
+  case class BurstState(days: Map[Long, Long])
+  case class BurstRow(item: Long, day: Long, n: Long, base_sum: Long,
+                      is_burst: Boolean)
+
+  /** Streaming twin of the batch term-burst board (q224, `Relational`):
+    * per item the state is its (day -> count) histogram PRUNED to a
+    * 16-day horizon behind the newest day seen — bounded per-key state
+    * FOREVER, with 8 days of arrival-disorder tolerance before a late
+    * row could meet a partially pruned window. Each batch emits refreshed
+    * (n, base_sum, is_burst) rows for the days it TOUCHED, computed
+    * against the pre-prune map: under day-ordered arrival a day's full
+    * trailing week is present the moment the day arrives, and no
+    * later-day event can change an earlier day's window, so each day's
+    * last emission is bit-identical to the batch row. Warm-up (`mind` +
+    * 7) takes the corpus start as deployment config, where batch q224
+    * reads it from the data. Same integer inequality, same constants. */
+  def burstStream(events: Dataset[BurstEvent], mind: Long): Dataset[BurstRow] = {
+    import events.sparkSession.implicits._
+    val factor = graft.operators.Relational.BurstFactor
+    val minN = graft.operators.Relational.MinBurstCount
+    events.groupByKey(_.item)
+      .flatMapGroupsWithState[BurstState, BurstRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (item, batch, state) =>
+          var m = state.getOption.getOrElse(BurstState(Map.empty)).days
+          var touched = Set.empty[Long]
+          batch.foreach { e =>
+            m = m.updated(e.day, m.getOrElse(e.day, 0L) + 1L)
+            touched += e.day
+          }
+          // Emit TOUCHED days against the PRE-prune map: under day-ordered
+          // arrival a day's full trailing week is always present the batch
+          // the day itself arrives (its window days arrived no later), and
+          // only touched days' rows can change (no later-day event can
+          // alter an earlier day's window). Pruning happens after, purely
+          // as the state bound.
+          val rows = touched.toSeq.sorted.filter(_ >= mind + 7).map { d =>
+            val n = m(d)
+            val base = (d - 7 until d).map(m.getOrElse(_, 0L)).sum
+            BurstRow(item, d, n, base, n * 7 > base * factor && n >= minN)
+          }
+          val maxDay = m.keys.max
+          m = m.filter { case (d, _) => maxDay - d <= 15 }
+          state.update(BurstState(m))
+          rows.iterator
+      }
+  }
+
+  case class BootEvent(event_type: String, event_id: Long, cents: Long)
+  case class BootCiState(n: Long, sumC: Long, sw: Array[Long],
+                         swc: Array[Long])
+  case class BootCiRow(event_type: String, n: Long, mean_u: Long,
+                       n_boot: Long, ci_lo: Long, ci_hi: Long,
+                       covers_point: Boolean)
+
+  /** Streaming twin of the Poisson-bootstrap CI (q223, `Relational`): the
+    * whole point of the Poisson bootstrap is that replica statistics are
+    * SUMS of per-row terms, so the streaming state is just 2·B counters
+    * per group (Σw, Σw·c per replica) plus (n, Σc) — fixed size forever,
+    * merge = add, and the emitted CI is bit-identical to batch under ANY
+    * arrival order or replay chunking (no order-sensitive float ever
+    * exists). Weights recompute the engine's exact md5-derived 16-bit
+    * uniforms against the shared [[graft.operators.Relational.PoissonCdf16]]
+    * thresholds — one code path per constant, so stream and batch cannot
+    * drift. */
+  def bootstrapCiStream(events: Dataset[BootEvent]): Dataset[BootCiRow] = {
+    import events.sparkSession.implicits._
+    val b = graft.operators.Relational.BootReplicas
+    val thresholds = graft.operators.Relational.PoissonCdf16
+    def weight(rep: Int, id: Long): Long = {
+      val h = graft.operators.TextFns.md5hex(s"bs|${rep / 8}|$id")
+      val u = java.lang.Long.parseLong(
+        h.substring(4 * (rep % 8), 4 * (rep % 8) + 4), 16)
+      val k = thresholds.indexWhere(u < _)
+      if (k < 0) thresholds.length.toLong else k.toLong
+    }
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[BootCiState, BootCiRow](
+        GroupStateTimeout.NoTimeout()) {
+        case (ty, batch, state) =>
+          val s0 = state.getOption.getOrElse(
+            BootCiState(0L, 0L, new Array[Long](b), new Array[Long](b)))
+          var (n, sumC) = (s0.n, s0.sumC)
+          val (sw, swc) = (s0.sw.clone(), s0.swc.clone())
+          batch.foreach { e =>
+            n += 1; sumC += e.cents
+            var rep = 0
+            while (rep < b) {
+              val w = weight(rep, e.event_id)
+              sw(rep) += w; swc(rep) += w * e.cents
+              rep += 1
+            }
+          }
+          state.update(BootCiState(n, sumC, sw, swc))
+          val means = (0 until b).filter(sw(_) > 0).map { rep =>
+            (BigInt(swc(rep)) * 10000 / sw(rep)).toLong -> rep
+          }.sorted.map(_._1)
+          val meanU = (BigInt(sumC) * 10000 / n).toLong
+          val (lo, hi) = (means(1), means(means.length - 2))
+          BootCiRow(ty, n, meanU, means.length.toLong, lo, hi,
+            lo <= meanU && meanU <= hi)
+      }
+  }
+
   case class RetEvent(user_id: Long, day: Long) // day = epoch days (UTC)
   case class RetState(cohortDay: Option[Long], offsets: Set[Long])
   case class RetRow(user_id: Long, cohort_day: Long, offset_weeks: Long)
