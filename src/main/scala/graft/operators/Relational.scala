@@ -1571,6 +1571,58 @@ object Relational {
             col("n") >= MinBurstCount).as("is_burst"))
     }),
 
+    // --- session-duration survival table (KM risk set + integer hazard) ------------
+    // The survival-analysis staple none of the cohort metrics cover: how
+    // long do sessions LIVE, with proper right-censoring — a session whose
+    // last event is within one gap of the corpus end may still be open, so
+    // counting it as "ended at its observed length" would bias every
+    // duration short (the classic mistake survival analysis exists to
+    // fix). Unit = the q25 session (same SessionGap constant, so the two
+    // queries cannot disagree about what a session is); duration = whole
+    // hours between first and last event. Output is the Kaplan–Meier risk
+    // table per duration t — n_risk (sessions alive at t), n_event
+    // (observed ends at t), n_censor — plus the discretized Nelson–Aalen
+    // cumulative hazard Σ_{s≤t} ⌊1e6·d_s / n_risk(s)⌋, an exact-integer
+    // cumulative sum (each term one integer division, so the curve is
+    // engine- and partitioning-independent; the float KM product survives
+    // nowhere near a hash gate). Shape: one user-keyed session agg (the
+    // q25 shuffle), session-sized rows collapse to the duration histogram
+    // (map-side combinable), then ONE window over the value-domain-bounded
+    // durations. 100 TB: everything past the session agg is
+    // (max-duration)-sized.
+    "q229_session_survival" -> ((s, d) => {
+      val sess = t(s, d, "events")
+        .groupBy(session_window(col("ts"), SessionGap).as("sw"),
+          col("user_id"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        .select(col("st"), col("en"))
+      val maxEn = sess.agg(max(col("en")).as("max_en"))
+      val lifet = sess.join(broadcast(maxEn))
+        .select(
+          expr("(unix_micros(en) - unix_micros(st)) div 3600000000")
+            .as("t"),
+          (col("en") < col("max_en") -
+            expr(s"INTERVAL $SessionGapHours HOURS")).as("ended"))
+      val hist = lifet.groupBy(col("t"))
+        .agg(sum(when(col("ended"), 1L).otherwise(0L)).as("n_event"),
+          sum(when(!col("ended"), 1L).otherwise(0L)).as("n_censor"))
+      val total = hist
+        .agg(sum(col("n_event") + col("n_censor")).as("total"))
+      val wBefore = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.join(broadcast(total))
+        .withColumn("n_risk",
+          col("total") -
+            coalesce(sum(col("n_event") + col("n_censor")).over(wBefore),
+              lit(0L)))
+        .withColumn("cum_hazard_u",
+          sum(expr("(1000000 * n_event) div n_risk")).over(wCum))
+        .select(col("t"), col("n_risk"), col("n_event"), col("n_censor"),
+          col("cum_hazard_u"))
+    }),
+
     // --- exact rolling 7-day distinct users (WAU per day) ------------------------
     // The observability staple exact sliding-window COUNT DISTINCT — the one
     // rolling metric that is NOT mergeable (distinct isn't group-invertible,
@@ -4255,6 +4307,39 @@ object Relational {
               AS is_burst
           FROM based, mind
           WHERE day >= mind + 7""",
+
+    // Survival twin: the q25 session-islands CTE, the same censoring rule
+    // and the same integer hazard terms.
+    "q229_session_survival" ->
+      s"""WITH $oSessionIslands,
+          sess AS (
+            SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+            FROM s GROUP BY 1, 2),
+          mx AS (SELECT MAX(en) AS max_en FROM sess),
+          lifet AS (
+            SELECT (epoch_us(en) - epoch_us(st)) // 3600000000 AS t,
+              en < max_en - INTERVAL $SessionGapHours HOUR AS ended
+            FROM sess, mx),
+          hist AS (
+            SELECT t,
+              CAST(SUM(CASE WHEN ended THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_event,
+              CAST(SUM(CASE WHEN NOT ended THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_censor
+            FROM lifet GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n_event + n_censor) AS BIGINT) AS total
+                  FROM hist),
+          risk AS (
+            SELECT t, n_event, n_censor,
+              total - CAST(COALESCE(SUM(n_event + n_censor) OVER (
+                ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS n_risk
+            FROM hist, tot)
+          SELECT t, n_risk, n_event, n_censor,
+            CAST(SUM((1000000 * n_event) // n_risk) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_hazard_u
+          FROM risk""",
 
     // Rolling-uniques twin: the same lead()-derived disjoint cover
     // intervals, exploded via range() (end-exclusive, hence e − day + 1).

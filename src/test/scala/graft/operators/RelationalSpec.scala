@@ -1604,6 +1604,52 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
 
+  test("q229: survival table equals a JVM recompute with proper censoring") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000))
+    val gapUs = 12L * 3600 * 1000000
+    // sessionize per user: a gap ≥ 12 h starts a new session
+    val sessions = ev.groupBy(_._1).values.flatMap { g =>
+      val ts = g.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var (st, en) = (ts.head, ts.head)
+      ts.tail.foreach { t =>
+        if (t - en >= gapUs) { out += ((st, en)); st = t; en = t }
+        else en = t
+      }
+      out += ((st, en)); out
+    }.toSeq
+    val maxEn = sessions.map(_._2).max
+    val lifet = sessions.map { case (st, en) =>
+      ((en - st) / 3600000000L, en < maxEn - gapUs)
+    }
+    val hist = lifet.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2).toLong, g.count(!_._2).toLong)
+    }.toMap
+    val ts = hist.keys.toSeq.sorted
+    var (risk, haz) = (lifet.size.toLong, 0L)
+    val expected = ts.map { t =>
+      val (d, c) = hist(t)
+      haz += 1000000L * d / risk
+      val row = (t, risk, d, c, haz)
+      risk -= d + c
+      row
+    }
+    val got = Relational.queries("q229_session_survival")(spark, sfDir)
+      .orderBy(col("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == expected)
+    // survival semantics hold: the risk set is a proper decreasing
+    // filtration, the hazard is nondecreasing, and censoring is REAL on
+    // this corpus (some sessions end too close to the corpus edge to call)
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+    assert(got.map(_._5).toSeq == got.map(_._5).toSeq.sorted)
+    assert(got.map(_._4).sum > 0 && got.map(_._3).sum > 0)
+  }
+
   test("q216: rolling 7-day uniques equal a brute per-day membership scan") {
     val act = graft.Tables.load(spark, sfDir, "events")
       .select(col("user_id"), unix_date(to_date(col("ts"))).cast("long"))
