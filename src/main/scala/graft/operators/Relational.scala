@@ -121,6 +121,13 @@ object Relational {
   val BurstFactor = 3L
   val MinBurstCount = 3L
 
+  /** q230 CUSUM dials, in micro-cents of daily mean: the allowance (the
+    * drift the chart deliberately ignores — ~0.4× the corpus's mean
+    * absolute daily deviation) and the alarm threshold (~3×). Both
+    * verdicts occur at every test SF under these dials. */
+  val CusumAllowanceU = 500000L
+  val CusumThresholdU = 4000000L
+
   /** Per-user_id mergeable aggregate state (q146): count, exact decimal
     * sum, min, max — the four partials every downstream read (including
     * avg) derives from. Mergeable BY CONSTRUCTION: count/sum re-sum,
@@ -1621,6 +1628,44 @@ object Relational {
           sum(expr("(1000000 * n_event) div n_risk")).over(wCum))
         .select(col("t"), col("n_risk"), col("n_event"), col("n_censor"),
           col("cum_hazard_u"))
+    }),
+
+    // --- CUSUM level-shift detection (the sequential sibling of q224) --------------
+    // Bursts (q224) catch SPIKES against a local baseline; CUSUM catches
+    // sustained small SHIFTS — the Page (1954) statistic
+    // S_t = max(0, S_{t−1} + y_t) accumulates deviations above an
+    // allowance until a threshold trips, detecting a 0.3σ drift weeks
+    // before any single-day test fires. The recursive max looks
+    // window-hostile, but the classical identity
+    //   S_t = C_t − min(0, min_{s≤t} C_s),  C = prefix sums of y,
+    // turns it into TWO ordinary cumulative frames over the per-type day
+    // series — no recursion, no UDAF, each day one row of the
+    // (types × days) histogram. y is the day's mean in micro-cents
+    // (integer div, q223 currency) minus the type's corpus mean minus
+    // the allowance — all exact integers, so alarm days are engine- and
+    // partitioning-independent. Shape: one corpus scan → (type × day)
+    // hash agg; everything after is value-domain-sized window work.
+    "q230_cusum_shift" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      val mu = daily.groupBy(col("event_type"))
+        .agg(expr("(cast(sum(sc) as decimal(38,0)) * 10000) div sum(n)")
+          .as("mu"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(mu), "event_type")
+        .select(col("event_type"), col("day"), col("n"),
+          (expr("(cast(sc as decimal(38,0)) * 10000) div n") - col("mu") -
+            CusumAllowanceU).as("y"))
+        .withColumn("cu", sum(col("y")).over(wCum))
+        .withColumn("s",
+          col("cu") - least(min(col("cu")).over(wCum), lit(0L)))
+        .select(col("event_type"), col("day"), col("n"), col("y"),
+          col("s").as("cusum"), (col("s") > CusumThresholdU).as("alarm"))
     }),
 
     // --- exact rolling 7-day distinct users (WAU per day) ------------------------
@@ -4340,6 +4385,39 @@ object Relational {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
               AS cum_hazard_u
           FROM risk""",
+
+    // CUSUM twin: same micro-cent means, same prefix-sum/prefix-min
+    // identity, same dials.
+    "q230_cusum_shift" ->
+      s"""WITH daily AS (
+            SELECT event_type,
+              CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+              CAST(COUNT(1) AS BIGINT) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS sc
+            FROM events GROUP BY 1, 2),
+          mu AS (
+            SELECT event_type,
+              CAST((CAST(SUM(sc) AS HUGEINT) * 10000) // SUM(n) AS BIGINT)
+                AS mu
+            FROM daily GROUP BY 1),
+          y AS (
+            SELECT daily.event_type, day, n,
+              CAST((CAST(sc AS HUGEINT) * 10000) // n AS BIGINT) - mu
+                - $CusumAllowanceU AS y
+            FROM daily JOIN mu USING (event_type)),
+          c AS (
+            SELECT event_type, day, n, y,
+              CAST(SUM(y) OVER w AS BIGINT) AS cu
+            FROM y
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT event_type, day, n, y,
+            cu - LEAST(CAST(MIN(cu) OVER w AS BIGINT), 0) AS cusum,
+            (cu - LEAST(CAST(MIN(cu) OVER w AS BIGINT), 0))
+              > $CusumThresholdU AS alarm
+          FROM c
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
     // Rolling-uniques twin: the same lead()-derived disjoint cover
     // intervals, exploded via range() (end-exclusive, hence e − day + 1).

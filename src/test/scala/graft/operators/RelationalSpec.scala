@@ -1650,6 +1650,39 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(_._4).sum > 0 && got.map(_._3).sum > 0)
   }
 
+  test("q230: windowed CUSUM equals the RECURSIVE Page statistic fold") {
+    // The implementation computes S via the prefix-sum/prefix-min
+    // identity; the ground truth here is the textbook recursion
+    // S_t = max(0, S_{t-1} + y_t) folded sequentially — if the identity
+    // were wrong anywhere (sign, frame bound, LEAST vs MIN), this is
+    // where it dies.
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), unix_date(to_date(col("ts"))).cast("long"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2).*(100).toLongExact))
+    val got = Relational.queries("q230_cusum_shift")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    ev.groupBy(_._1).foreach { case (ty, g) =>
+      val daily = g.groupBy(_._2).view
+        .mapValues(rows => (rows.length.toLong, rows.map(_._3).sum)).toMap
+      val mu = (BigInt(daily.values.map(_._2).sum) * 10000 /
+        daily.values.map(_._1).sum).toLong
+      var s = 0L
+      daily.keys.toSeq.sorted.foreach { day =>
+        val (n, sc) = daily(day)
+        val y = (BigInt(sc) * 10000 / n).toLong - mu -
+          Relational.CusumAllowanceU
+        s = math.max(0L, s + y)
+        assert(got((ty, day)) ==
+          ((n, y, s, s > Relational.CusumThresholdU)), s"$ty day $day")
+      }
+    }
+    // both verdicts occur (the dials are calibrated, not vacuous)
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
+
   test("q216: rolling 7-day uniques equal a brute per-day membership scan") {
     val act = graft.Tables.load(spark, sfDir, "events")
       .select(col("user_id"), unix_date(to_date(col("ts"))).cast("long"))
