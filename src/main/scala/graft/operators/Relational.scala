@@ -1429,9 +1429,11 @@ object Relational {
     // sort. Verdict at α=0.05 against the asymptotic critical value
     // c=1.358 as a pure integer inequality (c² = 1844164/1e6):
     // 1e6·D_num² > 1844164·nA·nB·(nA+nB), products in DECIMAL(38,0) ≙
-    // HUGEINT — exact up to ~1e8 rows per arm per type, beyond which both
-    // engines saturate identically (and at that n the verdict is long
-    // since decided). One histogram agg + one type-partitioned window +
+    // HUGEINT — exact up to ~1e8 rows per arm per type. Past that the
+    // engines DIVERGE, loudly rather than silently: Spark DECIMAL(38,0)
+    // overflow yields NULL (non-ANSI mode) while DuckDB HUGEINT overflow
+    // raises an error — and at that n the verdict is long since decided.
+    // One histogram agg + one type-partitioned window +
     // one type-sized reduction.
     "q214_ks_test" -> ((s, d) => {
       val D = DecimalType(38, 0)
@@ -1705,7 +1707,7 @@ object Relational {
     // --- compaction planner (small-file bin packing) -----------------------------
     // The OPTIMIZE/compaction maintenance pass every lakehouse table needs:
     // roll small files into ~target-sized rewrite bins. Files here are the
-    // (source, doc_id div 64) manifest entries with their char mass; within
+    // (source, doc_id div 4) manifest entries with their char mass; within
     // each source, files order by (bytes DESC, file_id) — a deterministic
     // total order, largest-first so big files seed bins — and bin_id =
     // ⌊cum_before / target⌋ (next-fit-by-quota: a file opens a new bin when
@@ -4277,7 +4279,7 @@ object Relational {
          FROM agg""",
 
     // Bootstrap twin: identical md5-derived uniforms, identical integer
-    // CDF thresholds (the PoissonCdf48 literals), identical rank-based CI.
+    // CDF thresholds (the PoissonCdf16 literals), identical rank-based CI.
     "q223_bootstrap_ci" -> {
       val thr = PoissonCdf16.zipWithIndex
         .map { case (v, k) => s"WHEN u < $v THEN $k" }

@@ -708,8 +708,25 @@ object StatefulOps {
   case class BootCiState(n: Long, sumC: Long, sw: Array[Long],
                          swc: Array[Long])
   case class BootCiRow(event_type: String, n: Long, mean_u: Long,
-                       n_boot: Long, ci_lo: Long, ci_hi: Long,
-                       covers_point: Boolean)
+                       n_boot: Long, ci_lo: Option[Long], ci_hi: Option[Long],
+                       covers_point: Option[Boolean])
+
+  /** The rank-based CI pick, shared shape with batch q223's window lookup
+    * (`rn === 2` / `rn === n_boot - 1`): both bounds exist iff ≥2 replica
+    * means exist (at exactly 2 the bounds CROSS — lo is the larger mean —
+    * exactly as the batch rank lookup yields), a single mean yields NULL
+    * bounds and a NULL verdict (batch: no rank 2, no rank n−1), and the
+    * degenerate zero-replica group emits nothing at the call site (batch:
+    * the inner point⋈ci join drops it). Pure so the degenerate arms are
+    * unit-testable — no real md5 weight stream can reach them (a row has
+    * each replica weight 0 with prob e⁻¹, so <3 live replicas of 64 has
+    * probability ~1e-27 even for a 1-row group). */
+  private[streaming] def bootCiPick(means: IndexedSeq[Long], meanU: Long)
+      : (Option[Long], Option[Long], Option[Boolean]) =
+    if (means.length >= 2) {
+      val (lo, hi) = (means(1), means(means.length - 2))
+      (Some(lo), Some(hi), Some(lo <= meanU && meanU <= hi))
+    } else (None, None, None)
 
   /** Streaming twin of the Poisson-bootstrap CI (q223, `Relational`): the
     * whole point of the Poisson bootstrap is that replica statistics are
@@ -733,8 +750,8 @@ object StatefulOps {
       if (k < 0) thresholds.length.toLong else k.toLong
     }
     events.groupByKey(_.event_type)
-      .mapGroupsWithState[BootCiState, BootCiRow](
-        GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[BootCiState, BootCiRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (ty, batch, state) =>
           val s0 = state.getOption.getOrElse(
             BootCiState(0L, 0L, new Array[Long](b), new Array[Long](b)))
@@ -753,10 +770,13 @@ object StatefulOps {
           val means = (0 until b).filter(sw(_) > 0).map { rep =>
             (BigInt(swc(rep)) * 10000 / sw(rep)).toLong -> rep
           }.sorted.map(_._1)
-          val meanU = (BigInt(sumC) * 10000 / n).toLong
-          val (lo, hi) = (means(1), means(means.length - 2))
-          BootCiRow(ty, n, meanU, means.length.toLong, lo, hi,
-            lo <= meanU && meanU <= hi)
+          if (means.isEmpty) Iterator.empty // batch: inner join drops it
+          else {
+            val meanU = (BigInt(sumC) * 10000 / n).toLong
+            val (lo, hi, covers) = bootCiPick(means, meanU)
+            Iterator.single(
+              BootCiRow(ty, n, meanU, means.length.toLong, lo, hi, covers))
+          }
       }
   }
 

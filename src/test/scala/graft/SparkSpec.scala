@@ -9,7 +9,14 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
-  val sfDir = "/root/testdata/sf0.001"
+  /** Testdata root, overridable so the suite is not married to one
+    * machine's layout (`GRAFT_TESTDATA` env, falling back to the driver's
+    * documented location — TESTDATA.md). */
+  val sfRoot: String = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata")
+  val sfDir = s"$sfRoot/sf0.001"
+  /** The bigger gate-scale dir for specs that measure volume, not just
+    * correctness. */
+  def sfDirAt(sf: String): String = s"$sfRoot/sf$sf"
 }
 
 object SparkSpec {

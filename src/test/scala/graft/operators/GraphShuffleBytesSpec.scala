@@ -18,7 +18,7 @@ import graft.SparkSpec
   * amortizes the edge build across every downstream fixpoint. */
 class GraphShuffleBytesSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.01"
+  private val dir = sfDirAt("0.01")
 
   private class ShuffleTally extends SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)

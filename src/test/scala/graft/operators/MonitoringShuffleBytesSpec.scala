@@ -43,10 +43,13 @@ class MonitoringShuffleBytesSpec extends SparkSpec {
   }
 
   test("q223: bootstrap shuffles (groups × B)-sized partials, not the ×B explode (measured)") {
-    val dir = "/root/testdata/sf0.01"
+    val dir = sfDirAt("0.01")
     val events = graft.Tables.load(spark, dir, "events")
-    val nRows = events.count()
-    val nTypes = 5L
+    // shape bounds come from the data itself, not literals — the spec
+    // must hold wherever the testdata lives and whatever its cardinality
+    val shape = events.selectExpr("count(1)", "count(distinct event_type)")
+      .collect()(0)
+    val (nRows, nTypes) = (shape.getLong(0), shape.getLong(1))
     val b = Relational.BootReplicas.toLong
     val exploded = nRows * b // what a combine-less plan would shuffle
     val (bytes, records) = measure {
@@ -66,14 +69,19 @@ class MonitoringShuffleBytesSpec extends SparkSpec {
   }
 
   test("q224: burst board shuffles histogram cells, not events (measured)") {
-    val dir = "/root/testdata/sf0.01"
+    val dir = sfDirAt("0.01")
     val events = graft.Tables.load(spark, dir, "events")
-    val nRows = events.count()
+    // the (item × day) cell-grid bound is measured from the data, not a
+    // literal grid: q224's item key is the props.k payload attribute
+    val shape = events.selectExpr("count(1)",
+      "count(distinct get_json_object(props, '$.k'))",
+      "count(distinct cast(ts as date))").collect()(0)
+    val nRows = shape.getLong(0)
+    val cells = shape.getLong(1) * shape.getLong(2)
     val (bytes, records) = measure {
       assert(Relational.queries("q224_term_bursts")(spark, dir)
         .collect().nonEmpty)
     }
-    val cells = 100L * 40L // items × day span, generous
     info(f"q224 shuffled ${bytes}%,d B / ${records}%,d records " +
       f"(corpus $nRows%,d rows; ≤ $cells histogram cells)")
     val tasks = TextFns.cpuPartitions.toLong

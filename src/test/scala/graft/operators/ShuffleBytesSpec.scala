@@ -50,7 +50,7 @@ class ShuffleBytesSpec extends SparkSpec {
   }
 
   test("LSH keyed stages shuffle constant-width digest rows, never text (measured)") {
-    val dir = "/root/testdata/sf0.01" // enough docs for a clean signal
+    val dir = sfDirAt("0.01") // enough docs for a clean signal
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val nDocs = docs.count()

@@ -465,7 +465,7 @@ class SimilaritySpec extends SparkSpec {
     // edge residual there), while at 5k vectors residual wins recall AND
     // mean ADC-to-exact-L2 fidelity. Both pipelines are bit-deterministic,
     // so these are fixed values per SF, not flaky samples.
-    val d01 = "/root/testdata/sf0.01"
+    val d01 = sfDirAt("0.01")
     val emb01 = spark.read.parquet(s"$d01/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val vecs = emb01.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -577,7 +577,7 @@ class SimilaritySpec extends SparkSpec {
       Similarity.queries(q)(spark, d).agg(sum(col("d2"))).head().getDouble(0)
     assert(totalErr("q138_opq_encode", sfDir) < totalErr("q115_pq_encode", sfDir),
       "OPQ did not reduce reconstruction error at sf0.001")
-    val d01 = "/root/testdata/sf0.01"
+    val d01 = sfDirAt("0.01")
     assert(totalErr("q138_opq_encode", d01) < totalErr("q115_pq_encode", d01),
       "OPQ did not reduce reconstruction error at sf0.01")
   }

@@ -55,6 +55,22 @@ class StreamingBurstBootstrapSpec extends SparkSpec {
     assert(finalRows.values.exists(_._3))
   }
 
+  test("bootCiPick degenerate arms mirror the batch rank lookup") {
+    // no real md5 weight stream can reach <3 live replicas (prob ~1e-27),
+    // so the guard is pinned on the factored-out pure function instead:
+    // 0/1 means → NULL CI and NULL verdict (batch: rank 2 / rank n−1
+    // don't exist); exactly 2 → CROSSED bounds lo=means(1), hi=means(0),
+    // the literal batch rank lookup; ≥3 → the normal percentile pick.
+    assert(StatefulOps.bootCiPick(Vector.empty, 5L) == (None, None, None))
+    assert(StatefulOps.bootCiPick(Vector(7L), 5L) == (None, None, None))
+    assert(StatefulOps.bootCiPick(Vector(3L, 9L), 5L) ==
+      (Some(9L), Some(3L), Some(false)))
+    assert(StatefulOps.bootCiPick(Vector(1L, 4L, 9L, 12L), 5L) ==
+      (Some(4L), Some(9L), Some(true)))
+    assert(StatefulOps.bootCiPick(Vector(1L, 4L, 9L, 12L), 20L) ==
+      (Some(4L), Some(9L), Some(false)))
+  }
+
   test("streamed bootstrap CI equals batch q223 under SHUFFLED replay") {
     implicit val sqlCtx = spark.sqlContext
     val ev = graft.Tables.load(spark, sfDir, "events")
