@@ -64,11 +64,20 @@ object Similarity {
     }
 
   /** q225 DBSCAN dials, all in the ×16-quantized integer space of the
-    * first two JL projections: eps = 15.0 (240 quantized — sits between
-    * the NN-distance median and the saturation knee measured on the
-    * corpus), MinPts = 4 eps-neighbors (self excluded), and the positive
-    * shift that makes truncating `div` equal floor division for the cell
-    * keys on both engines. */
+    * first two JL projections: eps = 15.0 (240 quantized), MinPts = 4
+    * eps-neighbors (self excluded), and the positive shift that makes
+    * truncating `div` equal floor division for the cell keys on both
+    * engines. The eps dial, MEASURED (full sweep in SCALE.md): 240 is
+    * the smallest grid width giving every driver tier live structure —
+    * below 100 the sf0.001/sf0.01 tiers have ZERO cores (all noise);
+    * at 240 sf0.01 yields 10 clusters / 298 cores and sf0.1 six. No
+    * fixed eps is scale-invariant on the jittered-replica sf1 corpus
+    * (10× local density ⇒ DBSCAN correctly percolates at every eps
+    * 40–240 — at 40 the giant component already holds 10,085 of 12,536
+    * cores), which is the textbook DBSCAN property the 100 TB story
+    * documents: eps is a per-corpus density dial, and the engine's job —
+    * oracle-gated at sf0.01 AND sf1 — is to compute the verdict for the
+    * dialed density exactly, giant component or not. */
   val DbscanEpsQ = 240L
   val DbscanMinPts = 4L
   val DbscanShift = 1L << 24
@@ -2489,19 +2498,48 @@ object Similarity {
 
     // DBSCAN twin: the same two JL plane literals, the same ×16 integer
     // quantization, the same 3×3-cell candidate join and MinPts rule, and
-    // the CC over core-core edges as a recursive min-label reach.
-    "q225_grid_dbscan" ->
-      s"""WITH RECURSIVE pts AS (
+    // the CC over core-core edges as an UNROLLED hook+compress min-label
+    // fold (Shiloach–Vishkin shape) instead of a recursive reach: the
+    // recursive-CTE formulation enumerates every (node, reaching-label)
+    // pair — O(|component|²) rows, which times out on sf1's single
+    // 19,805-core component — while each unrolled round here is one
+    // edge-sized hook (node takes the min of its neighbours' labels) plus
+    // one node-sized pointer compression (lbl := lbl's lbl). Labels only
+    // decrease and never leave the component, so ANY fixpoint is the
+    // exact min-core-id labelling (an edge with unequal labels would
+    // still hook), and rounds past the fixpoint are no-ops — overshoot
+    // is safe, undershoot would fail the hash gate loudly. Measured
+    // rounds-to-fixpoint: 13 at BOTH sf0.01 (298 cores / 1,750 edges)
+    // and sf1 (19,808 cores / 3.80M edges, diameter-heavy); unrolled to
+    // 32 for margin. This is the same O(log n)-round contract as the
+    // engine's star CC, expressed in plain SQL.
+    "q225_grid_dbscan" -> {
+      // every CTE is MATERIALIZED: DuckDB 1.0 re-INLINES plain CTEs, and
+      // each round references the previous twice → exponential plan
+      // blowup without the hint (the q178/q208 lesson)
+      val ccRounds = 32
+      val ccFold = (1 to ccRounds).map { k =>
+        s"""h$k AS MATERIALIZED (
+            SELECT node, MIN(lbl) AS lbl FROM (
+              SELECT node, lbl FROM p${k - 1}
+              UNION ALL
+              SELECT e.ia AS node, p.lbl
+              FROM cedges e JOIN p${k - 1} p ON p.node = e.ib)
+            GROUP BY 1),
+          p$k AS MATERIALIZED (
+            SELECT a.node, b.lbl FROM h$k a JOIN h$k b ON b.node = a.lbl)"""
+      }.mkString(",\n          ")
+      s"""WITH pts AS MATERIALIZED (
             SELECT vec_id AS id,
               CAST(floor((${oJlDot(oEmb, 0)}) * 16) AS BIGINT) AS qx,
               CAST(floor((${oJlDot(oEmb, 1)}) * 16) AS BIGINT) AS qy
             FROM embeddings),
-          cells AS (
+          cells AS MATERIALIZED (
             SELECT id, qx, qy,
               (qx + $DbscanShift) // $DbscanEpsQ AS cx,
               (qy + $DbscanShift) // $DbscanEpsQ AS cy
             FROM pts),
-          edges AS (
+          edges AS MATERIALIZED (
             SELECT a.id AS ia, b.id AS ib
             FROM cells a JOIN cells b
               ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
@@ -2510,20 +2548,17 @@ object Similarity {
              AND (a.qx - b.qx) * (a.qx - b.qx)
                + (a.qy - b.qy) * (a.qy - b.qy)
                  <= ${DbscanEpsQ * DbscanEpsQ}),
-          cores AS (
+          cores AS MATERIALIZED (
             SELECT ia AS id FROM edges GROUP BY 1
             HAVING COUNT(1) >= $DbscanMinPts),
-          cedges AS (
+          cedges AS MATERIALIZED (
             SELECT ia, ib FROM edges
             WHERE ia IN (SELECT id FROM cores)
               AND ib IN (SELECT id FROM cores)),
-          reach(node, lbl) AS (
-            SELECT id, id FROM cores
-            UNION
-            SELECT e.ib, r.lbl FROM reach r JOIN cedges e ON e.ia = r.node),
-          comp AS (SELECT node AS id, MIN(lbl) AS cluster
-                   FROM reach GROUP BY 1),
-          border AS (
+          p0 AS MATERIALIZED (SELECT id AS node, id AS lbl FROM cores),
+          $ccFold,
+          comp AS MATERIALIZED (SELECT node AS id, lbl AS cluster FROM p$ccRounds),
+          border AS MATERIALIZED (
             SELECT e.ia AS id, MIN(c.cluster) AS cluster
             FROM edges e JOIN comp c ON e.ib = c.id
             WHERE e.ia NOT IN (SELECT id FROM cores)
@@ -2535,7 +2570,8 @@ object Similarity {
             COALESCE(cm.cluster, b.cluster, -1) AS cluster
           FROM pts p
           LEFT JOIN comp cm ON p.id = cm.id
-          LEFT JOIN border b ON p.id = b.id""",
+          LEFT JOIN border b ON p.id = b.id"""
+    },
 
     // Margin-mining twin: same buckets, same floor(1e6·cos) integer sims,
     // same inclusive top-4 sums and integer margin inequality.
