@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// LocalClusterSpec: the in-JVM standalone workers must not scribble a
+// work/ dir into the read-only-by-convention /opt/spark distribution,
+// and their executor command builder needs the Scala version that
+// bin/load-spark-env.sh would normally derive (we bypass the scripts)
+Test / envVars ++= Map(
+  "SPARK_WORKER_DIR" -> "target/spark-worker",
+  "SPARK_SCALA_VERSION" -> "2.13")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

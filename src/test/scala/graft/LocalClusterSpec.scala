@@ -1,0 +1,113 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The multi-JVM execution axis: every other spec (and the driver's
+  * gates) runs local[n] — one JVM, where "shuffles" are in-process array
+  * handoffs and "broadcasts" never cross a process boundary. This suite
+  * runs representative queries on `local-cluster[2,2,1536]` — a real
+  * standalone master + 2 workers, each launching a SEPARATE executor
+  * JVM — so task serialization, closure shipping, broadcast transport,
+  * shuffle blocks over netty, and executor-side codegen of the custom
+  * Catalyst expressions are all exercised across process boundaries,
+  * then compares results bit-for-bit against the same queries on
+  * local[4].
+  *
+  * The query picks cover one of each distribution-sensitive shape:
+  * hash aggregation (map-side partials merged across executors), a
+  * broadcast join (driver→executor transport), a shuffle join
+  * (executor↔executor blocks), the md5-based MinHash custom-expression
+  * pipeline (codegen + banding shuffle on executors), the iterative
+  * star-CC (localCheckpoint blocks living in executor block managers
+  * across rounds), and the Poisson bootstrap (64-replica explode with
+  * map-side combine). Results are integer/decimal-exact by design, so
+  * cross-process equality is exact string equality, not tolerance.
+  *
+  * Suite discipline: forked-test suites run sequentially, and this one
+  * owns the JVM's single SparkContext for its duration —
+  * `SparkSpec.releaseContext()` stops the shared local[4] session first,
+  * and the next `SparkSpec.session` call (here, for the expected-side
+  * runs, and in whatever suite follows) transparently rebuilds it. */
+class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val picks = Seq(
+    "q02_agg_groupby",
+    "q03_join_broadcast",
+    "q04_join_shuffle",
+    "q41_dedup_minhash",
+    "q46_dedup_components",
+    "q223_bootstrap_ci")
+
+  private def sfDir =
+    s"${sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata")}/sf0.01"
+
+  // the forked executor JVMs need our compiled classes and the same
+  // JDK17 add-opens the driver JVM gets from build.sbt
+  private def classesDirOf(c: Class[_]): String =
+    new File(c.getProtectionDomain.getCodeSource.getLocation.toURI)
+      .getAbsolutePath
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  private def runAll(s: SparkSession): Map[String, Seq[String]] =
+    picks.map { name =>
+      val rows = graft.SparkEntry.queries(name)(s, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      name -> rows
+    }.toMap
+
+  test("local-cluster[2,2,1536] (multi-JVM executors) matches local[4] bit-for-bit") {
+    val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
+    assume(new File(sparkHome, "jars").isDirectory,
+      s"no Spark distribution at $sparkHome — local-cluster needs one")
+    assume(new File(sfDir).isDirectory, s"no testdata at $sfDir")
+
+    SparkSpec.releaseContext()
+    val cluster = SparkSession.builder()
+      .master("local-cluster[2,2,1536]")
+      .appName("graft-local-cluster")
+      .config("spark.executor.memory", "1280m")
+      .config("spark.executor.extraClassPath",
+        classesDirOf(graft.Tables.getClass))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val clustered =
+      try {
+        cluster.sparkContext.setLogLevel("ERROR")
+        graft.functions.GraftFunctions.register(cluster)
+        // fail fast (and loudly) if executors never register, instead of
+        // hanging the suite on an unschedulable first job
+        cluster.sparkContext.requestTotalExecutors(2, 0, Map.empty)
+        val probe = cluster.range(0, 1000, 1, 4)
+          .selectExpr("sum(id)").collect()(0).getLong(0)
+        assert(probe == 499500L)
+        runAll(cluster)
+      } finally {
+        cluster.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+
+    // expected side: the rebuilt shared local[4] session
+    val expected = runAll(SparkSpec.session)
+    picks.foreach { name =>
+      assert(clustered(name) == expected(name),
+        s"$name diverged between local-cluster and local[4]")
+      assert(clustered(name).nonEmpty, s"$name returned no rows")
+    }
+  }
+}

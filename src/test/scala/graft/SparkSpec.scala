@@ -20,7 +20,28 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = {
+  @volatile private var cached: SparkSession = _
+
+  /** The shared session, rebuilt if a spec stopped it to own the JVM's
+    * one SparkContext (forked-test suites run sequentially, so only one
+    * spec touches the context at a time). */
+  def session: SparkSession = synchronized {
+    if (cached == null || cached.sparkContext.isStopped) cached = build()
+    cached
+  }
+
+  /** Stop the shared context so a spec can create one with a different
+    * master (e.g. the multi-JVM `local-cluster` axis). The next
+    * `session` call transparently rebuilds local[4]. */
+  def releaseContext(): Unit = synchronized {
+    if (cached != null && !cached.sparkContext.isStopped) cached.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  private def build(): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
