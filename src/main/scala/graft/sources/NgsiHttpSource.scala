@@ -46,8 +46,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    every acked-but-unprocessed event transparently (a fresh query with
   *    no checkpoint replays the log from the start). The batch-side
   *    [[graft.ngsi.NgsiPipelines.replayCaptured]](dir, format="json")
-  *    remains for offline compaction. NgsiHttpSourceSpec proves kill +
-  *    restart loses zero acked events on both paths.
+  *    remains for offline compaction. Restart edge contracts, all
+  *    spec-pinned (NgsiHttpSourceSpec): a crash between write and fsync
+  *    can tear only the final line of the open capture file, and that
+  *    event was never acked — the restarted source skips a torn TAIL but
+  *    refuses (loudly) to resume over mid-file corruption, which would be
+  *    a hole of acked events; and deleting FULLY-COMMITTED capture files
+  *    (operator compaction) is safe — the checkpoint offset rebases the
+  *    live numbering past the shortened history, replaying nothing and
+  *    duplicating nothing. Kill + restart loses zero acked events on
+  *    both the durable and non-durable paths.
   *  - Rows are shipped to executors inside the planned partition (the same
   *    pattern as Spark's own socket source). Parsing/windowing downstream is
   *    fully distributed; the listener is only the accept path.
@@ -126,15 +134,35 @@ private[sources] class NgsiHttpMicroBatchStream(
         n.startsWith("capture-") && n.endsWith(".json"))).getOrElse(Array.empty)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       files.sortBy(_.getName).foreach { f =>
-        java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+        val lines = java.nio.file.Files.readAllLines(f.toPath)
+        var i = 0
+        while (i < lines.size()) {
+          val line = lines.get(i)
           if (line.nonEmpty) {
-            val node = mapper.readTree(line)
-            prevCaptured += BufferedNotification(
-              node.get("value").asText(),
-              node.get("service").asText(),
-              node.get("servicePath").asText(),
-              node.get("recvTime").asLong() * 1000L)
+            // A crash between write and fsync can tear the FINAL line of
+            // the file that was open — that event was never acked (sync
+            // precedes the 200), so skipping it honors the contract. An
+            // unparseable line anywhere else is real corruption: fail
+            // loudly rather than silently resume over a hole of events
+            // that WERE acked.
+            val node =
+              try mapper.readTree(line)
+              catch {
+                case e: Exception =>
+                  if (i == lines.size() - 1) null
+                  else throw new IllegalStateException(
+                    s"corrupt capture log $f at line ${i + 1} " +
+                      "(not a torn tail — refusing to resume over acked events)",
+                    e)
+              }
+            if (node != null)
+              prevCaptured += BufferedNotification(
+                node.get("value").asText(),
+                node.get("service").asText(),
+                node.get("servicePath").asText(),
+                node.get("recvTime").asLong() * 1000L)
           }
+          i += 1
         }
       }
     }

@@ -340,6 +340,96 @@ class NgsiHttpSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart over a torn capture tail recovers every acked event and drops the torn one") {
+    // a driver crash between write and fsync can tear the FINAL line of
+    // the capture file that was open; that event was never acked (sync
+    // precedes the 200), so a restart must recover every complete line
+    // and skip the torn tail instead of dying in source construction
+    val dir = java.nio.file.Files.createTempDirectory("ngsi_torn_cap")
+    def line(id: String) =
+      s"""{"value":"{\\"data\\":[{\\"id\\":\\"$id\\",\\"type\\":\\"Room\\",\\"temperature\\":{\\"type\\":\\"Float\\",\\"value\\":1.0,\\"metadata\\":{}}}]}","service":"","servicePath":"","recvTime":1700000000000}"""
+    java.nio.file.Files.write(dir.resolve("capture-000000000000001-a.json"),
+      (line("T1") + "\n" + line("T2") + "\n").getBytes)
+    java.nio.file.Files.write(dir.resolve("capture-000000000000002-b.json"),
+      (line("T3") + "\n" + """{"value":"{\"data\":[{\"id\":\"TORN""").getBytes)
+
+    val port = freePort()
+    val q = NgsiStreams.fromHttp(spark, port, captureDir = Some(dir.toString))
+      .writeStream.format("memory").queryName("ngsi_torn")
+      .outputMode(OutputMode.Append()).start()
+    val ids = try {
+      q.processAllAvailable()
+      spark.table("ngsi_torn").select(col("value")).collect()
+        .map(_.getString(0)).toSeq
+    } finally q.stop()
+    assert(ids.count(_.contains("T1")) == 1 && ids.count(_.contains("T2")) == 1
+      && ids.count(_.contains("T3")) == 1, s"lost acked events: $ids")
+    assert(!ids.exists(_.contains("TORN")), "replayed a never-acked torn line")
+  }
+
+  test("mid-file capture corruption fails the restart loudly, never resumes over a hole") {
+    val dir = java.nio.file.Files.createTempDirectory("ngsi_corrupt_cap")
+    java.nio.file.Files.write(dir.resolve("capture-000000000000001-a.json"),
+      ("{not json\n" +
+        """{"value":"ok","service":"","servicePath":"","recvTime":1700000000000}""" +
+        "\n").getBytes)
+    val port = freePort()
+    val q = NgsiStreams.fromHttp(spark, port, captureDir = Some(dir.toString))
+      .writeStream.format("memory").queryName("ngsi_corrupt")
+      .outputMode(OutputMode.Append()).start()
+    val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msgs = Iterator.iterate(failure: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("not a torn tail"), s"wrong failure: $msgs")
+  }
+
+  test("capture-log compaction: deleting fully-committed files keeps restart exact") {
+    // the capture log grows forever unless an operator compacts it; the
+    // offset contract makes deleting FULLY-COMMITTED files safe — the
+    // restarted source sees shorter history (prevEnd < checkpoint n), the
+    // checkpoint offset simply rebases the live numbering, and new events
+    // flow with nothing replayed and nothing duplicated
+    val dir = java.nio.file.Files.createTempDirectory("ngsi_gc_cap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ngsi_gc_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ngsi_gc_out").toString + "/sink"
+    def startQuery(port: Int) =
+      NgsiStreams.fromHttp(spark, port, captureDir = Some(dir))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+
+    val port1 = freePort()
+    val q1 = startQuery(port1)
+    try {
+      waitListening(port1)
+      (1 to 4).foreach { i =>
+        assert(post(port1, notification.replace("R1", s"G$i"), Map.empty) == 200)
+      }
+      q1.processAllAvailable() // all 4 committed => capture files GC-able
+    } finally q1.stop()
+
+    val gone = new java.io.File(dir).listFiles((_, n) => n.startsWith("capture-"))
+    gone.foreach(f => assert(f.delete()))
+
+    val port2 = freePort()
+    val q2 = startQuery(port2)
+    try {
+      waitListening(port2)
+      assert(post(port2, notification.replace("R1", "H1"), Map.empty) == 200)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val ids = graft.ngsi.NgsiPipelines
+      .flattenEntities(graft.ngsi.NgsiPipelines.parseEvents(
+        spark.read.schema(NgsiHttpSource.Schema).parquet(out)).toDF())
+      .select(col("id")).collect().map(_.getString(0)).toSeq
+    val expected = (1 to 4).map(i => s"G$i") :+ "H1"
+    assert(ids.sorted == expected.sorted,
+      s"compacted-log restart mismatch: ${ids.sorted.mkString(",")}")
+  }
+
   test("non-POST requests are rejected, stream unaffected") {
     val port = freePort()
     val raw = NgsiStreams.fromHttp(spark, port)
