@@ -95,7 +95,8 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
         val probe = cluster.range(0, 1000, 1, 4)
           .selectExpr("sum(id)").collect()(0).getLong(0)
         assert(probe == 499500L)
-        runAll(cluster)
+        val batch = runAll(cluster)
+        batch + ("streaming_retention" -> streamedRetention(cluster))
       } finally {
         cluster.stop()
         SparkSession.clearActiveSession()
@@ -103,11 +104,36 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
 
     // expected side: the rebuilt shared local[4] session
-    val expected = runAll(SparkSpec.session)
-    picks.foreach { name =>
+    val local = SparkSpec.session
+    val expected = runAll(local) +
+      ("streaming_retention" -> streamedRetention(local))
+    (picks :+ "streaming_retention").foreach { name =>
       assert(clustered(name) == expected(name),
         s"$name diverged between local-cluster and local[4]")
       assert(clustered(name).nonEmpty, s"$name returned no rows")
     }
+  }
+
+  /** The stateful-streaming leg of the axis: flatMapGroupsWithState's
+    * state stores live in EXECUTOR JVMs on a real cluster (HDFS-backed
+    * store per shuffle partition), so state rows here are created,
+    * snapshotted and read back across process boundaries — then the
+    * emitted append log must still match local[4] exactly. */
+  private def streamedRetention(s: SparkSession): Seq[String] = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val events = (0 until 40).flatMap(u =>
+      (0 until 6).map(k => graft.streaming.StatefulOps.RetEvent(
+        u.toLong, 19000L + (u * 5 + k * 9) % 45)))
+    val in = MemoryStream[graft.streaming.StatefulOps.RetEvent]
+    val sinkName = s"lc_retention_${s.sparkContext.master.take(5).filter(_.isLetter)}"
+    val q = graft.streaming.StatefulOps.retentionStream(in.toDS())
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      events.grouped(80).foreach { c => in.addData(c); q.processAllAvailable() }
+      s.table(sinkName).collect().map(_.toString).sorted.toSeq
+    } finally q.stop()
   }
 }
