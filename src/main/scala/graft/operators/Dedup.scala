@@ -272,6 +272,65 @@ object Dedup {
     }
   }
 
+  /** Partition-local union-find contraction — the map-side combine of
+    * connected components. Each task folds its partition's (src, dst)
+    * rows through an in-memory union-find (union by min, path
+    * compression) and emits one (node, localRoot) star edge per
+    * non-root node it saw. Replacing each partition-local connected
+    * subgraph by a star preserves global connectivity exactly, so any
+    * downstream CC over the emitted edges labels the original graph
+    * identically — while the edge volume drops from the pair count to
+    * the locally-distinct node count (duplicate and intra-cluster pairs
+    * collapse without a shuffle), and every surviving edge already
+    * points at a local minimum, so the alternating-star loop starts
+    * log-depth ahead.
+    *
+    * Memory is bounded: when the per-task map passes `flushNodes`
+    * entries the current star forest is emitted and the map reset —
+    * contraction degrades gracefully to chunked contraction instead of
+    * growing with partition size (a node spanning chunks re-enters as a
+    * member of both stars, which is just another edge for the loop).
+    * Output orientation is src > dst (node > its component min), the
+    * loop's invariant. */
+  private[operators] def ccLocalContract(edges: DataFrame,
+                                         flushNodes: Int = 4 << 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        def drain(): Iterator[(Long, Long)] = {
+          val out = parent.keys.toArray.flatMap { k =>
+            val r = find(k)
+            if (r != k) Some((k, r)) else None
+          }
+          parent.clear()
+          out.iterator
+        }
+        val chunks = it.flatMap { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+          if (parent.size >= flushNodes) drain() else Iterator.empty
+        }
+        chunks ++ drain()
+      }
+      .toDF("src", "dst")
+  }
+
   /** Alternating large-star/small-star CC (Kiveris et al. §3, two-phase):
     * edges are kept oriented at the larger endpoint (src > dst); each round
     * is one large-star (attach every strictly-larger neighbor of a node to
@@ -282,15 +341,30 @@ object Dedup {
     *
     * Returns (labels, rounds) — the round count is part of the contract
     * (DedupSpec pins O(log n) convergence on a path graph that would need
-    * O(n) label-propagation rounds). */
+    * O(n) label-propagation rounds; that spec passes `contract = false`
+    * to measure the loop itself).
+    *
+    * `contract` (default on) runs [[ccLocalContract]] first: each task
+    * collapses its partition's edges to a star forest with one in-memory
+    * union-find pass, so the distributed loop starts on a graph whose
+    * edge count is the number of locally-distinct NODES (not the pair
+    * count) and whose intra-partition depth is already 1. Connectivity is
+    * preserved exactly (a connected subgraph replaced by a star), so the
+    * fixpoint labeling is unchanged — only reached in fewer, cheaper
+    * rounds. The dominant cost of the loop at test scale is fixed
+    * per-round job overhead; at 100 TB it is the per-round edge-sized
+    * shuffle — contraction cuts both (measured on q225: 6 → 3 rounds,
+    * 4.1 s → see SCALE.md). */
   private[operators] def ccAlternatingStars(pairs: DataFrame,
-                                            maxIters: Int = 25): (DataFrame, Int) = {
-    val sym = pairs
-      .select(col("i").as("src"), col("j").as("dst"))
-      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+                                            maxIters: Int = 25,
+                                            contract: Boolean = true): (DataFrame, Int) = {
+    val canonical = pairs
+      .select(greatest(col("i"), col("j")).as("src"),
+        least(col("i"), col("j")).as("dst"))
       .filter(col("src") =!= col("dst"))
-    val nodes = sym.select(col("src").as("id")).distinct().localCheckpoint(true)
-    var edges = sym.filter(col("src") > col("dst")).distinct().localCheckpoint(true)
+    var edges = (if (contract) ccLocalContract(canonical) else canonical)
+      .distinct().localCheckpoint(true)
+    var edgeCount = edges.count()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -319,8 +393,12 @@ object Dedup {
         .localCheckpoint(true)
       // Fixpoint test on the materialized round output: both sides are
       // distinct sets, so equal counts + empty one-way difference = equal.
-      converged = small.count() == edges.count() &&
-        small.except(edges).isEmpty
+      // (edgeCount carries the previous round's already-paid count — the
+      // only fresh action here is small.count(), plus the except in the
+      // rounds where counts agree.)
+      val smallCount = small.count()
+      converged = smallCount == edgeCount && small.except(edges).isEmpty
+      edgeCount = smallCount
       // The superseded round's checkpoint blocks are dead from here on;
       // drop them NOW instead of waiting for a driver full-GC to trigger
       // the ContextCleaner — in a long session (or the bench's repeated
@@ -332,13 +410,18 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"ccAlternatingStars did not converge in $maxIters rounds")
-    val labels = nodes
-      .join(edges.select(col("src").as("id"), col("dst").as("component")),
-        Seq("id"), "left")
-      .select(col("id").as("doc_id"),
-        coalesce(col("component"), col("id")).as("component"))
+    // The fixpoint IS the complete star forest: every non-root node of the
+    // input appears exactly once as a member src (pointing at its
+    // component min) and every root as a dst — self-pair-only nodes were
+    // filtered identically under the old nodes-frame framing, and
+    // singleton components cannot arise from a pair list. So the labeling
+    // reads straight off the edge list (members ∪ roots), skipping the
+    // corpus-node-sized distinct + left join a separate nodes frame cost.
+    val labels = edges
+      .select(col("src").as("doc_id"), col("dst").as("component"))
+      .union(edges.select(col("dst")).distinct()
+        .select(col("dst").as("doc_id"), col("dst").as("component")))
       .localCheckpoint(true)
-    graft.FrameBlocks.release(nodes)
     graft.FrameBlocks.release(edges)
     (labels, it)
   }

@@ -787,8 +787,9 @@ object Similarity {
     // grid relaxation — project to 2 JL dims (the q81 planes, so the
     // oracle embeds the same literals), quantize ×16 to an exact integer
     // space, cell width = eps ⇒ every eps-neighbor lives in the 3×3
-    // adjacent cells, so candidate generation is a 9-offset EQUI-join on
-    // cell keys (never all-pairs; candidate volume = Σ|cell|·|3×3
+    // adjacent cells, so candidate generation is an EQUI-join on cell
+    // keys over the 5-offset HALF neighborhood (each unordered pair
+    // once — never all-pairs; candidate volume = Σ|cell|·|half
     // neighborhood|, bounded by the density dial eps). Core = ≥MinPts
     // eps-neighbors; clusters = connected components over CORE-CORE
     // edges (the shared star/label-prop CC); border points attach to
@@ -808,33 +809,48 @@ object Similarity {
           expr(s"(qx + $DbscanShift) div $DbscanEpsQ").as("cx"),
           expr(s"(qy + $DbscanShift) div $DbscanEpsQ").as("cy"))
         .localCheckpoint(true)
+      // Each unordered pair is generated ONCE: probe only the 5-offset
+      // HALF neighborhood — the center cell (deduped by ia < ib) plus the
+      // 4 canonical directions {(1,0),(-1,1),(0,1),(1,1)}, one of ±δ per
+      // cell-pair — instead of all 9 offsets with both orientations.
+      // Candidate volume (the cost driver: join output × distance
+      // evaluations) drops 9/5 ≈ 1.8×; the symmetric views the later
+      // stages need (degree count, border attachment) are rebuilt from
+      // the FILTERED edge list, which is orders of magnitude smaller
+      // than the candidate set.
       val probe = pts
         .select(col("id").as("ia"), col("qx").as("qxa"), col("qy").as("qya"),
           explode(expr("array(-1L, 0L, 1L)")).as("dx"),
           col("cx"), col("cy"))
-        .select(col("ia"), col("qxa"), col("qya"),
+        .select(col("ia"), col("qxa"), col("qya"), col("dx"),
           (col("cx") + col("dx")).as("jx"), col("cy"),
           explode(expr("array(-1L, 0L, 1L)")).as("dy"))
+        .where(col("dy") > 0 || (col("dy") === 0 && col("dx") >= 0))
         .select(col("ia"), col("qxa"), col("qya"), col("jx"),
-          (col("cy") + col("dy")).as("jy"))
+          (col("cy") + col("dy")).as("jy"),
+          (col("dx") === 0 && col("dy") === 0).as("same_cell"))
       val edges = probe
         .join(pts.select(col("id").as("ib"), col("qx").as("qxb"),
             col("qy").as("qyb"), col("cx").as("jx"), col("cy").as("jy")),
           Seq("jx", "jy"))
-        .where(col("ia") =!= col("ib") &&
+        .where((!col("same_cell") || col("ia") < col("ib")) &&
           (col("qxa") - col("qxb")) * (col("qxa") - col("qxb")) +
             (col("qya") - col("qyb")) * (col("qya") - col("qyb"))
             <= DbscanEpsQ * DbscanEpsQ)
         .select(col("ia"), col("ib"))
         .localCheckpoint(true)
-      val cores = edges.groupBy(col("ia")).agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= DbscanMinPts).select(col("ia").as("id"))
+      // symmetrized degree: each once-generated pair contributes one
+      // neighbor to BOTH endpoints (self excluded, as before)
+      val cores = edges
+        .select(explode(array(col("ia"), col("ib"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= DbscanMinPts).select(col("id"))
         .localCheckpoint(true)
       val corePairs = edges
         .join(cores.select(col("id").as("ia")), "ia")
         .join(cores.select(col("id").as("ib")), "ib")
-        .where(col("ia") < col("ib"))
-        .select(col("ia").as("i"), col("ib").as("j"))
+        .select(least(col("ia"), col("ib")).as("i"),
+          greatest(col("ia"), col("ib")).as("j"))
       // density blobs are long-diameter by construction (chains of
       // eps-balls), so min-label propagation would burn its round cap
       // before converging — go straight to the O(log n)-round star CC
@@ -844,7 +860,11 @@ object Similarity {
       val coreLbl = cores.join(comp, Seq("id"), "left")
         .select(col("id"), coalesce(col("component"), col("id"))
           .as("cluster"))
-      val borderLbl = edges
+      // both orientations of the (small, filtered) edge list: a border
+      // point may sit on either end of a once-generated pair
+      val edgesSym = edges.union(
+        edges.select(col("ib").as("ia"), col("ia").as("ib")))
+      val borderLbl = edgesSym
         .join(coreLbl.select(col("id").as("ib"), col("cluster")), "ib")
         .join(cores.select(col("id").as("ia")), Seq("ia"), "left_anti")
         .groupBy(col("ia")).agg(min(col("cluster")).as("cluster"))

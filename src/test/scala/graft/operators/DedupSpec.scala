@@ -110,7 +110,10 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalStateException] {
       Dedup.connectedComponents(path, maxIters = 10, algorithm = "label-prop")
     }
-    val (labels, rounds) = Dedup.ccAlternatingStars(path, maxIters = 25)
+    // contract = false pins the distributed loop itself: the union-find
+    // pre-pass would collapse the whole path inside one partition.
+    val (labels, rounds) =
+      Dedup.ccAlternatingStars(path, maxIters = 25, contract = false)
     assert(rounds <= 20, s"expected O(log n) rounds, took $rounds")
     val comps = labels.select(col("component")).distinct().collect()
     assert(comps.length == 1 && comps.head.getLong(0) == 0L)
@@ -119,6 +122,40 @@ class DedupSpec extends SparkSpec {
     val viaDefault = Dedup.connectedComponents(path)
       .select(col("component")).distinct().collect()
     assert(viaDefault.length == 1 && viaDefault.head.getLong(0) == 0L)
+  }
+
+  test("partition-local contraction: same labels, fewer rounds, tiny flush chunks") {
+    // An adversarial mix — a path (cross-partition chains), a cycle, dupes,
+    // both pair orientations, and disjoint islands — must label identically
+    // with and without the union-find pre-pass, including when the flush
+    // threshold forces the per-task map to drain every handful of nodes
+    // (chunked contraction must still preserve connectivity).
+    val pairs = spark.range(200)
+      .select(col("id").as("i"), (col("id") + 1).as("j")) // path 0..200
+      .union(spark.range(4).select((col("id") + 500).as("i"),
+        ((col("id") + 1) % 4 + 500).as("j")))             // cycle 500..503
+      .union(spark.range(3).select((col("id") * 2 + 600).as("i"),
+        (col("id") * 2 + 601).as("j")))                   // 3 disjoint pairs
+      .union(spark.range(50).select((col("id") + 1).as("i"),
+        col("id").as("j")))                               // swapped dupes
+      .repartition(16)
+    def run(contract: Boolean) =
+      Dedup.ccAlternatingStars(pairs, maxIters = 25, contract = contract)
+    val (base, baseRounds) = run(contract = false)
+    val (fast, fastRounds) = run(contract = true)
+    assert(fast.collect().map(_.toString).sorted.toSeq ==
+      base.collect().map(_.toString).sorted.toSeq)
+    assert(fastRounds <= baseRounds,
+      s"contraction must not add rounds ($fastRounds vs $baseRounds)")
+    // chunked drain path: flush after every ~8 tracked nodes
+    val chunked = Dedup.ccAlternatingStars(
+      Dedup.ccLocalContract(
+        pairs.select(greatest(col("i"), col("j")).as("src"),
+          least(col("i"), col("j")).as("dst")), flushNodes = 8)
+        .select(col("src").as("i"), col("dst").as("j")),
+      maxIters = 25, contract = false)._1
+    assert(chunked.collect().map(_.toString).sorted.toSeq ==
+      base.collect().map(_.toString).sorted.toSeq)
   }
 
   test("star CC matches label-prop on the real q42 pair set") {
