@@ -1153,7 +1153,11 @@ object Curation {
                 FROM tk)
           SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
             CAST(len(masked) AS BIGINT) AS n_masked,
-            array_to_string(list_transform(masked, x -> CAST(x AS VARCHAR)), ',')
+            -- DuckDB's array_to_string([]) is NULL where Spark's concat_ws
+            -- is '' — an all-kept doc ((3/4)^n_tok survives at 50k docs)
+            -- must read as "zero masked positions", not NULL
+            COALESCE(array_to_string(
+              list_transform(masked, x -> CAST(x AS VARCHAR)), ','), '')
               AS masked_idx
           FROM m""",
 
