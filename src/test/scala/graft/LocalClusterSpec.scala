@@ -23,8 +23,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * (executor↔executor blocks), the md5-based MinHash custom-expression
   * pipeline (codegen + banding shuffle on executors), the iterative
   * star-CC (localCheckpoint blocks living in executor block managers
-  * across rounds), and the Poisson bootstrap (64-replica explode with
-  * map-side combine). Results are integer/decimal-exact by design, so
+  * across rounds), the mergeable HLL sketch UDAF (partial sketch states
+  * serialized executor→executor at the merge boundary), the
+  * model-backed residual IVF-PQ query (ModelStore artifact loaded on
+  * the driver, codebooks broadcast into separate executor JVMs — the
+  * warm-serve path a production index runs), the HITS graph fixpoint
+  * (per-sweep edge shuffles + broadcast rescale constants, round after
+  * round), and the Poisson bootstrap (64-replica explode with map-side
+  * combine). Results are integer/decimal-exact by design, so
   * cross-process equality is exact string equality, not tolerance.
   *
   * Suite discipline: forked-test suites run sequentially, and this one
@@ -40,6 +46,9 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q04_join_shuffle",
     "q41_dedup_minhash",
     "q46_dedup_components",
+    "q107_hll_distinct",
+    "q137_ivfpq_residual",
+    "q208_hits",
     "q223_bootstrap_ci")
 
   private def sfDir =
