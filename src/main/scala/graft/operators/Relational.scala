@@ -3495,21 +3495,25 @@ object Relational {
           FROM p$PrIters JOIN nation ON p$PrIters.node = nation.n_nationkey"""
     },
 
+    // Decimal→double casts go through VARCHAR: DuckDB casts a
+    // hugeint-backed DECIMAL(38,s) to double as int128/10^s — TWO
+    // roundings, off by an ulp once the scaled value passes 2^53 (spp at
+    // sf1 trips it; Spark's BigDecimal cast is correctly rounded, and so
+    // is DuckDB's string→double via fast_float).
     "q29_stats_moments" ->
       """WITH m AS (
            SELECT l_returnflag, COUNT(1) AS n,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
-             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
-             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sq,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sp,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sqq,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS spp,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sqp
            FROM lineitem GROUP BY 1)
          SELECT l_returnflag, n,
-           (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1) AS var_qty,
-           sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)) AS sd_qty,
-           (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n) /
-             sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) *
-                  (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n)) AS corr_qty_price
+           (sqq - sq * sq / n) / (n - 1) AS var_qty,
+           sqrt((sqq - sq * sq / n) / (n - 1)) AS sd_qty,
+           (sqp - sq * sp / n) /
+             sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)) AS corr_qty_price
          FROM m""",
 
     "q25_session_window" ->

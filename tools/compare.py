@@ -89,7 +89,32 @@ def cmp(a: pd.DataFrame, b: pd.DataFrame):
     return None
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    # Optional: --json PATH writes a CORRECTNESS-style artifact (the
+    # driver's per-query schema: rows/schema/hash match booleans + row
+    # counts + err) alongside the human-readable lines.
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+        args = [a for a in args if a != json_out]
+    out_dir, sf_dir = args[0], args[1]
+    results = {}
+    def record(name, err=None, spark_rows=None, oracle_rows=None, check="oracle"):
+        e = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": spark_rows, "oracle_rows": oracle_rows,
+             "err": None, "check": check}
+        if err is not None:
+            e["err"] = err
+            kind = err.split(" ")[0]
+            if kind in ("SCHEMA", "DTYPE"):
+                e["schema_match"] = False; e["hash_match"] = False
+            elif kind == "ROWS":
+                e["rows_match"] = False; e["hash_match"] = False
+            else:
+                e["hash_match"] = False
+            if kind == "FAIL":
+                e["rows_match"] = e["schema_match"] = e["hash_match"] = False
+        results[name] = e
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -107,6 +132,7 @@ def main():
     missing = sorted(expected - have)
     for name in missing:
         print(f"FAIL {name}: no result written (query crashed in Verify?)")
+        record(name, err="FAIL no result written (query crashed in Verify?)")
     n_total = len(names) + len(missing)
     for path in names:
         name = path.rstrip("/").split("/")[-1]
@@ -115,28 +141,37 @@ def main():
                 f"SELECT * FROM '{path}*.parquet'").df()
         except Exception as e:
             print(f"FAIL {name}: cannot read spark result: {e}")
+            record(name, err=f"FAIL cannot read spark result: {e}")
             continue
         if name not in oracle:
             # mimic the driver's rows-only check: a no-oracle query returning
             # 0 rows must fail locally too, not green-light.
             if len(spark_df) == 0:
                 print(f"FAIL {name}: no oracle and 0 result rows")
+                record(name, err="FAIL no oracle and 0 result rows", check="rows_only")
             else:
                 print(f"SKIP {name}: no oracle (rows-only check: {len(spark_df)} rows)")
+                record(name, spark_rows=len(spark_df), check="rows_only")
                 n_ok += 1
             continue
         try:
             ora_df = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            record(name, err=f"FAIL oracle sql error: {e}", spark_rows=len(spark_df))
             continue
         err = cmp(canon(spark_df), canon(ora_df))
+        record(name, err=err, spark_rows=len(spark_df), oracle_rows=len(ora_df))
         if err:
             print(f"FAIL {name}: {err}")
         else:
             print(f"OK   {name} ({len(spark_df)} rows)")
             n_ok += 1
     print(f"== {n_ok}/{n_total} pass ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(results.items())), f, indent=1)
+        print(f"wrote {json_out}")
     if n_ok != n_total:
         sys.exit(1)
 
