@@ -17,6 +17,17 @@ object GraftSession {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Data-proportional shuffle sizing: every shuffle STARTS at 8×
+      // the core count and AQE coalesces down to its advisory target,
+      // so partition count tracks data volume instead of being pinned
+      // at the core count. Without this, a 10× corpus means 10× bytes
+      // per partition (the sf1→sf10 decade measured q78's verify join
+      // going 6.8× super-linear from exactly that per-partition sort
+      // spill); with it, bigger corpora get more, same-sized partitions
+      // — the "partition count grows, partition size doesn't" doctrine
+      // applied to the engine's own shuffles, not just its tables.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

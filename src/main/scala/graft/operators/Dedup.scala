@@ -698,6 +698,20 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .localCheckpoint(false)
 
+  /** Absolute postings ceiling for a containment blocking key: a digest
+    * is usable as a block key only if it appears in at most this many
+    * docs, so per-key join fanout is ≤ Cap² and per-doc candidate volume
+    * is ≤ 2·Cap at ANY corpus size. This was a corpus-RELATIVE rule
+    * (df ≤ 5% of n_docs) until the measured sf1→sf10 decade exposed it:
+    * a relative cap grows with the corpus, so replica-local boilerplate
+    * that was correctly refused at sf0.1 (cap 250) became an eligible
+    * block key at sf10 (cap 25,000) and candidate volume went
+    * super-linear — q78 ran 13× for 10× data. Rarity that gates a JOIN
+    * must be absolute: "few postings" is a property of the key, not of
+    * the corpus it sits in. (5% stays the right shape for STATISTICS —
+    * tf-idf, CCNet buckets — where df divides rather than joins.) */
+  val ContainmentDfCap = 256
+
   private def containmentFromDigests(base: DataFrame): DataFrame = {
     // blocking keys travel as int64 (first 15 hex chars of the digest —
     // bijective enough for rarity counting, and the oracle applies the
@@ -707,13 +721,11 @@ object Dedup {
       explode(col("sh")).as("hs"))
       .select(col("doc_id"), col("n"),
         conv(substring(col("hs"), 1, 15), 16, 10).cast("long").as("h"))
-    val nDocs = base.agg(count(lit(1)).as("n_docs"))
     // filter the df table down to rare digests BEFORE the big join: the
     // re-join shuffle then carries only the rare side of the vocabulary,
     // and boilerplate digests never travel twice
     val dfcRare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .join(broadcast(nDocs))
-      .filter(col("df") * 20 <= col("n_docs"))
+      .filter(col("df") <= ContainmentDfCap)
       .select(col("h"))
     val rare = ex.join(dfcRare, "h")
       .select(col("doc_id"), col("n"), col("h"))
@@ -1702,11 +1714,10 @@ object Dedup {
                    CAST(concat('0x', substr(unnest(sh), 1, 15)) AS BIGINT) AS h
                  FROM base),
           dfc AS (SELECT h, COUNT(1) AS df FROM ex GROUP BY h),
-          n AS (SELECT COUNT(1) AS n_docs FROM base),
           rare AS (
             SELECT ex.doc_id, ex.h
-            FROM ex JOIN dfc ON ex.h = dfc.h CROSS JOIN n
-            WHERE dfc.df * 20 <= n.n_docs),
+            FROM ex JOIN dfc ON ex.h = dfc.h
+            WHERE dfc.df <= $ContainmentDfCap),
           bot AS (
             SELECT doc_id AS a, h FROM (
               SELECT doc_id, h,
