@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Pinned._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -544,7 +546,7 @@ object Curation {
       .repartition(TextFns.cpuPartitions, col("doc_id"))
       .select(col("doc_id"), col("source"), col("text"),
         toks(col("text")).as("tk"))
-      .localCheckpoint(true)
+      .pin(true)
     // 2. near-dup canonical over the deduped survivors. Preferred path:
     // filter the corpus-wide shared pair list to survivor endpoints (two
     // semi joins on pair-sized data — no signature pass). Fallback path
@@ -572,7 +574,7 @@ object Curation {
     // 3. quality filter — materialized once: the decontam stage scans the
     // qualified survivors twice (gram hits + the keep-side anti-join)
     val qual = canon.filter(TextAnalysis.gopherPass(col("text")))
-      .localCheckpoint(true)
+      .pin(true)
     // qual's eager checkpoint supersedes the stage-1 survivors: every
     // remaining stage reads qual or the raw corpus, so dd's pinned blocks
     // are dead — drop them now rather than waiting for a driver full-GC

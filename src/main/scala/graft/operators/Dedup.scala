@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Pinned._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -70,7 +72,7 @@ object Dedup {
         .select(col("doc_id"), col("source"),
           shingles(toks(col("text")), 3).as("sh"))
         .withColumn("mhs", minhashSig(col("sh"), NumHashes, 0))
-        .localCheckpoint(false)
+        .pin(false)
     }
 
   /** Signature frame for q41: doc_id, sh, mh0..mh7, b0..b3 — derived from
@@ -204,7 +206,7 @@ object Dedup {
         // Materialize the pair set before trying label-prop so a fallback
         // to star re-reads checkpointed pairs instead of re-running the
         // (typically expensive) upstream LSH pipeline.
-        val p = pairs.localCheckpoint(true)
+        val p = pairs.pin(true)
         val res = ccLabelProp(p, maxIters / 2, failOnCap = false)
           .getOrElse(ccAlternatingStars(p, maxIters)._1)
         // both variants return frames backed by their own (eager)
@@ -227,10 +229,10 @@ object Dedup {
     val edges = pairs
       .select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .localCheckpoint(true)
+      .pin(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
+      .pin(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -239,7 +241,7 @@ object Dedup {
         .select(col("dst").as("id"), col("lbl"))
       val next = labels.union(pushed)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .pin(true)
       changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
         .filter(col("lbl") < col("old")).count()
       // superseded round: drop its checkpoint blocks eagerly (see the
@@ -266,7 +268,7 @@ object Dedup {
       // Project over the loop checkpoint would pin that checkpoint forever.
       val out = labels
         .select(col("id").as("doc_id"), col("lbl").as("component"))
-        .localCheckpoint(true)
+        .pin(true)
       graft.FrameBlocks.release(labels)
       Some(out)
     }
@@ -363,7 +365,7 @@ object Dedup {
         least(col("i"), col("j")).as("dst"))
       .filter(col("src") =!= col("dst"))
     var edges = (if (contract) ccLocalContract(canonical) else canonical)
-      .distinct().localCheckpoint(true)
+      .distinct().pin(true)
     var edgeCount = edges.count()
     var converged = false
     var it = 0
@@ -390,7 +392,7 @@ object Dedup {
         .union(joined.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(true)
+        .pin(true)
       // Fixpoint test on the materialized round output: both sides are
       // distinct sets, so equal counts + empty one-way difference = equal.
       // (edgeCount carries the previous round's already-paid count — the
@@ -421,7 +423,7 @@ object Dedup {
       .select(col("src").as("doc_id"), col("dst").as("component"))
       .union(edges.select(col("dst")).distinct()
         .select(col("dst").as("doc_id"), col("dst").as("component")))
-      .localCheckpoint(true)
+      .pin(true)
     graft.FrameBlocks.release(edges)
     (labels, it)
   }
@@ -530,11 +532,13 @@ object Dedup {
     // three consumers (norms + both self-join sides): materialize once.
     // Lazy (eager=false) so constructing the frame schedules no job — the
     // first action materializes the blocks, later consumers reuse them.
-    // localCheckpoint is not fault-tolerant (executor loss kills the
-    // query); at cluster scale swap for reliable checkpoint()/persist.
+    // Fault tolerance is the pin-mode dial (graft.Pinned): default
+    // localCheckpoint is fast but dies with an executor; a cluster run
+    // sets spark.graft.checkpoint=reliable and this same pin survives
+    // executor loss (kill-proven in LocalClusterSpec).
     val tfr = tf.join(dft, "term")
       .select(col("doc_id"), col("term"), col("tf"))
-      .localCheckpoint(false)
+      .pin(false)
     val n2 = tfr.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
     val p = tfr.as("x").join(tfr.as("y"),
         col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))
@@ -574,7 +578,7 @@ object Dedup {
     sharedPairs.getOrCompute(s, d)(
       lshPairsFromSigs(sigBase(s, d), numHashes = NumHashes,
         bandSize = BandSize, tNum = TrigramTNum, tDen = TrigramTDen)
-        .localCheckpoint(false))
+        .pin(false))
 
   /** Connected-component labels (doc_id, component) over [[trigramPairs]] —
     * the cluster-label table of the near-dup family, computed once per
@@ -639,7 +643,7 @@ object Dedup {
         .agg(countDistinct(col("doc_id")).as("wdf"))
         .filter(col("wdf") >= 2)
         .select(col("wh"))
-      wins.join(dupWh, "wh").localCheckpoint(false)
+      wins.join(dupWh, "wh").pin(false)
     }
 
   /** Per-doc union length of [p, p+W) token intervals over (doc_id, p)
@@ -696,7 +700,7 @@ object Dedup {
         array_sort(array_distinct(
           transform(col("sh"), x => md5(x)))).as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint(false)
+      .pin(false)
 
   /** Absolute postings ceiling for a containment blocking key: a digest
     * is usable as a block key only if it appears in at most this many

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Pinned._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,7 +64,7 @@ object Graph {
       pairs.select(col("c").as("src"), col("sp").as("dst"))
         .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
         .repartition(TextFns.cpuPartitions, col("src"))
-        .localCheckpoint(false)
+        .pin(false)
     }
 
   private def kindOf(node: Column): Column =
@@ -89,7 +91,7 @@ object Graph {
       pairs.select(col("c").as("src"), col("sp").as("dst"), col("w"))
         .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst"), col("w")))
         .repartition(TextFns.cpuPartitions, col("src"))
-        .localCheckpoint(false)
+        .pin(false)
     }
 
   /** The q201 fixpoint over an arbitrary (src, dst) edge frame — factored
@@ -145,7 +147,7 @@ object Graph {
       (1 to HitsIters).foreach { _ =>
         val araw = h.hint("shuffle_hash").join(e, col("node") === col("src"))
           .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
-          .localCheckpoint(true)
+          .pin(true)
         // araw materialized ⇒ h (rooted at the previous hraw) is dead
         if (prevHRaw ne null) graft.FrameBlocks.release(prevHRaw)
         val amax = araw.agg(max(col("raw")).as("mx"))
@@ -155,7 +157,7 @@ object Graph {
         val hraw = a.hint("shuffle_hash")
           .join(e.select(col("src"), col("dst").as("node")), "node")
           .groupBy(col("src")).agg(sum(col("a")).as("raw"))
-          .localCheckpoint(true)
+          .pin(true)
         // hraw materialized ⇒ the previous round's araw is dead (the
         // current araw still backs `a`, read by the final top-N)
         if (prevARaw ne null) graft.FrameBlocks.release(prevARaw)
@@ -178,7 +180,7 @@ object Graph {
       // the final round's node-sized frames release too; the returned
       // frame is LogicalRDD-rooted, so stream callers can retire it
       // through FrameBlocks like any other.
-      val out = topAuth.unionByName(topHub).localCheckpoint(true)
+      val out = topAuth.unionByName(topHub).pin(true)
       graft.FrameBlocks.release(prevARaw)
       graft.FrameBlocks.release(prevHRaw)
       out
@@ -243,7 +245,7 @@ object Graph {
       var dist = e.agg(min(when(col("src") % 2 === 0, col("src"))).as("seed"))
         .filter(col("seed").isNotNull)
         .select(col("seed").as("node"), lit(0L).as("hops"))
-        .localCheckpoint(false)
+        .pin(false)
       (1 to BfsHops).foreach { _ =>
         val nxt = dist.hint("shuffle_hash").join(e, col("node") === col("src"))
           .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
@@ -270,7 +272,7 @@ object Graph {
       var dist = e.agg(min(when(col("src") % 2 === 0, col("src"))).as("seed"))
         .filter(col("seed").isNotNull)
         .select(col("seed").as("node"), lit(0L).as("dist"))
-        .localCheckpoint(false)
+        .pin(false)
       (1 to SsspIters).foreach { _ =>
         val nxt = dist.hint("shuffle_hash").join(e, col("node") === col("src"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Pinned._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -918,13 +920,14 @@ object Relational {
       // (eager=false): building the DataFrame stays plan-only (no job at
       // construction — the Explain dev loop would otherwise execute the
       // full upstream); the first action materializes, later reads reuse.
-      // Caveat: localCheckpoint blocks are not fault-tolerant — on a real
-      // cluster an executor loss kills the query; a production run at scale
-      // would use reliable checkpoint() or persist(DISK_ONLY) replicated.
+      // Fault tolerance is the pin-mode dial (graft.Pinned): default-mode
+      // blocks die with an executor; a production run at scale sets
+      // spark.graft.checkpoint=reliable and the SAME pin writes a
+      // reliable checkpoint instead (kill-proven in LocalClusterSpec).
       val hc = t(s, d, "events")
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(false)
+        .pin(false)
       val grid = hc.groupBy(col("user_id"))
         .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
         .select(col("user_id"),
@@ -997,7 +1000,7 @@ object Relational {
           .select(col("o_custkey"),
             datediff(col("maxd"), col("lastd")).cast("long").as("recency"),
             col("freq"), col("monetary"))
-          .localCheckpoint(false)
+          .pin(false)
       }
       def cuts(valueCol: String): DataFrame = {
         val hist = cust.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Pinned._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -186,7 +188,7 @@ object Similarity {
         .select(col("vec_id"), expr(
           "transform(cast(embedding as array<double>), x -> cast(floor((x + 1.0d) * 1000.0d) as bigint))")
           .as("qv"))
-        .localCheckpoint(false)
+        .pin(false)
     }
 
   /** One assignment pass: nearest centroid (squared L2, tie → lowest cid)
@@ -808,7 +810,7 @@ object Similarity {
         .select(col("id"), col("qx"), col("qy"),
           expr(s"(qx + $DbscanShift) div $DbscanEpsQ").as("cx"),
           expr(s"(qy + $DbscanShift) div $DbscanEpsQ").as("cy"))
-        .localCheckpoint(true)
+        .pin(true)
       // Each unordered pair is generated ONCE: probe only the 5-offset
       // HALF neighborhood — the center cell (deduped by ia < ib) plus the
       // 4 canonical directions {(1,0),(-1,1),(0,1),(1,1)}, one of ±δ per
@@ -838,14 +840,14 @@ object Similarity {
             (col("qya") - col("qyb")) * (col("qya") - col("qyb"))
             <= DbscanEpsQ * DbscanEpsQ)
         .select(col("ia"), col("ib"))
-        .localCheckpoint(true)
+        .pin(true)
       // symmetrized degree: each once-generated pair contributes one
       // neighbor to BOTH endpoints (self excluded, as before)
       val cores = edges
         .select(explode(array(col("ia"), col("ib"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= DbscanMinPts).select(col("id"))
-        .localCheckpoint(true)
+        .pin(true)
       val corePairs = edges
         .join(cores.select(col("id").as("ia")), "ia")
         .join(cores.select(col("id").as("ib")), "ib")
@@ -883,7 +885,7 @@ object Similarity {
         // re-root the result so the intermediate checkpoints can be freed
         // NOW (the ccLabelProp discipline — returning a plan over them
         // would pin their blocks for the session)
-        .localCheckpoint(true)
+        .pin(true)
       graft.FrameBlocks.release(pts)
       graft.FrameBlocks.release(edges)
       graft.FrameBlocks.release(cores)
@@ -918,7 +920,7 @@ object Similarity {
         .select(col("src"), col("dst"),
           floor(pairSim(col("av"), col("an"), col("bv"), col("bn")) * 1e6)
             .cast("long").as("s"))
-        .localCheckpoint(true)
+        .pin(true)
       val wA = Window.partitionBy(col("src")).orderBy(col("s").desc, col("dst"))
       val rankedA = cand.withColumn("rn", row_number().over(wA))
       val topA = rankedA.filter(col("rn") <= MarginK)
@@ -940,7 +942,7 @@ object Similarity {
           (col("s") * (MarginK * 2000L) >
             (col("sum4_src") + col("sum4_dst")) * MarginTauMillis)
             .as("mined"))
-        .localCheckpoint(true)
+        .pin(true)
       graft.FrameBlocks.release(cand)
       out
     }),
@@ -1172,7 +1174,7 @@ object Similarity {
         .groupBy(col("vec_id"))
         .agg(first(col("v")).as("v"), max(col("sc")).as("best"))
         .select(col("vec_id"), col("v"), (-col("best.ncid")).as("cid"))
-        .localCheckpoint(false)
+        .pin(false)
     }
 
   /** Raw-codebook PQ codes of the full corpus — (vec_id, s0..s{M−1}
@@ -1180,7 +1182,7 @@ object Similarity {
   private def pqEncodedCorpus(s: SparkSession, d: String): DataFrame =
     pqCodesFrameCache.getOrCompute(s, d) {
       val e = embs(s, d)
-      pqEncoded(e, trainPqCodebooks(e, d)).localCheckpoint(false)
+      pqEncoded(e, trainPqCodebooks(e, d)).pin(false)
     }
 
   /** Residual PQ codes (PQ over v − c(list)) with the list id —
@@ -1198,7 +1200,7 @@ object Similarity {
             (array_position(darr, array_min(darr)) - 1).as(s"c$m")
           }
         }: _*)
-        .localCheckpoint(false)
+        .pin(false)
     }
 
   private def residualAdcScored(s: SparkSession, d: String): DataFrame =
@@ -2531,8 +2533,12 @@ object Similarity {
     // is safe, undershoot would fail the hash gate loudly. Measured
     // rounds-to-fixpoint: 13 at BOTH sf0.01 (298 cores / 1,750 edges)
     // and sf1 (19,808 cores / 3.80M edges, diameter-heavy); unrolled to
-    // 32 for margin. This is the same O(log n)-round contract as the
-    // engine's star CC, expressed in plain SQL.
+    // 32 for margin, and the margin is ENFORCED, not assumed: the
+    // ccguard CTE (cross-joined into the final select so it always
+    // evaluates) errors loudly if p32 <> p31 — a corpus needing more
+    // rounds aborts the oracle instead of hash-failing with a
+    // misleading "engine wrong" signal. This is the same
+    // O(log n)-round contract as the engine's star CC, in plain SQL.
     "q225_grid_dbscan" -> {
       // every CTE is MATERIALIZED: DuckDB 1.0 re-INLINES plain CTEs, and
       // each round references the previous twice → exponential plan
@@ -2577,6 +2583,12 @@ object Similarity {
               AND ib IN (SELECT id FROM cores)),
           p0 AS MATERIALIZED (SELECT id AS node, id AS lbl FROM cores),
           $ccFold,
+          ccguard AS MATERIALIZED (
+            SELECT CASE WHEN COUNT(1) = 0 THEN 1 ELSE CAST(error(
+              'q225 oracle CC not converged after $ccRounds rounds') AS INT)
+            END AS ok
+            FROM (SELECT * FROM p$ccRounds
+                  EXCEPT SELECT * FROM p${ccRounds - 1})),
           comp AS MATERIALIZED (SELECT node AS id, lbl AS cluster FROM p$ccRounds),
           border AS MATERIALIZED (
             SELECT e.ia AS id, MIN(c.cluster) AS cluster
@@ -2589,6 +2601,7 @@ object Similarity {
                  ELSE 'noise' END AS role,
             COALESCE(cm.cluster, b.cluster, -1) AS cluster
           FROM pts p
+          CROSS JOIN ccguard
           LEFT JOIN comp cm ON p.id = cm.id
           LEFT JOIN border b ON p.id = b.id"""
     },

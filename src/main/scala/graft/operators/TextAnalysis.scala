@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Pinned._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -297,7 +299,7 @@ object TextAnalysis {
           .as("b"))
         .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(false))
+        .pin(false))
 
   /** Spec hook: drop the session's memoized ladder so a re-run exercises
     * the store-replay path (simulating a new session on a warm store). */
@@ -333,31 +335,31 @@ object TextAnalysis {
       graft.ModelStore.lookupKv(s, "bpe_merges", digest, hyper) match {
         case Some(merges) =>
           val byRound = merges.map(m => m._1 -> m).toMap
-          var cur = bpeSeq0(s, d).localCheckpoint(false)
+          var cur = bpeSeq0(s, d).pin(false)
           val seqs = Seq.newBuilder[DataFrame]
           seqs += cur
           val tops = (1 to BpeMergeRounds).map { i =>
             val top = localTop(byRound.get(i.toLong))
-            cur = bpeApply(cur, top).localCheckpoint(false)
+            cur = bpeApply(cur, top).pin(false)
             seqs += cur
             top
           }
           (tops, seqs.result())
         case None =>
           graft.ModelStore.trains.incrementAndGet()
-          var cur = bpeSeq0(s, d).localCheckpoint(false)
+          var cur = bpeSeq0(s, d).pin(false)
           val tops = Seq.newBuilder[DataFrame]
           val seqs = Seq.newBuilder[DataFrame]
           val merges = Seq.newBuilder[(Long, String, String, Long)]
           seqs += cur
           (1 to BpeMergeRounds).foreach { i =>
-            val top = bpeTop(bpePairCounts(cur)).localCheckpoint(false)
+            val top = bpeTop(bpePairCounts(cur)).pin(false)
             top.collect().headOption.foreach { r =>
               merges += ((i.toLong, r.getAs[String]("l"), r.getAs[String]("r"),
                 r.getAs[Long]("cnt")))
             }
             tops += top
-            cur = bpeApply(cur, top).localCheckpoint(false)
+            cur = bpeApply(cur, top).pin(false)
             seqs += cur
           }
           graft.ModelStore.putKv(s, "bpe_merges", digest, hyper, merges.result())
@@ -474,14 +476,14 @@ object TextAnalysis {
       // each 1-row step is lazily checkpointed so step i+1 references a
       // tiny RDD scan instead of embedding the entire prefix plan (the
       // un-checkpointed chain planned 1+2+..+10 = 55 nested joins)
-      val chain = (1 to steps).scanLeft(seed.localCheckpoint(false)) {
+      val chain = (1 to steps).scanLeft(seed.pin(false)) {
         (cur, i) =>
           bigrams
             .join(broadcast(cur.select(col("token").as("prev"))),
               col("w1") === col("prev"))
             .orderBy(col("cnt").desc, col("w2")).limit(1)
             .select(lit(i).as("step"), col("w2").as("token"), col("cnt"))
-            .localCheckpoint(false)
+            .pin(false)
       }
       chain.reduce(_ unionAll _)
     }),

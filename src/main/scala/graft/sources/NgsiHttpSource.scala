@@ -134,10 +134,19 @@ private[sources] class NgsiHttpMicroBatchStream(
         n.startsWith("capture-") && n.endsWith(".json"))).getOrElse(Array.empty)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       files.sortBy(_.getName).foreach { f =>
-        val lines = java.nio.file.Files.readAllLines(f.toPath)
+        // Lenient decode, NOT Files.readAllLines: jsonEsc writes non-ASCII
+        // raw, so a crash can tear the tail mid-multibyte-character, and
+        // readAllLines' strict UTF-8 decoder then throws for the WHOLE file
+        // — dying on restart in exactly the crash scenario the torn-tail
+        // skip below exists for. String(bytes, UTF_8) substitutes U+FFFD
+        // for the malformed tail bytes instead, so the torn line reaches
+        // the JSON parse and the last-line skip logic.
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val lines = text.split("\n", -1)
         var i = 0
-        while (i < lines.size()) {
-          val line = lines.get(i)
+        while (i < lines.length) {
+          val line = lines(i)
           if (line.nonEmpty) {
             // A crash between write and fsync can tear the FINAL line of
             // the file that was open — that event was never acked (sync
@@ -149,7 +158,10 @@ private[sources] class NgsiHttpMicroBatchStream(
               try mapper.readTree(line)
               catch {
                 case e: Exception =>
-                  if (i == lines.size() - 1) null
+                  // split("\n", -1): a complete final line is followed by a
+                  // "" element, so only a genuinely unterminated (torn) line
+                  // can sit at the last index.
+                  if (i == lines.length - 1) null
                   else throw new IllegalStateException(
                     s"corrupt capture log $f at line ${i + 1} " +
                       "(not a torn tail — refusing to resume over acked events)",

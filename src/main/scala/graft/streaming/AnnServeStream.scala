@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Pinned._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.Row
@@ -31,7 +33,7 @@ class AnnServeStream(spark: SparkSession, dir: String) {
   @volatile private var answered: DataFrame =
     Seq.empty[(Long, Long, Long, Long, Double)]
       .toDF("query_id", "nn_rank", "vec_id", "list_id", "adc")
-      .localCheckpoint(true)
+      .pin(true)
 
   // Superseded checkpointed frames are RETIRED, not unpersisted in place:
   // a caller that grabbed results() before this batch may still be running
@@ -50,7 +52,7 @@ class AnnServeStream(spark: SparkSession, dir: String) {
     if (!batchQueries.isEmpty) {
       val out = Similarity.serveIvfPq(spark, dir, batchQueries)
       val prev = answered
-      answered = prev.unionAll(out).localCheckpoint(true)
+      answered = prev.unionAll(out).pin(true)
       retired.retire(prev)
     }
   }

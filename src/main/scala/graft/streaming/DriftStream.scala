@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Pinned._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -30,7 +32,7 @@ class DriftStream(spark: SparkSession) {
 
   @volatile private var counts: DataFrame =
     Seq.empty[(String, String, Long)].toDF("source", "lang", "c")
-      .localCheckpoint(true)
+      .pin(true)
 
   private val retired = new RetiredFrames()
 
@@ -42,7 +44,7 @@ class DriftStream(spark: SparkSession) {
         .unionByName(batchDocs.select(col("source"), col("lang"))
           .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c")))
         .groupBy(col("source"), col("lang")).agg(sum(col("c")).as("c"))
-        .localCheckpoint(true)
+        .pin(true)
       retired.retire(prev)
     }
   }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Pinned._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -33,7 +35,7 @@ class GraphRankStream(spark: SparkSession) {
   import spark.implicits._
 
   @volatile private var pairTable: DataFrame =
-    Seq.empty[(Long, Long)].toDF("c", "sp").localCheckpoint(true)
+    Seq.empty[(Long, Long)].toDF("c", "sp").pin(true)
 
   private val retired = new RetiredFrames()
 
@@ -45,7 +47,7 @@ class GraphRankStream(spark: SparkSession) {
         .unionByName(batchPairs.select(
           (col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp")))
         .distinct()
-        .localCheckpoint(true)
+        .pin(true)
       retired.retire(prev)
     }
   }

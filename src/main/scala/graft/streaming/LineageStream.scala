@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Pinned._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -47,9 +49,9 @@ class NearDupLineageStream(spark: SparkSession) {
     Seq.empty[(Long, String)].toDF("doc_id", "text")
 
   @volatile private var index: DataFrame =
-    Dedup.bandedSignatures(emptyDocs).localCheckpoint(true)
+    Dedup.bandedSignatures(emptyDocs).pin(true)
   @volatile private var labelTable: DataFrame =
-    Seq.empty[(Long, Long)].toDF("doc_id", "component").localCheckpoint(true)
+    Seq.empty[(Long, Long)].toDF("doc_id", "component").pin(true)
 
   // Superseded label tables are RETIRED through the bounded
   // [[RetiredFrames]] window, not unpersisted in place: a [[labels]]
@@ -65,13 +67,13 @@ class NearDupLineageStream(spark: SparkSession) {
   def absorb(batchDocs: DataFrame): Unit = synchronized {
     if (!batchDocs.isEmpty) {
       val inc = Dedup.bandedSignatures(
-        batchDocs.select("doc_id", "text")).localCheckpoint(true)
+        batchDocs.select("doc_id", "text")).pin(true)
       val newPairs = Dedup.incrementPairs(index, inc)
       val prevLabels = labelTable
       // updateLabels returns a frame backed by CC's own eager checkpoint
       labelTable = Dedup.updateLabels(prevLabels, newPairs)
       val prevIndex = index
-      index = prevIndex.unionByName(inc).localCheckpoint(true)
+      index = prevIndex.unionByName(inc).pin(true)
       graft.FrameBlocks.release(prevIndex)
       graft.FrameBlocks.release(inc)
       retired.retire(prevLabels)

@@ -123,6 +123,107 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** The fault-tolerance leg: `spark.graft.checkpoint=reliable` routes
+    * every `pin` through a reliable `checkpoint()` (files under the
+    * checkpoint dir) instead of `localCheckpoint` (executor-resident
+    * blocks). This test proves the mode does what it claims on a REAL
+    * process topology: one of the two executor JVMs is kill -9'd while
+    * q46 (iterative CC over memoized, pinned signature frames) is
+    * mid-flight, and the query must still complete with the exact
+    * local[4] answer — lost tasks retry, lost shuffle output recomputes,
+    * and pinned frames re-read from checkpoint FILES rather than dying
+    * on vanished blocks. A second run after the kill then consumes the
+    * session memo (frames partially written by the dead executor) and
+    * must match too — the deterministic memo-consumer-after-loss case.
+    * In default mode this exact sequence dies: localCheckpoint truncates
+    * lineage, so a lost block is unrecoverable by construction. */
+  test("reliable pin mode: executor kill mid-query still matches local[4] bit-for-bit") {
+    val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
+    assume(new File(sparkHome, "jars").isDirectory,
+      s"no Spark distribution at $sparkHome — local-cluster needs one")
+    assume(new File(sfDir).isDirectory, s"no testdata at $sfDir")
+    val pick = "q46_dedup_components"
+
+    SparkSpec.releaseContext()
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt-kill")
+    val cluster = SparkSession.builder()
+      .master("local-cluster[2,1,1536]")
+      .appName("graft-kill-recovery")
+      .config("spark.executor.memory", "1280m")
+      .config("spark.executor.extraClassPath",
+        classesDirOf(graft.Tables.getClass))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(Pinned.ModeConf, "reliable")
+      .config(Pinned.DirConf, ckptDir.toString)
+      .getOrCreate()
+    val (killedMidQuery, res1, res2) =
+      try {
+        cluster.sparkContext.setLogLevel("ERROR")
+        graft.functions.GraftFunctions.register(cluster)
+        cluster.sparkContext.requestTotalExecutors(2, 0, Map.empty)
+        val probe = cluster.range(0, 1000, 1, 4)
+          .selectExpr("sum(id)").collect()(0).getLong(0)
+        assert(probe == 499500L)
+        val appId = cluster.sparkContext.applicationId
+        // both executor JVMs must be up before we aim the kill
+        val regDeadline = System.nanoTime() + 60L * 1000000000L
+        while (executorPids(appId).size < 2 && System.nanoTime() < regDeadline)
+          Thread.sleep(50)
+        val pids = executorPids(appId)
+        assert(pids.size >= 2, s"expected 2 executor JVMs, saw $pids")
+
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration._
+        val fut = Future {
+          graft.SparkEntry.queries(pick)(cluster, sfDir)
+            .collect().map(_.toString).sorted.toSeq
+        }
+        // kill as soon as the first job of the query is live — the memo
+        // materialization alone spans several jobs, so the rest of the
+        // query genuinely runs with a freshly-killed executor
+        val st = cluster.sparkContext.statusTracker
+        val jobDeadline = System.nanoTime() + 120L * 1000000000L
+        while (st.getActiveJobIds().isEmpty && !fut.isCompleted
+               && System.nanoTime() < jobDeadline)
+          Thread.sleep(2)
+        val midQuery = !fut.isCompleted
+        import scala.sys.process._
+        Seq("kill", "-9", pids.head.toString).!
+        val first = Await.result(fut, 10.minutes)
+        // memo consumer after the loss: pinned frames were written (partly
+        // by the now-dead executor) to checkpoint FILES — this read must
+        // not depend on any executor-resident block
+        val second = graft.SparkEntry.queries(pick)(cluster, sfDir)
+          .collect().map(_.toString).sorted.toSeq
+        (midQuery, first, second)
+      } finally {
+        cluster.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+
+    val expected = graft.SparkEntry.queries(pick)(SparkSpec.session, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(killedMidQuery, "query finished before the kill landed — no recovery exercised")
+    assert(res1.nonEmpty && res1 == expected,
+      "mid-kill run diverged from local[4]")
+    assert(res2 == expected, "post-kill memo read diverged from local[4]")
+  }
+
+  /** Executor JVM pids of the given standalone app (local-cluster
+    * executors are real forked processes, visible to ps). */
+  private def executorPids(appId: String): Seq[Long] = {
+    import scala.sys.process._
+    Seq("ps", "-eo", "pid,args").!!.linesIterator
+      .filter(l => l.contains("CoarseGrainedExecutorBackend")
+        && l.contains(appId))
+      .map(_.trim.split("\\s+")(0).toLong).toSeq
+  }
+
   /** The stateful-streaming leg of the axis: flatMapGroupsWithState's
     * state stores live in EXECUTOR JVMs on a real cluster (HDFS-backed
     * store per shuffle partition), so state rows here are created,
@@ -136,7 +237,10 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 6).map(k => graft.streaming.StatefulOps.RetEvent(
         u.toLong, 19000L + (u * 5 + k * 9) % 45)))
     val in = MemoryStream[graft.streaming.StatefulOps.RetEvent]
-    val sinkName = s"lc_retention_${s.sparkContext.master.take(5).filter(_.isLetter)}"
+    // suffix must actually distinguish the legs: take(5).filter(_.isLetter)
+    // yields "local" for BOTH local[4] and local-cluster[...]
+    val sinkName = if (s.sparkContext.master.startsWith("local-cluster"))
+      "lc_retention_cluster" else "lc_retention_local"
     val q = graft.streaming.StatefulOps.retentionStream(in.toDS())
       .writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()

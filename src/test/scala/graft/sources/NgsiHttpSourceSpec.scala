@@ -367,6 +367,31 @@ class NgsiHttpSourceSpec extends SparkSpec {
     assert(!ids.exists(_.contains("TORN")), "replayed a never-acked torn line")
   }
 
+  test("restart over a tail torn MID-MULTIBYTE-CHARACTER still recovers") {
+    // jsonEsc writes non-ASCII raw, so a crash can tear the tail inside a
+    // UTF-8 sequence; a strict decoder (Files.readAllLines) throws for the
+    // whole file then — the restart must instead decode leniently and let
+    // the torn line reach the ordinary last-line skip.
+    val dir = java.nio.file.Files.createTempDirectory("ngsi_torn_mb")
+    def line(id: String) =
+      s"""{"value":"{\\"data\\":[{\\"id\\":\\"$id\\",\\"type\\":\\"Room\\",\\"temperature\\":{\\"type\\":\\"Float\\",\\"value\\":1.0,\\"metadata\\":{}}}]}","service":"","servicePath":"","recvTime":1700000000000}"""
+    val tornBytes = """{"value":"{\"data\":[{\"id\":\"Tè""".getBytes("UTF-8")
+    java.nio.file.Files.write(dir.resolve("capture-000000000000001-a.json"),
+      (line("M1") + "\n").getBytes("UTF-8")
+        ++ tornBytes.dropRight(1)) // cut inside è's 2-byte sequence
+    val port = freePort()
+    val q = NgsiStreams.fromHttp(spark, port, captureDir = Some(dir.toString))
+      .writeStream.format("memory").queryName("ngsi_torn_mb")
+      .outputMode(OutputMode.Append()).start()
+    val ids = try {
+      q.processAllAvailable()
+      spark.table("ngsi_torn_mb").select(col("value")).collect()
+        .map(_.getString(0)).toSeq
+    } finally q.stop()
+    assert(ids.count(_.contains("M1")) == 1, s"lost acked events: $ids")
+    assert(ids.length == 1, s"replayed a never-acked torn line: $ids")
+  }
+
   test("mid-file capture corruption fails the restart loudly, never resumes over a hole") {
     val dir = java.nio.file.Files.createTempDirectory("ngsi_corrupt_cap")
     java.nio.file.Files.write(dir.resolve("capture-000000000000001-a.json"),

@@ -91,13 +91,17 @@ def cmp(a: pd.DataFrame, b: pd.DataFrame):
 def main():
     # Optional: --json PATH writes a CORRECTNESS-style artifact (the
     # driver's per-query schema: rows/schema/hash match booleans + row
-    # counts + err) alongside the human-readable lines.
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
-        args = [a for a in args if a != json_out]
-    out_dir, sf_dir = args[0], args[1]
+    # counts + err) alongside the human-readable lines. argparse, not
+    # positional filtering: `--json` as the final arg must error loudly,
+    # and an out_dir that happens to equal the JSON path must survive.
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out_dir")
+    ap.add_argument("sf_dir")
+    ap.add_argument("--json", dest="json_out", default=None,
+                    help="write a CORRECTNESS-style per-query JSON artifact")
+    ns = ap.parse_args()
+    out_dir, sf_dir, json_out = ns.out_dir, ns.sf_dir, ns.json_out
     results = {}
     def record(name, err=None, spark_rows=None, oracle_rows=None, check="oracle"):
         e = {"rows_match": True, "schema_match": True, "hash_match": True,
