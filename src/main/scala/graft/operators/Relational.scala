@@ -34,26 +34,103 @@ object Relational {
   val PrScale = 1000000000000L
   val PrIters = 3
 
-  /** Histogram rank walk shared by q91 (median) and q95 (winsorize cuts):
-    * cumulative counts over the DISTINCT values of each group — never a
-    * row-level sort — then, for every requested rank expression over the
-    * group total `n`, the smallest value whose cumulative count reaches
-    * it. `hist` must be (groupCol, valueCol, cnt). */
+  /** Buckets per group for [[histCumulative]]'s two-level decomposition —
+    * the deploy dial, exactly like q211's hex-prefix length: more buckets
+    * = more within-group parallelism, a longer (but still tiny) spine. */
+  val HistBuckets = 256
+
+  /** Two-level cumulative counts over the DISTINCT values of each group —
+    * the q211 bucket + offset-spine shape applied to the histogram walk.
+    * Input `hist` must be (groupCol, valueCol: integral, cnt) with one row
+    * per (group, value); output is `hist` plus (cum, n), where cum is the
+    * ascending (nulls last) running count and n the group total.
+    *
+    * The single-level form (one window PARTITION BY group ORDER BY value)
+    * puts ALL distinct values of a group in ONE task — value-domain-bounded,
+    * but a bound that grows with the domain, not the cluster (q128's cents
+    * domain at 100× is a single-task sort again). Here each value maps to
+    * one of [[HistBuckets]] equal-width buckets over the group's own
+    * [min, max] — an order-preserving integer map, so bucket order ==
+    * value-order prefix and cross-bucket ties are impossible (the q211
+    * argument); bucket offsets come from a (groups × ≤257)-row spine
+    * prefix sum, and the within-bucket running counts are windows
+    * PARTITIONED by (group, bucket) — HistBuckets-way parallel inside
+    * every group. All bucket arithmetic is exact (DECIMAL(38,0)
+    * subtraction dodges long overflow on extreme ranges; `div` is integral).
+    *
+    * `hist` has three consumers (bounds, spine, the within pass) and is
+    * corpus-aggregation-priced to recompute, so it is pinned —
+    * materialized once, value-domain-bounded in size, fault tolerance per
+    * the [[graft.Pinned]] mode dial. */
+  private[operators] def histCumulative(hist0: DataFrame, groupCol: String,
+                                        valueCol: String): DataFrame = {
+    val hist = hist0.pin(false)
+    val v = col(valueCol)
+    val bounds = hist.groupBy(col(groupCol))
+      .agg(min(v).as("_vmin"), max(v).as("_vmax"))
+    // nulls land in a dedicated LAST bucket (asc_nulls_last semantics: the
+    // oracle's ASC default is NULLS LAST); a histogram has at most one
+    // null row per group, so its within-bucket window is a 1-row task
+    // ALL-LONG bucket arithmetic: the obvious DECIMAL(38,0) formulation
+    // costs ~4.5µs/row in boxed BigDecimal ops (measured: 0.67 s per
+    // 148k-row pass — 2× per query since the bucketed side is built for
+    // both the spine and the probe). Longs codegen to primitive ops; the
+    // one hazard is (vmax − vmin) wrapping when the domain spans more
+    // than a signed long (vmin<0 ≤ vmax, detectable as a negative
+    // difference), where both operands shift right 8 bits first — still
+    // order-preserving (arithmetic shift is monotone), still exact long
+    // math, just a ≤256×-coarser width floor that only that extreme
+    // domain pays.
+    val widthOf = (range: String) => s"(($range div $HistBuckets) + 1)"
+    val wraps = "(_vmax >= 0 AND _vmin < 0 AND (_vmax - _vmin) < 0)"
+    val bucket = when(v.isNull, lit(HistBuckets.toLong))
+      .otherwise(expr(
+        s"""CASE WHEN $wraps
+              THEN (shiftright($valueCol, 8) - shiftright(_vmin, 8))
+                   div ${widthOf("(shiftright(_vmax, 8) - shiftright(_vmin, 8))")}
+              ELSE ($valueCol - _vmin) div ${widthOf("(_vmax - _vmin)")}
+            END"""))
+    // null-SAFE group joins: a null group key is a legal groupBy output
+    // and must not vanish through an equi-join
+    val withB = hist.as("h")
+      .join(broadcast(bounds).as("b"),
+        col(s"h.$groupCol") <=> col(s"b.$groupCol"))
+      .select(col("h.*"), bucket.as("_bkt"))
+    val wSpine = Window.partitionBy(col(groupCol)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGroup = Window.partitionBy(col(groupCol))
+    val offs = withB.groupBy(col(groupCol), col("_bkt"))
+      .agg(sum(col("cnt")).as("_bc"))
+      .select(col(groupCol), col("_bkt"),
+        (sum(col("_bc")).over(wSpine) - col("_bc")).as("_off"),
+        sum(col("_bc")).over(wGroup).as("n"))
+    val wIn = Window.partitionBy(col(groupCol), col("_bkt"))
+      .orderBy(v.asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.as("x")
+      .join(broadcast(offs).as("o"),
+        col(s"x.$groupCol") <=> col(s"o.$groupCol")
+          && col("x._bkt") === col("o._bkt"))
+      .select(col("x.*"), col("o._off"), col("o.n"))
+      .withColumn("cum", col("_off") + sum(col("cnt")).over(wIn))
+      .drop("_bkt", "_off")
+  }
+
+  /** Histogram rank walk shared by q91 (median), q95 (winsorize cuts),
+    * q169 (MAD), q186 (percentile_cont), q207 (RFM) and the TextAnalysis
+    * quantile queries: cumulative counts over the DISTINCT values of each
+    * group — never a row-level sort, and via [[histCumulative]] never a
+    * whole group's value domain in one task — then, for every requested
+    * rank expression over the group total `n`, the smallest value whose
+    * cumulative count reaches it. `hist` must be (groupCol, valueCol, cnt).
+    *
+    * NULL semantics (oracle-matched): nulls sort last, so every non-null
+    * cum count is identical in both engines, and a rank landing in the
+    * null tail yields NULL in both (MIN skips nulls on each side). */
   private[operators] def histRankWalk(hist: DataFrame, groupCol: String,
                                       valueCol: String,
                                       ranks: Seq[(String, String)]): DataFrame = {
-    // asc_nulls_last: Spark's bare ascending sort puts NULLs FIRST while the
-    // oracle's (DuckDB) ASC default is NULLS LAST — on a nullable value
-    // column (q95 walks events.value) the cumulative ranks would otherwise
-    // shift between engines. Nulls-last keeps every non-null cum count
-    // identical in both, and a rank landing in the null tail yields NULL in
-    // both (MIN skips nulls on each side).
-    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol).asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col(groupCol))
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(wCum))
-      .withColumn("n", sum(col("cnt")).over(wAll))
+    val cum = histCumulative(hist, groupCol, valueCol)
     val rankCols = ranks.map { case (name, rankExpr) =>
       min(when(col("cum") >= expr(rankExpr), col(valueCol))).as(name)
     }
@@ -1178,16 +1255,12 @@ object Relational {
       // the r7 shape (corpus re-scan + broadcast join, 2 scans) and the r8
       // intent (ReuseExchange, which AQE declined to fire — the two hist
       // subtrees canonicalize apart under the window's extra exchange) into
-      // ONE scan → (group, value) hist agg → group-partitioned window →
-      // bin groupBy. The window sorts distinct values only (q186's cost).
-      val wCum = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("c").asc_nulls_last)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("l_returnflag"))
+      // ONE scan → (group, value) hist agg → two-level bucketed cumulative
+      // (histCumulative: the distinct-value walk parallelizes 256-way
+      // within a group instead of single-tasking the cents domain) →
+      // bin groupBy.
       val below = col("cum") - col("cnt")
-      hist
-        .withColumn("cum", sum(col("cnt")).over(wCum))
-        .withColumn("n", sum(col("cnt")).over(wAll))
+      histCumulative(hist, "l_returnflag", "c")
         .select(col("l_returnflag"), col("c"), col("cnt"),
           when(col("c").isNotNull,
             lit(1L) + (1 to 9).map(k =>
