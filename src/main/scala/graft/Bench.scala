@@ -61,8 +61,21 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val streamingJson = streamingBench(spark)
     val httpJson = httpSourceBench(spark)
+    // Isolated floors for the heavy tier: the in-board numbers above share
+    // one JVM-long session with every other query's pinned memo blocks and
+    // cache pressure — measured to overstate a plan up to 2.4× (q78 at
+    // sf10: 35.4 s in-board vs 14.9 s isolated). Each heavy-tier query
+    // re-runs in a FRESH SparkContext (fresh session memos, zero foreign
+    // blocks; ModelStore artifacts still load from disk — that IS the
+    // production warm-serve path), min-of-2 inside its own context so the
+    // floor excludes first-run codegen. Emitted NEXT TO the in-board
+    // numbers, never replacing them. SPARK_GRAFT_BENCH_ISOLATED=0 skips.
+    spark.stop()
+    val isolatedJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "1") == "0") "{}"
+      else isolatedFloors(cpus, sfDir)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"streaming":[$streamingJson,$httpJson],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"isolated":$isolatedJson,"streaming":[$streamingJson,$httpJson],"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout, and any line that embeds
     // a per-query map (~4 KB at 100+ queries) has twice been long enough to
     // get head-truncated out of the artifact. Persist the full JSON to a
@@ -92,8 +105,42 @@ object Bench {
     val rawOut = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     rawOut.write((compact + "\n").getBytes("UTF-8"))
     rawOut.flush()
-    spark.stop()
   }
+
+  /** The 26-query heavy tier (the BENCH_sf10 second-decade set): the
+    * queries whose in-board/isolated gap is worth the extra contexts. */
+  private[graft] val HeavyTier = Seq(
+    "q107_hll_distinct", "q108_bm25_rank", "q110_dup_spans",
+    "q128_eqfreq_bins", "q12_window_rank", "q140_ivfpq_rerank",
+    "q144_semdedup", "q200_curation_pipeline_v2", "q201_bipartite_pagerank",
+    "q202_bfs_khop", "q203_kmeans_lloyd", "q208_hits",
+    "q210_copurchase_topk", "q211_global_rank", "q217_cdc_chunks",
+    "q218_weighted_sssp", "q223_bootstrap_ci", "q225_grid_dbscan",
+    "q34_text_tfidf", "q41_dedup_minhash", "q44_dedup_ngram_jaccard",
+    "q46_dedup_components", "q70_curation_pipeline", "q73_ngram_novelty",
+    "q78_containment_dedup", "q97_time_gridfill")
+
+  /** One fresh SparkContext per heavy-tier query → per-query floor with
+    * zero cross-query state. Failures report -1 (never a speedup). */
+  private[graft] def isolatedFloors(cpus: String, sfDir: String): String =
+    HeavyTier.map { name =>
+      val t =
+        try {
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          val s = GraftSession.local(cpus)
+          s.sparkContext.setLogLevel("WARN")
+          GraftSession.muteExpectedWarnings()
+          try
+            (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              SparkEntry.queries(name)(s, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+          finally s.stop()
+        } catch { case _: Throwable => -1.0 }
+      s""""$name":$t"""
+    }.mkString("{", ",", "}")
 
   /** Informational streaming micro-bench: notifications/s through the
     * Example1 pipeline (MemoryStream -> NGSI parse -> flatten -> sliding

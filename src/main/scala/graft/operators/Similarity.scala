@@ -84,6 +84,25 @@ object Similarity {
   val DbscanMinPts = 4L
   val DbscanShift = 1L << 24
 
+  /** The q231/q232 eps AUTO-CALIBRATION dials. No fixed eps is
+    * scale-invariant (see the q225 note above: a 10× denser corpus
+    * percolates at every hand dial), so the calibrated tier derives eps
+    * from a measured density profile instead: per ladder rung (fine cell
+    * width ×1,2,4,8,16 — the top rung IS the q225 hand dial), the EXACT
+    * candidate volume of the half-neighborhood grid join is computed from
+    * a fine-grid histogram by integer algebra alone (center-cell pairs +
+    * the 4 canonical adjacent-cell products — no corpus join runs), and
+    * the chosen eps is the largest rung whose candidate volume stays
+    * within [[DbscanCandBudget]] pairs per point (fallback: the finest
+    * rung). Measured (r12): the calibration recovers the 240 hand dial at
+    * sf0.001/sf0.01/sf0.1 (6.3/6.2/26.6 pairs/point) and tightens to 60
+    * at sf1 (17.0) and 15 at sf10 (10.6) — candidate work per point stays
+    * ≤ the budget at every scale while the hand dial's grows 6.3 → 2,667.
+    * Everything is engine-portable integer arithmetic, so the DuckDB
+    * oracle reproduces the profile, the choice, and the clustering. */
+  val DbscanLadder: Seq[Long] = Seq(15L, 30L, 60L, 120L, 240L)
+  val DbscanCandBudget = 32L
+
   /** q227 margin-mining dials: k neighbors per end in the margin
     * denominator; τ in millis (1150 ⇔ ratio margin 1.15 — sits between
     * the median and p90 of the measured margin distribution at both test
@@ -226,7 +245,11 @@ object Similarity {
         array((0 until EmbDim).map(k => expr(s"s$k div n")): _*).as("cv"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy: queriesA/B initialize below this declaration site
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesA ++ queriesB
+
+  private val queriesA: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- distributed k-means (Lloyd), integer-exact, 2 unrolled rounds -------
     // The clustering workload behind SemDeDup/IVF made a first-class
@@ -799,17 +822,99 @@ object Similarity {
     // (cluster −1). Integer d² everywhere ⇒ engine- and
     // partitioning-independent verdicts. 100 TB: the grid join shuffles
     // fixed-width (id, qx, qy, cell) rows; CC runs over core pairs only.
-    "q225_grid_dbscan" -> ((s, d) => {
-      val pts = embs(s, d).select(col("vec_id").as("id"),
-          floor(dot(col("v"),
-            array(jlPlanes(0).toIndexedSeq.map(lit): _*)) * 16)
-            .cast("long").as("qx"),
-          floor(dot(col("v"),
-            array(jlPlanes(1).toIndexedSeq.map(lit): _*)) * 16)
-            .cast("long").as("qy"))
-        .select(col("id"), col("qx"), col("qy"),
-          expr(s"(qx + $DbscanShift) div $DbscanEpsQ").as("cx"),
-          expr(s"(qy + $DbscanShift) div $DbscanEpsQ").as("cy"))
+    "q225_grid_dbscan" -> ((s, d) =>
+      gridDbscan(dbscanProjected(s, d).withColumn("epsq", lit(DbscanEpsQ)))),
+
+    // --- eps calibration profile (the density dial, measured) ---------------
+    // The q120-skew-profiler move applied to DBSCAN's one hand dial: for
+    // each ladder rung, the EXACT candidate volume the half-neighborhood
+    // grid join would produce — computed from a fine-grid histogram by
+    // integer algebra (center pairs + 4 adjacent-cell products), never by
+    // running the join — plus the chosen verdict: the largest eps within
+    // [[DbscanCandBudget]] pairs/point. 5 deterministic rows; everything
+    // downstream of one corpus projection is histogram-sized.
+    "q231_eps_calibration" -> ((s, d) => dbscanCalibration(s, d)),
+
+    // --- calibrated grid DBSCAN (the scale tier of q225) --------------------
+    // q225 with eps = the q231 choice instead of the hand dial: the same
+    // grid relaxation, candidate join, core/border/noise verdicts and CC,
+    // but the density dial derives from the corpus's own profile, so
+    // candidate work per point stays budget-bounded as corpora densify
+    // (the sf1/sf10 failure mode of ANY fixed eps). The chosen eps rides
+    // in as a broadcast 1-row scalar — plan shape is q225's plus the
+    // histogram-sized calibration subtree.
+    "q232_dbscan_calibrated" -> ((s, d) =>
+      gridDbscan(dbscanProjected(s, d).crossJoin(broadcast(
+        dbscanCalibration(s, d).where(col("chosen"))
+          .agg(max(col("epsq")).as("epsq")))))),
+  )
+
+  /** The 2-JL-dim ×16-quantized integer point cloud q225/q231/q232 share. */
+  private def dbscanProjected(s: SparkSession, d: String): DataFrame =
+    embs(s, d).select(col("vec_id").as("id"),
+      floor(dot(col("v"),
+        array(jlPlanes(0).toIndexedSeq.map(lit): _*)) * 16)
+        .cast("long").as("qx"),
+      floor(dot(col("v"),
+        array(jlPlanes(1).toIndexedSeq.map(lit): _*)) * 16)
+        .cast("long").as("qy"))
+
+  /** Ladder profile + choice (q231): (epsq, n_cells, cand_pairs, n_points,
+    * chosen). See [[DbscanLadder]] for semantics and measurements.
+    *
+    * ONE shuffle serves every rung: each fine cell explodes into its 5
+    * rung-coarsened keys and a single (k, cx, cy) aggregation builds all
+    * five coarse histograms as one TALL frame (5× the fine histogram's
+    * rows, still grid-bounded). Center pairs are a per-rung agg over it;
+    * the 4 adjacency products are self-equi-joins keyed by (k, cell) —
+    * the per-rung plan repeated 5× would pay 5× the stage latency for
+    * the same integers (measured 2.6 s → the tall shape at sf0.1). */
+  private[operators] def dbscanCalibration(s: SparkSession, d: String): DataFrame = {
+    val fineW = DbscanLadder.head
+    val fine = dbscanProjected(s, d)
+      .select(expr(s"(qx + $DbscanShift) div $fineW").as("fx"),
+        expr(s"(qy + $DbscanShift) div $fineW").as("fy"))
+      .groupBy(col("fx"), col("fy")).agg(count(lit(1)).as("c"))
+    val nPts = fine.agg(sum(col("c")).as("n_points"))
+    // tall coarse histogram over all rungs; pinned — read by the center
+    // agg, both sides of the 4 adjacency joins, and the cell census
+    val tall = fine
+      .select(explode(array(DbscanLadder.map(e => lit(e / fineW)): _*)).as("k"),
+        col("fx"), col("fy"), col("c"))
+      .groupBy(col("k"), expr("fx div k").as("cx"), expr("fy div k").as("cy"))
+      .agg(sum(col("c")).as("nc"))
+      .pin(false)
+    // exact candidate volume of the HALF-neighborhood probe join:
+    // within-cell unordered pairs + the 4 canonical direction products
+    val center = tall.select(col("k"), expr("(nc * (nc - 1)) div 2").as("p"))
+    val adjs = Seq((1, 0), (-1, 1), (0, 1), (1, 1)).map { case (dx, dy) =>
+      tall.as("a").join(tall.as("b"),
+        col("a.k") === col("b.k") &&
+          col("a.cx") + dx === col("b.cx") && col("a.cy") + dy === col("b.cy"))
+        .select(col("a.k").as("k"), (col("a.nc") * col("b.nc")).as("p"))
+    }
+    val cand = (center +: adjs).reduce(_ unionAll _)
+      .groupBy(col("k")).agg(sum(col("p")).as("cand_pairs"))
+    val cells = tall.groupBy(col("k")).agg(count(lit(1)).as("n_cells"))
+    val table = cand.join(cells, "k")
+      .select((col("k") * fineW).as("epsq"), col("n_cells"), col("cand_pairs"))
+      .crossJoin(broadcast(nPts))
+    val best = table.agg(max(when(
+      col("cand_pairs") <= lit(DbscanCandBudget) * col("n_points"),
+      col("epsq"))).as("best"))
+    table.crossJoin(broadcast(best))
+      .select(col("epsq"), col("n_cells"), col("cand_pairs"), col("n_points"),
+        (col("epsq") === coalesce(col("best"), lit(fineW))).as("chosen"))
+  }
+
+  /** Grid DBSCAN over (id, qx, qy, epsq) — epsq constant per corpus (a
+    * literal for q225, the q231-calibrated broadcast scalar for q232). */
+  private[operators] def gridDbscan(ptsIn: DataFrame): DataFrame = {
+    {
+      val pts = ptsIn
+        .select(col("id"), col("qx"), col("qy"), col("epsq"),
+          expr(s"(qx + $DbscanShift) div epsq").as("cx"),
+          expr(s"(qy + $DbscanShift) div epsq").as("cy"))
         .pin(true)
       // Each unordered pair is generated ONCE: probe only the 5-offset
       // HALF neighborhood — the center cell (deduped by ia < ib) plus the
@@ -822,13 +927,13 @@ object Similarity {
       // than the candidate set.
       val probe = pts
         .select(col("id").as("ia"), col("qx").as("qxa"), col("qy").as("qya"),
-          explode(expr("array(-1L, 0L, 1L)")).as("dx"),
+          col("epsq"), explode(expr("array(-1L, 0L, 1L)")).as("dx"),
           col("cx"), col("cy"))
-        .select(col("ia"), col("qxa"), col("qya"), col("dx"),
+        .select(col("ia"), col("qxa"), col("qya"), col("epsq"), col("dx"),
           (col("cx") + col("dx")).as("jx"), col("cy"),
           explode(expr("array(-1L, 0L, 1L)")).as("dy"))
         .where(col("dy") > 0 || (col("dy") === 0 && col("dx") >= 0))
-        .select(col("ia"), col("qxa"), col("qya"), col("jx"),
+        .select(col("ia"), col("qxa"), col("qya"), col("epsq"), col("jx"),
           (col("cy") + col("dy")).as("jy"),
           (col("dx") === 0 && col("dy") === 0).as("same_cell"))
       val edges = probe
@@ -838,7 +943,7 @@ object Similarity {
         .where((!col("same_cell") || col("ia") < col("ib")) &&
           (col("qxa") - col("qxb")) * (col("qxa") - col("qxb")) +
             (col("qya") - col("qyb")) * (col("qya") - col("qyb"))
-            <= DbscanEpsQ * DbscanEpsQ)
+            <= col("epsq") * col("epsq"))
         .select(col("ia"), col("ib"))
         .pin(true)
       // symmetrized degree: each once-generated pair contributes one
@@ -890,8 +995,10 @@ object Similarity {
       graft.FrameBlocks.release(edges)
       graft.FrameBlocks.release(cores)
       out
-    }),
+    }
+  }
 
+  private val queriesB: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- margin-criterion pair mining (bitext-mining shape) ----------------
     // The CCMatrix/LASER method for mining ALIGNED pairs across two
     // corpora: absolute cosine is useless (hubness — some vectors are
@@ -2539,72 +2646,24 @@ object Similarity {
     // rounds aborts the oracle instead of hash-failing with a
     // misleading "engine wrong" signal. This is the same
     // O(log n)-round contract as the engine's star CC, in plain SQL.
-    "q225_grid_dbscan" -> {
-      // every CTE is MATERIALIZED: DuckDB 1.0 re-INLINES plain CTEs, and
-      // each round references the previous twice → exponential plan
-      // blowup without the hint (the q178/q208 lesson)
-      val ccRounds = 32
-      val ccFold = (1 to ccRounds).map { k =>
-        s"""h$k AS MATERIALIZED (
-            SELECT node, MIN(lbl) AS lbl FROM (
-              SELECT node, lbl FROM p${k - 1}
-              UNION ALL
-              SELECT e.ia AS node, p.lbl
-              FROM cedges e JOIN p${k - 1} p ON p.node = e.ib)
-            GROUP BY 1),
-          p$k AS MATERIALIZED (
-            SELECT a.node, b.lbl FROM h$k a JOIN h$k b ON b.node = a.lbl)"""
-      }.mkString(",\n          ")
-      s"""WITH pts AS MATERIALIZED (
-            SELECT vec_id AS id,
-              CAST(floor((${oJlDot(oEmb, 0)}) * 16) AS BIGINT) AS qx,
-              CAST(floor((${oJlDot(oEmb, 1)}) * 16) AS BIGINT) AS qy
-            FROM embeddings),
-          cells AS MATERIALIZED (
-            SELECT id, qx, qy,
-              (qx + $DbscanShift) // $DbscanEpsQ AS cx,
-              (qy + $DbscanShift) // $DbscanEpsQ AS cy
-            FROM pts),
-          edges AS MATERIALIZED (
-            SELECT a.id AS ia, b.id AS ib
-            FROM cells a JOIN cells b
-              ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
-             AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
-             AND a.id <> b.id
-             AND (a.qx - b.qx) * (a.qx - b.qx)
-               + (a.qy - b.qy) * (a.qy - b.qy)
-                 <= ${DbscanEpsQ * DbscanEpsQ}),
-          cores AS MATERIALIZED (
-            SELECT ia AS id FROM edges GROUP BY 1
-            HAVING COUNT(1) >= $DbscanMinPts),
-          cedges AS MATERIALIZED (
-            SELECT ia, ib FROM edges
-            WHERE ia IN (SELECT id FROM cores)
-              AND ib IN (SELECT id FROM cores)),
-          p0 AS MATERIALIZED (SELECT id AS node, id AS lbl FROM cores),
-          $ccFold,
-          ccguard AS MATERIALIZED (
-            SELECT CASE WHEN COUNT(1) = 0 THEN 1 ELSE CAST(error(
-              'q225 oracle CC not converged after $ccRounds rounds') AS INT)
-            END AS ok
-            FROM (SELECT * FROM p$ccRounds
-                  EXCEPT SELECT * FROM p${ccRounds - 1})),
-          comp AS MATERIALIZED (SELECT node AS id, lbl AS cluster FROM p$ccRounds),
-          border AS MATERIALIZED (
-            SELECT e.ia AS id, MIN(c.cluster) AS cluster
-            FROM edges e JOIN comp c ON e.ib = c.id
-            WHERE e.ia NOT IN (SELECT id FROM cores)
-            GROUP BY 1)
-          SELECT p.id AS vec_id,
-            CASE WHEN cm.id IS NOT NULL THEN 'core'
-                 WHEN b.id IS NOT NULL THEN 'border'
-                 ELSE 'noise' END AS role,
-            COALESCE(cm.cluster, b.cluster, -1) AS cluster
-          FROM pts p
-          CROSS JOIN ccguard
-          LEFT JOIN comp cm ON p.id = cm.id
-          LEFT JOIN border b ON p.id = b.id"""
-    },
+    "q225_grid_dbscan" -> oDbscanSql(s"$DbscanEpsQ", ""),
+
+    // Calibration twin: the same fine-grid histogram, the same per-rung
+    // exact candidate algebra (center pairs + 4 adjacency products as
+    // hash-joinable equi-joins — never an OR-condition NL join), the same
+    // budgeted max-eps choice. All integers; SUMs cast back to BIGINT
+    // (DuckDB widens SUM(BIGINT) to HUGEINT).
+    "q231_eps_calibration" ->
+      s"""WITH $oDbscanCalibCtes
+          SELECT r.epsq, r.n_cells, r.cand_pairs,
+            (SELECT n_points FROM calnp) AS n_points,
+            r.epsq = (SELECT epsq FROM choseneps) AS chosen
+          FROM calrungs r""",
+
+    // Calibrated-DBSCAN twin: the full q225 SQL with eps supplied by the
+    // calibration CTEs' scalar instead of the hand-dial literal.
+    "q232_dbscan_calibrated" -> oDbscanSql(
+      "(SELECT epsq FROM choseneps)", oDbscanCalibCtes + ","),
 
     // Margin-mining twin: same buckets, same floor(1e6·cos) integer sims,
     // same inclusive top-4 sums and integer margin inequality.
@@ -2662,4 +2721,119 @@ object Similarity {
             FROM scored)
           WHERE nn_rank <= $LshTopK"""
   )
+
+  /** The grid-DBSCAN oracle, parameterized over its eps source: the q225
+    * hand-dial literal, or the q232 calibrated scalar (`extraCtes` then
+    * carries the calibration CTEs, ending with a trailing comma). */
+  private def oDbscanSql(epsSql: String, extraCtes: String): String = {
+    // every CTE is MATERIALIZED: DuckDB 1.0 re-INLINES plain CTEs, and
+    // each round references the previous twice → exponential plan
+    // blowup without the hint (the q178/q208 lesson)
+    val ccRounds = 32
+    val ccFold = (1 to ccRounds).map { k =>
+      s"""h$k AS MATERIALIZED (
+            SELECT node, MIN(lbl) AS lbl FROM (
+              SELECT node, lbl FROM p${k - 1}
+              UNION ALL
+              SELECT e.ia AS node, p.lbl
+              FROM cedges e JOIN p${k - 1} p ON p.node = e.ib)
+            GROUP BY 1),
+          p$k AS MATERIALIZED (
+            SELECT a.node, b.lbl FROM h$k a JOIN h$k b ON b.node = a.lbl)"""
+    }.mkString(",\n          ")
+    s"""WITH $extraCtes
+          pts AS MATERIALIZED (
+            SELECT vec_id AS id,
+              CAST(floor((${oJlDot(oEmb, 0)}) * 16) AS BIGINT) AS qx,
+              CAST(floor((${oJlDot(oEmb, 1)}) * 16) AS BIGINT) AS qy
+            FROM embeddings),
+          cells AS MATERIALIZED (
+            SELECT id, qx, qy,
+              (qx + $DbscanShift) // ($epsSql) AS cx,
+              (qy + $DbscanShift) // ($epsSql) AS cy
+            FROM pts),
+          edges AS MATERIALIZED (
+            SELECT a.id AS ia, b.id AS ib
+            FROM cells a JOIN cells b
+              ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+             AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+             AND a.id <> b.id
+             AND (a.qx - b.qx) * (a.qx - b.qx)
+               + (a.qy - b.qy) * (a.qy - b.qy)
+                 <= ($epsSql) * ($epsSql)),
+          cores AS MATERIALIZED (
+            SELECT ia AS id FROM edges GROUP BY 1
+            HAVING COUNT(1) >= $DbscanMinPts),
+          cedges AS MATERIALIZED (
+            SELECT ia, ib FROM edges
+            WHERE ia IN (SELECT id FROM cores)
+              AND ib IN (SELECT id FROM cores)),
+          p0 AS MATERIALIZED (SELECT id AS node, id AS lbl FROM cores),
+          $ccFold,
+          ccguard AS MATERIALIZED (
+            SELECT CASE WHEN COUNT(1) = 0 THEN 1 ELSE CAST(error(
+              'grid-DBSCAN oracle CC not converged after $ccRounds rounds') AS INT)
+            END AS ok
+            FROM (SELECT * FROM p$ccRounds
+                  EXCEPT SELECT * FROM p${ccRounds - 1})),
+          comp AS MATERIALIZED (SELECT node AS id, lbl AS cluster FROM p$ccRounds),
+          border AS MATERIALIZED (
+            SELECT e.ia AS id, MIN(c.cluster) AS cluster
+            FROM edges e JOIN comp c ON e.ib = c.id
+            WHERE e.ia NOT IN (SELECT id FROM cores)
+            GROUP BY 1)
+          SELECT p.id AS vec_id,
+            CASE WHEN cm.id IS NOT NULL THEN 'core'
+                 WHEN b.id IS NOT NULL THEN 'border'
+                 ELSE 'noise' END AS role,
+            COALESCE(cm.cluster, b.cluster, -1) AS cluster
+          FROM pts p
+          CROSS JOIN ccguard
+          LEFT JOIN comp cm ON p.id = cm.id
+          LEFT JOIN border b ON p.id = b.id"""
+  }
+
+  /** Calibration CTEs shared by the q231 oracle (full query) and the q232
+    * oracle (its `choseneps` scalar): fine histogram → per-rung exact
+    * candidate volume → budgeted max-eps choice, mirroring
+    * [[dbscanCalibration]] integer for integer. */
+  private def oDbscanCalibCtes: String = {
+    val fineW = DbscanLadder.head
+    val rungSqls = DbscanLadder.map { eps =>
+      val k = eps / fineW
+      val adjSql = Seq((1, 0), (-1, 1), (0, 1), (1, 1)).map { case (dx, dy) =>
+        s"""SELECT a.nc * b.nc AS p FROM coarse$k a JOIN coarse$k b
+                      ON b.cx = a.cx + ($dx) AND b.cy = a.cy + ($dy)"""
+      }.mkString("\n                    UNION ALL ")
+      s"""coarse$k AS MATERIALIZED (
+            SELECT fx // $k AS cx, fy // $k AS cy, CAST(SUM(c) AS BIGINT) AS nc
+            FROM calfine GROUP BY 1, 2),
+          rung$k AS MATERIALIZED (
+            SELECT CAST($eps AS BIGINT) AS epsq,
+              (SELECT CAST(COUNT(1) AS BIGINT) FROM coarse$k) AS n_cells,
+              CAST((SELECT CAST(SUM((nc * (nc - 1)) // 2) AS BIGINT) FROM coarse$k)
+                + COALESCE((SELECT CAST(SUM(p) AS BIGINT) FROM (
+                    $adjSql)), 0) AS BIGINT) AS cand_pairs)"""
+    }
+    s"""calpts AS MATERIALIZED (
+            SELECT CAST(floor((${oJlDot(oEmb, 0)}) * 16) AS BIGINT) AS qx,
+              CAST(floor((${oJlDot(oEmb, 1)}) * 16) AS BIGINT) AS qy
+            FROM embeddings),
+          calfine AS MATERIALIZED (
+            SELECT (qx + $DbscanShift) // $fineW AS fx,
+              (qy + $DbscanShift) // $fineW AS fy,
+              CAST(COUNT(1) AS BIGINT) AS c
+            FROM calpts GROUP BY 1, 2),
+          calnp AS MATERIALIZED (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_points FROM calfine),
+          ${rungSqls.mkString(",\n          ")},
+          calrungs AS MATERIALIZED (
+            ${DbscanLadder.map(e => s"SELECT * FROM rung${e / fineW}")
+              .mkString("\n            UNION ALL ")}),
+          choseneps AS MATERIALIZED (
+            SELECT COALESCE(MAX(CASE WHEN cand_pairs <=
+                $DbscanCandBudget * (SELECT n_points FROM calnp)
+              THEN epsq END), $fineW) AS epsq
+            FROM calrungs)"""
+  }
 }
