@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Reproducible sf10 SPOT oracle gate: the tractable-oracle picks (hash
+# agg, window rank, MinHash signatures, HLL, equi-frequency bins, shard
+# balance, global rank, CDC chunks, containment dedup under the absolute
+# cap, and the DBSCAN eps-calibration profile) run through the engine
+# (graft.Verify) and the DuckDB oracle (tools/compare.py) at sf10, and
+# the per-query driver-format artifact lands in CORRECTNESS_sf10.json.
+# The full board is gated at sf0.01 (driver, per round) and sf1
+# (tools/sf1_gate.sh → CORRECTNESS_sf1.json); this pins the third scale
+# point — 1000× the correctness SF — programmatically, not in prose.
+#
+# Usage: tools/sf10_gate.sh [sf10_dir] [out_dir]
+set -euo pipefail
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
+cd "$(dirname "$0")/.."
+SF10=${1:-data/sf10}
+OUT=${2:-/tmp/vout_sf10}
+[ -d "$SF10" ] || { echo "no sf10 dir at $SF10 — run: python3 tools/gen_sf1.py $SF10 100"; exit 1; }
+
+QUERIES="q02_agg_groupby q12_window_rank q41_dedup_minhash q107_hll_distinct \
+q128_eqfreq_bins q205_shard_balance q211_global_rank q217_cdc_chunks \
+q78_containment_dedup q231_eps_calibration"
+
+rm -rf "$OUT"
+sbt -batch "runMain graft.Verify $SF10 $OUT $QUERIES" 2>&1 | tail -2
+python3 tools/compare.py "$OUT" "$SF10" --json CORRECTNESS_sf10.json

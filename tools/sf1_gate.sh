@@ -11,6 +11,7 @@
 # query names restricts the run (no JSON artifact is written then — the
 # committed artifact must always be the full board).
 set -euo pipefail
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 cd "$(dirname "$0")/.."
 SF1=${1:-data/sf1}
 OUT=${2:-/tmp/vout_sf1}
