@@ -79,6 +79,9 @@ def union_all(per_replica_sql):
 def main():
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    # replica counts >~900 build UNION ALL chains past DuckDB's default
+    # 1000-term expression depth (hit at the sf100 third-decade spot)
+    con.execute("SET max_expression_depth TO 100000")
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
 
     def src(t):
