@@ -96,11 +96,20 @@ object Similarity {
     * within [[DbscanCandBudget]] pairs per point (fallback: the finest
     * rung). Measured (r12): the calibration recovers the 240 hand dial at
     * sf0.001/sf0.01/sf0.1 (6.3/6.2/26.6 pairs/point) and tightens to 60
-    * at sf1 (17.0) and 15 at sf10 (10.6) — candidate work per point stays
-    * ≤ the budget at every scale while the hand dial's grows 6.3 → 2,667.
-    * Everything is engine-portable integer arithmetic, so the DuckDB
-    * oracle reproduces the profile, the choice, and the clustering. */
-  val DbscanLadder: Seq[Long] = Seq(15L, 30L, 60L, 120L, 240L)
+    * at sf1 (17.0), 15 at sf10 (10.6) and 5 at sf100 (11.8) — candidate
+    * work per point stays ≤ the budget across 20,000× of scale while the
+    * hand dial's grows 6.3 → 26,648. Everything is engine-portable
+    * integer arithmetic, so the DuckDB oracle reproduces the profile, the
+    * choice, and the clustering.
+    *
+    * The 5 floor is itself a third-decade catch: the original {15..240}
+    * ladder had NO rung within budget at sf100 (the floor carried 105.7
+    * pairs/point) — the ladder floor was a corpus-relative constant,
+    * exactly the q78-df-cap defect class one decade later. Rung
+    * coarsening is exact integer-division composition ((x div 5) div k ==
+    * x div 5k), so adding the finer base changes no other rung's volume
+    * or choice — re-gated green at every SF. */
+  val DbscanLadder: Seq[Long] = Seq(5L, 15L, 30L, 60L, 120L, 240L)
   val DbscanCandBudget = 32L
 
   /** q227 margin-mining dials: k neighbors per end in the margin
@@ -2661,9 +2670,11 @@ object Similarity {
           FROM calrungs r""",
 
     // Calibrated-DBSCAN twin: the full q225 SQL with eps supplied by the
-    // calibration CTEs' scalar instead of the hand-dial literal.
+    // calibration CTEs' scalar instead of the hand-dial literal, and a
+    // deeper CC unroll (96) for the longer-diameter calibrated-eps core
+    // graphs (measured 42 rounds at sf1/eps60; see oDbscanSql).
     "q232_dbscan_calibrated" -> oDbscanSql(
-      "(SELECT epsq FROM choseneps)", oDbscanCalibCtes + ","),
+      "(SELECT epsq FROM choseneps)", oDbscanCalibCtes + ",", ccRounds = 96),
 
     // Margin-mining twin: same buckets, same floor(1e6·cos) integer sims,
     // same inclusive top-4 sums and integer margin inequality.
@@ -2724,12 +2735,25 @@ object Similarity {
 
   /** The grid-DBSCAN oracle, parameterized over its eps source: the q225
     * hand-dial literal, or the q232 calibrated scalar (`extraCtes` then
-    * carries the calibration CTEs, ending with a trailing comma). */
-  private def oDbscanSql(epsSql: String, extraCtes: String): String = {
+    * carries the calibration CTEs, ending with a trailing comma).
+    *
+    * `ccRounds` is per-use because min-label hook+compress converges in
+    * ~diameter/2.4 rounds, and a CALIBRATED (smaller) eps yields
+    * longer-diameter percolation clusters than the hand dial: measured
+    * rounds-to-fixpoint 13 at sf0.01/eps240 and 15 at sf0.1/eps240 (q225,
+    * unrolled 32 = 2.4× margin) vs 42 at sf1/eps60 (q232, unrolled 96 =
+    * 2.3× margin). The ccguard CTE converts ANY shortfall into a loud
+    * abort — it caught exactly this at the sf1 gate when q232 first ran
+    * with 32 — and DuckDB 1.0 has no keyed recursion, so a
+    * converge-exact SQL formulation without the O(|comp|²) recursive
+    * blowup is not expressible; the unroll+guard is the oracle-side
+    * shape, while the ENGINE side (alternating-star CC) iterates to true
+    * convergence in O(log n) rounds at any scale. */
+  private def oDbscanSql(epsSql: String, extraCtes: String,
+                         ccRounds: Int = 32): String = {
     // every CTE is MATERIALIZED: DuckDB 1.0 re-INLINES plain CTEs, and
     // each round references the previous twice → exponential plan
     // blowup without the hint (the q178/q208 lesson)
-    val ccRounds = 32
     val ccFold = (1 to ccRounds).map { k =>
       s"""h$k AS MATERIALIZED (
             SELECT node, MIN(lbl) AS lbl FROM (
