@@ -39,6 +39,23 @@ object Relational {
     * = more within-group parallelism, a longer (but still tiny) spine. */
   val HistBuckets = 256
 
+  /** Adaptive ceiling for [[histCumulative]]: a histogram at or under this
+    * many TOTAL (group, value) rows takes the single-window shape instead
+    * of the bucket decomposition. Rationale (measured, round 12): the
+    * decomposition costs a FIXED ~0.5–1 s of plan depth (spine + probe
+    * joins, ~7 AQE stage boundaries, 3 broadcasts) that is pure overhead
+    * when the whole domain fits one comfortable sort task anyway — a ≤1M-row
+    * histogram sorts in ~100 ms in ONE task, while the sf0.1 walks paid
+    * 0.13→1.33 s (q91) / 0.18→2.07 s (q186) for a ceiling they were nowhere
+    * near. Total rows bound the largest group's domain from above, so the
+    * switch is safe by construction; past the ceiling the bucketed shape
+    * takes over and the 100 TB wide-domain argument (SCALE.md round 12 §4)
+    * applies unchanged. Overridable per session via
+    * `spark.graft.hist.adaptiveMax` (0 forces bucketed everywhere — the
+    * equivalence spec uses this; a huge value forces windowed). */
+  val HistAdaptiveConf = "spark.graft.hist.adaptiveMax"
+  val HistAdaptiveMax = 1L << 20
+
   /** Two-level cumulative counts over the DISTINCT values of each group —
     * the q211 bucket + offset-spine shape applied to the histogram walk.
     * Input `hist` must be (groupCol, valueCol: integral, cnt) with one row
@@ -61,11 +78,29 @@ object Relational {
     * `hist` has three consumers (bounds, spine, the within pass) and is
     * corpus-aggregation-priced to recompute, so it is pinned —
     * materialized once, value-domain-bounded in size, fault tolerance per
-    * the [[graft.Pinned]] mode dial. */
+    * the [[graft.Pinned]] mode dial. The pin also funds the ADAPTIVE
+    * switch: a `count()` on the materialized frame is one cheap job, and
+    * when the whole histogram is at or under [[HistAdaptiveMax]] rows the
+    * single-window shape wins outright (the count rides inside the bench's
+    * timed region — construction and action are timed together). Both
+    * shapes are spec-pinned equal (`HistCumulativeSpec`), so the switch can
+    * never change a result, only a plan. */
   private[operators] def histCumulative(hist0: DataFrame, groupCol: String,
                                         valueCol: String): DataFrame = {
     val hist = hist0.pin(false)
     val v = col(valueCol)
+    val adaptiveMax = hist0.sparkSession.conf.getOption(HistAdaptiveConf)
+      .map(_.toLong).getOrElse(HistAdaptiveMax)
+    if (hist.count() <= adaptiveMax) {
+      // Small domain: one window pass, largest task ≤ total histogram rows.
+      // Column order matches the bucketed branch (hist.*, n, cum).
+      val wCum = Window.partitionBy(col(groupCol)).orderBy(v.asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col(groupCol))
+      return hist.select(col("*"),
+        sum(col("cnt")).over(wAll).as("n"),
+        sum(col("cnt")).over(wCum).as("cum"))
+    }
     val bounds = hist.groupBy(col(groupCol))
       .agg(min(v).as("_vmin"), max(v).as("_vmax"))
     // nulls land in a dedicated LAST bucket (asc_nulls_last semantics: the

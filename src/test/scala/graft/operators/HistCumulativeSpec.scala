@@ -24,10 +24,20 @@ class HistCumulativeSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
   }
 
+  /** Forces the bucketed branch (adaptiveMax 0) so these tests keep
+    * exercising the decomposition even though every spec-sized histogram
+    * is far below the adaptive ceiling. */
   private def bucketed(hist: org.apache.spark.sql.DataFrame): Seq[String] =
-    Relational.histCumulative(hist, "g", "v")
-      .select(col("g"), col("v"), col("cnt"), col("cum"), col("n"))
-      .collect().map(_.toString).sorted.toSeq
+    withAdaptiveMax("0") {
+      Relational.histCumulative(hist, "g", "v")
+        .select(col("g"), col("v"), col("cnt"), col("cum"), col("n"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+
+  private def withAdaptiveMax[A](max: String)(body: => A): A = {
+    spark.conf.set(Relational.HistAdaptiveConf, max)
+    try body finally spark.conf.unset(Relational.HistAdaptiveConf)
+  }
 
   test("bucketed cumulative == windowed cumulative on a mixed-edge corpus") {
     import spark.implicits._
@@ -60,9 +70,11 @@ class HistCumulativeSpec extends SparkSpec {
     }
     val hist = rows.toDF("g", "v")
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
-    val got = Relational.histRankWalk(hist, "g", "v",
-      (1 to 3).map(k => s"q$k" -> s"($k * n + 3) div 4"))
-      .collect().map(_.toString).sorted.toSeq
+    val got = withAdaptiveMax("0") {
+      Relational.histRankWalk(hist, "g", "v",
+        (1 to 3).map(k => s"q$k" -> s"($k * n + 3) div 4"))
+        .collect().map(_.toString).sorted.toSeq
+    }
     // JVM oracle: sort each group's expanded values, pick ceil(k·n/4)-th
     val expected = rows.groupBy(_._1).toSeq.map { case (g, vs) =>
       val sorted = vs.map(_._2).sorted
@@ -71,5 +83,33 @@ class HistCumulativeSpec extends SparkSpec {
       s"[$g,$n,${qs.mkString(",")}]"
     }.sorted
     assert(got == expected)
+  }
+
+  test("adaptive switch: small histograms take the one-window shape, " +
+    "large the decomposition, with identical output") {
+    import spark.implicits._
+    val rows = (0 until 5000).map { i =>
+      val g = if (i % 41 == 0) null else s"g${i % 5}"
+      val v: java.lang.Long =
+        if (i % 67 == 0) null
+        else java.lang.Long.valueOf(((i * 2654435761L) % 900L) - 450L)
+      (g, v)
+    }
+    val hist = rows.toDF("g", "v")
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    def plan(max: String): (String, Seq[String]) = withAdaptiveMax(max) {
+      val df = Relational.histCumulative(hist, "g", "v")
+      (df.queryExecution.optimizedPlan.toString,
+        df.select(col("g"), col("v"), col("cnt"), col("cum"), col("n"))
+          .collect().map(_.toString).sorted.toSeq)
+    }
+    val (smallPlan, smallOut) = plan((1L << 20).toString) // under ceiling
+    val (bigPlan, bigOut) = plan("0")                     // over ceiling
+    // the decomposition is recognizable by its bucket column; the
+    // one-window shape must not contain it
+    assert(!smallPlan.contains("_bkt"), "small histogram took the bucketed branch")
+    assert(bigPlan.contains("_bkt"), "forced-bucketed branch not taken")
+    assert(smallOut == bigOut)
+    assert(smallOut.nonEmpty)
   }
 }
