@@ -55,15 +55,17 @@ object Graph {
 
   private[operators] def edges(s: SparkSession, d: String): DataFrame =
     sharedEdges.getOrCompute(s, d) {
-      val pairs = Tables.load(s, d, "orders")
+      val orders = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
+      val items = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = orders
+        .join(items, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
         .distinct()
       pairs.select(col("c").as("src"), col("sp").as("dst"))
         .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
-        .repartition(TextFns.cpuPartitions, col("src"))
+        .repartition(TextFns.dataPartitions(orders, items), col("src"))
         .pin(false)
     }
 
@@ -81,16 +83,18 @@ object Graph {
 
   private[operators] def weightedEdges(s: SparkSession, d: String): DataFrame =
     sharedWeightedEdges.getOrCompute(s, d) {
-      val pairs = Tables.load(s, d, "orders")
+      val orders = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
+      val items = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = orders
+        .join(items, col("o_orderkey") === col("l_orderkey"))
         .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
         .agg(count(lit(1)).as("n"))
         .select(col("c"), col("sp"), (lit(1L) + expr("6 div n")).as("w"))
       pairs.select(col("c").as("src"), col("sp").as("dst"), col("w"))
         .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst"), col("w")))
-        .repartition(TextFns.cpuPartitions, col("src"))
+        .repartition(TextFns.dataPartitions(orders, items), col("src"))
         .pin(false)
     }
 

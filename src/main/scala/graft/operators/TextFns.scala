@@ -30,6 +30,28 @@ object TextFns {
   def cpuPartitions: Int =
     org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
 
+  /** Data-proportional partition count for explicitly-partitioned MEMO
+    * tables. The r11 decade fix (AQE `initialPartitionNum` = 8× cores)
+    * made engine shuffles data-proportional, but an explicit
+    * `repartition(n, key)` pins n forever: at 10× the corpus that is 10×
+    * the bytes per partition, and for the graph family 10× the
+    * shuffle-hash BUILD side per task — the sf10→sf100 decade caught
+    * q201 OOMing exactly there ([[cpuPartitions]]-pinned edge layout,
+    * node-sized builds growing with the corpus on a fixed heap).
+    * Partition count here scales with the SOURCE scans' plan-statistics
+    * bytes (file sizes — no job runs): one partition per 32 MB of
+    * compressed input, floored at [[cpuPartitions]] (the CPU-bound
+    * projection rationale still holds at small inputs: AQE must not
+    * coalesce the exchange to one task), capped at 32768. Deterministic
+    * for a given corpus (same files → same stats → same count). */
+  def dataPartitions(sources: org.apache.spark.sql.DataFrame*): Int = {
+    val bytes = sources
+      .map(df => df.queryExecution.optimizedPlan.stats.sizeInBytes)
+      .sum
+    val byData = (bytes / (32L << 20)).min(BigInt(32768)).toInt
+    math.max(cpuPartitions, byData)
+  }
+
   /** Whitespace tokenization (documents.text is single-space separated). */
   def toks(c: Column): Column = split(c, " ")
 
