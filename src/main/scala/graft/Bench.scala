@@ -120,25 +120,38 @@ object Bench {
     "q46_dedup_components", "q70_curation_pipeline", "q73_ngram_novelty",
     "q78_containment_dedup", "q97_time_gridfill")
 
-  /** One fresh SparkContext per heavy-tier query → per-query floor with
-    * zero cross-query state. Failures report -1 (never a speedup). */
+  /** One fresh SparkContext per heavy-tier query RUN → per-query floor
+    * with zero cross-query state AND zero same-query memo state: a second
+    * run inside one context hits the session memos (q41's signature memo
+    * measured 0.07 s where the cold plan costs ~1 s), so each of the two
+    * runs gets its own context and the min is a min of COLD runs. Codegen
+    * is still excluded the same way the main bench excludes it — a warm-up
+    * execution at sf0.001 inside each context (memos are keyed per sf dir,
+    * so the warm-up compiles the generated classes without warming the
+    * timed dir's memos). ModelStore artifacts still load from disk — that
+    * IS the production warm-serve path. Failures report -1 (never a
+    * speedup). */
   private[graft] def isolatedFloors(cpus: String, sfDir: String): String =
     HeavyTier.map { name =>
+      val warmDir = "/root/testdata/sf0.001"
       val t =
-        try {
-          SparkSession.clearActiveSession()
-          SparkSession.clearDefaultSession()
-          val s = GraftSession.local(cpus)
-          s.sparkContext.setLogLevel("WARN")
-          GraftSession.muteExpectedWarnings()
-          try
-            (1 to 2).map { _ =>
+        try
+          (1 to 2).map { _ =>
+            SparkSession.clearActiveSession()
+            SparkSession.clearDefaultSession()
+            val s = GraftSession.local(cpus)
+            s.sparkContext.setLogLevel("WARN")
+            GraftSession.muteExpectedWarnings()
+            try {
+              if (new java.io.File(warmDir).isDirectory)
+                try { SparkEntry.queries(name)(s, warmDir).count(); () }
+                catch { case _: Throwable => }
               val t0 = System.nanoTime()
               SparkEntry.queries(name)(s, sfDir).count()
               (System.nanoTime() - t0) / 1e9
-            }.min
-          finally s.stop()
-        } catch { case _: Throwable => -1.0 }
+            } finally s.stop()
+          }.min
+        catch { case _: Throwable => -1.0 }
       s""""$name":$t"""
     }.mkString("{", ",", "}")
 
