@@ -41,6 +41,9 @@ object ScaleCurve {
     // the protocol actually used, so a reader never has to guess.
     val runs = sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt)
       .getOrElse(Bench.Runs)
+    // fail at config time, not with an opaque ts.min crash after the
+    // (possibly hours-long) run loop silently did nothing
+    require(runs >= 1, s"SPARK_GRAFT_SCALE_RUNS must be >= 1, got $runs")
     val isolated = sys.env.getOrElse("SPARK_GRAFT_SCALE_ISOLATED", "0") == "1"
     val warmDir = "/root/testdata/sf0.001"
 

@@ -91,7 +91,11 @@ object Relational {
     val v = col(valueCol)
     val adaptiveMax = hist0.sparkSession.conf.getOption(HistAdaptiveConf)
       .map(_.toLong).getOrElse(HistAdaptiveMax)
-    if (hist.count() <= adaptiveMax) {
+    // adaptiveMax <= 0 is the absolute force-bucketed override: skip the
+    // probe count entirely (the dial's contract is "bucketed everywhere",
+    // which must not cost a count job per call — and an EMPTY histogram
+    // must not sneak into the windowed branch through 0 <= 0)
+    if (adaptiveMax > 0 && hist.count() <= adaptiveMax) {
       // Small domain: one window pass, largest task ≤ total histogram rows.
       // Column order matches the bucketed branch (hist.*, n, cum).
       val wCum = Window.partitionBy(col(groupCol)).orderBy(v.asc_nulls_last)

@@ -43,13 +43,25 @@ object TextFns {
     * compressed input, floored at [[cpuPartitions]] (the CPU-bound
     * projection rationale still holds at small inputs: AQE must not
     * coalesce the exchange to one task), capped at 32768. Deterministic
-    * for a given corpus (same files → same stats → same count). */
+    * for a given corpus (same files → same stats → same count).
+    *
+    * Precondition: `sources` should be file-backed scans (or other plans
+    * with REAL size statistics). A source without statistics reports the
+    * `spark.sql.defaultSizeInBytes` sentinel (Long.MaxValue by default),
+    * which would silently pin 32768 partitions on tiny data — any such
+    * source is treated as size-unknown and the whole call falls back to
+    * [[cpuPartitions]] (the pre-decade default) rather than trusting a
+    * sentinel. */
   def dataPartitions(sources: org.apache.spark.sql.DataFrame*): Int = {
-    val bytes = sources
+    val unknown = BigInt(
+      org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes)
+    val sizes = sources
       .map(df => df.queryExecution.optimizedPlan.stats.sizeInBytes)
-      .sum
-    val byData = (bytes / (32L << 20)).min(BigInt(32768)).toInt
-    math.max(cpuPartitions, byData)
+    if (sizes.exists(_ >= unknown)) cpuPartitions
+    else {
+      val byData = (sizes.sum / (32L << 20)).min(BigInt(32768)).toInt
+      math.max(cpuPartitions, byData)
+    }
   }
 
   /** Whitespace tokenization (documents.text is single-space separated). */

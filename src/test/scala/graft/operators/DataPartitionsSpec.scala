@@ -28,6 +28,28 @@ class DataPartitionsSpec extends SparkSpec {
       "dataPartitions scheduled a job — it must price from plan statistics")
   }
 
+  test("a statistics-less source falls back to cpuPartitions instead of " +
+    "trusting the defaultSizeInBytes sentinel") {
+    // LogicalRDD has no real statistics: its sizeInBytes is the
+    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue by default),
+    // which naively priced would pin 32768 partitions on 3 rows
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val rdd = spark.sparkContext.parallelize(
+      Seq(1L, 2L, 3L).map(org.apache.spark.sql.Row(_)))
+    val statless = spark.createDataFrame(rdd, schema)
+    assert(statless.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes),
+      "fixture no longer statistics-less — pick a different plan shape")
+    assert(TextFns.dataPartitions(statless) ==
+      spark.sparkContext.defaultParallelism)
+    // one unknown source poisons the sum, so the mix also falls back
+    val big = spark.range(0, 1L << 30).toDF()
+    assert(TextFns.dataPartitions(big, statless) ==
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("multiple sources sum; the cap holds") {
     val a = spark.range(0, 1L << 30).toDF() // 8 GiB
     val b = spark.range(0, 1L << 30).toDF() // 8 GiB

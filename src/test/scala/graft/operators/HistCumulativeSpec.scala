@@ -112,4 +112,24 @@ class HistCumulativeSpec extends SparkSpec {
     assert(smallOut == bigOut)
     assert(smallOut.nonEmpty)
   }
+
+  test("adaptiveMax <= 0 is an airtight bucketed override: no probe count " +
+    "job runs, and an EMPTY histogram still takes the decomposition") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("g", "v")
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    withAdaptiveMax("0") {
+      val sc = spark.sparkContext
+      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      val df = Relational.histCumulative(empty, "g", "v")
+      // construction must not schedule the count() probe under the override
+      assert(sc.statusTracker.getJobIdsForGroup(null).length == before,
+        "force-bucketed override still paid a probe count job")
+      // 0 rows <= adaptiveMax 0 must NOT route the empty histogram into
+      // the windowed branch — the dial is absolute, not a size comparison
+      assert(df.queryExecution.optimizedPlan.toString.contains("_bkt"),
+        "empty histogram slipped into the windowed branch under the override")
+      assert(df.count() == 0)
+    }
+  }
 }
