@@ -29,6 +29,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // Compress serialized RDD blocks (the pinSer memo tier): the graph
+      // edge memos are billions of 2-long rows whose lz4 ratio is ~3-4×,
+      // and at sf100 the UNcompressed block spill alone exceeded the
+      // box's scratch volume. Costs decode CPU only where pinSer opted in.
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     muteExpectedWarnings()

@@ -57,5 +57,22 @@ object Pinned {
       if (reliable(s)) { ensureCheckpointDir(s); df.checkpoint(eager) }
       else df.localCheckpoint(eager)
     }
+
+    /** [[pin]] with SERIALIZED (and, with `spark.rdd.compress=true`,
+      * lz4-compressed) block storage — for CORPUS-sized memo frames (the
+      * graph edge tables) where the default deserialized
+      * MEMORY_AND_DISK level stores 1B-row frames as raw on-heap rows
+      * and uncompressed spill files: the sf100 decade measured the edge
+      * memo alone outgrowing the box's scratch volume. Serialized+
+      * compressed blocks trade per-iteration decode CPU (cheap: 2-long
+      * rows) for a several-× smaller disk/heap footprint. Reliable mode
+      * is unchanged — `checkpoint()` files are already serialized and
+      * compressed. */
+    def pinSer(eager: Boolean): DataFrame = {
+      val s = df.sparkSession
+      if (reliable(s)) { ensureCheckpointDir(s); df.checkpoint(eager) }
+      else df.localCheckpoint(eager,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
   }
 }

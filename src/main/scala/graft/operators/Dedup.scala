@@ -690,15 +690,27 @@ object Dedup {
   private[graft] def containmentFromShingles(shingled: DataFrame): DataFrame =
     containmentFromDigests(containmentDigests(shingled))
 
-  /** The digest projection (md5 per shingle, deduped + sorted per doc) —
-    * the CPU cost center, with FOUR consumers downstream (df pass, corpus
-    * count, both verify sides). Materialized lazily: first action pays,
-    * the rest reuse; at 100 TB this is a stage-boundary persist. */
+  /** The digest projection (md5 per shingle, truncated to a 60-bit int64,
+    * deduped + sorted per doc) — the CPU cost center, with FOUR consumers
+    * downstream (df pass, corpus count, both verify sides). Materialized
+    * lazily: first action pays, the rest reuse; at 100 TB this is a
+    * stage-boundary persist.
+    *
+    * Digests are 8-byte LONGS end to end (round 13): the first 15 hex
+    * chars of the md5, the same truncation the blocking keys always used
+    * — so the memo rows, the df shuffle, and the verify payload arrays
+    * are all 4-5× smaller than the 32-byte hex-string formulation whose
+    * verify shuffle outgrew the box's scratch at sf100. Two distinct
+    * md5s colliding in 60 bits within ONE document would merge a digest
+    * (P ≈ per-doc-shingles²/2⁶¹ — immaterial, and the DuckDB oracle
+    * applies the identical truncation, so the contract stays exact). */
   private[graft] def containmentDigests(shingled: DataFrame): DataFrame =
     shingled
       .select(col("doc_id"),
         array_sort(array_distinct(
-          transform(col("sh"), x => md5(x)))).as("sh"))
+          transform(col("sh"),
+            x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))))
+          .as("sh"))
       .filter(size(col("sh")) > 0)
       .pin(false)
 
@@ -717,14 +729,13 @@ object Dedup {
   val ContainmentDfCap = 256
 
   private def containmentFromDigests(base: DataFrame): DataFrame = {
-    // blocking keys travel as int64 (first 15 hex chars of the digest —
-    // bijective enough for rarity counting, and the oracle applies the
-    // identical truncation): the df shuffle carries 8-byte longs instead
-    // of 32-byte hex strings. Only the final verify touches full digests.
+    // digests are ALREADY 60-bit longs (containmentDigests truncates at
+    // the projection), so blocking keys explode straight out of the
+    // arrays — no per-posting re-hash, and every shuffle in this
+    // pipeline, postings and verify alike, carries 8-byte fixed-width
+    // values
     val ex = base.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("hs"))
-      .select(col("doc_id"), col("n"),
-        conv(substring(col("hs"), 1, 15), 16, 10).cast("long").as("h"))
+      explode(col("sh")).as("h"))
     // filter the df table down to rare digests BEFORE the big join: the
     // re-join shuffle then carries only the rare side of the vocabulary,
     // and boilerplate digests never travel twice
@@ -1711,11 +1722,12 @@ object Dedup {
       s"""WITH base AS (
             SELECT doc_id,
               list_sort(list_distinct(list_transform(
-                ${oShingles(oToks, 3)}, x -> md5(x)))) AS sh
+                ${oShingles(oToks, 3)},
+                x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT))))
+                AS sh
             FROM documents
             WHERE len(${oShingles(oToks, 3)}) > 0),
-          ex AS (SELECT doc_id,
-                   CAST(concat('0x', substr(unnest(sh), 1, 15)) AS BIGINT) AS h
+          ex AS (SELECT doc_id, unnest(sh) AS h
                  FROM base),
           dfc AS (SELECT h, COUNT(1) AS df FROM ex GROUP BY h),
           rare AS (

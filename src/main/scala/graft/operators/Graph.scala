@@ -50,24 +50,61 @@ object Graph {
 
   /** One lazily-checkpointed (src, dst) frame per (session, dir), both edge
     * directions materialized, partitioned by src so every iteration's
-    * rank⋈edges join and contribution groupBy reuse the layout. */
+    * rank⋈edges join and contribution groupBy reuse the layout.
+    *
+    * COLD-BUILD shape (the round-13 q201 fix — the sf100 leg died in the
+    * old build's scratch footprint, not its plan): ONE orders⋈lineitem
+    * join, both edge directions emitted in the same pass (explode of a
+    * 2-struct array — the old `distinct().unionByName(mirror)` planned
+    * the join subtree under BOTH union branches and paid its sort twice),
+    * then ONE repartition-by-src shuffle whose partition-local
+    * `dropDuplicates` needs NO further exchange: HashPartitioning(src)
+    * already clusters every (src, dst) duplicate into one partition, so
+    * Catalyst plans the dedup aggregate inside the post-repartition
+    * stage. Old ledger: join shuffle + distinct shuffle on (c, sp) +
+    * repartition shuffle + deserialized-uncompressed checkpoint blocks.
+    * New ledger: join shuffle + repartition shuffle + compressed
+    * serialized blocks ([[graft.Pinned.PinOps.pinSer]]) — one
+    * corpus-sized shuffle and one full materialization fewer, and the
+    * memo's disk footprint ~3-4× smaller. */
   private val sharedEdges = graft.SessionMemo.ofFrames()
 
+  /** Both-directions projection of one order↔supplier link — explode of a
+    * two-struct array so the mirror direction costs a Generate, not a
+    * second plan of the whole join subtree. */
+  private def bothDirections(c: Column, sp: Column): Column =
+    explode(array(
+      struct(c.as("src"), sp.as("dst")),
+      struct(sp.as("src"), c.as("dst"))))
+
+  /** The raw (pre-dedup) doubled edge stream + the partition count its
+    * consumers repartition to — shared by [[buildEdges]] /
+    * [[buildWeightedEdges]]. */
+  private def linkedBoth(s: SparkSession, d: String): (DataFrame, Int) = {
+    val orders = Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val items = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val both = orders
+      .join(items, col("o_orderkey") === col("l_orderkey"))
+      .select(bothDirections(
+        col("o_custkey") * 2, col("l_suppkey") * 2 + 1).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    (both, TextFns.dataPartitions(orders, items))
+  }
+
+  /** The un-memoized edge build — separated from [[edges]] so the
+    * determinism spec can rebuild it under different partitionings
+    * (the memo would otherwise serve the first layout forever). */
+  private[operators] def buildEdges(s: SparkSession, d: String): DataFrame = {
+    val (both, n) = linkedBoth(s, d)
+    both.repartition(n, col("src"))
+      .dropDuplicates("src", "dst")
+      .pinSer(false)
+  }
+
   private[operators] def edges(s: SparkSession, d: String): DataFrame =
-    sharedEdges.getOrCompute(s, d) {
-      val orders = Tables.load(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val items = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = orders
-        .join(items, col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
-        .distinct()
-      pairs.select(col("c").as("src"), col("sp").as("dst"))
-        .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
-        .repartition(TextFns.dataPartitions(orders, items), col("src"))
-        .pin(false)
-    }
+    sharedEdges.getOrCompute(s, d)(buildEdges(s, d))
 
   private def kindOf(node: Column): Column =
     when(node % 2 === 0, lit("customer")).otherwise(lit("supplier"))
@@ -81,22 +118,22 @@ object Graph {
     * here. Same build/partition/checkpoint discipline as [[edges]]. */
   private val sharedWeightedEdges = graft.SessionMemo.ofFrames()
 
+  /** Un-memoized weighted build, same single-shuffle shape as
+    * [[buildEdges]]: each underlying order⋈lineitem link contributes one
+    * row to EACH direction, so the post-repartition partition-local
+    * count per (src, dst) IS n_links for that pair — the old
+    * `groupBy(c, sp).count` shuffle folds into the repartition. */
+  private[operators] def buildWeightedEdges(s: SparkSession, d: String): DataFrame = {
+    val (both, n) = linkedBoth(s, d)
+    both.repartition(n, col("src"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("src"), col("dst"), (lit(1L) + expr("6 div n")).as("w"))
+      .pinSer(false)
+  }
+
   private[operators] def weightedEdges(s: SparkSession, d: String): DataFrame =
-    sharedWeightedEdges.getOrCompute(s, d) {
-      val orders = Tables.load(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val items = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = orders
-        .join(items, col("o_orderkey") === col("l_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("c"), col("sp"), (lit(1L) + expr("6 div n")).as("w"))
-      pairs.select(col("c").as("src"), col("sp").as("dst"), col("w"))
-        .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst"), col("w")))
-        .repartition(TextFns.dataPartitions(orders, items), col("src"))
-        .pin(false)
-    }
+    sharedWeightedEdges.getOrCompute(s, d)(buildWeightedEdges(s, d))
 
   /** The q201 fixpoint over an arbitrary (src, dst) edge frame — factored
     * out so the streaming twin ([[graft.streaming.GraphRankStream]]) can

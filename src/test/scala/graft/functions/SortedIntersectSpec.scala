@@ -62,6 +62,53 @@ class SortedIntersectSpec extends SparkSpec {
     assert(count(Seq("a", "c", "e"), Seq("b", "c", "d", "e")) == 2)
   }
 
+  test("long-element branch: law vs size(array_intersect), edges, null elems, " +
+    "interpreted == codegen") {
+    val rnd = new scala.util.Random(7)
+    def arr() = Seq.fill(rnd.nextInt(12))(rnd.nextInt(20).toLong)
+      .distinct.sorted
+    val rows = Seq.fill(200)((arr(), arr())).toDF("a", "b")
+      .select(TextFns.sortedIntersectCount(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    def countL(a: Seq[Long], b: Seq[Long]): Int =
+      Seq((a, b)).toDF("a", "b")
+        .select(TextFns.sortedIntersectCount(col("a"), col("b")))
+        .head().getInt(0)
+    assert(countL(Nil, Seq(1L)) == 0)
+    assert(countL(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 3)
+    assert(countL(Seq(2L, 3L), Seq(1L, 2L, 3L, 4L)) == 2)
+    // numeric (not lexicographic) order: 10 > 9 must still match
+    assert(countL(Seq(2L, 9L, 10L), Seq(9L, 10L, 11L)) == 2)
+    val withNullElem = Seq((Seq[java.lang.Long](1L, 2L, null),
+        Seq[java.lang.Long](2L, null)))
+      .toDF("a", "b")
+      .select(TextFns.sortedIntersectCount(col("a"), col("b")))
+      .head().getInt(0)
+    assert(withNullElem == 1)
+    val e = SortedIntersectCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1L, 3L, 5L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(2L, 3L, 4L, 5L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(e.eval(null) == 2)
+  }
+
+  test("mismatched element types are a type-check failure, not a crash") {
+    val e = SortedIntersectCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("a"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+    assert(e.checkInputDataTypes()
+      .isInstanceOf[org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure])
+  }
+
   test("q78's verify step planned with the native expression (no array materialization)") {
     val plan = graft.operators.Dedup.queries("q78_containment_dedup")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -48,4 +48,35 @@ class GraphDeterminismSpec extends SparkSpec {
       }
     } finally conf.set("spark.sql.shuffle.partitions", saved)
   }
+
+  test("edge tables (plain + weighted) are bit-identical under 3 different " +
+    "partitionings — the round-13 single-shuffle build changes the plan, " +
+    "not the set") {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.shuffle.partitions")
+    // bypass the session memo on purpose: the memo would serve the first
+    // build's layout forever, and the claim under test is that a REBUILD
+    // under a different task decomposition yields the same rows
+    def build(): Map[String, Seq[String]] = Map(
+      "edges" -> Graph.buildEdges(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq,
+      "weighted_edges" -> Graph.buildWeightedEdges(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq)
+    try {
+      conf.set("spark.sql.shuffle.partitions", "4")
+      val base = build()
+      assert(base("edges").nonEmpty && base("weighted_edges").nonEmpty)
+      // the two builds must agree with each other on the edge SET
+      assert(base("weighted_edges").size == base("edges").size,
+        "weighted and plain builds disagree on edge count")
+      Seq("7", "13").foreach { p =>
+        conf.set("spark.sql.shuffle.partitions", p)
+        val alt = build()
+        Seq("edges", "weighted_edges").foreach { name =>
+          assert(alt(name) == base(name),
+            s"$name differs between shuffle.partitions=4 and $p")
+        }
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", saved)
+  }
 }
