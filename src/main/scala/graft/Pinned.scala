@@ -31,7 +31,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * files under the checkpoint dir for the session's lifetime — a
   * deployment that churns many reliable frames sets
   * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (GC-driven
-  * file removal) or points the dir at storage with a TTL policy.
+  * file removal; `ReliableCheckpointGcSpec` proves released frames'
+  * files are reclaimed while live frames keep theirs) or points the
+  * dir at storage with a TTL policy.
   */
 object Pinned {
   val ModeConf = "spark.graft.checkpoint"

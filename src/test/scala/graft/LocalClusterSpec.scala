@@ -214,6 +214,116 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res2 == expected, "post-kill memo read diverged from local[4]")
   }
 
+  /** The STREAMING sibling of the kill-recovery test: batch q46's
+    * recovery rides on reliable-checkpoint pins, but the streaming twins'
+    * state (flatMapGroupsWithState) has its OWN recovery path — the state
+    * store's delta/snapshot files plus the offset WAL under
+    * `checkpointLocation`. Here one of two executor JVMs is kill -9'd
+    * while a micro-batch of the retention stream is in flight; the
+    * retried tasks must reload their state-store partitions from
+    * checkpoint files (the dead executor's in-memory store maps are
+    * gone), finish the batch, and keep accepting batches — and the full
+    * append log must still match the same feed on local[4] bit for bit.
+    * flatMapGroupsWithState emits each (user, cohort, offset) row AT MOST
+    * ONCE per state transition, so a lost-then-replayed state update
+    * would surface as a duplicated or missing row — exactly what the
+    * equality below would catch. */
+  test("streaming state store: executor kill mid-micro-batch still matches local[4]") {
+    val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
+    assume(new File(sparkHome, "jars").isDirectory,
+      s"no Spark distribution at $sparkHome — local-cluster needs one")
+
+    // deterministic three-chunk feed; chunk 2 is large enough that its
+    // micro-batch is reliably in flight when the kill lands
+    val chunks: Seq[Seq[graft.streaming.StatefulOps.RetEvent]] = Seq(
+      (0 until 400).map(i => graft.streaming.StatefulOps.RetEvent(
+        (i % 40).toLong, 19000L + (i * 7) % 21)),
+      (0 until 60000).map(i => graft.streaming.StatefulOps.RetEvent(
+        (i % 300).toLong, 19000L + (i * 11) % 70)),
+      (0 until 400).map(i => graft.streaming.StatefulOps.RetEvent(
+        (i % 40).toLong, 19035L + (i * 13) % 21)))
+
+    def feed(s: SparkSession, sinkName: String,
+             killBeforeChunk: Option[Int] = None): (Boolean, Seq[String]) = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-stream-kill-$sinkName")
+      val in = MemoryStream[graft.streaming.StatefulOps.RetEvent]
+      val q = graft.streaming.StatefulOps.retentionStream(in.toDS())
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      var killedMidBatch = false
+      try {
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          in.addData(c)
+          if (killBeforeChunk.contains(i)) {
+            val appId = s.sparkContext.applicationId
+            val pids = executorPids(appId)
+            assert(pids.size >= 2, s"expected 2 executor JVMs, saw $pids")
+            // the kill aims at the chunk's first live job — state rows
+            // for earlier chunks are already committed, so the retried
+            // tasks genuinely RELOAD state rather than rebuild it
+            val st = s.sparkContext.statusTracker
+            val killer = new Thread(() => {
+              val deadline = System.nanoTime() + 60L * 1000000000L
+              while (st.getActiveJobIds().isEmpty
+                     && System.nanoTime() < deadline)
+                Thread.sleep(1)
+              killedMidBatch = st.getActiveJobIds().nonEmpty
+              import scala.sys.process._
+              Seq("kill", "-9", pids.head.toString).!
+              ()
+            })
+            killer.start()
+            q.processAllAvailable()
+            killer.join(60000)
+          } else q.processAllAvailable()
+        }
+        (killedMidBatch, s.table(sinkName).collect().map(_.toString).sorted.toSeq)
+      } finally q.stop()
+    }
+
+    SparkSpec.releaseContext()
+    val cluster = SparkSession.builder()
+      .master("local-cluster[2,1,1536]")
+      .appName("graft-stream-kill-recovery")
+      .config("spark.executor.memory", "1280m")
+      .config("spark.executor.extraClassPath",
+        classesDirOf(graft.Tables.getClass))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val (killedMidBatch, clustered) =
+      try {
+        cluster.sparkContext.setLogLevel("ERROR")
+        cluster.sparkContext.requestTotalExecutors(2, 0, Map.empty)
+        val probe = cluster.range(0, 1000, 1, 4)
+          .selectExpr("sum(id)").collect()(0).getLong(0)
+        assert(probe == 499500L)
+        val regDeadline = System.nanoTime() + 60L * 1000000000L
+        while (executorPids(cluster.sparkContext.applicationId).size < 2
+               && System.nanoTime() < regDeadline)
+          Thread.sleep(50)
+        feed(cluster, "stream_kill_cluster", killBeforeChunk = Some(1))
+      } finally {
+        cluster.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+
+    val (_, expected) = feed(SparkSpec.session, "stream_kill_local")
+    assert(killedMidBatch,
+      "micro-batch finished before the kill landed — no recovery exercised")
+    assert(clustered.nonEmpty && clustered == expected,
+      "post-recovery streaming emissions diverged from local[4]")
+  }
+
   /** Executor JVM pids of the given standalone app (local-cluster
     * executors are real forked processes, visible to ps). */
   private def executorPids(appId: String): Seq[Long] = {
