@@ -60,21 +60,27 @@ object Pinned {
       else df.localCheckpoint(eager)
     }
 
-    /** [[pin]] with SERIALIZED (and, with `spark.rdd.compress=true`,
-      * lz4-compressed) block storage — for CORPUS-sized memo frames (the
-      * graph edge tables) where the default deserialized
-      * MEMORY_AND_DISK level stores 1B-row frames as raw on-heap rows
-      * and uncompressed spill files: the sf100 decade measured the edge
-      * memo alone outgrowing the box's scratch volume. Serialized+
-      * compressed blocks trade per-iteration decode CPU (cheap: 2-long
-      * rows) for a several-× smaller disk/heap footprint. Reliable mode
-      * is unchanged — `checkpoint()` files are already serialized and
-      * compressed. */
+    /** [[pin]] with SERIALIZED, DISK-resident (and, with
+      * `spark.rdd.compress=true`, lz4-compressed) block storage — for
+      * CORPUS-sized memo frames (the graph edge tables) where the
+      * default deserialized MEMORY_AND_DISK level stores 1B-row frames
+      * as raw on-heap rows and uncompressed spill files: the sf100
+      * decade measured the edge memo alone outgrowing the box's scratch
+      * volume. DISK_ONLY rather than MEMORY_AND_DISK_SER on purpose: a
+      * memory-eligible serialized level makes every read of a
+      * disk-resident block try to re-inflate the WHOLE block into the
+      * storage pool (`BlockManager.maybeCacheDiskBytesInMemory`
+      * allocates block-sized ByteBuffers), and 32 concurrent tasks ×
+      * corpus-sized blocks OOMed the sf100 rerun exactly there.
+      * DISK_ONLY streams-and-decompresses per read — bounded heap at
+      * any corpus size, OS page cache serving the small-SF case for
+      * free. Reliable mode is unchanged — `checkpoint()` files are
+      * already serialized, compressed, and disk-resident. */
     def pinSer(eager: Boolean): DataFrame = {
       val s = df.sparkSession
       if (reliable(s)) { ensureCheckpointDir(s); df.checkpoint(eager) }
       else df.localCheckpoint(eager,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
   }
 }

@@ -72,7 +72,10 @@ object Dedup {
         .select(col("doc_id"), col("source"),
           shingles(toks(col("text")), 3).as("sh"))
         .withColumn("mhs", minhashSig(col("sh"), NumHashes, 0))
-        .pin(false)
+        // corpus-sized memo (raw shingle strings ride in `sh`): DISK_ONLY
+        // serialized+compressed — ~20 GB of deserialized rows at sf100
+        // otherwise sit in the storage pool under every consumer
+        .pinSer(false)
     }
 
   /** Signature frame for q41: doc_id, sh, mh0..mh7, b0..b3 — derived from
@@ -688,7 +691,8 @@ object Dedup {
   private val sharedContainmentDigests = graft.SessionMemo.ofFrames()
 
   private[graft] def containmentFromShingles(shingled: DataFrame): DataFrame =
-    containmentFromDigests(containmentDigests(shingled))
+    containmentFromDigests(containmentDigests(
+      shingled.filter(size(col("sh")) > 0)))
 
   /** The digest projection (md5 per shingle, truncated to a 60-bit int64,
     * deduped + sorted per doc) — the CPU cost center, with FOUR consumers
@@ -703,7 +707,16 @@ object Dedup {
     * verify shuffle outgrew the box's scratch at sf100. Two distinct
     * md5s colliding in 60 bits within ONE document would merge a digest
     * (P ≈ per-doc-shingles²/2⁶¹ — immaterial, and the DuckDB oracle
-    * applies the identical truncation, so the contract stays exact). */
+    * applies the identical truncation, so the contract stays exact).
+    *
+    * PRECONDITION: callers exclude empty-shingle docs UPSTREAM with a
+    * predicate that is cheap under pushdown (q78 filters on the token
+    * count; the spec path filters its material arrays). A filter on this
+    * function's OUTPUT would be pushed below the projection with the
+    * digest expression substituted in — and when `sh` is itself a
+    * shingle-construction expression, that recomputes the entire
+    * tokenize+shingle array per row just to test emptiness (measured:
+    * the q78 digest build at sf10 went 41 → 51 s from exactly that). */
   private[graft] def containmentDigests(shingled: DataFrame): DataFrame =
     shingled
       .select(col("doc_id"),
@@ -711,8 +724,7 @@ object Dedup {
           transform(col("sh"),
             x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))))
           .as("sh"))
-      .filter(size(col("sh")) > 0)
-      .pin(false)
+      .pinSer(false)
 
   /** Absolute postings ceiling for a containment blocking key: a digest
     * is usable as a block key only if it appears in at most this many
@@ -839,12 +851,30 @@ object Dedup {
     // shuffles as 32-byte digests; the per-doc window is partitioned by
     // doc (never global).
     "q78_containment_dedup" -> ((s, d) =>
-      // the shingle arrays come from the shared signature stage (sigBase),
-      // so the tokenize+shingle scan is not re-run here; the digest
-      // projection (md5 per shingle) is itself memoized per (session, dir)
-      // so repeated invocations skip the corpus-CPU stage entirely
+      // shingles come straight off the documents scan, NOT from sigBase:
+      // the digest memo is q78's own stage-boundary persist, and routing
+      // through the shared signature memo forced a COLD q78 run to
+      // materialize ~10 GB-per-sf100 of minhash signatures it never
+      // reads (the round-13 scratch-edge catch). The only thing shared
+      // with sigBase was the tokenize+shingle projection — a streaming
+      // scan that is cheap to re-run and never stored; the md5 work was
+      // never shared (different seeds). The digest projection stays
+      // memoized per (session, dir), so repeated invocations skip the
+      // corpus-CPU stage entirely.
       containmentFromDigests(sharedContainmentDigests.getOrCompute(s, d) {
-        containmentDigests(sigBase(s, d).select(col("doc_id"), col("sh")))
+        // repartition before the projection for the same reason sigBase
+        // does: the md5-per-shingle stage is CPU-bound, and a small
+        // parquet file is a handful of input splits — without the
+        // explicit spread the digest build runs 4-wide on 32 cores
+        // (measured 4x slower at sf10). The emptiness filter is a TOKEN
+        // COUNT predicate (≥ 3 tokens ⇔ ≥ 1 trigram shingle, the guard
+        // in TextFns.shingles): pushed to the scan it costs one split()
+        // per row, where a filter on the digest output would rebuild the
+        // whole shingle array per row (containmentDigests' precondition).
+        containmentDigests(docs(s, d)
+          .filter(size(toks(col("text"))) >= 3)
+          .repartition(TextFns.cpuPartitions, col("doc_id"))
+          .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh")))
       })),
 
     // --- cross-source leakage matrix (where do near-dups come from?) -------

@@ -79,8 +79,22 @@ object Graph {
 
   /** The raw (pre-dedup) doubled edge stream + the partition count its
     * consumers repartition to — shared by [[buildEdges]] /
-    * [[buildWeightedEdges]]. */
+    * [[buildWeightedEdges]].
+    *
+    * Partition pricing reads the UNPROJECTED table scans on purpose:
+    * `dataPartitions`' contract is "one partition per 32 MB of compressed
+    * input FILES", but plan statistics of a projected scan are scaled
+    * down by the output-row-width ratio (2 of 9/16 columns ≈ 8× smaller)
+    * — and the derived edge rows amplify back well past the pruned
+    * estimate (key columns that RLE/delta-encode superbly in parquet
+    * become 16-byte raw pairs, twice). Whole-file pricing keeps the
+    * materialized memo near a measured ~80 MB/partition at every decade
+    * (`DataPartitionsSpec` pins the ceiling); pruned pricing drifted to
+    * ~8× that, per-partition bytes growing with exactly the corpus-
+    * proportional shape the sf100 OOM came from. */
   private def linkedBoth(s: SparkSession, d: String): (DataFrame, Int) = {
+    val n = TextFns.dataPartitions(
+      Tables.load(s, d, "orders"), Tables.load(s, d, "lineitem"))
     val orders = Tables.load(s, d, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val items = Tables.load(s, d, "lineitem")
@@ -90,7 +104,7 @@ object Graph {
       .select(bothDirections(
         col("o_custkey") * 2, col("l_suppkey") * 2 + 1).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    (both, TextFns.dataPartitions(orders, items))
+    (both, n)
   }
 
   /** The un-memoized edge build — separated from [[edges]] so the

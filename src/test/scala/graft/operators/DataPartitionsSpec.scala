@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Pins the data-proportional partition helper the graph edge memos use
@@ -48,6 +50,65 @@ class DataPartitionsSpec extends SparkSpec {
     val big = spark.range(0, 1L << 30).toDF()
     assert(TextFns.dataPartitions(big, statless) ==
       spark.sparkContext.defaultParallelism)
+  }
+
+  /** Recursive on-disk size: driver testdata tables are single files,
+    * the generated sf1/sf10 dirs may be parquet directories. */
+  private def diskBytes(path: java.io.File): Long =
+    if (path.isFile) path.length()
+    else Option(path.listFiles()).getOrElse(Array.empty).map(diskBytes).sum
+
+  test("graph-family pricing stays within a band of ACTUAL on-disk bytes " +
+    "across the available decades (plan stats are an estimate, not gospel)") {
+    val dirs = Seq(sfDirAt("0.1"), s"${sys.props("user.dir")}/data/sf1")
+      .filter(d => new java.io.File(d, "orders.parquet").exists())
+    assert(dirs.nonEmpty, "no measured dirs available")
+    dirs.foreach { d =>
+      val orders = graft.Tables.load(spark, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val items = graft.Tables.load(spark, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val n = TextFns.dataPartitions(orders, items)
+      val actual = diskBytes(new java.io.File(d, "orders.parquet")) +
+        diskBytes(new java.io.File(d, "lineitem.parquet"))
+      val floor = spark.sparkContext.defaultParallelism
+      val fromActual = (actual / (32L << 20)).toInt
+      // plan stats scale the file size by the projected-column width
+      // ratio, so the priced count may sit BELOW whole-file pricing —
+      // but never above it (pruning only shrinks), and never more than
+      // ~8x below (the graph projections keep 2 of <=16 columns)
+      assert(n <= math.max(floor, fromActual) * 2,
+        s"$d: priced $n partitions for $actual actual bytes — over-priced")
+      assert(n >= math.max(floor, fromActual / 8),
+        s"$d: priced $n partitions for $actual actual bytes — under-priced")
+    }
+  }
+
+  test("the MATERIALIZED edge memo's per-partition footprint is bounded " +
+    "(the sf100 OOM class: build-side bytes per task must not grow with " +
+    "the corpus)") {
+    val d = s"${sys.props("user.dir")}/data/sf1"
+    assume(new java.io.File(d, "orders.parquet").exists(), s"no sf1 at $d")
+    val e = Graph.buildEdges(spark, d)
+    val total = e.count()
+    assert(total > 0)
+    val rddId = e.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.id
+    val info = spark.sparkContext.getRDDStorageInfo.find(_.id == rddId)
+      .getOrElse(fail("pinned edge memo not in storage"))
+    val bytes = info.memSize + info.diskSize
+    assert(info.numPartitions > 0 && bytes > 0)
+    val perPartition = bytes / info.numPartitions
+    // one partition per 32 MB of compressed INPUT FILES (whole-file
+    // pricing — see linkedBoth): the derived 2-long edge rows amplify
+    // ~2-3x over the compressed input, so ~80 MB/partition is the
+    // measured steady state and 128 MB the regression ceiling. (The
+    // column-pruned pricing this spec caught in round 13 sat 8x higher,
+    // growing with the corpus.)
+    assert(perPartition < (128L << 20),
+      s"edge memo averages $perPartition bytes/partition over " +
+        s"${info.numPartitions} partitions — per-task footprint regressed")
+    graft.FrameBlocks.release(e)
   }
 
   test("multiple sources sum; the cap holds") {

@@ -17,9 +17,16 @@ SF10=${1:-data/sf10}
 OUT=${2:-/tmp/vout_sf10}
 [ -d "$SF10" ] || { echo "no sf10 dir at $SF10 — run: python3 tools/gen_sf1.py $SF10 100"; exit 1; }
 
+# Round-13 widening (verdict #6): the heavy graph tier (q202/q218/q210 —
+# edge census rows over 600M lineitem joins, DuckDB-tractable because the
+# oracle's recursive ladders are truncated at fixed hop counts), exact
+# dedup (q40), text tokens (q30), CC over the near-dup graph (q46), and
+# SemDeDup (q144) join the original ten.
 QUERIES="q02_agg_groupby q12_window_rank q41_dedup_minhash q107_hll_distinct \
 q128_eqfreq_bins q205_shard_balance q211_global_rank q217_cdc_chunks \
-q78_containment_dedup q231_eps_calibration"
+q78_containment_dedup q231_eps_calibration \
+q30_text_tokens q40_dedup_exact q46_dedup_components q144_semdedup \
+q202_bfs_khop q210_copurchase_topk q218_weighted_sssp"
 
 rm -rf "$OUT"
 sbt -batch "runMain graft.Verify $SF10 $OUT $QUERIES" 2>&1 | tail -2
