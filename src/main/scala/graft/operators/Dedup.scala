@@ -704,10 +704,17 @@ object Dedup {
     * chars of the md5, the same truncation the blocking keys always used
     * — so the memo rows, the df shuffle, and the verify payload arrays
     * are all 4-5× smaller than the 32-byte hex-string formulation whose
-    * verify shuffle outgrew the box's scratch at sf100. Two distinct
-    * md5s colliding in 60 bits within ONE document would merge a digest
-    * (P ≈ per-doc-shingles²/2⁶¹ — immaterial, and the DuckDB oracle
-    * applies the identical truncation, so the contract stays exact).
+    * verify shuffle outgrew the box's scratch at sf100. Collision budget
+    * for the truncation, both places it could bite: (a) two distinct
+    * md5s colliding in 60 bits within ONE document merge a digest
+    * (P ≈ per-doc-shingles²/2⁶¹ per doc — immaterial); (b) a CROSS-doc
+    * collision between a candidate pair's arrays inflates |A∩B| by one
+    * in the verify walk — per pair P ≈ |A|·|B|/2⁶⁰, so even sf100's
+    * ~10⁷ verified pairs × ~10⁶ digest-product per pair expect ≪ 1
+    * false intersect across the whole corpus, and a single +1 only
+    * matters for a pair sitting exactly on the 0.8 knife edge. Either
+    * way the DuckDB oracle applies the IDENTICAL truncation before its
+    * own intersect, so the compare contract stays exact at every SF.
     *
     * PRECONDITION: callers exclude empty-shingle docs UPSTREAM with a
     * predicate that is cheap under pushdown (q78 filters on the token
@@ -841,15 +848,18 @@ object Dedup {
     // A short doc quoted/embedded inside a long one has high CONTAINMENT
     // (|A∩B|/|A|) but low Jaccard — invisible to q42/q44. Blocking:
     // candidate pairs share one of the contained side's two smallest RARE
-    // shingle digests, where "rare" is an integer-rational df bound
-    // (df·20 <= n_docs). The df pre-pass is what keeps this scale-sane: a
+    // shingle digests, where "rare" is the ABSOLUTE postings cap
+    // df <= ContainmentDfCap (256) — absolute, not corpus-relative, so
+    // per-key join fanout stays bounded at ANY corpus size (the sf10
+    // decade catch). The df pre-pass is what keeps this scale-sane: a
     // boilerplate shingle shared by half the corpus never becomes a block
     // key, so bucket size is bounded by the df ceiling, not by shingle
     // popularity. Containment recall is preserved: if A ⊆ B, A's rare
     // digests are rare and present in B. Verification touches candidates
     // only (exact set intersect over the two digest arrays). Everything
-    // shuffles as 32-byte digests; the per-doc window is partitioned by
-    // doc (never global).
+    // shuffles as 8-byte 60-bit long digests end to end (round 13 — the
+    // 32-byte hex-string formulation's verify shuffle outgrew sf100
+    // scratch); the per-doc window is partitioned by doc (never global).
     "q78_containment_dedup" -> ((s, d) =>
       // shingles come straight off the documents scan, NOT from sigBase:
       // the digest memo is q78's own stage-boundary persist, and routing

@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Partition count for CPU-bound projection passes (signature/md5/dot
     * product stages). Explicit so AQE does not coalesce the exchange back to
     * one partition when the input bytes are small — the cost driver here is
@@ -49,19 +51,24 @@ object TextFns {
     * with REAL size statistics). A source without statistics reports the
     * `spark.sql.defaultSizeInBytes` sentinel (Long.MaxValue by default),
     * which would silently pin 32768 partitions on tiny data — any such
-    * source is treated as size-unknown and the whole call falls back to
-    * [[cpuPartitions]] (the pre-decade default) rather than trusting a
-    * sentinel. */
+    * source is treated as size-unknown and DROPPED from the sum (with a
+    * warning), so a mixed call still prices from the sizes it can trust:
+    * one stat-less side frame next to a huge file-backed scan must not
+    * collapse the whole call to [[cpuPartitions]]. All-unknown degrades
+    * to [[cpuPartitions]] (the pre-decade default) rather than trusting
+    * a sentinel. */
   def dataPartitions(sources: org.apache.spark.sql.DataFrame*): Int = {
     val unknown = BigInt(
       org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes)
     val sizes = sources
       .map(df => df.queryExecution.optimizedPlan.stats.sizeInBytes)
-    if (sizes.exists(_ >= unknown)) cpuPartitions
-    else {
-      val byData = (sizes.sum / (32L << 20)).min(BigInt(32768)).toInt
-      math.max(cpuPartitions, byData)
-    }
+    val known = sizes.filter(_ < unknown)
+    if (known.size < sizes.size)
+      log.warn(s"dataPartitions: ${sizes.size - known.size} of " +
+        s"${sizes.size} source(s) have no real size statistics " +
+        "(defaultSizeInBytes sentinel) — pricing from the known sizes only")
+    val byData = (known.sum / (32L << 20)).min(BigInt(32768)).toInt
+    math.max(cpuPartitions, byData)
   }
 
   /** Whitespace tokenization (documents.text is single-space separated). */

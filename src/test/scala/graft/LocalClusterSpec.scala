@@ -256,7 +256,12 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
         .outputMode("append")
         .option("checkpointLocation", ckpt.toString)
         .start()
-      var killedMidBatch = false
+      // written on the killer thread, read on the test thread after
+      // join: AtomicBoolean for visibility, and the join is asserted
+      // (a timed-out join would leave the killer alive to kill an
+      // executor AFTER the test moved on — racing the read is the
+      // smaller of the two bugs)
+      val killedMidBatch = new java.util.concurrent.atomic.AtomicBoolean(false)
       try {
         chunks.zipWithIndex.foreach { case (c, i) =>
           in.addData(c)
@@ -273,7 +278,7 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
               while (st.getActiveJobIds().isEmpty
                      && System.nanoTime() < deadline)
                 Thread.sleep(1)
-              killedMidBatch = st.getActiveJobIds().nonEmpty
+              killedMidBatch.set(st.getActiveJobIds().nonEmpty)
               import scala.sys.process._
               Seq("kill", "-9", pids.head.toString).!
               ()
@@ -281,9 +286,13 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
             killer.start()
             q.processAllAvailable()
             killer.join(60000)
+            assert(!killer.isAlive,
+              "killer thread still running after join timeout — " +
+                "it could kill an executor after the test moved on")
           } else q.processAllAvailable()
         }
-        (killedMidBatch, s.table(sinkName).collect().map(_.toString).sorted.toSeq)
+        (killedMidBatch.get(),
+          s.table(sinkName).collect().map(_.toString).sorted.toSeq)
       } finally q.stop()
     }
 

@@ -46,10 +46,11 @@ class DataPartitionsSpec extends SparkSpec {
       "fixture no longer statistics-less — pick a different plan shape")
     assert(TextFns.dataPartitions(statless) ==
       spark.sparkContext.defaultParallelism)
-    // one unknown source poisons the sum, so the mix also falls back
+    // an unknown source is DROPPED, not poisoning: mixed with a real
+    // 8 GiB scan the call must still price the known bytes (a stat-less
+    // side frame must not collapse a huge scan to cpuPartitions)
     val big = spark.range(0, 1L << 30).toDF()
-    assert(TextFns.dataPartitions(big, statless) ==
-      spark.sparkContext.defaultParallelism)
+    assert(TextFns.dataPartitions(big, statless) == 256)
   }
 
   /** Recursive on-disk size: driver testdata tables are single files,

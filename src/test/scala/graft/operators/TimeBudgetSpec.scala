@@ -34,9 +34,19 @@ class TimeBudgetSpec extends SparkSpec {
     assume(f.isFile, "no bench_out.json in repo root — run graft.Bench first")
     val text = scala.io.Source.fromFile(f, "UTF-8").mkString
     // minimal JSON pull of the "queries" object (no JSON lib on the
-    // unmanaged classpath): "name":seconds pairs
+    // unmanaged classpath): "name":seconds pairs. The parse is SCOPED
+    // to the flat `"queries": {...}` object — bench_out.json also
+    // carries an `isolated` object of cold-start floors that are
+    // structurally slower than the in-board times the budgets were set
+    // from (3x in-board min-of-3), so sweeping the whole file made the
+    // spec host-noise-brittle on exactly the thinnest-headroom queries.
+    val qKey = text.indexOf("\"queries\"")
+    assume(qKey >= 0, "bench_out.json has no \"queries\" object")
+    val open = text.indexOf('{', qKey)
+    val close = text.indexOf('}', open) // flat object: no nested braces
+    assume(open >= 0 && close > open, "malformed \"queries\" object")
     val entry = """"(q[0-9]+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
-    val times = entry.findAllMatchIn(text)
+    val times = entry.findAllMatchIn(text.substring(open, close + 1))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     assume(times.nonEmpty, "bench_out.json carries no per-query times")
     val b = budgets
