@@ -82,5 +82,25 @@ object Pinned {
       else df.localCheckpoint(eager,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
+
+    /** [[pinSer]] that KEEPS the hash layout the frame's own
+      * `repartition(n, keys…)` established, so key-aligned joins and
+      * aggregations against the memo plan with NO exchange. Spark's
+      * checkpoint path writes `UnknownPartitioning` into the pinned
+      * LogicalRDD (measured on 4.1.2, `PinnedLayoutSpec`), which turns
+      * every key-aligned consumer into a materialized-frame-sized
+      * re-shuffle; the bridge walks the analyzed plan and re-attaches
+      * the partitioning ONLY when the lineage proves it (keys pass
+      * unchanged from the repartition through projections/filters/
+      * key-superset aggregates). A frame that can't prove its layout
+      * pins exactly like [[pinSer]] — never wrong, just unoptimized. */
+    def pinSerKeyed(eager: Boolean, keys: String*): DataFrame = {
+      val s = df.sparkSession
+      if (reliable(s)) ensureCheckpointDir(s)
+      org.apache.spark.sql.GraftPinBridge.pinKeepingLayout(
+        df, keys, eager, reliable(s),
+        if (reliable(s)) None
+        else Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
   }
 }

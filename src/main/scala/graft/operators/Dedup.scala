@@ -691,8 +691,10 @@ object Dedup {
   private val sharedContainmentDigests = graft.SessionMemo.ofFrames()
 
   private[graft] def containmentFromShingles(shingled: DataFrame): DataFrame =
-    containmentFromDigests(containmentDigests(
-      shingled.filter(size(col("sh")) > 0)))
+    containmentFromDigests(
+      containmentDigests(shingled.filter(size(col("sh")) > 0)),
+      shingled.sparkSession.conf.getOption(VerifyShardsConf)
+        .map(_.toInt).getOrElse(1))
 
   /** The digest projection (md5 per shingle, truncated to a 60-bit int64,
     * deduped + sorted per doc) — the CPU cost center, with FOUR consumers
@@ -731,7 +733,14 @@ object Dedup {
           transform(col("sh"),
             x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))))
           .as("sh"))
-      .pinSer(false)
+      // layout-keeping pin (round 14): q78's caller repartitions by
+      // doc_id before this projection, and BOTH verify joins key on
+      // doc_id — with the layout preserved through the pin, the memo
+      // never re-shuffles (the a-side and b-side joins exchange only
+      // the pair-sized candidate stream), and the 2-smallest-rare
+      // aggregation plans with no exchange at all. Frames without a
+      // provable doc_id layout (the spec fixtures) pin plain.
+      .pinSerKeyed(false, "doc_id")
 
   /** Absolute postings ceiling for a containment blocking key: a digest
     * is usable as a block key only if it appears in at most this many
@@ -747,7 +756,75 @@ object Dedup {
     * tf-idf, CCNet buckets — where df divides rather than joins.) */
   val ContainmentDfCap = 256
 
-  private def containmentFromDigests(base: DataFrame): DataFrame = {
+  /** Session-conf override for the containment VERIFY shard count
+    * (specs force >1 on small fixtures; ops can pin it). Unset → priced
+    * from corpus bytes by [[containmentVerifyShards]]. */
+  val VerifyShardsConf = "spark.graft.containment.verifyShards"
+
+  /** Session-conf switch for the containment pipeline's two broadcast
+    * plan dials (default on): the heavy-digest anti-join in the rarity
+    * gate, and the block-key join's small (≤2-rows-per-doc) side. Off →
+    * the pre-round-14 shuffle joins, for corpora whose over-cap
+    * vocabulary or doc count outgrows a broadcast. Same candidate set
+    * either way — the spec pins both branches bit-equal. */
+  val HeavyBroadcastConf = "spark.graft.containment.heavyBroadcast"
+
+  /** One verify shard per this many bytes of COMPRESSED documents input.
+    * The verify pass is the scratch-peak owner of the whole containment
+    * pipeline: its second join duplicates the contained side's digest
+    * array once per candidate pair, and round 13 measured the sf100 run
+    * peaking at ~25-30 GB of shuffle scratch from a 575 MB compressed
+    * corpus — a ~50× amplification (decompression × shingle explosion ×
+    * per-pair duplication). 128 MiB per shard bounds a shard's verify
+    * shuffle near ~7 GB at that amplification, so peak scratch stays
+    * roughly constant while corpus doublings add SHARDS (sequential
+    * jobs) instead of bytes-in-flight. Small SFs price to one shard —
+    * the in-board plan is unchanged. */
+  val VerifyShardBytes: Long = 128L << 20
+
+  /** Verify shard count for q78: conf override first, else whole-file
+    * pricing off the UNPROJECTED documents scan (the round-13
+    * `dataPartitions` lesson: projected plan stats are width-scaled far
+    * below file bytes, and the amplification math above is calibrated
+    * against compressed file bytes). */
+  private[operators] def containmentVerifyShards(
+      s: SparkSession, d: String): Int =
+    s.conf.getOption(VerifyShardsConf).map(_.toInt).getOrElse {
+      val bytes = graft.Tables.load(s, d, "documents")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      (bytes / VerifyShardBytes).min(BigInt(64)).toInt.max(1)
+    }
+
+  /** The containment verify pass over a candidate-pair frame: join both
+    * sides' digest arrays in and keep pairs with |A∩B|/|A| >= 0.8. With
+    * `shard = Some((i, n))` the contained-side base scan is filtered to
+    * the same hash residue the caller filtered the candidate pairs to —
+    * the join would propagate the candidate-side predicate eventually,
+    * but filtering the memo scan explicitly guarantees only 1/n of the
+    * base shuffles for the a-side join regardless of planner version. */
+  private def verifyContainment(cand: DataFrame, base: DataFrame,
+      shard: Option[(Int, Int)]): DataFrame = {
+    graft.functions.GraftFunctions.register(base.sparkSession)
+    val baseA = shard match {
+      case Some((i, n)) =>
+        base.filter(pmod(xxhash64(col("doc_id")), lit(n)) === i)
+      case None => base
+    }
+    cand
+      .join(baseA.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a").as("contained"), col("b").as("container"),
+        size(col("sha")).cast("long").as("n_sh"),
+        (TextFns.sortedIntersectCount(col("sha"), col("shb")).cast("double") /
+          size(col("sha"))).as("containment"))
+      .filter(col("containment") >= 0.8)
+  }
+
+  private def containmentFromDigests(base: DataFrame): DataFrame =
+    containmentFromDigests(base, 1)
+
+  private def containmentFromDigests(
+      base: DataFrame, verifyShards: Int): DataFrame = {
     // digests are ALREADY 60-bit longs (containmentDigests truncates at
     // the projection), so blocking keys explode straight out of the
     // arrays — no per-posting re-hash, and every shuffle in this
@@ -755,14 +832,35 @@ object Dedup {
     // values
     val ex = base.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("h"))
-    // filter the df table down to rare digests BEFORE the big join: the
-    // re-join shuffle then carries only the rare side of the vocabulary,
-    // and boilerplate digests never travel twice
-    val dfcRare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ContainmentDfCap)
-      .select(col("h"))
-    val rare = ex.join(dfcRare, "h")
-      .select(col("doc_id"), col("n"), col("h"))
+    // Rarity gate, INVERTED (round 14): the digests that must not block
+    // are the HEAVY ones (df > ContainmentDfCap), and there are few of
+    // them by construction — at most total_postings/Cap, in practice the
+    // corpus's boilerplate vocabulary. Anti-joining the postings against
+    // a BROADCAST of the heavy set replaces the old rare-side re-join (a
+    // full postings-by-digest shuffle) with a map-side filter — and the
+    // surviving postings stream KEEPS the digest memo's doc_id
+    // partitioning, so the 2-smallest-rare aggregation below plans with
+    // no exchange either. Net: candidate generation pays ONE corpus-
+    // scale shuffle (the block-key join) where it paid three; the sf100
+    // disk profile showed the climb to peak scratch was exactly these
+    // candidate-gen shuffle files, not the verify tail. The df aggregate
+    // feeding the broadcast is map-side combined (counts, not postings).
+    // 100 TB note: the heavy-set worst case grows as postings/Cap — a
+    // corpus whose boilerplate vocabulary outgrows a broadcast (billions
+    // of distinct over-cap digests) flips [[HeavyBroadcastConf]] off and
+    // pays the old shuffle semi-join instead; the switch changes the
+    // plan, never the candidate set (both express df <= Cap exactly).
+    val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val rare =
+      if (base.sparkSession.conf
+          .getOption(HeavyBroadcastConf).forall(_.toBoolean))
+        ex.join(broadcast(dfc.filter(col("df") > ContainmentDfCap)
+            .select(col("h"))), Seq("h"), "left_anti")
+          .select(col("doc_id"), col("n"), col("h"))
+      else
+        ex.join(dfc.filter(col("df") <= ContainmentDfCap).select(col("h")),
+            "h")
+          .select(col("doc_id"), col("n"), col("h"))
     // 2 smallest rare digests per doc via the bounded MinKLongs partial:
     // aggregation state is 2 slots regardless of how many rare digests a
     // long doc carries (collect_list would buffer them all)
@@ -774,8 +872,24 @@ object Dedup {
         explode(col("hs")).as("h"))
     // size prefilter: containment >= 0.8 forces |A| <= 1.25|B|
     // (|A∩B| <= |B|), so wildly-mismatched candidates are provably
-    // non-qualifying — dropping them here cannot change the output
-    val cand = bot
+    // non-qualifying — dropping them here cannot change the output.
+    //
+    // The block-key join BROADCASTS bot (round 14): bot is ≤ 2 rows per
+    // doc (the MinKLongs(2) output exploded), so its bytes are doc-count-
+    // scale — ~24 B/doc — while the streamed side is the full rare
+    // postings stream, which the old shuffle join re-shuffled by digest
+    // (~postings × 24 B, the second-largest scratch item in the sf100
+    // disk profile). Broadcasting the small side leaves the postings in
+    // place; only the (df-cap-bounded) candidate pairs move into the
+    // distinct. 100 TB note: bot grows with doc COUNT (2.5B docs ≈
+    // 60 GB), past broadcast range — the same [[HeavyBroadcastConf]]
+    // escape hatch flips this join back to shuffle; plan dial only, the
+    // pair set is identical.
+    val botSide =
+      if (base.sparkSession.conf
+          .getOption(HeavyBroadcastConf).forall(_.toBoolean)) broadcast(bot)
+      else bot
+    val cand = botSide
       .join(rare.select(col("doc_id").as("b"), col("n").as("nb"), col("h")),
         "h")
       .filter(col("a") =!= col("b") && col("na") * 4 <= col("nb") * 5)
@@ -784,15 +898,32 @@ object Dedup {
     // array_sort'ed upstream, so the native merge-count expression does
     // the intersect in one allocation-free walk (vs array_intersect
     // materializing the intersection just for size() to count it).
-    graft.functions.GraftFunctions.register(base.sparkSession)
-    cand
-      .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-      .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-      .select(col("a").as("contained"), col("b").as("container"),
-        size(col("sha")).cast("long").as("n_sh"),
-        (TextFns.sortedIntersectCount(col("sha"), col("shb")).cast("double") /
-          size(col("sha"))).as("containment"))
-      .filter(col("containment") >= 0.8)
+    //
+    // Sharded two-pass at scale (verifyShards > 1): pass 1 pins the
+    // candidate pairs (16-byte rows — the cheap side of the pipeline);
+    // pass 2 verifies SEQUENTIAL hash(a)-shards of them, pinning each
+    // shard's (tiny) qualifying-pair output before starting the next.
+    // Per-pair work and output are identical to the single pass — the
+    // shards partition the pair set disjointly — but bytes-IN-FLIGHT
+    // are divided by the shard count: the verify join's pair-duplicated
+    // array shuffle (the sf100 scratch peak) only ever exists for one
+    // shard at a time, and a completed shard's shuffle files are
+    // unreferenced once its output is pinned (localCheckpoint severs
+    // lineage), so the GC nudge lets ContextCleaner reclaim them while
+    // the next shard runs. The b-side memo scan re-shuffles per shard —
+    // S× cumulative reads of a DISK_ONLY-compressed memo, the explicit
+    // trade for an S× smaller peak.
+    if (verifyShards <= 1) verifyContainment(cand, base, None)
+    else {
+      val pairs = cand.pinSer(true)
+      (0 until verifyShards).map { i =>
+        val out = verifyContainment(
+          pairs.filter(pmod(xxhash64(col("a")), lit(verifyShards)) === i),
+          base, Some((i, verifyShards))).pinSer(true)
+        System.gc() // release the finished shard's shuffle files
+        out
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** q192's 60-bit SimHash + Hamming≤3 banded dedup over an ARBITRARY
@@ -885,7 +1016,7 @@ object Dedup {
           .filter(size(toks(col("text"))) >= 3)
           .repartition(TextFns.cpuPartitions, col("doc_id"))
           .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh")))
-      })),
+      }, containmentVerifyShards(s, d))),
 
     // --- cross-source leakage matrix (where do near-dups come from?) -------
     // The provenance view of the q42 pair list: which source pairs share

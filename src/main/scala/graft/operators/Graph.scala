@@ -114,11 +114,69 @@ object Graph {
     val (both, n) = linkedBoth(s, d)
     both.repartition(n, col("src"))
       .dropDuplicates("src", "dst")
-      .pinSer(false)
+      // layout-keeping pin (round 14): every src-keyed consumer — the
+      // per-iteration rank⋈edges joins, the degree aggregate, the
+      // census groupBys — plans against the memo's HashPartitioning(src)
+      // instead of re-shuffling the corpus-sized edge list per action
+      // (Spark's own checkpoint writes UnknownPartitioning —
+      // PinnedLayoutSpec)
+      .pinSerKeyed(false, "src")
+  }
+
+  /** Opt-in cross-session amortization of the edge build: when this conf
+    * is `true` AND [[writeBucketedEdges]] has published the dir's edge
+    * table, the graph family reads it instead of re-running the
+    * orders⋈lineitem join. OFF by default — the oracle-gated queries
+    * must never silently serve a stale table written against older
+    * files. */
+  val BucketedEdgesConf = "spark.graft.graph.bucketedEdges"
+
+  /** Deterministic catalog name for dir `d`'s edge table (dirs are
+    * arbitrary paths; the name embeds a digest, not the path). */
+  def bucketedEdgeTable(d: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_edges_$h"
+  }
+
+  /** WRITE-ONCE side of the amortization: materialize the deduped
+    * both-directions edge list as a parquet table BUCKETED AND SORTED BY
+    * src, bucket count = the same whole-file pricing the in-session memo
+    * uses. A bucketed scan reports HashPartitioning(src, n) to the
+    * planner, so every later session's rank⋈edges join and contribution
+    * groupBy start exchange-free — the 500 s sf100 edge build (q201's
+    * cold-cost owner) is paid once per corpus version, not once per
+    * session. On a real cluster this is the bucketed-table pattern over
+    * HMS/Glue; locally the in-memory catalog scopes the METADATA (which
+    * carries the bucketing spec) to the JVM, so the cross-JVM story
+    * needs a persistent metastore — the within-JVM contract is
+    * spec-pinned either way (`GraphBucketedSpec`). */
+  def writeBucketedEdges(s: SparkSession, d: String): String = {
+    val (both, n) = linkedBoth(s, d)
+    val t = bucketedEdgeTable(d)
+    both.repartition(n, col("src"))
+      .dropDuplicates("src", "dst")
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(n, "src").sortBy("src", "dst")
+      .saveAsTable(t)
+    t
+  }
+
+  /** The un-memoized read-or-build decision behind [[edges]], separated
+    * so the bucketed-table spec can pin it: catalog table when opted in
+    * and present, cold build otherwise. The bucketed read is NOT pinned —
+    * its scan already carries the layout the iterations need, and
+    * re-reading bucketed parquet per iteration is exactly the
+    * storage-backed shape a multi-session cluster runs. */
+  private[operators] def edgeSource(s: SparkSession, d: String): DataFrame = {
+    val t = bucketedEdgeTable(d)
+    if (s.conf.getOption(BucketedEdgesConf).exists(_.toBoolean) &&
+        s.catalog.tableExists(t)) s.table(t)
+    else buildEdges(s, d)
   }
 
   private[operators] def edges(s: SparkSession, d: String): DataFrame =
-    sharedEdges.getOrCompute(s, d)(buildEdges(s, d))
+    sharedEdges.getOrCompute(s, d)(edgeSource(s, d))
 
   private def kindOf(node: Column): Column =
     when(node % 2 === 0, lit("customer")).otherwise(lit("supplier"))
@@ -143,7 +201,7 @@ object Graph {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
       .select(col("src"), col("dst"), (lit(1L) + expr("6 div n")).as("w"))
-      .pinSer(false)
+      .pinSerKeyed(false, "src")
   }
 
   private[operators] def weightedEdges(s: SparkSession, d: String): DataFrame =

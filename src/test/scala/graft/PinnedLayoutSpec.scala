@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.Pinned._
+
+/** The layout contract of the partitioning-preserving pin
+  * (`PinOps.pinSerKeyed` / `GraftPinBridge`): Spark's own checkpoint
+  * path drops the hash layout a memo just paid a shuffle for (pinned as
+  * UnknownPartitioning — the first test DOCUMENTS the stock behavior
+  * this bridge exists to fix), the keyed pin provably keeps it
+  * (key-aligned aggregation over the pinned frame plans with zero
+  * exchanges), and an UNPROVABLE layout claim degrades to a plain pin
+  * with identical results — never a wrong layout. */
+class PinnedLayoutSpec extends SparkSpec {
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+    case q: QueryStageExec => p +: walk(q.plan)
+    case other => other +: other.children.flatMap(walk)
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    walk(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+
+  private def src = spark.range(1000).toDF("id")
+    .withColumn("k", col("id") % 7)
+    .repartition(4, col("k"))
+    .select(col("k"), col("id"))
+
+  test("stock pin drops the layout (the documented Spark 4.1 behavior)") {
+    val pinned = src.pinSer(false)
+    val lr = pinned.queryExecution.optimizedPlan
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    assert(lr.outputPartitioning.toString.startsWith("UnknownPartitioning"),
+      s"Spark now preserves pin layout (${lr.outputPartitioning}) — " +
+        "the bridge may be retired")
+    val agg = src.pinSer(false).groupBy(col("k")).count()
+    agg.collect()
+    assert(shuffles(agg) == 1, "layout-less pin should re-shuffle")
+  }
+
+  test("keyed pin keeps the layout: key-aligned agg and join plan with " +
+    "zero exchanges on the pinned side, same results") {
+    val pinned = src.pinSerKeyed(false, "k")
+    val agg = pinned.groupBy(col("k")).agg(sum(col("id")).as("s"))
+    val expected = src.groupBy(col("k")).agg(sum(col("id")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = agg.collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+    assert(shuffles(agg) == 0,
+      "key-aligned agg over the keyed pin still shuffled")
+    // superset grouping rides the subset layout too
+    val agg2 = pinned.groupBy(col("k"), col("id")).count()
+    agg2.collect()
+    assert(shuffles(agg2) == 0)
+  }
+
+  test("an unprovable layout claim degrades to a plain pin — results " +
+    "right, no layout invented") {
+    // no repartition in the lineage: the claim must be refused. (Stock
+    // Spark may still record the scan's own layout — rangepartitioning
+    // on id for a non-adaptive range plan — which is fine: the assert is
+    // that no HASH layout on k was INVENTED.)
+    val plain = spark.range(100).toDF("id").withColumn("k", col("id") % 3)
+      .pinSerKeyed(false, "k")
+    val lr = plain.queryExecution.optimizedPlan
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    assert(!lr.outputPartitioning.toString.contains("hashpartitioning(k"),
+      s"bridge claimed ${lr.outputPartitioning} without a proving lineage")
+    // key recomputed between repartition and pin: exprId changes, refuse
+    val reKeyed = spark.range(100).toDF("id")
+      .withColumn("k", col("id") % 3)
+      .repartition(4, col("k"))
+      .withColumn("k", col("k") + 0) // new exprId for k
+      .pinSerKeyed(false, "k")
+    val lr2 = reKeyed.queryExecution.optimizedPlan
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    assert(!lr2.outputPartitioning.toString.contains("hashpartitioning(k"),
+      s"bridge claimed ${lr2.outputPartitioning} through a key-rewriting " +
+        "projection")
+    assert(plain.count() == 100 && reKeyed.count() == 100)
+  }
+}

@@ -81,4 +81,53 @@ class DedupSkewSpec extends SparkSpec {
       got.take(5).mkString(", "))
     assertNoBnl(out)
   }
+
+  test("q78 sharded verify: a forced 3-shard two-pass bit-matches the single pass") {
+    import spark.implicits._
+    // a fixture with pairs at EVERY hash(a) residue: 3 container docs,
+    // each swallowing 40 distinct small docs (so the shard filter and
+    // the a-side base filter both genuinely drop rows per shard), plus
+    // near-miss docs sharing only a minority of shingles (must stay
+    // excluded in both modes)
+    val groups = 3
+    val per = 40
+    val texts = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    (0 until groups).foreach { g =>
+      val smalls = (0 until per).map { i =>
+        val id = (g * per + i).toLong
+        val t = (0 until 20).map(j => s"g${g}d${i}w$j").mkString(" ")
+        texts += ((id, t)); t
+      }
+      texts += (((groups * per + g).toLong, smalls.mkString(" ")))
+      // near-miss: first 4 tokens of a small doc + unique tail (3 shared
+      // trigrams out of 18 — containment 1/6, far under 0.8)
+      texts += (((groups * per + groups + g).toLong,
+        (0 until 4).map(j => s"g${g}d0w$j").mkString(" ") + " " +
+          (0 until 16).map(j => s"miss${g}u$j").mkString(" ")))
+    }
+    val shingled = texts.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFns.shingles(TextFns.toks(col("text")), 3).as("sh"))
+    def run(): Seq[String] =
+      Dedup.containmentFromShingles(shingled)
+        .collect().map(_.toString).sorted.toSeq
+    val single = run()
+    assert(single.size == groups * per, s"planted truth: ${single.size}")
+    spark.conf.set(Dedup.VerifyShardsConf, "3")
+    try {
+      val sharded = run()
+      assert(sharded == single,
+        "sharded union diverged from the single-pass verify")
+    } finally spark.conf.unset(Dedup.VerifyShardsConf)
+
+    // the broadcast plan dials (heavy-digest anti-join + block-key
+    // broadcast) must be PLAN-only: flipping them off re-plans the
+    // candidate pass as the old shuffle joins with an identical pair set
+    spark.conf.set(Dedup.HeavyBroadcastConf, "false")
+    try {
+      val shuffled = run()
+      assert(shuffled == single,
+        "shuffle-join branch diverged from the broadcast branch")
+    } finally spark.conf.unset(Dedup.HeavyBroadcastConf)
+  }
 }

@@ -22,11 +22,16 @@ OUT=${2:-/tmp/vout_sf10}
 # oracle's recursive ladders are truncated at fixed hop counts), exact
 # dedup (q40), text tokens (q30), CC over the near-dup graph (q46), and
 # SemDeDup (q144) join the original ten.
+# Round-14 widening: five more families at the third decade — bounded
+# top-k aggregation (q27), tf-idf (q34), exact decontamination (q57),
+# sequence packing (q66), and exact group medians via the integer-cents
+# histogram walk (q91).
 QUERIES="q02_agg_groupby q12_window_rank q41_dedup_minhash q107_hll_distinct \
 q128_eqfreq_bins q205_shard_balance q211_global_rank q217_cdc_chunks \
 q78_containment_dedup q231_eps_calibration \
 q30_text_tokens q40_dedup_exact q46_dedup_components q144_semdedup \
-q202_bfs_khop q210_copurchase_topk q218_weighted_sssp"
+q202_bfs_khop q210_copurchase_topk q218_weighted_sssp \
+q27_topk_agg q34_text_tfidf q57_decontam q66_sequence_pack q91_group_median"
 
 rm -rf "$OUT"
 sbt -batch "runMain graft.Verify $SF10 $OUT $QUERIES" 2>&1 | tail -2
