@@ -201,7 +201,13 @@ object Graph {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
       .select(col("src"), col("dst"), (lit(1L) + expr("6 div n")).as("w"))
-      .pinSerKeyed(false, "src")
+      // PLAIN pin on purpose (A/B-measured, round 14): with the keyed
+      // pin the q218 relaxation loop plans against the memo's fixed
+      // 32-partition src layout and runs ~2.5× slower in-board (3.50 vs
+      // 1.39 s min-of-3) than letting AQE re-shuffle and right-size the
+      // join stages per round; the unweighted edge memo keeps its keyed
+      // pin because its census consumers measurably gain from it.
+      .pinSer(false)
   }
 
   private[operators] def weightedEdges(s: SparkSession, d: String): DataFrame =

@@ -104,10 +104,15 @@ object GraftPinBridge {
         // partitioning expressions onto the new ids positionally
         val byName = lr.output.map(a => a.name -> a).toMap
         val newKeys = keyAttrs.map(k => byName(k.name))
+        // carry the original pin's statistics and constraints through the
+        // rebuild — dropping them resets the memo to defaultSizeInBytes
+        // and a small memo silently stops broadcasting (measured: q78's
+        // in-board verify joins fell from broadcast to sort-merge and the
+        // query nearly doubled)
         val rebuilt = LogicalRDD(lr.output, lr.rdd,
           HashPartitioning(newKeys, hp.numPartitions),
           lr.outputOrdering, lr.isStreaming, lr.stream)(
-          pds.sparkSession, None, None)
+          pds.sparkSession, Some(lr.computeStats()), Some(lr.constraints))
         classic.Dataset.ofRows(pds.sparkSession, rebuilt)
     }
   }

@@ -60,6 +60,19 @@ class PinnedLayoutSpec extends SparkSpec {
     assert(shuffles(agg2) == 0)
   }
 
+  test("reliable mode keeps the layout through a real checkpoint too") {
+    spark.conf.set(Pinned.ModeConf, "reliable")
+    try {
+      val pinned = src.pinSerKeyed(true, "k")
+      val agg = pinned.groupBy(col("k")).agg(sum(col("id")).as("s"))
+      val expected = src.groupBy(col("k")).agg(sum(col("id")).as("s"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(agg.collect().map(_.toString).sorted.toSeq == expected)
+      assert(shuffles(agg) == 0,
+        "key-aligned agg over a reliable keyed pin still shuffled")
+    } finally spark.conf.unset(Pinned.ModeConf)
+  }
+
   test("an unprovable layout claim degrades to a plain pin — results " +
     "right, no layout invented") {
     // no repartition in the lineage: the claim must be refused. (Stock
