@@ -19,8 +19,14 @@ SF100=${1:-data/sf100}
 OUT=${2:-/tmp/vout_sf100}
 [ -d "$SF100" ] || { echo "no sf100 dir at $SF100 — run: python3 tools/gen_sf1.py $SF100 1000"; exit 1; }
 
+# Round-14 widening: the same five families the sf10 gate gained —
+# bounded top-k agg (q27), tf-idf (q34, documents stay sub-GB at
+# sf100), exact decontam (q57), sequence packing (q66), and the
+# integer-cents group-median walk (q91) — all DuckDB-tractable at the
+# fourth decade.
 QUERIES="q02_agg_groupby q12_window_rank q107_hll_distinct q128_eqfreq_bins \
-q205_shard_balance q211_global_rank q217_cdc_chunks q231_eps_calibration"
+q205_shard_balance q211_global_rank q217_cdc_chunks q231_eps_calibration \
+q27_topk_agg q34_text_tfidf q57_decontam q66_sequence_pack q91_group_median"
 
 rm -rf "$OUT"
 sbt -batch "runMain graft.Verify $SF100 $OUT $QUERIES" 2>&1 | tail -2
