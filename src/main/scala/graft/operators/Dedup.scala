@@ -792,7 +792,14 @@ object Dedup {
     s.conf.getOption(VerifyShardsConf).map(_.toInt).getOrElse {
       val bytes = graft.Tables.load(s, d, "documents")
         .queryExecution.optimizedPlan.stats.sizeInBytes
-      (bytes / VerifyShardBytes).min(BigInt(64)).toInt.max(1)
+      // a stat-less source reports the defaultSizeInBytes sentinel
+      // (Long.MaxValue) — trusting it would price to the 64-shard cap
+      // and force 64 sequential verify jobs over possibly tiny data.
+      // Size-unknown degrades to one shard (the dataPartitions lesson).
+      val unknown = BigInt(
+        org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes)
+      if (bytes >= unknown) 1
+      else (bytes / VerifyShardBytes).min(BigInt(64)).toInt.max(1)
     }
 
   /** The containment verify pass over a candidate-pair frame: join both

@@ -68,8 +68,16 @@ object GraftPinBridge {
         val reparAttrs = r.partitionExpressions.collect {
           case ar: AttributeReference => ar.exprId
         }
+        // HashPartitioning's murmur3 hash is ORDER-sensitive (it hashes
+        // the expression sequence), so the requested keys must match the
+        // repartition expressions exactly — same attributes, same order,
+        // same multiplicity. A set comparison here would let
+        // pinSerKeyed("b","a") over repartition(n, a, b) claim a layout
+        // whose hash function differs from the physical row placement,
+        // and a downstream join would skip a required exchange and
+        // silently return wrong rows.
         val exact = reparAttrs.size == r.partitionExpressions.size &&
-          reparAttrs.toSet == keys.map(_.exprId).toSet
+          reparAttrs == keys.map(_.exprId)
         (exact, r.optNumPartitions) match {
           case (true, Some(n)) => Some(HashPartitioning(keys, n))
           case _ => None
@@ -101,9 +109,15 @@ object GraftPinBridge {
         val pds = pinned.asInstanceOf[classic.Dataset[Row]]
         val lr = pds.queryExecution.analyzed.asInstanceOf[LogicalRDD]
         // the pinned plan re-ids its output attributes; remap the
-        // partitioning expressions onto the new ids positionally
-        val byName = lr.output.map(a => a.name -> a).toMap
-        val newKeys = keyAttrs.map(k => byName(k.name))
+        // partitioning expressions onto the new ids POSITIONALLY —
+        // checkpoint preserves schema order, so the attribute at index i
+        // of the pinned output is the attribute at index i of the
+        // analyzed output. A by-name map would pick the wrong column on
+        // frames with duplicate output names (legal through a Project).
+        val origOutput = cds.queryExecution.analyzed.output
+        val newKeys = keyAttrs.map { k =>
+          lr.output(origOutput.indexWhere(_.exprId == k.exprId))
+        }
         // carry the original pin's statistics and constraints through the
         // rebuild — dropping them resets the memo to defaultSizeInBytes
         // and a small memo silently stops broadcasting (measured: q78's

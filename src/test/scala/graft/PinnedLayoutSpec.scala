@@ -98,4 +98,74 @@ class PinnedLayoutSpec extends SparkSpec {
         "projection")
     assert(plain.count() == 100 && reKeyed.count() == 100)
   }
+
+  test("multi-key pin: same-order keys keep the layout, a PERMUTED key " +
+    "request degrades to a plain pin (hash is order-sensitive)") {
+    val two = spark.range(1000).toDF("id")
+      .withColumn("a", col("id") % 7)
+      .withColumn("b", col("id") % 11)
+      .repartition(4, col("a"), col("b"))
+      .select(col("a"), col("b"), col("id"))
+    // exact order: layout provable, key-aligned agg plans exchange-free
+    val kept = two.pinSerKeyed(false, "a", "b")
+    val agg = kept.groupBy(col("a"), col("b")).agg(sum(col("id")).as("s"))
+    val expected = two.groupBy(col("a"), col("b"))
+      .agg(sum(col("id")).as("s")).collect().map(_.toString).sorted.toSeq
+    assert(agg.collect().map(_.toString).sorted.toSeq == expected)
+    assert(shuffles(agg) == 0,
+      "same-order multi-key pin still shuffled a key-aligned agg")
+    // permuted order: HashPartitioning(b, a) hashes differently from the
+    // physical repartition(a, b) placement — the bridge must refuse the
+    // claim rather than let a downstream join skip a required exchange
+    val permuted = two.pinSerKeyed(false, "b", "a")
+    val lrP = permuted.queryExecution.optimizedPlan
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    assert(!lrP.outputPartitioning.toString.contains("hashpartitioning"),
+      s"bridge claimed ${lrP.outputPartitioning} for permuted keys — " +
+        "an untrue layout (murmur3 over a different expression order)")
+    val aggP = permuted.groupBy(col("a"), col("b"))
+      .agg(sum(col("id")).as("s"))
+    assert(aggP.collect().map(_.toString).sorted.toSeq == expected)
+    assert(shuffles(aggP) == 1, "permuted pin must re-shuffle (plain pin)")
+  }
+
+  test("duplicated repartition expressions never match a shorter key " +
+    "request (multiplicity-exact check)") {
+    val dup = spark.range(100).toDF("id")
+      .withColumn("k", col("id") % 3)
+      .repartition(4, col("k"), col("k"))
+      .pinSerKeyed(false, "k")
+    val lr = dup.queryExecution.optimizedPlan
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    assert(!lr.outputPartitioning.toString.contains("hashpartitioning"),
+      s"bridge claimed ${lr.outputPartitioning} for repartition(k, k) " +
+        "against keys=[k] — hash over (k) differs from hash over (k, k)")
+    assert(dup.count() == 100)
+  }
+
+  test("duplicate output NAMES remap positionally, not by last-name-wins") {
+    // select(k, id AS k): two output columns both named "k". The layout
+    // was established on the FIRST (the real key); a by-name remap onto
+    // the pinned output would attach the partitioning to the LAST — a
+    // false claim over the id-valued column.
+    val dupNames = spark.range(1000).toDF("id")
+      .withColumn("k", col("id") % 7)
+      .repartition(4, col("k"))
+      .select(col("k"), col("id").as("k"))
+    val pinned = dupNames.pinSerKeyed(false, "k")
+    val lr = pinned.queryExecution.optimizedPlan
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    lr.outputPartitioning match {
+      case hp: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        val claimed = hp.expressions.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.exprId
+        }
+        assert(claimed == Seq(lr.output.head.exprId),
+          s"layout attached to ${hp.expressions} but the repartition key " +
+            s"is positionally output(0)=${lr.output.head}")
+      case other => fail(s"expected a kept HashPartitioning, got $other")
+    }
+    assert(pinned.count() == 1000)
+  }
 }

@@ -57,7 +57,8 @@ class GraphBucketedSpec extends SparkSpec {
       // 3. the switch: reads the table only when opted in AND present
       def isCatalogRead(df: org.apache.spark.sql.DataFrame): Boolean =
         df.queryExecution.analyzed.collectFirst {
-          case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => r
+          case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+            if r.tableMeta.identifier.table == t => r
           case l: org.apache.spark.sql.execution.datasources.LogicalRelation
             if l.catalogTable.exists(_.identifier.table == t) => l
         }.nonEmpty

@@ -43,8 +43,15 @@ class TimeBudgetSpec extends SparkSpec {
     val qKey = text.indexOf("\"queries\"")
     assume(qKey >= 0, "bench_out.json has no \"queries\" object")
     val open = text.indexOf('{', qKey)
-    val close = text.indexOf('}', open) // flat object: no nested braces
+    val close = text.indexOf('}', open)
     assume(open >= 0 && close > open, "malformed \"queries\" object")
+    // the scoped parse assumes the object is FLAT — if bench_out.json
+    // ever nests a value inside "queries", the first '}' would truncate
+    // mid-object and the budget check would silently cover only a
+    // prefix. Fail loudly instead.
+    assert(text.substring(open + 1, close).indexOf('{') < 0,
+      "\"queries\" object is no longer flat — update TimeBudgetSpec's " +
+        "parse to track brace depth")
     val entry = """"(q[0-9]+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
     val times = entry.findAllMatchIn(text.substring(open, close + 1))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap

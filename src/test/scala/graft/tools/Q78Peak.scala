@@ -1,9 +1,10 @@
 package graft
 
-/** Dev diagnostic: one COLD q78 run against a dir with the containment
-  * verify shard count forced, so the sharded-verify scratch claim can be
-  * A/B-profiled (pair with a timestamped `df` sampler on the side).
-  * Usage: sbt "runMain graft.Q78Peak data/sf100 4"
+/** Dev diagnostic (test scope — not part of the shipped engine): one
+  * COLD q78 run against a dir with the containment verify shard count
+  * forced, so the sharded-verify scratch claim can be A/B-profiled
+  * (pair with a timestamped `df` sampler on the side).
+  * Usage: sbt "Test/runMain graft.Q78Peak data/sf100 4"
   */
 object Q78Peak {
   def main(args: Array[String]): Unit = {
