@@ -59,6 +59,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - Rows are shipped to executors inside the planned partition (the same
   *    pattern as Spark's own socket source). Parsing/windowing downstream is
   *    fully distributed; the listener is only the accept path.
+  *  - Slow-consumer bound: the in-driver ring is capped at
+  *    `maxBufferBytes` (default [[NgsiHttpSource.DefaultMaxBufferBytes]],
+  *    512 MiB) of accepted-but-uncommitted notifications. At the cap the
+  *    source answers 429 + Retry-After instead of acking — nothing is
+  *    buffered or captured for a refused post, so the broker's
+  *    notification retry loop redelivers it once micro-batches catch up:
+  *    driver memory stays bounded under a stalled consumer, and no acked
+  *    event is ever dropped (NgsiHttpSourceSpec pins the ceiling, the
+  *    429s, the drain-then-recover cycle, and exactly-once delivery of
+  *    every acked post).
   *
   * Usage: `spark.readStream.format("graft.sources.NgsiHttpSource")
   *   .option("port", 9001).load()`
@@ -74,7 +84,9 @@ class NgsiHttpSource extends TableProvider {
     new NgsiHttpTable(
       Option(opts.get("port")).map(_.toInt)
         .getOrElse(throw new IllegalArgumentException("ngsi-http source requires a 'port' option")),
-      Option(opts.get("capturedir")))
+      Option(opts.get("capturedir")),
+      Option(opts.get("maxbufferbytes")).map(_.toLong)
+        .getOrElse(NgsiHttpSource.DefaultMaxBufferBytes))
   }
 }
 
@@ -84,9 +96,24 @@ object NgsiHttpSource {
     StructField("service", StringType),
     StructField("servicePath", StringType),
     StructField("recvTime", TimestampType)))
+
+  /** Default ceiling for the driver-resident ingest ring (bytes of
+    * accepted-but-uncommitted notifications, estimated as payload +
+    * header strings + fixed per-record overhead). A consumer slower than
+    * the poster can otherwise grow the ring without bound — the measured
+    * ~5-6k notif/s ingest against a stalled query is ~5 MB/s of driver
+    * heap at 1 KB notifications, i.e. driver OOM in under an hour. At
+    * the cap the source stops ACKING: posts get 429 + Retry-After and
+    * are neither buffered nor captured, so the broker's own notification
+    * retry loop (Orion re-delivers unacked notifications) preserves
+    * at-least-once while driver memory stays bounded. 512 MiB ≈ half a
+    * million 1 KB notifications of headroom — minutes of a stalled
+    * consumer at full ingest rate, far beyond any micro-batch hiccup. */
+  val DefaultMaxBufferBytes: Long = 512L << 20
 }
 
-private[sources] class NgsiHttpTable(port: Int, captureDir: Option[String])
+private[sources] class NgsiHttpTable(port: Int, captureDir: Option[String],
+    maxBufferBytes: Long = NgsiHttpSource.DefaultMaxBufferBytes)
     extends Table with SupportsRead {
   override def name(): String = s"ngsi-http:$port"
   override def schema(): StructType = NgsiHttpSource.Schema
@@ -99,7 +126,7 @@ private[sources] class NgsiHttpTable(port: Int, captureDir: Option[String])
         override def toBatch: Batch =
           throw new UnsupportedOperationException("ngsi-http is streaming-only")
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new NgsiHttpMicroBatchStream(port, captureDir)
+          new NgsiHttpMicroBatchStream(port, captureDir, maxBufferBytes)
       }
     }
 }
@@ -113,7 +140,8 @@ private[sources] final case class BufferedNotification(
     body: String, service: String, servicePath: String, recvTimeMicros: Long)
 
 private[sources] class NgsiHttpMicroBatchStream(
-    port: Int, captureDir: Option[String] = None)
+    port: Int, captureDir: Option[String] = None,
+    maxBufferBytes: Long = NgsiHttpSource.DefaultMaxBufferBytes)
     extends MicroBatchStream {
 
   // Resumable history: everything captured by PREVIOUS incarnations of this
@@ -186,6 +214,18 @@ private[sources] class NgsiHttpMicroBatchStream(
   // continues after the durable history.
   private val buffer = new ArrayBuffer[BufferedNotification]()
   private var firstSeq = prevEnd
+
+  // Back-pressure accounting for the live ring (guarded by the buffer
+  // lock): estimated heap bytes of accepted-but-uncommitted
+  // notifications. At `maxBufferBytes` the accept path stops ACKING —
+  // 429 + Retry-After, nothing buffered, nothing captured — so a
+  // consumer slower than the posters bounds driver memory instead of
+  // growing it; the broker's notification retry re-delivers the unacked
+  // events once the pipeline catches up (at-least-once preserved, no
+  // silent drops). Commit trims restore the budget.
+  private var bufferedBytes = 0L
+  private def recBytes(rec: BufferedNotification): Long =
+    rec.body.length.toLong + rec.service.length + rec.servicePath.length + 64L
 
   // Durable-ingest tee: one JSON-lines capture file per source incarnation
   // (append-only, so restarts add a new file to the same directory and
@@ -270,11 +310,24 @@ private[sources] class NgsiHttpMicroBatchStream(
             Option(h.getFirst("Fiware-Service")).getOrElse(""),
             Option(h.getFirst("Fiware-ServicePath")).getOrElse(""),
             System.currentTimeMillis() * 1000L)
-          buffer.synchronized {
-            capture(rec) // durable first: 200 must imply on-disk when teeing
-            buffer += rec
+          val cost = recBytes(rec)
+          val accepted = buffer.synchronized {
+            if (bufferedBytes + cost > maxBufferBytes && buffer.nonEmpty) {
+              // ring full: refuse BEFORE capture — a 429'd notification
+              // was never acked, so the broker retry owns redelivery
+              false
+            } else {
+              capture(rec) // durable first: 200 must imply on-disk when teeing
+              buffer += rec
+              bufferedBytes += cost
+              true
+            }
           }
-          exchange.sendResponseHeaders(200, -1)
+          if (accepted) exchange.sendResponseHeaders(200, -1)
+          else {
+            exchange.getResponseHeaders.set("Retry-After", "1")
+            exchange.sendResponseHeaders(429, -1)
+          }
         }
       } else {
         exchange.sendResponseHeaders(405, -1)
@@ -360,8 +413,10 @@ private[sources] class NgsiHttpMicroBatchStream(
         prevCaptured.remove(0, math.min(dropHist, prevCaptured.size))
         prevBase = math.min(e, prevEnd)
       }
-      val drop = math.max(0L, e - firstSeq).toInt
-      buffer.remove(0, math.min(drop, buffer.size))
+      val drop = math.min(math.max(0L, e - firstSeq).toInt, buffer.size)
+      var i = 0
+      while (i < drop) { bufferedBytes -= recBytes(buffer(i)); i += 1 }
+      buffer.remove(0, drop)
       firstSeq = math.max(firstSeq, e)
     }
   }

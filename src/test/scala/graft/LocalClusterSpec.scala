@@ -333,6 +333,125 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-recovery streaming emissions diverged from local[4]")
   }
 
+  /** The near-dup lineage twin's OWN recovery path: unlike the
+    * retention stream (state store deltas + offset WAL), the
+    * [[graft.streaming.NearDupLineageStream]] accumulates its state as
+    * eagerly-pinned index + label DataFrames inside foreachBatch. In
+    * reliable pin mode those frames live as checkpoint FILES, so an
+    * executor lost mid-fold must be recoverable: the retried fold tasks
+    * re-read the prior batch's index/label partitions from storage
+    * instead of dying on vanished localCheckpoint blocks. One of two
+    * executor JVMs is kill -9'd while chunk 2's fold is in flight; the
+    * stream must finish all chunks and the folded labels must equal
+    * batch CC over the full corpus computed on local[4]. */
+  test("near-dup lineage stream: executor kill mid-fold still equals batch CC") {
+    val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
+    assume(new File(sparkHome, "jars").isDirectory,
+      s"no Spark distribution at $sparkHome — local-cluster needs one")
+    assume(new File(sfDir).isDirectory, s"no testdata at $sfDir")
+
+    import graft.operators.{Dedup => D}
+    import org.apache.spark.sql.functions.col
+
+    SparkSpec.releaseContext()
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-lineage-kill")
+    val cluster = SparkSession.builder()
+      .master("local-cluster[2,1,1536]")
+      .appName("graft-lineage-kill-recovery")
+      .config("spark.executor.memory", "1280m")
+      .config("spark.executor.extraClassPath",
+        classesDirOf(graft.Tables.getClass))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(Pinned.ModeConf, "reliable")
+      .config(Pinned.DirConf, ckptDir.toString)
+      .getOrCreate()
+    val (killedMidFold, folded) =
+      try {
+        cluster.sparkContext.setLogLevel("ERROR")
+        graft.functions.GraftFunctions.register(cluster)
+        cluster.sparkContext.requestTotalExecutors(2, 0, Map.empty)
+        val probe = cluster.range(0, 1000, 1, 4)
+          .selectExpr("sum(id)").collect()(0).getLong(0)
+        assert(probe == 499500L)
+        val regDeadline = System.nanoTime() + 60L * 1000000000L
+        while (executorPids(cluster.sparkContext.applicationId).size < 2
+               && System.nanoTime() < regDeadline)
+          Thread.sleep(50)
+        val pids = executorPids(cluster.sparkContext.applicationId)
+        assert(pids.size >= 2, s"expected 2 executor JVMs, saw $pids")
+
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = cluster.sqlContext
+        import cluster.implicits._
+        val docs = graft.Tables.load(cluster, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect().sortBy(_._1)
+        val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+
+        val streamCkpt = java.nio.file.Files
+          .createTempDirectory("graft-lineage-kill-stream")
+        val mem = MemoryStream[(Long, String)]
+        val lineage = new graft.streaming.NearDupLineageStream(cluster)
+        val q = lineage.attach(mem.toDF().toDF("doc_id", "text"))
+        val killedMidBatch =
+          new java.util.concurrent.atomic.AtomicBoolean(false)
+        try {
+          chunks.zipWithIndex.foreach { case (c, i) =>
+            mem.addData(c.toSeq)
+            if (i == 1) {
+              // aim the kill at chunk 2's first live fold job — chunk 1's
+              // index/labels are already checkpointed, so the retried
+              // tasks genuinely re-read prior state from files
+              val st = cluster.sparkContext.statusTracker
+              val killer = new Thread(() => {
+                val deadline = System.nanoTime() + 60L * 1000000000L
+                while (st.getActiveJobIds().isEmpty
+                       && System.nanoTime() < deadline)
+                  Thread.sleep(1)
+                killedMidBatch.set(st.getActiveJobIds().nonEmpty)
+                import scala.sys.process._
+                Seq("kill", "-9", pids.head.toString).!
+                ()
+              })
+              killer.start()
+              q.processAllAvailable()
+              killer.join(60000)
+              assert(!killer.isAlive,
+                "killer thread still running after join timeout")
+            } else q.processAllAvailable()
+          }
+          (killedMidBatch.get(), lineage.labels.collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet)
+        } finally {
+          q.stop(); lineage.close()
+          val _ = streamCkpt // temp dirs reaped by the OS
+        }
+      } finally {
+        cluster.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+
+    // expected: batch CC over the full corpus on the rebuilt local[4]
+    val local = SparkSpec.session
+    graft.functions.GraftFunctions.register(local)
+    val all = graft.Tables.load(local, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val expected = D.connectedComponents(
+        D.lshNearDupPairs(all, n = 3, numHashes = D.NumHashes,
+          bandSize = D.BandSize, seedBase = 0,
+          tNum = D.TrigramTNum, tDen = D.TrigramTDen)
+          .select(col("i"), col("j")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(killedMidFold,
+      "fold finished before the kill landed — no recovery exercised")
+    assert(folded.nonEmpty && folded == expected,
+      "post-kill folded labels diverged from batch CC on local[4]")
+  }
+
   /** Executor JVM pids of the given standalone app (local-cluster
     * executors are real forked processes, visible to ps). */
   private def executorPids(appId: String): Seq[Long] = {
