@@ -574,14 +574,78 @@ object Dedup {
   private val sharedPairs = graft.SessionMemo.ofFrames()
   private val sharedLabels = graft.SessionMemo.ofFrames()
 
-  /** The q42 trigram near-dup pair list (i, j, jac) — computed once per
-    * (session, sf dir) from the shared signature stage, lazily
-    * materialized (checkpoint on first action). */
-  private def trigramPairs(s: SparkSession, d: String): DataFrame =
-    sharedPairs.getOrCompute(s, d)(
+  /** Opt-in cross-session amortization of the trigram LSH pair build —
+    * the [[Graph.BucketedEdgesConf]] pattern applied to the dedup
+    * family's costliest derived artifact. When this conf is `true` AND
+    * [[writeBucketedPairs]] has published the dir's pair table, the
+    * eight-consumer q42 family reads it instead of re-running
+    * shingle→minhash→band→verify over the corpus. OFF by default — the
+    * oracle-gated queries must never silently serve a table written
+    * against older files (same staleness-refusal discipline as the graph
+    * edge table: opting in is an operator's assertion that the corpus
+    * hasn't changed since the write). */
+  val BucketedPairsConf = "spark.graft.dedup.bucketedPairs"
+
+  /** Bucket count for [[writeBucketedPairs]] (conf-overridable): pairs
+    * are pair-sized — orders of magnitude below corpus bytes — so the
+    * default is the CPU floor, not corpus-bytes pricing; a deployment
+    * whose pair list is itself huge dials this up at write time. */
+  val PairBucketsConf = "spark.graft.dedup.pairBuckets"
+  private def pairBuckets(s: SparkSession): Int =
+    s.conf.getOption(PairBucketsConf).map(_.toInt)
+      .getOrElse(TextFns.cpuPartitions)
+
+  /** Deterministic catalog name for dir `d`'s trigram pair table. */
+  def bucketedPairTable(d: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_pairs_$h"
+  }
+
+  /** WRITE-ONCE side: materialize the verified trigram pair list
+    * (i, j, jac) as a parquet table BUCKETED AND SORTED BY i, so a later
+    * session's i-keyed consumers (the CC seed aggregate, q77/q96's pair
+    * joins) plan against the scan's HashPartitioning(i) with no exchange
+    * — and, more importantly at 100 TB, the corpus-scale LSH scan that
+    * DERIVES the pairs is paid once per corpus version, not once per
+    * session. Locally the in-memory catalog scopes the metadata to the
+    * JVM (cross-JVM needs a persistent metastore), same honest caveat as
+    * the graph edge table; the within-JVM contract is spec-pinned
+    * (`DedupBucketedPairsSpec`). */
+  def writeBucketedPairs(s: SparkSession, d: String): String = {
+    val t = bucketedPairTable(d)
+    val n = pairBuckets(s)
+    lshPairsFromSigs(sigBase(s, d), numHashes = NumHashes,
+      bandSize = BandSize, tNum = TrigramTNum, tDen = TrigramTDen)
+      .repartition(n, col("i"))
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(n, "i").sortBy("i", "j")
+      .saveAsTable(t)
+    t
+  }
+
+  /** Read-or-build decision behind [[trigramPairs]], separated so the
+    * bucketed-table spec can pin it: catalog table when opted in and
+    * present, cold LSH derivation otherwise. The table read is NOT
+    * pinned — its scan already carries the layout, and re-reading
+    * bucketed parquet is exactly the storage-backed multi-session
+    * shape. */
+  private[operators] def pairSource(s: SparkSession, d: String): DataFrame = {
+    val t = bucketedPairTable(d)
+    if (s.conf.getOption(BucketedPairsConf).exists(_.toBoolean) &&
+        s.catalog.tableExists(t)) s.table(t)
+    else
       lshPairsFromSigs(sigBase(s, d), numHashes = NumHashes,
         bandSize = BandSize, tNum = TrigramTNum, tDen = TrigramTDen)
-        .pin(false))
+        .pin(false)
+  }
+
+  /** The q42 trigram near-dup pair list (i, j, jac) — computed once per
+    * (session, sf dir) from the shared signature stage, lazily
+    * materialized (checkpoint on first action) — or, opted in, read from
+    * the cross-session bucketed table. */
+  private def trigramPairs(s: SparkSession, d: String): DataFrame =
+    sharedPairs.getOrCompute(s, d)(pairSource(s, d))
 
   /** Connected-component labels (doc_id, component) over [[trigramPairs]] —
     * the cluster-label table of the near-dup family, computed once per

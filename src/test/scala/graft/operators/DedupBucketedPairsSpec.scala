@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The cross-session amortization contract for the dedup family's
+  * trigram pair memo (`Dedup.writeBucketedPairs` / `Dedup.pairSource`) —
+  * the `GraphBucketedSpec` pattern applied to the q42/q46/q47/q77/q96/
+  * q99/q103/q106 family: write the verified (i, j, jac) pair list ONCE
+  * as a parquet table bucketed by i, and a later session skips the
+  * corpus-scale shingle→minhash→band→verify derivation entirely. Four
+  * pins: an i-keyed aggregation over the bucketed scan is exchange-free,
+  * the pair rows and the CC labels over the table bit-match the cold
+  * derivation, and the read-or-build switch only reads when opted in AND
+  * the table exists (off-by-default staleness refusal). */
+class DedupBucketedPairsSpec extends SparkSpec {
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+    case q: QueryStageExec => p +: walk(q.plan)
+    case other => other +: other.children.flatMap(walk)
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    walk(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+
+  private def coldPairs(d: String): org.apache.spark.sql.DataFrame =
+    Dedup.lshNearDupPairs(
+      graft.Tables.load(spark, d, "documents").select(col("doc_id"), col("text")),
+      n = 3, numHashes = Dedup.NumHashes, bandSize = Dedup.BandSize,
+      seedBase = 0, tNum = Dedup.TrigramTNum, tDen = Dedup.TrigramTDen)
+
+  test("bucketed pair table: i-keyed aggregation plans with no exchange, " +
+    "pairs and CC labels bit-match the cold derivation, and the opt-in " +
+    "switch holds") {
+    val d = sfDir
+    val t = Dedup.writeBucketedPairs(spark, d)
+    try {
+      assert(spark.catalog.tableExists(t))
+      val bucketed = spark.table(t)
+
+      // 1. the whole point: an i-keyed agg over the bucketed scan rides
+      // the scan's HashPartitioning(i) — no exchange — where the cold
+      // pair pipeline pays its banding/verify shuffles every session
+      val byI = bucketed.groupBy(col("i")).agg(count(lit(1)).as("deg"))
+      byI.collect()
+      assert(shuffles(byI) == 0,
+        "i-keyed agg over the bucketed pair table still shuffled")
+
+      // 2. the table IS the pair list: rows bit-match the cold derivation
+      val viaTable = bucketed.collect().map(_.toString).sorted.toSeq
+      val viaBuild = coldPairs(d).collect().map(_.toString).sorted.toSeq
+      assert(viaTable.nonEmpty, "fixture corpus must contain near-dup pairs")
+      assert(viaTable == viaBuild,
+        "bucketed pair table diverged from the cold LSH derivation")
+
+      // 3. downstream labels bit-match too (the q46 family's consumer)
+      val labelsTable = Dedup.connectedComponents(
+          bucketed.select(col("i"), col("j")))
+        .collect().map(_.toString).sorted.toSeq
+      val labelsBuild = Dedup.connectedComponents(
+          coldPairs(d).select(col("i"), col("j")))
+        .collect().map(_.toString).sorted.toSeq
+      assert(labelsTable == labelsBuild,
+        "CC labels over the bucketed table diverged from the cold build")
+
+      // 4. the switch: reads the table only when opted in AND present
+      def isCatalogRead(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.analyzed.collectFirst {
+          case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+            if r.tableMeta.identifier.table == t => r
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if l.catalogTable.exists(_.identifier.table == t) => l
+        }.nonEmpty
+      assert(!isCatalogRead(Dedup.pairSource(spark, d)),
+        "pairSource read the catalog table without the opt-in conf")
+      spark.conf.set(Dedup.BucketedPairsConf, "true")
+      try {
+        assert(isCatalogRead(Dedup.pairSource(spark, d)),
+          "pairSource ignored the opt-in conf with the table present")
+        // opted in but table absent for a DIFFERENT dir → cold build
+        assert(!isCatalogRead(Dedup.pairSource(spark, sfDirAt("0.01"))),
+          "pairSource must cold-build when the dir has no table")
+      } finally spark.conf.unset(Dedup.BucketedPairsConf)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+}

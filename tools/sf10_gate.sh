@@ -26,12 +26,18 @@ OUT=${2:-/tmp/vout_sf10}
 # top-k aggregation (q27), tf-idf (q34), exact decontamination (q57),
 # sequence packing (q66), and exact group medians via the integer-cents
 # histogram walk (q91).
+# Round-15 widening (verdict #4): the learned-index tier — IVF search
+# (q52), PQ encode (q115), residual IVF-PQ (q137), and the exact-re-rank
+# refinement (q140). The codebooks/centroids are Verify-exported to the
+# _aux dir, so the DuckDB oracle rechecks assignment + ADC + re-rank
+# under the exact model the Spark side trained.
 QUERIES="q02_agg_groupby q12_window_rank q41_dedup_minhash q107_hll_distinct \
 q128_eqfreq_bins q205_shard_balance q211_global_rank q217_cdc_chunks \
 q78_containment_dedup q231_eps_calibration \
 q30_text_tokens q40_dedup_exact q46_dedup_components q144_semdedup \
 q202_bfs_khop q210_copurchase_topk q218_weighted_sssp \
-q27_topk_agg q34_text_tfidf q57_decontam q66_sequence_pack q91_group_median"
+q27_topk_agg q34_text_tfidf q57_decontam q66_sequence_pack q91_group_median \
+q52_knn_ivf q115_pq_encode q137_ivfpq_residual q140_ivfpq_rerank"
 
 rm -rf "$OUT"
 sbt -batch "runMain graft.Verify $SF10 $OUT $QUERIES" 2>&1 | tail -2
