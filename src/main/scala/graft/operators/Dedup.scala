@@ -608,10 +608,10 @@ object Dedup {
     * joins) plan against the scan's HashPartitioning(i) with no exchange
     * — and, more importantly at 100 TB, the corpus-scale LSH scan that
     * DERIVES the pairs is paid once per corpus version, not once per
-    * session. Locally the in-memory catalog scopes the metadata to the
-    * JVM (cross-JVM needs a persistent metastore), same honest caveat as
-    * the graph edge table; the within-JVM contract is spec-pinned
-    * (`DedupBucketedPairsSpec`). */
+    * session. Both halves are spec-pinned like the graph edge table's:
+    * within-JVM in `DedupBucketedPairsSpec`, cross-JVM (two forked
+    * driver processes over a Derby-backed Hive metastore, CC labels
+    * bit-equal to a cold derivation) in `GraphBucketedXjvmSpec`. */
   def writeBucketedPairs(s: SparkSession, d: String): String = {
     val t = bucketedPairTable(d)
     val n = pairBuckets(s)

@@ -147,10 +147,13 @@ object Graph {
     * groupBy start exchange-free — the 500 s sf100 edge build (q201's
     * cold-cost owner) is paid once per corpus version, not once per
     * session. On a real cluster this is the bucketed-table pattern over
-    * HMS/Glue; locally the in-memory catalog scopes the METADATA (which
-    * carries the bucketing spec) to the JVM, so the cross-JVM story
-    * needs a persistent metastore — the within-JVM contract is
-    * spec-pinned either way (`GraphBucketedSpec`). */
+    * HMS/Glue; locally BOTH halves are spec-pinned — the within-JVM
+    * contract in `GraphBucketedSpec`, and the cross-JVM one in
+    * `GraphBucketedXjvmSpec`, which forks two separate driver JVMs over
+    * a Derby-backed Hive metastore: the second process resolves the
+    * table through the persistent catalog, plans src-keyed work
+    * exchange-free off the persisted bucketing spec, and bit-matches a
+    * cold build. */
   def writeBucketedEdges(s: SparkSession, d: String): String = {
     val (both, n) = linkedBoth(s, d)
     val t = bucketedEdgeTable(d)
