@@ -145,68 +145,115 @@ private[sources] class NgsiHttpMicroBatchStream(
     extends MicroBatchStream {
 
   // Resumable history: everything captured by PREVIOUS incarnations of this
-  // source (same captureDir), loaded once at construction in capture-file
+  // source (same captureDir), indexed once at construction in capture-file
   // name order (file names are timestamped, so lexicographic = arrival
   // order). History occupies global sequence numbers [prevBase, prevEnd);
   // the live buffer numbers from prevEnd. A restarted query's checkpoint
   // offset n <= prevEnd, so planInputPartitions serves [n, prevEnd) from
   // history — the acked-but-never-planned tail — and everything past it
   // from the live buffer: restart recovery is transparent to the streaming
-  // query, no separate batch replay. Committed history is trimmed.
-  private val prevCaptured = new ArrayBuffer[BufferedNotification]()
+  // query, no separate batch replay.
+  //
+  // The index is O(FILES), not O(events): construction streams every
+  // capture file once to VALIDATE it (the torn-tail / corruption
+  // contract below must fail at restart, not mid-replay) and record its
+  // first global sequence + record count; the records themselves are
+  // re-read lazily, file-slice by file-slice, only for the ranges
+  // planInputPartitions actually serves. The previous implementation
+  // buffered the whole history in a driver ArrayBuffer — a long-lived
+  // deployment's multi-GB capture log would have OOM'd the driver at
+  // construction for a restart that typically replays a few seconds of
+  // tail. Committed history advances `prevBase` (a watermark, nothing to
+  // trim).
+  private case class HistFile(file: java.io.File, start: Long, count: Long)
+  private val histFiles = new ArrayBuffer[HistFile]()
   private var prevBase = 0L
   private val prevEnd: Long = {
+    var seq = 0L
     captureDir.foreach { dir =>
       val d = new java.io.File(dir)
       val files = Option(d.listFiles((_, n) =>
         n.startsWith("capture-") && n.endsWith(".json"))).getOrElse(Array.empty)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       files.sortBy(_.getName).foreach { f =>
-        // Lenient decode, NOT Files.readAllLines: jsonEsc writes non-ASCII
-        // raw, so a crash can tear the tail mid-multibyte-character, and
-        // readAllLines' strict UTF-8 decoder then throws for the WHOLE file
-        // — dying on restart in exactly the crash scenario the torn-tail
-        // skip below exists for. String(bytes, UTF_8) substitutes U+FFFD
-        // for the malformed tail bytes instead, so the torn line reaches
-        // the JSON parse and the last-line skip logic.
-        val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val lines = text.split("\n", -1)
-        var i = 0
-        while (i < lines.length) {
-          val line = lines(i)
-          if (line.nonEmpty) {
-            // A crash between write and fsync can tear the FINAL line of
-            // the file that was open — that event was never acked (sync
-            // precedes the 200), so skipping it honors the contract. An
-            // unparseable line anywhere else is real corruption: fail
-            // loudly rather than silently resume over a hole of events
-            // that WERE acked.
-            val node =
-              try mapper.readTree(line)
-              catch {
-                case e: Exception =>
-                  // split("\n", -1): a complete final line is followed by a
-                  // "" element, so only a genuinely unterminated (torn) line
-                  // can sit at the last index.
-                  if (i == lines.length - 1) null
-                  else throw new IllegalStateException(
-                    s"corrupt capture log $f at line ${i + 1} " +
-                      "(not a torn tail — refusing to resume over acked events)",
-                    e)
-              }
-            if (node != null)
-              prevCaptured += BufferedNotification(
-                node.get("value").asText(),
-                node.get("service").asText(),
-                node.get("servicePath").asText(),
-                node.get("recvTime").asLong() * 1000L)
-          }
-          i += 1
+        var cnt = 0L
+        foreachValidLine(f, mapper)(_ => cnt += 1)
+        if (cnt > 0) { histFiles += HistFile(f, seq, cnt); seq += cnt }
+      }
+    }
+    seq
+  }
+
+  /** Stream one capture file's valid records through `sink` under the
+    * durability contract: a crash between write and fsync can tear only
+    * the FINAL line of the file that was open — that event was never
+    * acked (sync precedes the 200), so an unparseable, UNTERMINATED last
+    * line is skipped; an unparseable line anywhere else (or a corrupt
+    * but newline-terminated final line) is real corruption over ACKED
+    * events — fail loudly rather than silently resume over a hole.
+    * Decoding is lenient (InputStreamReader's default REPLACE action):
+    * jsonEsc writes non-ASCII raw, so a tear mid-multibyte-character
+    * must reach the JSON parse as U+FFFD and the torn-tail logic, not
+    * kill the whole read with a charset exception. Memory is O(line) —
+    * this is the walker behind both the construction-time validate+count
+    * and the lazy range reads, so it must never buffer a file. */
+  private def foreachValidLine(f: java.io.File,
+      mapper: com.fasterxml.jackson.databind.ObjectMapper)(
+      sink: com.fasterxml.jackson.databind.JsonNode => Unit): Unit = {
+    val endsWithNewline = {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try raf.length > 0 && {
+        raf.seek(raf.length - 1); raf.read() == '\n'
+      } finally raf.close()
+    }
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(f),
+      java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      var line = in.readLine()
+      var lineNo = 0
+      while (line != null) {
+        lineNo += 1
+        val next = in.readLine()
+        if (line.nonEmpty) {
+          val node =
+            try mapper.readTree(line)
+            catch {
+              case e: Exception =>
+                if (next == null && !endsWithNewline) null // torn tail
+                else throw new IllegalStateException(
+                  s"corrupt capture log $f at line $lineNo " +
+                    "(not a torn tail — refusing to resume over acked events)",
+                  e)
+            }
+          if (node != null) sink(node)
+        }
+        line = next
+      }
+    } finally in.close()
+  }
+
+  /** Materialize history records [lo, hi) — only the files whose spans
+    * overlap the range are re-read, and only the overlapping records are
+    * kept. */
+  private def readHistory(lo: Long, hi: Long): ArrayBuffer[BufferedNotification] = {
+    val out = new ArrayBuffer[BufferedNotification]()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    histFiles.foreach { hf =>
+      if (math.max(lo, hf.start) < math.min(hi, hf.start + hf.count)) {
+        var idx = hf.start
+        foreachValidLine(hf.file, mapper) { node =>
+          if (idx >= lo && idx < hi)
+            out += BufferedNotification(
+              node.get("value").asText(),
+              node.get("service").asText(),
+              node.get("servicePath").asText(),
+              node.get("recvTime").asLong() * 1000L)
+          idx += 1
         }
       }
     }
-    prevCaptured.length.toLong
+    out
   }
 
   // Ring buffer of accepted-but-uncommitted notifications. `firstSeq` is the
@@ -372,13 +419,13 @@ private[sources] class NgsiHttpMicroBatchStream(
     val e = end.asInstanceOf[SeqOffset].n
     val rows = buffer.synchronized {
       // a range can straddle the durable history and the live buffer
-      // (exactly the recovery batch after a restart)
+      // (exactly the recovery batch after a restart); history records
+      // are re-read lazily from the capture files
       val hist =
         if (s < prevEnd && e > s) {
           val lo = math.max(s, prevBase)
           val hi = math.min(e, prevEnd)
-          if (hi > lo)
-            prevCaptured.slice((lo - prevBase).toInt, (hi - prevBase).toInt)
+          if (hi > lo) readHistory(lo, hi)
           else ArrayBuffer.empty[BufferedNotification]
         } else ArrayBuffer.empty[BufferedNotification]
       val from = math.max(0L, s - firstSeq).toInt
@@ -408,11 +455,9 @@ private[sources] class NgsiHttpMicroBatchStream(
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[SeqOffset].n
     buffer.synchronized {
-      val dropHist = (math.min(e, prevEnd) - prevBase).toInt
-      if (dropHist > 0) {
-        prevCaptured.remove(0, math.min(dropHist, prevCaptured.size))
-        prevBase = math.min(e, prevEnd)
-      }
+      // committed history just advances the watermark — there is no
+      // buffered history to trim (records are file-resident)
+      prevBase = math.max(prevBase, math.min(e, prevEnd))
       val drop = math.min(math.max(0L, e - firstSeq).toInt, buffer.size)
       var i = 0
       while (i < drop) { bufferedBytes -= recBytes(buffer(i)); i += 1 }
