@@ -474,6 +474,55 @@ class NgsiHttpSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lazy history slicing: ranges straddling capture-file boundaries " +
+    "replay exactly, in order, from the O(files) index") {
+    val dir = java.nio.file.Files.createTempDirectory("ngsi_slices").toString
+    def body(i: Int) = s"""{"ev":"n$i"}"""
+    // three incarnations -> three capture files of 5, 4, and 3 records
+    // (global sequences [0,5), [5,9), [9,12))
+    var next = 0
+    Seq(5, 4, 3).foreach { k =>
+      val port = freePort()
+      val s = new NgsiHttpMicroBatchStream(port, Some(dir))
+      try {
+        waitListening(port)
+        (0 until k).foreach { _ =>
+          assert(post(port, body(next), Map.empty) == 200); next += 1
+        }
+      } finally s.stop()
+    }
+
+    // a fourth incarnation indexes the 12-record history WITHOUT
+    // buffering it; serve ranges that start and end mid-file, span a
+    // whole middle file, and clip at the history edges
+    val port = freePort()
+    val s = new NgsiHttpMicroBatchStream(port, Some(dir))
+    try {
+      assert(s.latestOffset().asInstanceOf[SeqOffset].n == 12L,
+        "restarted source must number the full capture history")
+      def serve(lo: Long, hi: Long): Seq[String] =
+        s.planInputPartitions(SeqOffset(lo), SeqOffset(hi)).flatMap { p =>
+          val r = s.createReaderFactory().createReader(p)
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          while (r.next()) out += r.get().getUTF8String(0).toString
+          out
+        }.toSeq
+      // mid-file-1 -> mid-file-2 (straddles one boundary)
+      assert(serve(3, 7) == (3 until 7).map(body))
+      // mid-file-1 -> mid-file-3 (spans the whole middle file)
+      assert(serve(2, 11) == (2 until 11).map(body))
+      // exactly one whole file
+      assert(serve(5, 9) == (5 until 9).map(body))
+      // full history
+      assert(serve(0, 12) == (0 until 12).map(body))
+      // commit advances the watermark: earlier history is no longer
+      // served, later history still is
+      s.commit(SeqOffset(7))
+      assert(serve(0, 12) == (7 until 12).map(body),
+        "committed history must not replay")
+    } finally s.stop()
+  }
+
   test("slow consumer: ingest ring is byte-bounded, 429s past the cap, " +
     "drains and recovers with every ACKED post delivered exactly once") {
     import org.apache.spark.sql.connector.read.InputPartition
