@@ -595,12 +595,10 @@ object Dedup {
     s.conf.getOption(PairBucketsConf).map(_.toInt)
       .getOrElse(TextFns.cpuPartitions)
 
-  /** Deterministic catalog name for dir `d`'s trigram pair table. */
-  def bucketedPairTable(d: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    s"graft_pairs_$h"
-  }
+  /** Deterministic catalog name for dir `d`'s trigram pair table
+    * ([[BucketedMemo.tableName]]). */
+  def bucketedPairTable(d: String): String =
+    BucketedMemo.tableName("graft_pairs", d)
 
   /** WRITE-ONCE side: materialize the verified trigram pair list
     * (i, j, jac) as a parquet table BUCKETED AND SORTED BY i, so a later
@@ -630,15 +628,11 @@ object Dedup {
     * pinned — its scan already carries the layout, and re-reading
     * bucketed parquet is exactly the storage-backed multi-session
     * shape. */
-  private[operators] def pairSource(s: SparkSession, d: String): DataFrame = {
-    val t = bucketedPairTable(d)
-    if (s.conf.getOption(BucketedPairsConf).exists(_.toBoolean) &&
-        s.catalog.tableExists(t)) s.table(t)
-    else
+  private[operators] def pairSource(s: SparkSession, d: String): DataFrame =
+    BucketedMemo.readOrBuild(s, BucketedPairsConf, bucketedPairTable(d))(
       lshPairsFromSigs(sigBase(s, d), numHashes = NumHashes,
         bandSize = BandSize, tNum = TrigramTNum, tDen = TrigramTDen)
-        .pin(false)
-  }
+        .pin(false))
 
   /** The q42 trigram near-dup pair list (i, j, jac) — computed once per
     * (session, sf dir) from the shared signature stage, lazily
@@ -856,13 +850,16 @@ object Dedup {
     s.conf.getOption(VerifyShardsConf).map(_.toInt).getOrElse {
       val bytes = graft.Tables.load(s, d, "documents")
         .queryExecution.optimizedPlan.stats.sizeInBytes
-      // a stat-less source reports the defaultSizeInBytes sentinel
-      // (Long.MaxValue) — trusting it would price to the 64-shard cap
-      // and force 64 sequential verify jobs over possibly tiny data.
-      // Size-unknown degrades to one shard (the dataPartitions lesson).
+      // a stat-less source reports EXACTLY the defaultSizeInBytes
+      // sentinel — trusting it would price to the 64-shard cap and force
+      // 64 sequential verify jobs over possibly tiny data. Equality, not
+      // >=, on purpose: a deployment that LOWERS the conf (a standard
+      // stat-less-join knob) must not have real large-corpus stats
+      // misread as unknown and collapse the sharding the scratch bound
+      // depends on. Size-unknown degrades to one shard.
       val unknown = BigInt(
         org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes)
-      if (bytes >= unknown) 1
+      if (bytes == unknown) 1
       else (bytes / VerifyShardBytes).min(BigInt(64)).toInt.max(1)
     }
 

@@ -131,13 +131,10 @@ object Graph {
     * files. */
   val BucketedEdgesConf = "spark.graft.graph.bucketedEdges"
 
-  /** Deterministic catalog name for dir `d`'s edge table (dirs are
-    * arbitrary paths; the name embeds a digest, not the path). */
-  def bucketedEdgeTable(d: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    s"graft_edges_$h"
-  }
+  /** Deterministic catalog name for dir `d`'s edge table
+    * ([[BucketedMemo.tableName]]). */
+  def bucketedEdgeTable(d: String): String =
+    BucketedMemo.tableName("graft_edges", d)
 
   /** WRITE-ONCE side of the amortization: materialize the deduped
     * both-directions edge list as a parquet table BUCKETED AND SORTED BY
@@ -171,12 +168,9 @@ object Graph {
     * its scan already carries the layout the iterations need, and
     * re-reading bucketed parquet per iteration is exactly the
     * storage-backed shape a multi-session cluster runs. */
-  private[operators] def edgeSource(s: SparkSession, d: String): DataFrame = {
-    val t = bucketedEdgeTable(d)
-    if (s.conf.getOption(BucketedEdgesConf).exists(_.toBoolean) &&
-        s.catalog.tableExists(t)) s.table(t)
-    else buildEdges(s, d)
-  }
+  private[operators] def edgeSource(s: SparkSession, d: String): DataFrame =
+    BucketedMemo.readOrBuild(s, BucketedEdgesConf, bucketedEdgeTable(d))(
+      buildEdges(s, d))
 
   private[operators] def edges(s: SparkSession, d: String): DataFrame =
     sharedEdges.getOrCompute(s, d)(edgeSource(s, d))

@@ -61,7 +61,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    fully distributed; the listener is only the accept path.
   *  - Slow-consumer bound: the in-driver ring is capped at
   *    `maxBufferBytes` (default [[NgsiHttpSource.DefaultMaxBufferBytes]],
-  *    512 MiB) of accepted-but-uncommitted notifications. At the cap the
+  *    512 MiB) of accepted-but-uncommitted notifications. Admission is
+  *    while-UNDER-the-cap (overshoot by at most one record, so the hard
+  *    bound is the cap + one payload, and an oversized notification can
+  *    never be starved by smaller traffic); at or over the cap the
   *    source answers 429 + Retry-After instead of acking — nothing is
   *    buffered or captured for a refused post, so the broker's
   *    notification retry loop redelivers it once micro-batches catch up:
@@ -167,7 +170,7 @@ private[sources] class NgsiHttpMicroBatchStream(
   // trim).
   private case class HistFile(file: java.io.File, start: Long, count: Long)
   private val histFiles = new ArrayBuffer[HistFile]()
-  private var prevBase = 0L
+  @volatile private var prevBase = 0L
   private val prevEnd: Long = {
     var seq = 0L
     captureDir.foreach { dir =>
@@ -177,83 +180,11 @@ private[sources] class NgsiHttpMicroBatchStream(
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       files.sortBy(_.getName).foreach { f =>
         var cnt = 0L
-        foreachValidLine(f, mapper)(_ => cnt += 1)
+        NgsiCaptureLog.foreachValidLine(f, mapper)(_ => cnt += 1)
         if (cnt > 0) { histFiles += HistFile(f, seq, cnt); seq += cnt }
       }
     }
     seq
-  }
-
-  /** Stream one capture file's valid records through `sink` under the
-    * durability contract: a crash between write and fsync can tear only
-    * the FINAL line of the file that was open — that event was never
-    * acked (sync precedes the 200), so an unparseable, UNTERMINATED last
-    * line is skipped; an unparseable line anywhere else (or a corrupt
-    * but newline-terminated final line) is real corruption over ACKED
-    * events — fail loudly rather than silently resume over a hole.
-    * Decoding is lenient (InputStreamReader's default REPLACE action):
-    * jsonEsc writes non-ASCII raw, so a tear mid-multibyte-character
-    * must reach the JSON parse as U+FFFD and the torn-tail logic, not
-    * kill the whole read with a charset exception. Memory is O(line) —
-    * this is the walker behind both the construction-time validate+count
-    * and the lazy range reads, so it must never buffer a file. */
-  private def foreachValidLine(f: java.io.File,
-      mapper: com.fasterxml.jackson.databind.ObjectMapper)(
-      sink: com.fasterxml.jackson.databind.JsonNode => Unit): Unit = {
-    val endsWithNewline = {
-      val raf = new java.io.RandomAccessFile(f, "r")
-      try raf.length > 0 && {
-        raf.seek(raf.length - 1); raf.read() == '\n'
-      } finally raf.close()
-    }
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      new java.io.FileInputStream(f),
-      java.nio.charset.StandardCharsets.UTF_8))
-    try {
-      var line = in.readLine()
-      var lineNo = 0
-      while (line != null) {
-        lineNo += 1
-        val next = in.readLine()
-        if (line.nonEmpty) {
-          val node =
-            try mapper.readTree(line)
-            catch {
-              case e: Exception =>
-                if (next == null && !endsWithNewline) null // torn tail
-                else throw new IllegalStateException(
-                  s"corrupt capture log $f at line $lineNo " +
-                    "(not a torn tail — refusing to resume over acked events)",
-                  e)
-            }
-          if (node != null) sink(node)
-        }
-        line = next
-      }
-    } finally in.close()
-  }
-
-  /** Materialize history records [lo, hi) — only the files whose spans
-    * overlap the range are re-read, and only the overlapping records are
-    * kept. */
-  private def readHistory(lo: Long, hi: Long): ArrayBuffer[BufferedNotification] = {
-    val out = new ArrayBuffer[BufferedNotification]()
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    histFiles.foreach { hf =>
-      if (math.max(lo, hf.start) < math.min(hi, hf.start + hf.count)) {
-        var idx = hf.start
-        foreachValidLine(hf.file, mapper) { node =>
-          if (idx >= lo && idx < hi)
-            out += BufferedNotification(
-              node.get("value").asText(),
-              node.get("service").asText(),
-              node.get("servicePath").asText(),
-              node.get("recvTime").asLong() * 1000L)
-          idx += 1
-        }
-      }
-    }
-    out
   }
 
   // Ring buffer of accepted-but-uncommitted notifications. `firstSeq` is the
@@ -359,11 +290,17 @@ private[sources] class NgsiHttpMicroBatchStream(
             System.currentTimeMillis() * 1000L)
           val cost = recBytes(rec)
           val accepted = buffer.synchronized {
-            if (bufferedBytes + cost > maxBufferBytes && buffer.nonEmpty) {
-              // ring full: refuse BEFORE capture — a 429'd notification
-              // was never acked, so the broker retry owns redelivery
-              false
-            } else {
+            // admit while UNDER the cap (refuse at/over it): the ring can
+            // overshoot by at most one record, so the bound is
+            // maxBufferBytes + one payload — and admission never depends
+            // on the arriving record's size, so an oversized notification
+            // cannot be starved by a stream of small ones: the moment
+            // commits drain the ring below the cap, the next arrival
+            // lands whatever its size. A 429'd notification is refused
+            // BEFORE capture — never acked, so the broker retry owns
+            // redelivery.
+            if (bufferedBytes >= maxBufferBytes) false
+            else {
               capture(rec) // durable first: 200 must imply on-disk when teeing
               buffer += rec
               bufferedBytes += cost
@@ -417,40 +354,45 @@ private[sources] class NgsiHttpMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].n
     val e = end.asInstanceOf[SeqOffset].n
-    val rows = buffer.synchronized {
-      // a range can straddle the durable history and the live buffer
-      // (exactly the recovery batch after a restart); history records
-      // are re-read lazily from the capture files
-      val hist =
-        if (s < prevEnd && e > s) {
-          val lo = math.max(s, prevBase)
-          val hi = math.min(e, prevEnd)
-          if (hi > lo) readHistory(lo, hi)
-          else ArrayBuffer.empty[BufferedNotification]
-        } else ArrayBuffer.empty[BufferedNotification]
+    // a range can straddle the durable history and the live buffer
+    // (exactly the recovery batch after a restart). History is planned
+    // as (file, skip, take) slice partitions — the records are read on
+    // the EXECUTOR running the partition, so the driver never
+    // materializes the history (O(files) plan metadata, not O(events)
+    // rows — a fresh checkpoint over a multi-GB capture log plans in
+    // constant driver memory) and the planner thread does NO file I/O:
+    // histFiles is immutable after construction and prevBase only
+    // advances, so the slice math runs outside the ring lock and the
+    // accept path never blocks behind a replay. (On a real cluster this
+    // requires captureDir on storage the executors can read — the same
+    // contract as every file source; local modes trivially satisfy it.)
+    val histParts: Seq[InputPartition] =
+      if (s < prevEnd && e > s) {
+        val lo = math.max(s, prevBase)
+        val hi = math.min(e, prevEnd)
+        if (hi > lo)
+          histFiles.iterator.flatMap { hf =>
+            val fLo = math.max(lo, hf.start)
+            val fHi = math.min(hi, hf.start + hf.count)
+            if (fHi > fLo)
+              Some(NgsiHistoryPartition(
+                hf.file.getAbsolutePath, fLo - hf.start, fHi - fLo))
+            else None
+          }.toSeq
+        else Nil
+      } else Nil
+    val liveRows = buffer.synchronized {
       val from = math.max(0L, s - firstSeq).toInt
       val until = math.max(0L, e - firstSeq).toInt
-      (hist ++ buffer.slice(from, until)).toArray
+      buffer.slice(from, until).toArray
     }
-    if (rows.isEmpty) Array.empty
-    else Array(NgsiHttpInputPartition(rows))
+    val live: Seq[InputPartition] =
+      if (liveRows.isEmpty) Nil else Seq(NgsiHttpInputPartition(liveRows))
+    (histParts ++ live).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) => new PartitionReader[InternalRow] {
-      private val rows = partition.asInstanceOf[NgsiHttpInputPartition].rows
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = {
-        val r = rows(i)
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(r.body),
-          UTF8String.fromString(r.service),
-          UTF8String.fromString(r.servicePath),
-          r.recvTimeMicros))
-      }
-      override def close(): Unit = ()
-    }
+    NgsiHttpReaderFactory
 
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[SeqOffset].n
@@ -480,3 +422,110 @@ private[sources] class NgsiHttpMicroBatchStream(
 
 private[sources] case class NgsiHttpInputPartition(
     rows: Array[BufferedNotification]) extends InputPartition
+
+/** One capture-file slice of the durable history: records [skip,
+  * skip+take) of `path`'s valid lines, read ON THE EXECUTOR running the
+  * partition — the driver plans O(1) metadata per overlapping file. */
+private[sources] case class NgsiHistoryPartition(
+    path: String, skip: Long, take: Long) extends InputPartition
+
+/** Shared reader factory for both partition shapes (an object, so the
+  * factory serializes to executors without capturing the stream). */
+private[sources] object NgsiHttpReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case NgsiHttpInputPartition(rows) =>
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = {
+            val r = rows(i)
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(r.body),
+              UTF8String.fromString(r.service),
+              UTF8String.fromString(r.servicePath),
+              r.recvTimeMicros))
+          }
+          override def close(): Unit = ()
+        }
+      case NgsiHistoryPartition(path, skip, take) =>
+        new PartitionReader[InternalRow] {
+          // the slice is take-bounded (a micro-batch's share of one
+          // file), so buffering it per-task is the standard input-split
+          // shape; the walker itself streams O(line)
+          private val rows = {
+            val out = new ArrayBuffer[InternalRow]()
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            var idx = 0L
+            NgsiCaptureLog.foreachValidLine(
+              new java.io.File(path), mapper) { node =>
+              if (idx >= skip && idx < skip + take)
+                out += new GenericInternalRow(Array[Any](
+                  UTF8String.fromString(node.get("value").asText()),
+                  UTF8String.fromString(node.get("service").asText()),
+                  UTF8String.fromString(node.get("servicePath").asText()),
+                  node.get("recvTime").asLong() * 1000L))
+              idx += 1
+            }
+            out
+          }
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = rows(i)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+/** The capture-log line walker, shared by the driver-side
+  * validate-and-count pass and the executor-side history readers. */
+private[sources] object NgsiCaptureLog {
+
+  /** Stream one capture file's valid records through `sink` under the
+    * durability contract: a crash between write and fsync can tear only
+    * the FINAL line of the file that was open — that event was never
+    * acked (sync precedes the 200), so an unparseable, UNTERMINATED last
+    * line is skipped; an unparseable line anywhere else (or a corrupt
+    * but newline-terminated final line) is real corruption over ACKED
+    * events — fail loudly rather than silently resume over a hole.
+    * Decoding is lenient (InputStreamReader's default REPLACE action):
+    * jsonEsc writes non-ASCII raw, so a tear mid-multibyte-character
+    * must reach the JSON parse as U+FFFD and the torn-tail logic, not
+    * kill the whole read with a charset exception. Memory is O(line) —
+    * this walker must never buffer a file. */
+  def foreachValidLine(f: java.io.File,
+      mapper: com.fasterxml.jackson.databind.ObjectMapper)(
+      sink: com.fasterxml.jackson.databind.JsonNode => Unit): Unit = {
+    val endsWithNewline = {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try raf.length > 0 && {
+        raf.seek(raf.length - 1); raf.read() == '\n'
+      } finally raf.close()
+    }
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(f),
+      java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      var line = in.readLine()
+      var lineNo = 0
+      while (line != null) {
+        lineNo += 1
+        val next = in.readLine()
+        if (line.nonEmpty) {
+          val node =
+            try mapper.readTree(line)
+            catch {
+              case e: Exception =>
+                if (next == null && !endsWithNewline) null // torn tail
+                else throw new IllegalStateException(
+                  s"corrupt capture log $f at line $lineNo " +
+                    "(not a torn tail — refusing to resume over acked events)",
+                  e)
+            }
+          if (node != null) sink(node)
+        }
+        line = next
+      }
+    } finally in.close()
+  }
+}

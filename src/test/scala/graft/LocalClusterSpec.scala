@@ -59,15 +59,7 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def classesDirOf(c: Class[_]): String =
     new File(c.getProtectionDomain.getCodeSource.getLocation.toURI)
       .getAbsolutePath
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar")
-    .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+  private val addOpens = TestJvm.addOpensString
 
   private def runAll(s: SparkSession): Map[String, Seq[String]] =
     picks.map { name =>
@@ -391,8 +383,6 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
           .as[(Long, String)].collect().sortBy(_._1)
         val chunks = docs.grouped((docs.length + 2) / 3).toSeq
 
-        val streamCkpt = java.nio.file.Files
-          .createTempDirectory("graft-lineage-kill-stream")
         val mem = MemoryStream[(Long, String)]
         val lineage = new graft.streaming.NearDupLineageStream(cluster)
         val q = lineage.attach(mem.toDF().toDF("doc_id", "text"))
@@ -425,10 +415,7 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
           }
           (killedMidBatch.get(), lineage.labels.collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet)
-        } finally {
-          q.stop(); lineage.close()
-          val _ = streamCkpt // temp dirs reaped by the OS
-        }
+        } finally { q.stop(); lineage.close() }
       } finally {
         cluster.stop()
         SparkSession.clearActiveSession()

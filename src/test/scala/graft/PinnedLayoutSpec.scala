@@ -1,10 +1,8 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
 
+import graft.PlanCheck.shuffles
 import graft.Pinned._
 
 /** The layout contract of the partitioning-preserving pin
@@ -16,16 +14,6 @@ import graft.Pinned._
   * exchanges), and an UNPROVABLE layout claim degrades to a plain pin
   * with identical results — never a wrong layout. */
 class PinnedLayoutSpec extends SparkSpec {
-
-  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
-    case q: QueryStageExec => p +: walk(q.plan)
-    case other => other +: other.children.flatMap(walk)
-  }
-
-  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
-    walk(df.queryExecution.executedPlan)
-      .count(_.isInstanceOf[ShuffleExchangeLike])
 
   private def src = spark.range(1000).toDF("id")
     .withColumn("k", col("id") % 7)

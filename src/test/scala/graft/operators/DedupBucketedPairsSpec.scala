@@ -1,10 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
 
+import graft.PlanCheck.{isCatalogRead, shuffles}
 import graft.SparkSpec
 
 /** The cross-session amortization contract for the dedup family's
@@ -18,16 +16,6 @@ import graft.SparkSpec
   * derivation, and the read-or-build switch only reads when opted in AND
   * the table exists (off-by-default staleness refusal). */
 class DedupBucketedPairsSpec extends SparkSpec {
-
-  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
-    case q: QueryStageExec => p +: walk(q.plan)
-    case other => other +: other.children.flatMap(walk)
-  }
-
-  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
-    walk(df.queryExecution.executedPlan)
-      .count(_.isInstanceOf[ShuffleExchangeLike])
 
   private def coldPairs(d: String): org.apache.spark.sql.DataFrame =
     Dedup.lshNearDupPairs(
@@ -70,21 +58,14 @@ class DedupBucketedPairsSpec extends SparkSpec {
         "CC labels over the bucketed table diverged from the cold build")
 
       // 4. the switch: reads the table only when opted in AND present
-      def isCatalogRead(df: org.apache.spark.sql.DataFrame): Boolean =
-        df.queryExecution.analyzed.collectFirst {
-          case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation
-            if r.tableMeta.identifier.table == t => r
-          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-            if l.catalogTable.exists(_.identifier.table == t) => l
-        }.nonEmpty
-      assert(!isCatalogRead(Dedup.pairSource(spark, d)),
+      assert(!isCatalogRead(Dedup.pairSource(spark, d), t),
         "pairSource read the catalog table without the opt-in conf")
       spark.conf.set(Dedup.BucketedPairsConf, "true")
       try {
-        assert(isCatalogRead(Dedup.pairSource(spark, d)),
+        assert(isCatalogRead(Dedup.pairSource(spark, d), t),
           "pairSource ignored the opt-in conf with the table present")
         // opted in but table absent for a DIFFERENT dir → cold build
-        assert(!isCatalogRead(Dedup.pairSource(spark, sfDirAt("0.01"))),
+        assert(!isCatalogRead(Dedup.pairSource(spark, sfDirAt("0.01")), t),
           "pairSource must cold-build when the dir has no table")
       } finally spark.conf.unset(Dedup.BucketedPairsConf)
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")

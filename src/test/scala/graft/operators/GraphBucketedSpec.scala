@@ -1,10 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
 
+import graft.PlanCheck.{isCatalogRead, shuffles}
 import graft.SparkSpec
 
 /** The cross-session amortization contract for the graph family's edge
@@ -18,16 +16,6 @@ import graft.SparkSpec
   * cold-built edges, and the read-or-build switch only reads when opted
   * in AND the table exists. */
 class GraphBucketedSpec extends SparkSpec {
-
-  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
-    case q: QueryStageExec => p +: walk(q.plan)
-    case other => other +: other.children.flatMap(walk)
-  }
-
-  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
-    walk(df.queryExecution.executedPlan)
-      .count(_.isInstanceOf[ShuffleExchangeLike])
 
   test("bucketed edge table: src-keyed aggregation plans with no exchange, " +
     "the fixpoint bit-matches the cold build, and the opt-in switch holds") {
@@ -55,21 +43,14 @@ class GraphBucketedSpec extends SparkSpec {
         "pagerank over the bucketed table diverged from the cold build")
 
       // 3. the switch: reads the table only when opted in AND present
-      def isCatalogRead(df: org.apache.spark.sql.DataFrame): Boolean =
-        df.queryExecution.analyzed.collectFirst {
-          case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation
-            if r.tableMeta.identifier.table == t => r
-          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-            if l.catalogTable.exists(_.identifier.table == t) => l
-        }.nonEmpty
-      assert(!isCatalogRead(Graph.edgeSource(spark, d)),
+      assert(!isCatalogRead(Graph.edgeSource(spark, d), t),
         "edgeSource read the catalog table without the opt-in conf")
       spark.conf.set(Graph.BucketedEdgesConf, "true")
       try {
-        assert(isCatalogRead(Graph.edgeSource(spark, d)),
+        assert(isCatalogRead(Graph.edgeSource(spark, d), t),
           "edgeSource ignored the opt-in conf with the table present")
         // opted in but table absent for a DIFFERENT dir → cold build
-        assert(!isCatalogRead(Graph.edgeSource(spark, sfDirAt("0.01"))),
+        assert(!isCatalogRead(Graph.edgeSource(spark, sfDirAt("0.01")), t),
           "edgeSource must cold-build when the dir has no table")
       } finally spark.conf.unset(Graph.BucketedEdgesConf)
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")

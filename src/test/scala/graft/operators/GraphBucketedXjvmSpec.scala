@@ -20,15 +20,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * table already published" deployment shape. */
 class GraphBucketedXjvmSpec extends AnyFunSuite {
 
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar")
-    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+  private val addOpens = graft.TestJvm.addOpensArgs
 
   test("bucketed edge table crosses JVMs through a Derby-backed metastore: " +
     "second process reads the catalog, plans exchange-free, bit-matches") {

@@ -528,8 +528,10 @@ class NgsiHttpSourceSpec extends SparkSpec {
     import org.apache.spark.sql.connector.read.InputPartition
     val port = freePort()
     // per-record cost = body.length + service + servicePath + 64; bodies
-    // are 12 chars and headerless, so each acked post books 76 bytes and
-    // a 500-byte cap admits exactly 6 before the ring refuses
+    // are 12 chars and headerless, so each acked post books 76 bytes.
+    // Admission is while-UNDER-the-cap (overshoot by at most one
+    // record): a 500-byte cap admits 7 posts (6 × 76 = 456 < 500, the
+    // 7th lands at 532) before the ring refuses
     val cap = 500L
     val stream = new NgsiHttpMicroBatchStream(port, None, cap)
     try {
@@ -537,12 +539,12 @@ class NgsiHttpSourceSpec extends SparkSpec {
       def body(i: Int) = f"""{"n":"$i%04d"}"""
       // a stalled consumer: no planning, no commits — post at full rate
       val statuses = (0 until 20).map(i => post(port, body(i), Map.empty))
-      assert(statuses.take(6).forall(_ == 200),
+      assert(statuses.take(7).forall(_ == 200),
         s"posts under the cap must ack: $statuses")
-      assert(statuses.drop(6).forall(_ == 429),
+      assert(statuses.drop(7).forall(_ == 429),
         s"posts past the cap must back-pressure, not buffer: $statuses")
       // the measured ceiling: only acked records occupy the ring
-      assert(stream.latestOffset().asInstanceOf[SeqOffset].n == 6L,
+      assert(stream.latestOffset().asInstanceOf[SeqOffset].n == 7L,
         "ring holds exactly the acked records")
 
       def readAll(parts: Array[InputPartition]): Seq[String] =
@@ -553,23 +555,23 @@ class NgsiHttpSourceSpec extends SparkSpec {
           out
         }.toSeq
       // the consumer catches up: one micro-batch drains the ring
-      val first = readAll(stream.planInputPartitions(SeqOffset(0), SeqOffset(6)))
-      assert(first == (0 until 6).map(body),
+      val first = readAll(stream.planInputPartitions(SeqOffset(0), SeqOffset(7)))
+      assert(first == (0 until 7).map(body),
         "drained batch must be the acked posts, in order")
-      stream.commit(SeqOffset(6))
+      stream.commit(SeqOffset(7))
 
       // recovered: the broker's retry loop re-posts the refused
       // notifications while the consumer now keeps up (drains on each
       // 429) — every event lands exactly once, and the ring re-caps at
       // 6 records whenever the consumer falls behind again
       val delivered = scala.collection.mutable.ArrayBuffer[String]()
-      var next = 6L
-      (6 until 20).foreach { i =>
+      var next = 7L
+      (7 until 20).foreach { i =>
         var code = post(port, body(i), Map.empty)
         var drains = 0
         while (code == 429 && drains < 10) {
           val upto = stream.latestOffset().asInstanceOf[SeqOffset]
-          assert(upto.n - next <= 6L, "ring grew past its byte cap")
+          assert(upto.n - next <= 7L, "ring grew past its byte cap")
           delivered ++= readAll(
             stream.planInputPartitions(SeqOffset(next), upto))
           stream.commit(upto); next = upto.n
@@ -581,7 +583,7 @@ class NgsiHttpSourceSpec extends SparkSpec {
       val fin = stream.latestOffset().asInstanceOf[SeqOffset]
       delivered ++= readAll(stream.planInputPartitions(SeqOffset(next), fin))
       stream.commit(fin)
-      assert(delivered.toSeq == (6 until 20).map(body),
+      assert(delivered.toSeq == (7 until 20).map(body),
         "retried posts must each appear exactly once, in ack order")
 
       // no-wedge guard: a single record larger than the whole cap is

@@ -16,18 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object XjvmBucketed {
 
-  private def walk(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      p +: walk(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      p +: walk(q.plan)
-    case other => other +: other.children.flatMap(walk)
-  }
-
-  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
-    walk(df.queryExecution.executedPlan).count(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+  import graft.PlanCheck.{isCatalogRead, shuffles}
 
   def main(args: Array[String]): Unit = {
     val Array(mode, sfDir, warehouse, metastore) = args.take(4)
@@ -57,13 +46,8 @@ object XjvmBucketed {
             s"table $t not visible through the persistent metastore")
           spark.conf.set(Graph.BucketedEdgesConf, "true")
           val src = Graph.edgeSource(spark, sfDir)
-          val isCat = src.queryExecution.analyzed.collectFirst {
-            case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation
-              if r.tableMeta.identifier.table == t => r
-            case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-              if l.catalogTable.exists(_.identifier.table == t) => l
-          }.nonEmpty
-          require(isCat, "edgeSource did not read the catalog table")
+          require(isCatalogRead(src, t),
+            "edgeSource did not read the catalog table")
           val agg = src.groupBy(col("src")).agg(count(lit(1)).as("deg"))
           agg.collect()
           require(shuffles(agg) == 0,
@@ -81,13 +65,8 @@ object XjvmBucketed {
             s"pair table $tp not visible through the persistent metastore")
           spark.conf.set(Dedup.BucketedPairsConf, "true")
           val ps = Dedup.pairSource(spark, sfDir)
-          val isCatP = ps.queryExecution.analyzed.collectFirst {
-            case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation
-              if r.tableMeta.identifier.table == tp => r
-            case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-              if l.catalogTable.exists(_.identifier.table == tp) => l
-          }.nonEmpty
-          require(isCatP, "pairSource did not read the catalog table")
+          require(isCatalogRead(ps, tp),
+            "pairSource did not read the catalog table")
           val coldPairs = Dedup.lshNearDupPairs(
             graft.Tables.load(spark, sfDir, "documents")
               .select(col("doc_id"), col("text")),
