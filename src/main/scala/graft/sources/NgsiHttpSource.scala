@@ -89,7 +89,9 @@ class NgsiHttpSource extends TableProvider {
         .getOrElse(throw new IllegalArgumentException("ngsi-http source requires a 'port' option")),
       Option(opts.get("capturedir")),
       Option(opts.get("maxbufferbytes")).map(_.toLong)
-        .getOrElse(NgsiHttpSource.DefaultMaxBufferBytes))
+        .getOrElse(NgsiHttpSource.DefaultMaxBufferBytes),
+      Option(opts.get("historychunkrecords")).map(_.toLong)
+        .getOrElse(NgsiHttpSource.DefaultHistoryChunkRecords))
   }
 }
 
@@ -113,10 +115,20 @@ object NgsiHttpSource {
     * million 1 KB notifications of headroom — minutes of a stalled
     * consumer at full ingest rate, far beyond any micro-batch hiccup. */
   val DefaultMaxBufferBytes: Long = 512L << 20
+
+  /** Records per history-replay partition: one incarnation writes ONE
+    * capture file, so a long-lived incarnation's file can be huge — and
+    * an unchunked slice would make one executor task buffer it whole.
+    * Chunking bounds per-task memory AND spreads a recovery batch
+    * across executors; the skip phase of a chunk is parse-free line
+    * counting (construction already validated the file), so the re-walk
+    * cost per chunk is line I/O, not JSON work. */
+  val DefaultHistoryChunkRecords: Long = 1L << 16
 }
 
 private[sources] class NgsiHttpTable(port: Int, captureDir: Option[String],
-    maxBufferBytes: Long = NgsiHttpSource.DefaultMaxBufferBytes)
+    maxBufferBytes: Long = NgsiHttpSource.DefaultMaxBufferBytes,
+    historyChunkRecords: Long = NgsiHttpSource.DefaultHistoryChunkRecords)
     extends Table with SupportsRead {
   override def name(): String = s"ngsi-http:$port"
   override def schema(): StructType = NgsiHttpSource.Schema
@@ -129,7 +141,8 @@ private[sources] class NgsiHttpTable(port: Int, captureDir: Option[String],
         override def toBatch: Batch =
           throw new UnsupportedOperationException("ngsi-http is streaming-only")
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new NgsiHttpMicroBatchStream(port, captureDir, maxBufferBytes)
+          new NgsiHttpMicroBatchStream(port, captureDir, maxBufferBytes,
+            historyChunkRecords)
       }
     }
 }
@@ -144,7 +157,8 @@ private[sources] final case class BufferedNotification(
 
 private[sources] class NgsiHttpMicroBatchStream(
     port: Int, captureDir: Option[String] = None,
-    maxBufferBytes: Long = NgsiHttpSource.DefaultMaxBufferBytes)
+    maxBufferBytes: Long = NgsiHttpSource.DefaultMaxBufferBytes,
+    historyChunkRecords: Long = NgsiHttpSource.DefaultHistoryChunkRecords)
     extends MicroBatchStream {
 
   // Resumable history: everything captured by PREVIOUS incarnations of this
@@ -374,10 +388,15 @@ private[sources] class NgsiHttpMicroBatchStream(
           histFiles.iterator.flatMap { hf =>
             val fLo = math.max(lo, hf.start)
             val fHi = math.min(hi, hf.start + hf.count)
-            if (fHi > fLo)
-              Some(NgsiHistoryPartition(
-                hf.file.getAbsolutePath, fLo - hf.start, fHi - fLo))
-            else None
+            // chunked: a long-lived incarnation's single file can be
+            // huge, and one task buffering its whole slice is the same
+            // O(events) trap one hop further out — bounded chunks keep
+            // per-task memory constant and let a recovery batch read in
+            // parallel across executors
+            (fLo until fHi by historyChunkRecords).map { c =>
+              NgsiHistoryPartition(hf.file.getAbsolutePath,
+                c - hf.start, math.min(historyChunkRecords, fHi - c))
+            }
           }.toSeq
         else Nil
       } else Nil
@@ -450,25 +469,14 @@ private[sources] object NgsiHttpReaderFactory extends PartitionReaderFactory {
         }
       case NgsiHistoryPartition(path, skip, take) =>
         new PartitionReader[InternalRow] {
-          // the slice is take-bounded (a micro-batch's share of one
-          // file), so buffering it per-task is the standard input-split
-          // shape; the walker itself streams O(line)
-          private val rows = {
-            val out = new ArrayBuffer[InternalRow]()
-            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-            var idx = 0L
-            NgsiCaptureLog.foreachValidLine(
-              new java.io.File(path), mapper) { node =>
-              if (idx >= skip && idx < skip + take)
-                out += new GenericInternalRow(Array[Any](
-                  UTF8String.fromString(node.get("value").asText()),
-                  UTF8String.fromString(node.get("service").asText()),
-                  UTF8String.fromString(node.get("servicePath").asText()),
-                  node.get("recvTime").asLong() * 1000L))
-              idx += 1
-            }
-            out
-          }
+          // the slice is chunk-bounded (plan-time chunking), so
+          // buffering it per-task is the standard input-split shape;
+          // the slice read parses only in-range lines — the skip phase
+          // is line counting, valid because construction validated the
+          // file (every non-empty line is a record, except a torn,
+          // never-acked tail that sits BEYOND every planned range)
+          private val rows =
+            NgsiCaptureLog.readSlice(new java.io.File(path), skip, take)
           private var i = -1
           override def next(): Boolean = { i += 1; i < rows.length }
           override def get(): InternalRow = rows(i)
@@ -480,6 +488,49 @@ private[sources] object NgsiHttpReaderFactory extends PartitionReaderFactory {
 /** The capture-log line walker, shared by the driver-side
   * validate-and-count pass and the executor-side history readers. */
 private[sources] object NgsiCaptureLog {
+
+  /** Executor-side slice read: records [skip, skip+take) of `f`'s
+    * lines as InternalRows. The skip phase counts non-empty lines
+    * WITHOUT parsing — line index equals record index for every valid
+    * record, because the source's construction pass already validated
+    * the file (the only permissible invalid line is a torn,
+    * never-acked tail, which sorts after every indexed record and is
+    * excluded from every planned range). An in-range parse failure
+    * therefore means the file changed under us — fail loudly. */
+  def readSlice(f: java.io.File, skip: Long, take: Long)
+      : scala.collection.mutable.ArrayBuffer[InternalRow] = {
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](
+      math.min(take, Int.MaxValue.toLong).toInt)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(f),
+      java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      var idx = 0L
+      var line = in.readLine()
+      while (line != null && idx < skip + take) {
+        if (line.nonEmpty) {
+          if (idx >= skip) {
+            val node =
+              try mapper.readTree(line)
+              catch {
+                case e: Exception => throw new IllegalStateException(
+                  s"capture log $f changed since it was indexed " +
+                    s"(record $idx unparseable)", e)
+              }
+            out += new GenericInternalRow(Array[Any](
+              UTF8String.fromString(node.get("value").asText()),
+              UTF8String.fromString(node.get("service").asText()),
+              UTF8String.fromString(node.get("servicePath").asText()),
+              node.get("recvTime").asLong() * 1000L))
+          }
+          idx += 1
+        }
+        line = in.readLine()
+      }
+    } finally in.close()
+    out
+  }
 
   /** Stream one capture file's valid records through `sink` under the
     * durability contract: a crash between write and fsync can tear only

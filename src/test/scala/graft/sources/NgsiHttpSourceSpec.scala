@@ -521,6 +521,31 @@ class NgsiHttpSourceSpec extends SparkSpec {
       assert(serve(0, 12) == (7 until 12).map(body),
         "committed history must not replay")
     } finally s.stop()
+
+    // chunked replay: a tiny chunk size splits each file span into
+    // record-bounded partitions (per-task memory stays constant however
+    // large one incarnation's file grew), and the chunk boundaries must
+    // be invisible in the replayed stream
+    val port2 = freePort()
+    val s2 = new NgsiHttpMicroBatchStream(port2, Some(dir),
+      historyChunkRecords = 2L)
+    try {
+      val parts = s2.planInputPartitions(SeqOffset(0), SeqOffset(12))
+      assert(parts.length == 7, // ceil(5/2) + ceil(4/2) + ceil(3/2)
+        s"expected 7 chunked history partitions, got ${parts.length}")
+      assert(parts.forall {
+        case NgsiHistoryPartition(_, _, take) => take <= 2L
+        case _ => false
+      }, "every history partition must be chunk-bounded")
+      val replayed = parts.flatMap { p =>
+        val r = s2.createReaderFactory().createReader(p)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        while (r.next()) out += r.get().getUTF8String(0).toString
+        out
+      }.toSeq
+      assert(replayed == (0 until 12).map(body),
+        "chunk boundaries leaked into the replayed stream")
+    } finally s2.stop()
   }
 
   test("slow consumer: ingest ring is byte-bounded, 429s past the cap, " +
