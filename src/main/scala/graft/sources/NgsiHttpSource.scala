@@ -61,17 +61,32 @@ import org.apache.spark.unsafe.types.UTF8String
   *    fully distributed; the listener is only the accept path.
   *  - Slow-consumer bound: the in-driver ring is capped at
   *    `maxBufferBytes` (default [[NgsiHttpSource.DefaultMaxBufferBytes]],
-  *    512 MiB) of accepted-but-uncommitted notifications. Admission is
-  *    while-UNDER-the-cap (overshoot by at most one record, so the hard
-  *    bound is the cap + one payload, and an oversized notification can
-  *    never be starved by smaller traffic); at or over the cap the
-  *    source answers 429 + Retry-After instead of acking — nothing is
-  *    buffered or captured for a refused post, so the broker's
-  *    notification retry loop redelivers it once micro-batches catch up:
-  *    driver memory stays bounded under a stalled consumer, and no acked
-  *    event is ever dropped (NgsiHttpSourceSpec pins the ceiling, the
-  *    429s, the drain-then-recover cycle, and exactly-once delivery of
-  *    every acked post).
+  *    512 MiB of estimated HEAP — 2 bytes per UTF-16 char plus
+  *    per-record overhead) of accepted-but-uncommitted notifications.
+  *    Admission is while-UNDER-the-cap (overshoot by at most one record,
+  *    so the hard bound is the cap + one payload, and an oversized
+  *    notification can never be starved by smaller traffic); at or over
+  *    the cap the source answers 429 + Retry-After instead of acking —
+  *    nothing is buffered or captured for a refused post. No ACKED event
+  *    is ever dropped (NgsiHttpSourceSpec pins the ceiling, the 429s,
+  *    the drain-then-recover cycle, and exactly-once delivery of every
+  *    acked post), but whether a REFUSED post comes back depends on the
+  *    broker's retry configuration: Orion Context Broker does not retry
+  *    failed notifications by default, so pair a default-config broker
+  *    with an upstream queue (or enable broker retries) if refused
+  *    events must not be lost. Refusals are counted
+  *    ([[NgsiHttpMicroBatchStream.refusedCount]]) and logged so the
+  *    loss window is operator-visible; bounding driver memory remains
+  *    the right trade-off versus an OOM that kills the whole query.
+  *  - Task-payload bound: live rows ride inside serialized partitions,
+  *    so the planned live slice is chunked at `liveChunkBytes` (default
+  *    4 MiB) per partition — a drain-the-ring recovery batch plans many
+  *    bounded tasks across executors instead of one 512 MiB task.
+  *  - Capture-log reclamation: `compactCommitted=true` deletes prior
+  *    incarnations' capture files once their whole range is at or below
+  *    the committed watermark (commit runs after the offset is durably
+  *    checkpointed, and restart rebases past shortened history — the
+  *    same contract that makes manual compaction safe). Default off.
   *
   * Usage: `spark.readStream.format("graft.sources.NgsiHttpSource")
   *   .option("port", 9001).load()`
@@ -84,14 +99,30 @@ class NgsiHttpSource extends TableProvider {
     // properties arrive with original-case keys; DSv2 options are
     // case-insensitive by contract, so normalize before lookup
     val opts = new CaseInsensitiveStringMap(properties)
+    // Validate dials HERE, not at first use: a zero historyChunkRecords
+    // would throw NumericRange-step-0 mid-replay, and a NEGATIVE one
+    // would make every per-file chunk range empty — history partitions
+    // silently omitted while the offset range still advances, i.e.
+    // acked captured events skipped on replay. Same loud-at-construction
+    // posture for the byte dials.
+    val maxBufferBytes = Option(opts.get("maxbufferbytes")).map(_.toLong)
+      .getOrElse(NgsiHttpSource.DefaultMaxBufferBytes)
+    val historyChunkRecords = Option(opts.get("historychunkrecords")).map(_.toLong)
+      .getOrElse(NgsiHttpSource.DefaultHistoryChunkRecords)
+    val liveChunkBytes = Option(opts.get("livechunkbytes")).map(_.toLong)
+      .getOrElse(NgsiHttpSource.DefaultLiveChunkBytes)
+    require(maxBufferBytes > 0, s"maxBufferBytes must be > 0, got $maxBufferBytes")
+    require(historyChunkRecords > 0,
+      s"historyChunkRecords must be > 0, got $historyChunkRecords")
+    require(liveChunkBytes > 0, s"liveChunkBytes must be > 0, got $liveChunkBytes")
     new NgsiHttpTable(
       Option(opts.get("port")).map(_.toInt)
         .getOrElse(throw new IllegalArgumentException("ngsi-http source requires a 'port' option")),
       Option(opts.get("capturedir")),
-      Option(opts.get("maxbufferbytes")).map(_.toLong)
-        .getOrElse(NgsiHttpSource.DefaultMaxBufferBytes),
-      Option(opts.get("historychunkrecords")).map(_.toLong)
-        .getOrElse(NgsiHttpSource.DefaultHistoryChunkRecords))
+      maxBufferBytes,
+      historyChunkRecords,
+      liveChunkBytes,
+      Option(opts.get("compactcommitted")).exists(_.toBoolean))
   }
 }
 
@@ -102,19 +133,38 @@ object NgsiHttpSource {
     StructField("servicePath", StringType),
     StructField("recvTime", TimestampType)))
 
-  /** Default ceiling for the driver-resident ingest ring (bytes of
-    * accepted-but-uncommitted notifications, estimated as payload +
-    * header strings + fixed per-record overhead). A consumer slower than
-    * the poster can otherwise grow the ring without bound — the measured
-    * ~5-6k notif/s ingest against a stalled query is ~5 MB/s of driver
-    * heap at 1 KB notifications, i.e. driver OOM in under an hour. At
-    * the cap the source stops ACKING: posts get 429 + Retry-After and
-    * are neither buffered nor captured, so the broker's own notification
-    * retry loop (Orion re-delivers unacked notifications) preserves
-    * at-least-once while driver memory stays bounded. 512 MiB ≈ half a
-    * million 1 KB notifications of headroom — minutes of a stalled
-    * consumer at full ingest rate, far beyond any micro-batch hiccup. */
+  /** Default ceiling for the driver-resident ingest ring (estimated
+    * HEAP bytes of accepted-but-uncommitted notifications: 2 bytes per
+    * UTF-16 char of payload + header strings, plus fixed per-record
+    * overhead — JVM Strings store chars two bytes wide, so charging raw
+    * `length` would admit ~2× the intended heap for ASCII payloads and
+    * drift further for the capture-tee duplication). A consumer slower
+    * than the poster can otherwise grow the ring without bound — the
+    * measured ~5-6k notif/s ingest against a stalled query is ~5 MB/s
+    * of driver heap at 1 KB notifications, i.e. driver OOM in under an
+    * hour. At the cap the source stops ACKING: posts get 429 +
+    * Retry-After and are neither buffered nor captured. Whether a
+    * refused post is ever redelivered depends on the BROKER's retry
+    * configuration — Orion Context Broker does NOT retry failed
+    * notifications by default, so under a stalled consumer refused
+    * events can be lost upstream; the source counts every refusal
+    * ([[NgsiHttpMicroBatchStream.refusedCount]]) and logs the running
+    * total so that loss is visible, and bounding driver memory remains
+    * the right trade-off versus an OOM that kills the whole query.
+    * 512 MiB ≈ a quarter million 1 KB notifications of headroom —
+    * minutes of a stalled consumer at full ingest rate, far beyond any
+    * micro-batch hiccup. */
   val DefaultMaxBufferBytes: Long = 512L << 20
+
+  /** Per-partition byte budget when planning the LIVE ring slice: a
+    * drain-the-ring batch (recovery after a stall) can hold up to
+    * `maxBufferBytes` of rows, and rows ride INSIDE the serialized
+    * partition to executors — one unchunked partition would ship up to
+    * 512 MiB through a single task (task-binary warnings, single-task
+    * parse). Chunking by bytes keeps every task payload bounded and
+    * spreads the recovery parse across executors; steady-state batches
+    * are far below one chunk and still plan a single partition. */
+  val DefaultLiveChunkBytes: Long = 4L << 20
 
   /** Records per history-replay partition: one incarnation writes ONE
     * capture file, so a long-lived incarnation's file can be huge — and
@@ -128,7 +178,9 @@ object NgsiHttpSource {
 
 private[sources] class NgsiHttpTable(port: Int, captureDir: Option[String],
     maxBufferBytes: Long = NgsiHttpSource.DefaultMaxBufferBytes,
-    historyChunkRecords: Long = NgsiHttpSource.DefaultHistoryChunkRecords)
+    historyChunkRecords: Long = NgsiHttpSource.DefaultHistoryChunkRecords,
+    liveChunkBytes: Long = NgsiHttpSource.DefaultLiveChunkBytes,
+    compactCommitted: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"ngsi-http:$port"
   override def schema(): StructType = NgsiHttpSource.Schema
@@ -142,7 +194,7 @@ private[sources] class NgsiHttpTable(port: Int, captureDir: Option[String],
           throw new UnsupportedOperationException("ngsi-http is streaming-only")
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new NgsiHttpMicroBatchStream(port, captureDir, maxBufferBytes,
-            historyChunkRecords)
+            historyChunkRecords, liveChunkBytes, compactCommitted)
       }
     }
 }
@@ -158,8 +210,29 @@ private[sources] final case class BufferedNotification(
 private[sources] class NgsiHttpMicroBatchStream(
     port: Int, captureDir: Option[String] = None,
     maxBufferBytes: Long = NgsiHttpSource.DefaultMaxBufferBytes,
-    historyChunkRecords: Long = NgsiHttpSource.DefaultHistoryChunkRecords)
+    historyChunkRecords: Long = NgsiHttpSource.DefaultHistoryChunkRecords,
+    liveChunkBytes: Long = NgsiHttpSource.DefaultLiveChunkBytes,
+    compactCommitted: Boolean = false)
     extends MicroBatchStream {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // The capture log and the history replay read driver-local paths; on a
+  // real cluster the replay tasks run on EXECUTORS, so captureDir must
+  // live on storage they can read (the same contract as every file
+  // source). Nothing can verify reachability from here, but a non-local
+  // master with a captureDir is worth a loud warning at construction
+  // rather than a FileNotFoundException at recovery time.
+  captureDir.foreach { dir =>
+    val master = scala.util.Try(
+      org.apache.spark.sql.SparkSession.active.sparkContext.master)
+      .getOrElse("")
+    if (master.nonEmpty && !master.startsWith("local"))
+      log.warn(s"ngsi-http captureDir=$dir with master=$master: history " +
+        "replay reads this path ON EXECUTORS — it must be on shared " +
+        "storage (NFS/DFS), or restart recovery will fail with " +
+        "FileNotFoundException at task time")
+  }
 
   // Resumable history: everything captured by PREVIOUS incarnations of this
   // source (same captureDir), indexed once at construction in capture-file
@@ -212,12 +285,27 @@ private[sources] class NgsiHttpMicroBatchStream(
   // notifications. At `maxBufferBytes` the accept path stops ACKING —
   // 429 + Retry-After, nothing buffered, nothing captured — so a
   // consumer slower than the posters bounds driver memory instead of
-  // growing it; the broker's notification retry re-delivers the unacked
-  // events once the pipeline catches up (at-least-once preserved, no
-  // silent drops). Commit trims restore the budget.
-  private var bufferedBytes = 0L
+  // growing it. Whether a refused post comes back depends on the
+  // broker's retry configuration (Orion does NOT retry failed
+  // notifications by default), so every refusal is counted and logged:
+  // the bound-memory trade-off is deliberate, the potential upstream
+  // loss must be visible. Commit trims restore the budget.
+  // @volatile: written only under the buffer lock; read lock-free by the
+  // 429 log line (informational) — volatile rules out a torn long read
+  @volatile private var bufferedBytes = 0L
+  // Heap estimate: JVM Strings are UTF-16, 2 bytes per char (String
+  // `.length` counts chars, not bytes) — charge 2× so the cap means
+  // heap bytes, not "Mi-chars". 64 B covers the record object, the
+  // buffer slot, and String headers.
   private def recBytes(rec: BufferedNotification): Long =
-    rec.body.length.toLong + rec.service.length + rec.servicePath.length + 64L
+    2L * (rec.body.length + rec.service.length + rec.servicePath.length) + 64L
+
+  // Total posts refused with 429 since source start (monotonic; survives
+  // nothing — a restarted source starts at 0). Read by operators/bench
+  // legs to see how hard back-pressure engaged and how much the broker
+  // must redeliver (or, with a non-retrying broker, may have LOST).
+  private val refused = new java.util.concurrent.atomic.AtomicLong(0L)
+  def refusedCount: Long = refused.get()
 
   // Durable-ingest tee: one JSON-lines capture file per source incarnation
   // (append-only, so restarts add a new file to the same directory and
@@ -311,8 +399,9 @@ private[sources] class NgsiHttpMicroBatchStream(
             // cannot be starved by a stream of small ones: the moment
             // commits drain the ring below the cap, the next arrival
             // lands whatever its size. A 429'd notification is refused
-            // BEFORE capture — never acked, so the broker retry owns
-            // redelivery.
+            // BEFORE capture — never acked, so redelivery (if any) is the
+            // broker's: Orion does not retry by default, hence the
+            // refusal counter + log below.
             if (bufferedBytes >= maxBufferBytes) false
             else {
               capture(rec) // durable first: 200 must imply on-disk when teeing
@@ -323,6 +412,16 @@ private[sources] class NgsiHttpMicroBatchStream(
           }
           if (accepted) exchange.sendResponseHeaders(200, -1)
           else {
+            // first refusal and every 10k-th thereafter: enough to make
+            // back-pressure (and, with a non-retrying broker, potential
+            // upstream loss) operator-visible without log-flooding at
+            // full refusal rate
+            val n = refused.incrementAndGet()
+            if (n == 1L || n % 10000L == 0L)
+              log.warn(s"ngsi-http:$port refused $n posts with 429 (ring " +
+                s"at $bufferedBytes/$maxBufferBytes bytes); redelivery " +
+                "depends on broker retry config — Orion does not retry " +
+                "by default")
             exchange.getResponseHeaders.set("Retry-After", "1")
             exchange.sendResponseHeaders(429, -1)
           }
@@ -405,8 +504,25 @@ private[sources] class NgsiHttpMicroBatchStream(
       val until = math.max(0L, e - firstSeq).toInt
       buffer.slice(from, until).toArray
     }
-    val live: Seq[InputPartition] =
-      if (liveRows.isEmpty) Nil else Seq(NgsiHttpInputPartition(liveRows))
+    // Chunk the live slice the same way the history replay is chunked:
+    // rows ride INSIDE the serialized partition, so a drain-the-ring
+    // recovery batch (up to maxBufferBytes of rows) must never ship as
+    // ONE task payload — split greedily at `liveChunkBytes` (≥1 record
+    // per chunk, so an oversized single record still plans). Steady-state
+    // batches stay below one chunk and plan a single partition; order is
+    // preserved because chunks are consecutive slices.
+    val live = new ArrayBuffer[InputPartition]()
+    var lo = 0
+    while (lo < liveRows.length) {
+      var hi = lo
+      var bytes = 0L
+      while (hi < liveRows.length && (hi == lo || bytes < liveChunkBytes)) {
+        bytes += recBytes(liveRows(hi))
+        hi += 1
+      }
+      live += NgsiHttpInputPartition(liveRows.slice(lo, hi))
+      lo = hi
+    }
     (histParts ++ live).toArray
   }
 
@@ -424,6 +540,31 @@ private[sources] class NgsiHttpMicroBatchStream(
       while (i < drop) { bufferedBytes -= recBytes(buffer(i)); i += 1 }
       buffer.remove(0, drop)
       firstSeq = math.max(firstSeq, e)
+    }
+    // Opt-in capture-log reclamation: without it a long-lived deployment's
+    // captureDir grows without bound (the manual-compaction contract in
+    // NgsiHttpSourceSpec is the only other reclaim path). Spark calls
+    // commit AFTER the offset is durably in the checkpoint log, so a file
+    // whose whole range sits at or below the committed watermark can
+    // never be planned again (planInputPartitions lower-bounds at
+    // prevBase) and never be needed by a restart (the checkpoint offset
+    // rebases past the shortened history — the same spec-pinned contract
+    // manual deletion relies on). histFiles entries stay: they are plan
+    // metadata only, and prevBase already excludes their ranges. Only
+    // PRIOR incarnations' files are candidates — this incarnation's open
+    // capture file is not in histFiles.
+    if (compactCommitted) {
+      val base = prevBase // volatile read once
+      histFiles.foreach { hf =>
+        if (hf.start + hf.count <= base && hf.file.exists()) {
+          if (hf.file.delete())
+            log.info(s"ngsi-http:$port compacted committed capture file " +
+              s"${hf.file.getName} (records [${hf.start}, ${hf.start + hf.count}))")
+          else
+            log.warn(s"ngsi-http:$port failed to delete committed capture " +
+              s"file ${hf.file}")
+        }
+      }
     }
   }
 

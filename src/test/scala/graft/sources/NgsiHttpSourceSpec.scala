@@ -548,15 +548,142 @@ class NgsiHttpSourceSpec extends SparkSpec {
     } finally s2.stop()
   }
 
+  test("live-slice chunking: a drained ring plans multiple bounded partitions, " +
+    "chunk boundaries invisible in the stream") {
+    import org.apache.spark.sql.connector.read.InputPartition
+    val port = freePort()
+    // per-record heap estimate is 88 bytes (12-char body, headerless);
+    // a 200-byte chunk budget admits 3 records per chunk (88 < 200,
+    // 176 < 200, then 264 stops the chunk) — 10 buffered records must
+    // plan as ceil-chunked partitions 3+3+3+1, never one 10-record task
+    val stream = new NgsiHttpMicroBatchStream(port, None,
+      liveChunkBytes = 200L)
+    try {
+      waitListening(port)
+      def body(i: Int) = f"""{"n":"$i%04d"}"""
+      (0 until 10).foreach(i => assert(post(port, body(i), Map.empty) == 200))
+      val parts = stream.planInputPartitions(SeqOffset(0), SeqOffset(10))
+      assert(parts.length == 4,
+        s"expected 4 byte-bounded live partitions, got ${parts.length}")
+      assert(parts.forall {
+        case NgsiHttpInputPartition(rows) => rows.length <= 3
+        case _ => false
+      }, "every live partition must respect the chunk budget")
+      // chunk boundaries must not reorder, drop, or duplicate records
+      val replayed = parts.flatMap { p: InputPartition =>
+        val r = stream.createReaderFactory().createReader(p)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        while (r.next()) out += r.get().getUTF8String(0).toString
+        out
+      }.toSeq
+      assert(replayed == (0 until 10).map(body),
+        "chunk boundaries leaked into the live stream")
+      // steady state: a small batch still plans exactly one partition
+      stream.commit(SeqOffset(10))
+      assert(post(port, body(10), Map.empty) == 200)
+      assert(stream.planInputPartitions(SeqOffset(10), SeqOffset(11)).length == 1)
+    } finally stream.stop()
+  }
+
+  test("auto-compaction: committed capture files are reclaimed, partially " +
+    "committed ones kept, restart stays exact") {
+    val dir = java.nio.file.Files.createTempDirectory("ngsi_autogc").toString
+    def body(i: Int) = s"""{"ev":"n$i"}"""
+    // three incarnations -> three capture files of 5, 4, and 3 records
+    // (global sequences [0,5), [5,9), [9,12))
+    var next = 0
+    Seq(5, 4, 3).foreach { k =>
+      val port = freePort()
+      val s = new NgsiHttpMicroBatchStream(port, Some(dir))
+      try {
+        waitListening(port)
+        (0 until k).foreach { _ =>
+          assert(post(port, body(next), Map.empty) == 200); next += 1
+        }
+      } finally s.stop()
+    }
+    def captureFiles(): Seq[String] =
+      Option(new java.io.File(dir).listFiles((_, n) => n.startsWith("capture-")))
+        .getOrElse(Array.empty).map(_.getName).sorted.toSeq
+    assert(captureFiles().length == 3)
+
+    val port = freePort()
+    val s = new NgsiHttpMicroBatchStream(port, Some(dir),
+      compactCommitted = true)
+    try {
+      assert(s.latestOffset().asInstanceOf[SeqOffset].n == 12L)
+      // commit mid-file-2: only file 1 ([0,5)) is FULLY committed — it
+      // alone may vanish; file 2 still holds uncommitted records [7,9)
+      s.commit(SeqOffset(7))
+      assert(captureFiles().length == 2,
+        s"only the fully-committed file may be reclaimed: ${captureFiles()}")
+      // remaining history still serves exactly
+      val served = s.planInputPartitions(SeqOffset(7), SeqOffset(12)).flatMap { p =>
+        val r = s.createReaderFactory().createReader(p)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        while (r.next()) out += r.get().getUTF8String(0).toString
+        out
+      }.toSeq
+      assert(served == (7 until 12).map(body))
+      // full commit: everything reclaimable goes
+      s.commit(SeqOffset(12))
+      assert(captureFiles().isEmpty,
+        s"fully-committed history must be reclaimed: ${captureFiles()}")
+    } finally s.stop()
+
+    // restart over the compacted dir: shortened history + checkpoint
+    // rebase = nothing replayed, nothing lost (the manual-compaction
+    // contract, now exercised on the auto-compacted dir)
+    val port2 = freePort()
+    val s2 = new NgsiHttpMicroBatchStream(port2, Some(dir),
+      compactCommitted = true)
+    try {
+      // recovery order mirrors Spark's: the checkpoint offset is restored
+      // BEFORE any planning — the rebase path. With the whole history
+      // compacted away, prevEnd is 0 and the restored offset 12 simply
+      // renumbers the live ring past the checkpoint.
+      s2.deserializeOffset("12")
+      assert(s2.latestOffset().asInstanceOf[SeqOffset].n == 12L,
+        "compacted history must not be re-indexed, rebase must hold")
+      waitListening(port2)
+      assert(post(port2, body(12), Map.empty) == 200)
+      val latest = s2.latestOffset().asInstanceOf[SeqOffset]
+      assert(latest.n == 13L)
+      val rows = s2.planInputPartitions(SeqOffset(12), latest).flatMap { p =>
+        val r = s2.createReaderFactory().createReader(p)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        while (r.next()) out += r.get().getUTF8String(0).toString
+        out
+      }.toSeq
+      assert(rows == Seq(body(12)),
+        "restart over the compacted log must serve only new events")
+    } finally s2.stop()
+  }
+
+  test("invalid dial options are refused at load time, not mid-replay") {
+    // historyChunkRecords = 0 would throw NumericRange-step-0 mid-replay;
+    // negative would silently SKIP acked history (empty chunk ranges while
+    // the offset advances) — both must die at construction instead
+    def load(opt: (String, String)): Unit =
+      spark.readStream.format("graft.sources.NgsiHttpSource")
+        .option("port", freePort()).option(opt._1, opt._2).load()
+    intercept[IllegalArgumentException](load("historyChunkRecords" -> "0"))
+    intercept[IllegalArgumentException](load("historyChunkRecords" -> "-5"))
+    intercept[IllegalArgumentException](load("maxBufferBytes" -> "0"))
+    intercept[IllegalArgumentException](load("maxBufferBytes" -> "-1"))
+    intercept[IllegalArgumentException](load("liveChunkBytes" -> "0"))
+  }
+
   test("slow consumer: ingest ring is byte-bounded, 429s past the cap, " +
     "drains and recovers with every ACKED post delivered exactly once") {
     import org.apache.spark.sql.connector.read.InputPartition
     val port = freePort()
-    // per-record cost = body.length + service + servicePath + 64; bodies
-    // are 12 chars and headerless, so each acked post books 76 bytes.
+    // per-record cost = 2 × (body.length + service + servicePath) + 64
+    // (heap estimate: UTF-16 chars are 2 bytes wide); bodies are 12
+    // chars and headerless, so each acked post books 88 bytes.
     // Admission is while-UNDER-the-cap (overshoot by at most one
-    // record): a 500-byte cap admits 7 posts (6 × 76 = 456 < 500, the
-    // 7th lands at 532) before the ring refuses
+    // record): a 500-byte cap admits 6 posts (5 × 88 = 440 < 500, the
+    // 6th lands at 528) before the ring refuses
     val cap = 500L
     val stream = new NgsiHttpMicroBatchStream(port, None, cap)
     try {
@@ -564,13 +691,17 @@ class NgsiHttpSourceSpec extends SparkSpec {
       def body(i: Int) = f"""{"n":"$i%04d"}"""
       // a stalled consumer: no planning, no commits — post at full rate
       val statuses = (0 until 20).map(i => post(port, body(i), Map.empty))
-      assert(statuses.take(7).forall(_ == 200),
+      assert(statuses.take(6).forall(_ == 200),
         s"posts under the cap must ack: $statuses")
-      assert(statuses.drop(7).forall(_ == 429),
+      assert(statuses.drop(6).forall(_ == 429),
         s"posts past the cap must back-pressure, not buffer: $statuses")
       // the measured ceiling: only acked records occupy the ring
-      assert(stream.latestOffset().asInstanceOf[SeqOffset].n == 7L,
+      assert(stream.latestOffset().asInstanceOf[SeqOffset].n == 6L,
         "ring holds exactly the acked records")
+      // every refusal is counted (a non-retrying broker makes refusals
+      // potential upstream loss — the counter is how operators see it)
+      assert(stream.refusedCount == 14L,
+        s"expected 14 counted refusals, got ${stream.refusedCount}")
 
       def readAll(parts: Array[InputPartition]): Seq[String] =
         parts.flatMap { p =>
@@ -580,23 +711,23 @@ class NgsiHttpSourceSpec extends SparkSpec {
           out
         }.toSeq
       // the consumer catches up: one micro-batch drains the ring
-      val first = readAll(stream.planInputPartitions(SeqOffset(0), SeqOffset(7)))
-      assert(first == (0 until 7).map(body),
+      val first = readAll(stream.planInputPartitions(SeqOffset(0), SeqOffset(6)))
+      assert(first == (0 until 6).map(body),
         "drained batch must be the acked posts, in order")
-      stream.commit(SeqOffset(7))
+      stream.commit(SeqOffset(6))
 
-      // recovered: the broker's retry loop re-posts the refused
+      // recovered: a retry-configured broker re-posts the refused
       // notifications while the consumer now keeps up (drains on each
-      // 429) — every event lands exactly once, and the ring re-caps at
-      // 6 records whenever the consumer falls behind again
+      // 429) — every event lands exactly once, and the ring re-caps
+      // whenever the consumer falls behind again
       val delivered = scala.collection.mutable.ArrayBuffer[String]()
-      var next = 7L
-      (7 until 20).foreach { i =>
+      var next = 6L
+      (6 until 20).foreach { i =>
         var code = post(port, body(i), Map.empty)
         var drains = 0
         while (code == 429 && drains < 10) {
           val upto = stream.latestOffset().asInstanceOf[SeqOffset]
-          assert(upto.n - next <= 7L, "ring grew past its byte cap")
+          assert(upto.n - next <= 6L, "ring grew past its byte cap")
           delivered ++= readAll(
             stream.planInputPartitions(SeqOffset(next), upto))
           stream.commit(upto); next = upto.n
@@ -608,7 +739,7 @@ class NgsiHttpSourceSpec extends SparkSpec {
       val fin = stream.latestOffset().asInstanceOf[SeqOffset]
       delivered ++= readAll(stream.planInputPartitions(SeqOffset(next), fin))
       stream.commit(fin)
-      assert(delivered.toSeq == (7 until 20).map(body),
+      assert(delivered.toSeq == (6 until 20).map(body),
         "retried posts must each appear exactly once, in ack order")
 
       // no-wedge guard: a single record larger than the whole cap is
