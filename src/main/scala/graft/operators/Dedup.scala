@@ -619,8 +619,16 @@ object Dedup {
       .write.format("parquet").mode("overwrite")
       .bucketBy(n, "i").sortBy("i", "j")
       .saveAsTable(t)
+    // stamp the corpus fingerprint so an opted-in read over files that
+    // changed since this write fails loudly instead of serving stale pairs
+    BucketedMemo.stampFingerprint(s, t, pairInputs(d))
     t
   }
+
+  /** The files the pair derivation reads — the fingerprint domain for
+    * the bucketed table's staleness check. */
+  private def pairInputs(d: String): Seq[String] =
+    Seq(s"$d/documents.parquet")
 
   /** Read-or-build decision behind [[trigramPairs]], separated so the
     * bucketed-table spec can pin it: catalog table when opted in and
@@ -629,7 +637,8 @@ object Dedup {
     * bucketed parquet is exactly the storage-backed multi-session
     * shape. */
   private[operators] def pairSource(s: SparkSession, d: String): DataFrame =
-    BucketedMemo.readOrBuild(s, BucketedPairsConf, bucketedPairTable(d))(
+    BucketedMemo.readOrBuild(s, BucketedPairsConf, bucketedPairTable(d),
+      pairInputs(d))(
       lshPairsFromSigs(sigBase(s, d), numHashes = NumHashes,
         bandSize = BandSize, tNum = TrigramTNum, tDen = TrigramTDen)
         .pin(false))

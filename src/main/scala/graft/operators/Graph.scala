@@ -159,8 +159,16 @@ object Graph {
       .write.format("parquet").mode("overwrite")
       .bucketBy(n, "src").sortBy("src", "dst")
       .saveAsTable(t)
+    // stamp the corpus fingerprint so an opted-in read over files that
+    // changed since this write fails loudly instead of serving stale edges
+    BucketedMemo.stampFingerprint(s, t, edgeInputs(d))
     t
   }
+
+  /** The files the edge build reads — the fingerprint domain for the
+    * bucketed table's staleness check. */
+  private def edgeInputs(d: String): Seq[String] =
+    Seq(s"$d/orders.parquet", s"$d/lineitem.parquet")
 
   /** The un-memoized read-or-build decision behind [[edges]], separated
     * so the bucketed-table spec can pin it: catalog table when opted in
@@ -169,8 +177,8 @@ object Graph {
     * re-reading bucketed parquet per iteration is exactly the
     * storage-backed shape a multi-session cluster runs. */
   private[operators] def edgeSource(s: SparkSession, d: String): DataFrame =
-    BucketedMemo.readOrBuild(s, BucketedEdgesConf, bucketedEdgeTable(d))(
-      buildEdges(s, d))
+    BucketedMemo.readOrBuild(s, BucketedEdgesConf, bucketedEdgeTable(d),
+      edgeInputs(d))(buildEdges(s, d))
 
   private[operators] def edges(s: SparkSession, d: String): DataFrame =
     sharedEdges.getOrCompute(s, d)(edgeSource(s, d))

@@ -70,4 +70,26 @@ class DedupBucketedPairsSpec extends SparkSpec {
       } finally spark.conf.unset(Dedup.BucketedPairsConf)
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("stale bucketed pair table: a mutated corpus dir REFUSES the " +
+    "opted-in read instead of serving stale pairs") {
+    // same contract as GraphBucketedSpec's stale case, on the dedup
+    // family's table: fingerprint mismatch throws, re-write recovers
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stale_pairs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      tmp.resolve("documents.parquet"))
+    val d = tmp.toString
+    val t = Dedup.writeBucketedPairs(spark, d)
+    try {
+      spark.conf.set(Dedup.BucketedPairsConf, "true")
+      try {
+        assert(isCatalogRead(Dedup.pairSource(spark, d), t))
+        val f = tmp.resolve("documents.parquet").toFile
+        assert(f.setLastModified(f.lastModified() + 5000L))
+        val ex = intercept[IllegalStateException](Dedup.pairSource(spark, d))
+        assert(ex.getMessage.contains("STALE"), ex.getMessage)
+      } finally spark.conf.unset(Dedup.BucketedPairsConf)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

@@ -55,4 +55,37 @@ class GraphBucketedSpec extends SparkSpec {
       } finally spark.conf.unset(Graph.BucketedEdgesConf)
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("stale bucketed table: a mutated corpus dir REFUSES the opted-in " +
+    "read instead of serving stale edges") {
+    // the opt-in conf used to be a blind assertion that the corpus hadn't
+    // changed since the write; the fingerprint stamp turns a wrong
+    // assertion into a loud failure. Work on a COPY of the fixture dir
+    // (testdata is read-only and must stay byte-identical for the gates).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stale_edges")
+    Seq("orders.parquet", "lineitem.parquet").foreach { f =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/$f"), tmp.resolve(f))
+    }
+    val d = tmp.toString
+    val t = Graph.writeBucketedEdges(spark, d)
+    try {
+      spark.conf.set(Graph.BucketedEdgesConf, "true")
+      try {
+        // unchanged corpus: the stamped fingerprint matches, table serves
+        assert(graft.PlanCheck.isCatalogRead(Graph.edgeSource(spark, d), t))
+        // mutate one input (mtime bump is the cheapest corpus change a
+        // rewrite-in-place leaves behind) → the read must throw, naming
+        // the staleness, never fall back silently
+        val f = tmp.resolve("orders.parquet").toFile
+        assert(f.setLastModified(f.lastModified() + 5000L))
+        val ex = intercept[IllegalStateException](Graph.edgeSource(spark, d))
+        assert(ex.getMessage.contains("STALE"), ex.getMessage)
+        // re-running the write against the mutated corpus re-stamps and
+        // the opted-in read works again — the documented recovery path
+        Graph.writeBucketedEdges(spark, d)
+        assert(graft.PlanCheck.isCatalogRead(Graph.edgeSource(spark, d), t))
+      } finally spark.conf.unset(Graph.BucketedEdgesConf)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
