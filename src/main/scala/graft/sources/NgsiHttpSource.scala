@@ -433,33 +433,52 @@ private[sources] class NgsiHttpMicroBatchStream(
   }
 
   override def initialOffset(): Offset =
-    buffer.synchronized { engaged = true; SeqOffset(0L) }
+    buffer.synchronized { SeqOffset(0L) }
 
   override def latestOffset(): Offset =
-    buffer.synchronized { engaged = true; SeqOffset(firstSeq + buffer.size) }
+    buffer.synchronized {
+      val tail = firstSeq + buffer.size
+      maxMinted = math.max(maxMinted, tail)
+      SeqOffset(tail)
+    }
 
-  /** True once Spark has engaged this instance for planning (initialOffset /
-    * latestOffset / plan / commit). Recovery is the one path where
-    * deserializeOffset arrives FIRST (populateStartOffsets reads the
-    * checkpoint before anything else); mid-run offset-log reads happen only
-    * after engagement and must never rebase (they would renumber
-    * uncommitted buffer entries and replay them as duplicates). */
-  private var engaged = false
+  /** Highest sequence number this incarnation has MINTED (returned from
+    * latestOffset), initially the durable history's end. Any offset Spark
+    * hands back through deserializeOffset that exceeds it cannot have come
+    * from this incarnation — it is a restored checkpoint position, and the
+    * live numbering must rebase past it. Mid-run offset-log reads are
+    * always ≤ maxMinted (latestOffset mints under the same lock before an
+    * offset can enter any log), so they never rebase — a rebase there
+    * would renumber uncommitted buffer entries and replay them as
+    * duplicates. Guarded by the buffer lock. */
+  private var maxMinted = prevEnd
 
   /** On restart with a checkpoint, the checkpointed offset is ahead of this
-    * fresh instance's numbering (which starts at 0). The first restored
-    * offset — before any planning — rebases the sequence: buffered
-    * notifications (all post-restart arrivals) keep their order but
-    * renumber to follow the checkpointed position, so nothing that arrived
-    * after the restart is lost; only the previous incarnation's unread
-    * buffer is (the documented at-most-once contract across restarts). */
+    * fresh instance's numbering (which starts at 0 when the capture history
+    * is shorter than the checkpoint — the compaction case). A restored
+    * offset rebases the sequence: buffered notifications (all post-restart
+    * arrivals) keep their order but renumber to follow the checkpointed
+    * position, so nothing that arrived after the restart is lost; only the
+    * previous incarnation's unread buffer is (the documented at-most-once
+    * contract across restarts).
+    *
+    * ORDER-INDEPENDENT on purpose: Spark 4.1.2's committed-equal restart
+    * path (populateStartOffsets with offset log == commit log) makes NO
+    * source call during restore — the first call is constructNextBatch's
+    * latestOffset(), and the restored offset only arrives at the first
+    * runBatch's deserializeOffset. A first-call-wins flag (the previous
+    * implementation) therefore raced the accept path: a post landing
+    * before the restore was numbered below the checkpoint, the regression
+    * batch [checkpoint, staleLatest) committed, and the commit TRIMMED the
+    * acked-but-never-delivered record from the ring — observed as a
+    * timing-dependent lost event in the compacted-log restart spec. Keying
+    * the rebase on `n > maxMinted` instead of call order closes the race:
+    * restored offsets rebase whenever they arrive; self-minted offsets
+    * never do. */
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong
     buffer.synchronized {
-      if (!engaged) {
-        engaged = true
-        if (n > firstSeq) firstSeq = n
-      }
+      if (n > maxMinted && n > firstSeq) firstSeq = n
     }
     SeqOffset(n)
   }

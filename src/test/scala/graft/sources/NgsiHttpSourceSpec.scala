@@ -660,6 +660,42 @@ class NgsiHttpSourceSpec extends SparkSpec {
     } finally s2.stop()
   }
 
+  test("restart rebase is order-independent: latestOffset before the " +
+    "checkpoint restore must not strand or drop an acked post") {
+    // Spark 4.1.2's committed-equal restart makes NO source call during
+    // populateStartOffsets: the first call is constructNextBatch's
+    // latestOffset(), and the checkpointed offset only arrives at the
+    // first runBatch's deserializeOffset. A post racing into that window
+    // is numbered below the checkpoint; the regression batch
+    // [checkpoint, staleLatest) then commits and must NOT trim the acked
+    // record (the first-call-wins rebase lost it here, timing-dependent).
+    import org.apache.spark.sql.connector.read.InputPartition
+    val port = freePort()
+    val s = new NgsiHttpMicroBatchStream(port, None)
+    try {
+      waitListening(port)
+      assert(s.latestOffset().asInstanceOf[SeqOffset].n == 0L) // trigger A
+      assert(post(port, """{"ev":"X"}""", Map.empty) == 200) // pre-restore post
+      assert(s.latestOffset().asInstanceOf[SeqOffset].n == 1L)
+      s.deserializeOffset("4") // checkpoint restored only now (runBatch)
+      // the regression batch [4, 1) plans empty and its commit drops nothing
+      assert(s.planInputPartitions(SeqOffset(4), SeqOffset(1)).isEmpty)
+      s.commit(SeqOffset(1))
+      // the acked post renumbered past the checkpoint, delivered exactly once
+      val latest = s.latestOffset().asInstanceOf[SeqOffset]
+      assert(latest.n == 5L, s"rebase must slide the ring past the checkpoint, tail=${latest.n}")
+      val rows = s.planInputPartitions(SeqOffset(4), latest).flatMap { p: InputPartition =>
+        val r = s.createReaderFactory().createReader(p)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        while (r.next()) out += r.get().getUTF8String(0).toString
+        out
+      }.toSeq
+      assert(rows == Seq("""{"ev":"X"}"""), s"acked pre-restore post lost: $rows")
+      s.commit(latest)
+      assert(s.latestOffset().asInstanceOf[SeqOffset].n == 5L)
+    } finally s.stop()
+  }
+
   test("invalid dial options are refused at load time, not mid-replay") {
     // historyChunkRecords = 0 would throw NumericRange-step-0 mid-replay;
     // negative would silently SKIP acked history (empty chunk ranges while
