@@ -34,6 +34,8 @@ object GraftSession {
       // and at sf100 the UNcompressed block spill alone exceeded the
       // box's scratch volume. Costs decode CPU only where pinSer opted in.
       .config("spark.rdd.compress", "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     muteExpectedWarnings()

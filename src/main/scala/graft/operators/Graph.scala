@@ -206,12 +206,15 @@ object Graph {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
       .select(col("src"), col("dst"), (lit(1L) + expr("6 div n")).as("w"))
-      // PLAIN pin on purpose (A/B-measured, round 14): with the keyed
-      // pin the q218 relaxation loop plans against the memo's fixed
-      // 32-partition src layout and runs ~2.5× slower in-board (3.50 vs
-      // 1.39 s min-of-3) than letting AQE re-shuffle and right-size the
-      // join stages per round; the unweighted edge memo keeps its keyed
-      // pin because its census consumers measurably gain from it.
+      // PLAIN pin on purpose (A/B-measured round 14, re-measured round 16
+      // after the per-round dist pin landed): the keyed pin drops the
+      // per-round edge re-shuffle (6.2 MB vs 46.5 MB shuffle read) but
+      // planning every round against the memo's fixed src layout costs
+      // wall-clock (2.03 s vs 1.48 s min-of-3) — AQE's right-sizing of
+      // the per-round join stages wins at bench scale. A cluster-scale
+      // deployment whose rounds are shuffle-bound flips this to
+      // pinSerKeyed(false, "src"); the unweighted edge memo keeps its
+      // keyed pin because its census consumers measurably gain from it.
       .pinSer(false)
   }
 
@@ -229,7 +232,10 @@ object Graph {
     * by construction, which is exactly what makes the comparison valid). */
   private[graft] def pagerankOn(e: DataFrame, hinted: Boolean = true): DataFrame = {
     def h(df: DataFrame): DataFrame = if (hinted) df.hint("shuffle_hash") else df
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // node-sized, read by the initial ranks AND every iteration's rebuild
+    // (PrIters+1 plan references): pin once instead of re-running the
+    // edge-sized groupBy per reference
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).pin(false)
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     var r = deg.crossJoin(broadcast(nn))
       .select(col("src").as("node"), col("deg"),
@@ -373,8 +379,15 @@ object Graph {
       (1 to BfsHops).foreach { _ =>
         val nxt = dist.hint("shuffle_hash").join(e, col("node") === col("src"))
           .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
+        // pin each round (node-sized): round k's plan references round
+        // k−1 TWICE (carry-over union + expansion join), so the unpinned
+        // lineage duplicates the whole prefix per level — 2^k−1 planned
+        // join subtrees (7 for 3 hops, measured 297 tasks / 32 MB
+        // shuffled); with the per-round cut the plan is linear (one join
+        // + one agg per hop, measured 87 tasks / 3.9 MB)
         dist = dist.select(col("node"), col("hops")).unionByName(nxt)
           .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+          .pin(false)
       }
       dist.groupBy(col("hops")).agg(count(lit(1)).as("n_nodes"))
     }),
@@ -400,8 +413,12 @@ object Graph {
       (1 to SsspIters).foreach { _ =>
         val nxt = dist.hint("shuffle_hash").join(e, col("node") === col("src"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        // per-round pin, same reason as q202: 4 unpinned rounds plan
+        // 2^4−1 = 15 duplicated join subtrees (measured 180 tasks /
+        // 81 MB shuffle read); pinned, one join + one agg per round
         dist = dist.select(col("node"), col("dist")).unionByName(nxt)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .pin(false)
       }
       dist.groupBy(col("dist"), kindOf(col("node")).as("kind"))
         .agg(count(lit(1)).as("n_nodes"))
@@ -421,6 +438,13 @@ object Graph {
     // customer over the capped list, one hash agg, and a fully tie-broken
     // top-K — no window over the pair set.
     "q210_copurchase_topk" -> ((s, d) => {
+      // cs/low stay UNPINNED on purpose (A/B-measured round 16): the plan
+      // references cs 4× and low 2×, but runtime ReusedExchange dedups the
+      // identical subtrees (8 jobs, 27 MB shuffle of which the reused
+      // reads are re-fetches, not recomputes); explicit pins cut shuffle
+      // to 16 MB but pay a 49 MB checkpoint write+read and measured
+      // ~0.2-0.3 s SLOWER min-of-3 — the exchange files ARE the
+      // materialization here.
       val cs = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.load(s, d, "lineitem")

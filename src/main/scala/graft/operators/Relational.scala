@@ -87,7 +87,14 @@ object Relational {
     * never change a result, only a plan. */
   private[operators] def histCumulative(hist0: DataFrame, groupCol: String,
                                         valueCol: String): DataFrame = {
-    val hist = hist0.pin(false)
+    // an input the CALLER already pinned (LogicalRDD root — q169 shares
+    // one materialized histogram across two walks and its final agg) must
+    // not be re-checkpointed: a pin of a pin is a full row copy for
+    // nothing
+    val hist = hist0.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => hist0
+      case _ => hist0.pin(false)
+    }
     val v = col(valueCol)
     val adaptiveMax = hist0.sparkSession.conf.getOption(HistAdaptiveConf)
       .map(_.toLong).getOrElse(HistAdaptiveMax)
@@ -2687,9 +2694,15 @@ object Relational {
     // scanned once and everything downstream is histogram-sized.
     "q169_mad_outliers" -> ((s, d) => {
       val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+      // FOUR consumers (median walk, deviation histogram, final agg, and
+      // the walk-internal probe) read the (type × cents) histogram: pin it
+      // ONCE here — the un-pinned form re-aggregated the events scan in
+      // the devHist branch AND the final agg (2 extra corpus passes,
+      // 12-exchange plan with zero reuse across them)
       val hist = t(s, d, "events")
         .groupBy(col("event_type"), cents.as("c"))
         .agg(count(lit(1)).as("cnt"))
+        .pin(false)
       val med = histRankWalk(hist, "event_type", "c",
         Seq("med" -> "(n + 1) div 2"))
         .select(col("event_type"), col("n"), col("med"))
