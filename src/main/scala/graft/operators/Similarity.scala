@@ -275,7 +275,11 @@ object Similarity {
       val vecs = kmQuantized(s, d)
       val init = vecs.filter(col("vec_id") < KmK)
         .select(col("vec_id").cast("long").as("cid"), col("qv").as("cv"))
+      // fin is referenced TWICE (the final assign and the centroid_sum
+      // join): pinned, the K-row frame materializes once and the whole
+      // unrolled Lloyd chain is evaluated once, not once per reference
       val fin = (1 to KmIters).foldLeft(init)((c, _) => kmUpdate(kmAssign(vecs, c)))
+        .pin(false)
       val last = kmAssign(vecs, fin)
       last.groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("distortion"))
