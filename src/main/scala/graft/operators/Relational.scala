@@ -1125,24 +1125,30 @@ object Relational {
             col("freq"), col("monetary"))
           .pin(false)
       }
-      def cuts(valueCol: String): DataFrame = {
-        val hist = cust.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
-          .withColumn("g", lit(1))
-        // final global re-agg (no grouping key) so the broadcast build is
-        // the sanctioned 1-row scalar shape, not a grouped-by-constant agg
-        histRankWalk(hist, "g", valueCol,
-          (1 to 3).map(k => s"${valueCol}_cut$k" -> s"($k * n + 3) div 4"))
-          .agg(max(col(s"${valueCol}_cut1")).as(s"${valueCol}_cut1"),
-            max(col(s"${valueCol}_cut2")).as(s"${valueCol}_cut2"),
-            max(col(s"${valueCol}_cut3")).as(s"${valueCol}_cut3"))
-      }
+      // ONE rank walk over a metric-tagged tall histogram instead of three
+      // separate histRankWalk pipelines (each with its own pin, probe
+      // count, spine and broadcast build — 21 jobs measured): the three
+      // quartile-cut sets are identical integers either way (per-metric
+      // counts and ranks are untouched by the tagging), computed in one
+      // vocabulary-sized pass and pivoted to the 9 cut scalars the coding
+      // pass crossJoins.
+      val metrics = Seq("recency", "freq", "monetary")
+      val tall = metrics.map(m =>
+          cust.select(lit(m).as("metric"), col(m).as("v")))
+        .reduce(_ unionAll _)
+        .groupBy(col("metric"), col("v")).agg(count(lit(1)).as("cnt"))
+      val walk = histRankWalk(tall, "metric", "v",
+        (1 to 3).map(k => s"cut$k" -> s"($k * n + 3) div 4"))
+      val cutsAll = walk.agg(
+        max(when(col("metric") === metrics.head, col("cut1"))).as("recency_cut1"),
+        (for (m <- metrics; k <- 1 to 3; if !(m == metrics.head && k == 1))
+          yield max(when(col("metric") === m, col(s"cut$k")))
+            .as(s"${m}_cut$k")): _*)
       def code(valueCol: String): Column =
         lit(1L) + (1 to 3).map(k =>
           (col(valueCol) > col(s"${valueCol}_cut$k")).cast("long")).reduce(_ + _)
       cust
-        .crossJoin(broadcast(cuts("recency")))
-        .crossJoin(broadcast(cuts("freq")))
-        .crossJoin(broadcast(cuts("monetary")))
+        .crossJoin(broadcast(cutsAll))
         .select(concat(lit("R"), code("recency"),
           lit("F"), code("freq"), lit("M"), code("monetary")).as("segment"),
           col("monetary"))
@@ -1612,8 +1618,17 @@ object Relational {
     // exists.
     "q223_bootstrap_ci" -> ((s, d) => {
       val B = BootReplicas
+      // CPU-parallelize the replica ladder: the explode×8 + md5-per-row
+      // chain below is the query's whole cost, and narrow-chained onto the
+      // scan it runs at input-split parallelism (ONE task on a single-file
+      // events table — measured 6 tasks / 2.7 s for the query). The hash
+      // repartition of the 3-column projection costs ~1.7 MB of shuffle
+      // and fans the digest work across every core; at cluster scale the
+      // split count is naturally high and this floor is a no-op
+      // (defaultParallelism — the same q73/q76 discipline).
       val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+        .repartition(TextFns.cpuPartitions, col("event_id"))
       val w = PoissonCdf16.zipWithIndex.foldRight(lit(PoissonCdf16.length)
           .cast("long")) { case ((thr, k), rest) =>
         when(col("u") < thr, k.toLong).otherwise(rest)

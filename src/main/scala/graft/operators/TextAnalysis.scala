@@ -412,17 +412,30 @@ object TextAnalysis {
     // three 1-row scalars (argmax, before, after) meet in scalar joins.
     "q184_bpe_compression" -> ((s, d) => {
       val (tops, seqs) = bpeLadder(s, d)
-      tops.zipWithIndex.map { case (top, i) =>
+      // Stage totals as ONE tall aggregate instead of two 1-row broadcast
+      // aggs per round: the per-round crossJoin form planned 2·R separate
+      // bpeTotal subtrees and broadcast builds (R=24 → 52 jobs measured on
+      // the warm ladder); tagging the pinned stage frames with their index
+      // and aggregating once yields the identical 25 integers in a single
+      // vocabulary-sized pass, met by two broadcast joins on the round key.
+      val totals = seqs.zipWithIndex.map { case (sq, i) =>
+          sq.select(lit(i).as("stage"), col("freq"), col("seq"))
+        }.reduce(_ unionAll _)
+        .groupBy(col("stage"))
+        .agg(sum(col("freq") * size(split(trim(col("seq")), "  ")))
+          .as("total"))
+      val rounds = tops.zipWithIndex.map { case (top, i) =>
         top.select(lit(i + 1).as("round"), col("l").as("left_sym"),
-            col("r").as("right_sym"), col("cnt").as("pair_count"))
-          .crossJoin(broadcast(bpeTotal(seqs(i))
-            .select(col("total").as("total_before"))))
-          .crossJoin(broadcast(bpeTotal(seqs(i + 1))
-            .select(col("total").as("total_after"))))
-          .select(col("round"), col("left_sym"), col("right_sym"),
-            col("pair_count"), col("total_before"), col("total_after"),
-            (col("total_before") - col("total_after")).as("applied_count"))
+          col("r").as("right_sym"), col("cnt").as("pair_count"))
       }.reduce(_ unionAll _)
+      rounds
+        .join(broadcast(totals.select((col("stage") + 1).as("round"),
+          col("total").as("total_before"))), "round")
+        .join(broadcast(totals.select(col("stage").as("round"),
+          col("total").as("total_after"))), "round")
+        .select(col("round"), col("left_sym"), col("right_sym"),
+          col("pair_count"), col("total_before"), col("total_after"),
+          (col("total_before") - col("total_after")).as("applied_count"))
     }),
 
     // --- BPE corpus encoding (the trained tokenizer applied) ---------------
