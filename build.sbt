@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// the bench JSON. With the default LoggedOutput strategy sbt pipes the
+// forked JVM's fd 1 AND fd 2 through its logger ("[info] "-framed) and then
+// appends its own "[success] Total time" line — so the compact JSON line was
+// never the last bare stdout line and no BENCH_r*.json ever parsed
+// (PERF per_query empty since r01). StdoutOutput hands the forked process
+// sbt's raw stdout/stderr (no framing, measured r17); showSuccess=false
+// drops the trailing "[success]" banner (task exit codes and test reporting
+// are unaffected — failures still print "[error]" and fail the command).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command loop, not by another setting —
+// lintUnused cannot see that; exclude it from the false-positive warning
+Global / excludeLintKeys += showSuccess
 // LocalClusterSpec: the in-JVM standalone workers must not scribble a
 // work/ dir into the read-only-by-convention /opt/spark distribution,
 // and their executor command builder needs the Scala version that

@@ -12,11 +12,16 @@ object Explain {
     val sfDir = args(0)
     val reps = args(1).toInt
     val showPlan = args.contains("-p")
-    val outDir = args.sliding(2).collectFirst {
-      case Array("-o", d) => d
-    }
-    val names = args.drop(2).filterNot(_ == "-p")
-      .filterNot(a => a == "-o" || outDir.contains(a))
+    // positional parse: "-o" consumes exactly its following token, so a
+    // query name that happens to equal the output directory string is
+    // never silently dropped (and a stray trailing "-o" fails loudly)
+    val rest = args.drop(2).filterNot(_ == "-p")
+    val oIdx = rest.indexOf("-o")
+    require(oIdx == -1 || oIdx + 1 < rest.length, "-o requires a directory")
+    val outDir = if (oIdx == -1) None else Some(rest(oIdx + 1))
+    val names =
+      if (oIdx == -1) rest.toSeq
+      else rest.take(oIdx).toSeq ++ rest.drop(oIdx + 2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")

@@ -25,16 +25,33 @@ object Tables {
     * those files. Keyed globally (not per session): testdata files are
     * immutable for a process lifetime, and the bench's isolated floors
     * (fresh sessions) legitimately share table METADATA the way any two
-    * sessions of one metastore do. */
+    * sessions of one metastore do.
+    *
+    * Staleness guard (r17): the key carries the file set's (total length,
+    * max mtime) alongside the path — a parquet rewritten at the same path
+    * within one JVM (test fixtures, regenerated testdata) re-infers
+    * instead of serving a stale schema. One directory stat per load,
+    * orders of magnitude cheaper than the footer read it replaces. */
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  private def memoKey(path: String): String = {
+    val f = new java.io.File(path)
+    val parts: Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      else Seq(f)
+    val len = parts.map(_.length()).sum
+    val mtime = (f +: parts).map(_.lastModified()).foldLeft(0L)(math.max)
+    s"$path|$len|$mtime"
+  }
+
   private def readWithMemo(spark: SparkSession, path: String): DataFrame = {
-    val cached = schemaMemo.get(path)
+    val key = memoKey(path)
+    val cached = schemaMemo.get(key)
     if (cached != null) spark.read.schema(cached).parquet(path)
     else {
       val df = spark.read.parquet(path)
-      schemaMemo.putIfAbsent(path, df.schema)
+      schemaMemo.putIfAbsent(key, df.schema)
       df
     }
   }

@@ -229,13 +229,17 @@ object Dedup {
     * under-merge q46/q47 with no signal. */
   private def ccLabelProp(pairs: DataFrame, maxIters: Int,
                           failOnCap: Boolean): Option[DataFrame] = {
+    // Both lazy: round 1's convergence count is the materializing action
+    // for edges, the initial labels AND round 1's output in ONE job (the
+    // eager pins paid three). Every release below happens only after a
+    // count that has already materialized the released frame's successor.
     val edges = pairs
       .select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .pin(true)
+      .pin(false)
     var pinned = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .pin(true)
+      .pin(false)
     var labels = pinned
     var changed = 1L
     var it = 0
@@ -253,7 +257,9 @@ object Dedup {
         .union(pushed)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"),
           min(when(col("own"), col("lbl"))).as("old"))
-        .pin(true)
+        .pin(false)
+      // the count IS the materializing action for the lazy pin (one job
+      // per round instead of two); the release below only runs after it
       changed = next.filter(col("lbl") < col("old")).count()
       // superseded round: drop its checkpoint blocks eagerly (see the
       // matching note in ccAlternatingStars)
@@ -376,8 +382,11 @@ object Dedup {
       .select(greatest(col("i"), col("j")).as("src"),
         least(col("i"), col("j")).as("dst"))
       .filter(col("src") =!= col("dst"))
+    // lazy pin + count: the count below is the materializing action (one
+    // job instead of eager-pin + count's two); blocks are complete before
+    // any later release
     var edges = (if (contract) ccLocalContract(canonical) else canonical)
-      .distinct().pin(true)
+      .distinct().pin(false)
     var edgeCount = edges.count()
     var converged = false
     var it = 0
@@ -390,11 +399,17 @@ object Dedup {
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       val lmins = nbrs.groupBy(col("src"))
         .agg(least(min(col("dst")), col("src")).as("m"))
+      // NO dedup of the large-star output (r17): duplicates cannot change
+      // smins' per-src min, and the round's small-star output is distinct'd
+      // below, so the round is SET-identical with or without it — while the
+      // removed `.distinct()` was a full exchange of the round's LARGEST
+      // relation (the rewired edge multiset). Duplicate volume is bounded:
+      // |large| <= |nbrs| = 2|edges| either way. Measured on q225:
+      // exchanges/round 4 -> 3, jobs 45 -> see OPTIMIZATION_r17.md.
       val large = nbrs.join(lmins, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
       // small-star: src > dst everywhere, so per src the closed-neighborhood
       // min is just min(dst); rewire every smaller neighbor AND src itself
       // to it.
@@ -404,12 +419,13 @@ object Dedup {
         .union(joined.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .pin(true)
+        .pin(false)
       // Fixpoint test on the materialized round output: both sides are
       // distinct sets, so equal counts + empty one-way difference = equal.
-      // (edgeCount carries the previous round's already-paid count — the
-      // only fresh action here is small.count(), plus the except in the
-      // rounds where counts agree.)
+      // The pin is LAZY and this count is the action that materializes it —
+      // one job per round where the eager pin + count pair was two (the
+      // blocks are complete before any release below, so the replay
+      // invariant holds exactly as with the eager pin).
       val smallCount = small.count()
       converged = smallCount == edgeCount && small.except(edges).isEmpty
       edgeCount = smallCount

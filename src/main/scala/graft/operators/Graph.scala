@@ -265,36 +265,48 @@ object Graph {
         .select(col("node"), lit(Scale).as("h"))
       var a: DataFrame = null
       // Round discipline (the CC-loop rule): each sweep's RAW aggregate is
-      // eagerly checkpointed — both its consumers (the broadcast max and
-      // the rescale) read one materialized node-sized frame instead of
-      // re-running the edge join — and the PREVIOUS round's checkpoints
-      // are released as soon as the frame that supersedes them
-      // materializes. Without the release, every hitsOn call (one per
-      // micro-batch in GraphRankStream.hits) pinned 2×HitsIters node-sized
-      // RDDs until session end.
+      // checkpointed — both its consumers read one materialized node-sized
+      // frame instead of re-running the edge join — and the PREVIOUS
+      // round's checkpoints are released as soon as the frame that
+      // supersedes them materializes. Without the release, every hitsOn
+      // call (one per micro-batch in GraphRankStream.hits) pinned
+      // 2×HitsIters node-sized RDDs until session end.
+      //
+      // The normalization max is FOLDED into the pin materialization
+      // (r17): the pin is lazy and the 1-row max aggregate is the action
+      // that materializes it, so the sweep's scalar arrives on the driver
+      // from the SAME job that stores the blocks and rides back into the
+      // rescale as a literal — where the eager pin + agg + broadcast
+      // exchange paid three scheduling round-trips per side per sweep
+      // (measured q208: 26 jobs -> see OPTIMIZATION_r17.md). A 1-row max
+      // fetch is the same driver traffic the broadcast exchange's collect
+      // paid; the arithmetic is unchanged (same decimal(38) product, same
+      // integer div by the same exact max).
       var prevARaw: DataFrame = null
       var prevHRaw: DataFrame = null
+      def maxOf(raw: DataFrame): Long = {
+        val r = raw.agg(max(col("raw")).as("mx")).head()
+        if (r.isNullAt(0)) 1L else r.getLong(0) // empty side: no rows to rescale anyway
+      }
       (1 to HitsIters).foreach { _ =>
         val araw = h.hint("shuffle_hash").join(e, col("node") === col("src"))
           .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
-          .pin(true)
+          .pin(false)
+        val amax = maxOf(araw) // materializes araw's checkpoint
         // araw materialized ⇒ h (rooted at the previous hraw) is dead
         if (prevHRaw ne null) graft.FrameBlocks.release(prevHRaw)
-        val amax = araw.agg(max(col("raw")).as("mx"))
-        a = araw.crossJoin(broadcast(amax))
-          .select(col("dst").as("node"),
-            expr(s"(cast(raw as decimal(38,0)) * $Scale) div mx").as("a"))
+        a = araw.select(col("dst").as("node"),
+          expr(s"(cast(raw as decimal(38,0)) * $Scale) div ${amax}L").as("a"))
         val hraw = a.hint("shuffle_hash")
           .join(e.select(col("src"), col("dst").as("node")), "node")
           .groupBy(col("src")).agg(sum(col("a")).as("raw"))
-          .pin(true)
+          .pin(false)
+        val hmax = maxOf(hraw) // materializes hraw's checkpoint
         // hraw materialized ⇒ the previous round's araw is dead (the
         // current araw still backs `a`, read by the final top-N)
         if (prevARaw ne null) graft.FrameBlocks.release(prevARaw)
-        val hmax = hraw.agg(max(col("raw")).as("mx"))
-        h = hraw.crossJoin(broadcast(hmax))
-          .select(col("src").as("node"),
-            expr(s"(cast(raw as decimal(38,0)) * $Scale) div mx").as("h"))
+        h = hraw.select(col("src").as("node"),
+          expr(s"(cast(raw as decimal(38,0)) * $Scale) div ${hmax}L").as("h"))
         prevARaw = araw
         prevHRaw = hraw
       }

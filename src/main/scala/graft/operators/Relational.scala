@@ -1623,12 +1623,15 @@ object Relational {
       // scan it runs at input-split parallelism (ONE task on a single-file
       // events table — measured 6 tasks / 2.7 s for the query). The hash
       // repartition of the 3-column projection costs ~1.7 MB of shuffle
-      // and fans the digest work across every core; at cluster scale the
-      // split count is naturally high and this floor is a no-op
-      // (defaultParallelism — the same q73/q76 discipline).
-      val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
-        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
-        .repartition(TextFns.cpuPartitions, col("event_id"))
+      // and fans the digest work across every core. GATED on the planned
+      // split count (r17, the same q73/q76 discipline): at cluster scale
+      // the scan has thousands of splits and the exchange — a full
+      // corpus-wide shuffle that existed only to fix the local small-file
+      // artifact — is not planned at all.
+      val ev = TextFns.fanCpu(
+        t(s, d, "events").select(col("event_id"), col("event_type"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c")),
+        col("event_id"))
       val w = PoissonCdf16.zipWithIndex.foldRight(lit(PoissonCdf16.length)
           .cast("long")) { case ((thr, k), rest) =>
         when(col("u") < thr, k.toLong).otherwise(rest)

@@ -888,30 +888,53 @@ object Similarity {
       .select(expr(s"(qx + $DbscanShift) div $fineW").as("fx"),
         expr(s"(qy + $DbscanShift) div $fineW").as("fy"))
       .groupBy(col("fx"), col("fy")).agg(count(lit(1)).as("c"))
-    val nPts = fine.agg(sum(col("c")).as("n_points"))
     // tall coarse histogram over all rungs; pinned — read by the center
-    // agg, both sides of the 4 adjacency joins, and the cell census
+    // agg, both sides of the adjacency join, and the cell census
     val tall = fine
       .select(explode(array(DbscanLadder.map(e => lit(e / fineW)): _*)).as("k"),
         col("fx"), col("fy"), col("c"))
       .groupBy(col("k"), expr("fx div k").as("cx"), expr("fy div k").as("cy"))
       .agg(sum(col("c")).as("nc"))
       .pin(false)
+    // n_points off the PINNED tall instead of a second corpus pass (r17):
+    // rung k=1 is the fine histogram itself (cx=fx div 1), so Σ nc over it
+    // IS the exact point count — the old `fine.agg(sum(c))` planned the
+    // whole projection+histogram subtree (and its parquet scan) a second
+    // time, and `best`'s copy of `table` doubled THAT too (2 extra corpus
+    // scans visible in the before plan).
+    val nPts = tall.filter(col("k") === 1)
+      .agg(sum(col("nc")).as("n_points"))
     // exact candidate volume of the HALF-neighborhood probe join:
-    // within-cell unordered pairs + the 4 canonical direction products
+    // within-cell unordered pairs + the 4 canonical direction products.
+    // ONE join serves all 4 directions (r17): the probe side explodes each
+    // cell into its 4 shifted keys and equi-joins tall once — the sum of
+    // per-(cell, direction) products is identical to the old 4 self-joins'
+    // union (each (a, b, direction) hit contributes a.nc·b.nc exactly
+    // once), but the plan pays 2 exchanges instead of 5 (4 distinct
+    // probe-side exchanges + the reused build side). q231 jobs 21 -> 15,
+    // q232 rides the same subtree.
     val center = tall.select(col("k"), expr("(nc * (nc - 1)) div 2").as("p"))
-    val adjs = Seq((1, 0), (-1, 1), (0, 1), (1, 1)).map { case (dx, dy) =>
-      tall.as("a").join(tall.as("b"),
-        col("a.k") === col("b.k") &&
-          col("a.cx") + dx === col("b.cx") && col("a.cy") + dy === col("b.cy"))
-        .select(col("a.k").as("k"), (col("a.nc") * col("b.nc")).as("p"))
-    }
-    val cand = (center +: adjs).reduce(_ unionAll _)
+    val shifted = tall.select(col("k"), col("nc"), explode(array(
+        struct((col("cx") + 1).as("cx"), col("cy").as("cy")),
+        struct((col("cx") - 1).as("cx"), (col("cy") + 1).as("cy")),
+        struct(col("cx").as("cx"), (col("cy") + 1).as("cy")),
+        struct((col("cx") + 1).as("cx"), (col("cy") + 1).as("cy")))).as("t"))
+      .select(col("k"), col("t.cx").as("cx"), col("t.cy").as("cy"), col("nc"))
+    val adj = shifted
+      .join(tall.select(col("k"), col("cx"), col("cy"), col("nc").as("ncb")),
+        Seq("k", "cx", "cy"))
+      .select(col("k"), (col("nc") * col("ncb")).as("p"))
+    val cand = center.unionAll(adj)
       .groupBy(col("k")).agg(sum(col("p")).as("cand_pairs"))
     val cells = tall.groupBy(col("k")).agg(count(lit(1)).as("n_cells"))
+    // table is LADDER-sized (6 rows) but was planned TWICE — once for the
+    // output and once under `best`'s broadcast — so the whole cand/cells
+    // chain ran double. Pinned (lazy; `best`'s broadcast collect is the
+    // materializing action), the plan is linear. (r17)
     val table = cand.join(cells, "k")
       .select((col("k") * fineW).as("epsq"), col("n_cells"), col("cand_pairs"))
       .crossJoin(broadcast(nPts))
+      .pin(false)
     val best = table.agg(max(when(
       col("cand_pairs") <= lit(DbscanCandBudget) * col("n_points"),
       col("epsq"))).as("best"))
@@ -924,11 +947,17 @@ object Similarity {
     * literal for q225, the q231-calibrated broadcast scalar for q232). */
   private[operators] def gridDbscan(ptsIn: DataFrame): DataFrame = {
     {
+      // pts/edges/cores pins are LAZY (r17): the first action downstream —
+      // the CC loop's init count — materializes the whole pts -> probe-join
+      // -> degree chain as ONE job (the three eager pins paid three
+      // scheduling round-trips for the same stages). Every release at the
+      // end of this function runs after `out.pin(true)`, by which point all
+      // three are long materialized, so the replay invariant holds.
       val pts = ptsIn
         .select(col("id"), col("qx"), col("qy"), col("epsq"),
           expr(s"(qx + $DbscanShift) div epsq").as("cx"),
           expr(s"(qy + $DbscanShift) div epsq").as("cy"))
-        .pin(true)
+        .pin(false)
       // Each unordered pair is generated ONCE: probe only the 5-offset
       // HALF neighborhood — the center cell (deduped by ia < ib) plus the
       // 4 canonical directions {(1,0),(-1,1),(0,1),(1,1)}, one of ±δ per
@@ -958,14 +987,14 @@ object Similarity {
             (col("qya") - col("qyb")) * (col("qya") - col("qyb"))
             <= col("epsq") * col("epsq"))
         .select(col("ia"), col("ib"))
-        .pin(true)
+        .pin(false)
       // symmetrized degree: each once-generated pair contributes one
       // neighbor to BOTH endpoints (self excluded, as before)
       val cores = edges
         .select(explode(array(col("ia"), col("ib"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= DbscanMinPts).select(col("id"))
-        .pin(true)
+        .pin(false)
       val corePairs = edges
         .join(cores.select(col("id").as("ia")), "ia")
         .join(cores.select(col("id").as("ib")), "ib")
@@ -989,17 +1018,21 @@ object Similarity {
         .join(cores.select(col("id").as("ia")), Seq("ia"), "left_anti")
         .groupBy(col("ia")).agg(min(col("cluster")).as("cluster"))
         .select(col("ia").as("id"), col("cluster"))
+      // ONE labeled-point frame instead of two successive left joins
+      // (r17): coreLbl and borderLbl are DISJOINT by construction
+      // (borderLbl anti-joins cores), so each id has at most one row in
+      // the union and a single left join reproduces the old two-join
+      // verdict bit for bit — role precedence included, since a core id
+      // can never appear with the border tag.
+      val lbl = coreLbl
+        .select(col("id"), lit("core").as("role"), col("cluster"))
+        .unionAll(borderLbl
+          .select(col("id"), lit("border").as("role"), col("cluster")))
       val out = pts.select(col("id"))
-        .join(coreLbl.withColumnRenamed("cluster", "core_cluster"),
-          Seq("id"), "left")
-        .join(borderLbl.withColumnRenamed("cluster", "border_cluster"),
-          Seq("id"), "left")
+        .join(lbl, Seq("id"), "left")
         .select(col("id").as("vec_id"),
-          when(col("core_cluster").isNotNull, "core")
-            .when(col("border_cluster").isNotNull, "border")
-            .otherwise("noise").as("role"),
-          coalesce(col("core_cluster"), col("border_cluster"), lit(-1L))
-            .as("cluster"))
+          coalesce(col("role"), lit("noise")).as("role"),
+          coalesce(col("cluster"), lit(-1L)).as("cluster"))
         // re-root the result so the intermediate checkpoints can be freed
         // NOW (the ccLabelProp discipline — returning a plan over them
         // would pin their blocks for the session)

@@ -1214,7 +1214,7 @@ object TextAnalysis {
     // gram) distinct, then gram df — and one digest-keyed join back.
     // Nothing driver-side; skewed mega-grams cost one counter row each.
     "q73_ngram_novelty" -> ((s, d) => {
-      val pairs = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      val pairs = TextFns.fanCpu(t(s, d), col("doc_id"))
         .select(col("doc_id"),
           explode(array_distinct(shingles(toks(col("text")), 4))).as("gram"))
         .select(col("doc_id"), md5(col("gram")).as("g"))
@@ -1239,7 +1239,7 @@ object TextAnalysis {
     // limit deterministic. Int64 products stay exact below 2^53 here; a
     // 100 TB run widens the product to decimal before the double divide.
     "q76_collocations" -> ((s, d) => {
-      val base = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      val base = TextFns.fanCpu(t(s, d), col("doc_id"))
       val uni = base.select(explode(toks(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
       val bi = base.select(explode(shingles(toks(col("text")), 2)).as("g"))

@@ -32,6 +32,20 @@ object TextFns {
   def cpuPartitions: Int =
     org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
 
+  /** Gated CPU fan (r17): hash-repartition `df` by `key` to
+    * [[cpuPartitions]] ONLY when its planned scan parallelism is already
+    * below the core count — the small-file LOCAL artifact the fan exists
+    * to fix (a sub-core-count split count leaves cores idle under a
+    * CPU-bound projection). At 100 TB the scan has thousands of splits and
+    * the unconditional repartition was a corpus-wide exchange that existed
+    * purely to fix the local artifact — gated, it vanishes from the plan
+    * (`FanCpuSpec` pins both directions). The gate reads the planned
+    * file-split count (`rdd.getNumPartitions` — driver-side split
+    * arithmetic over the session-cached file listing; no job runs). */
+  def fanCpu(df: org.apache.spark.sql.DataFrame, key: Column): org.apache.spark.sql.DataFrame =
+    if (df.rdd.getNumPartitions >= cpuPartitions) df
+    else df.repartition(cpuPartitions, key)
+
   /** Data-proportional partition count for explicitly-partitioned MEMO
     * tables. The r11 decade fix (AQE `initialPartitionNum` = 8× cores)
     * made engine shuffles data-proportional, but an explicit

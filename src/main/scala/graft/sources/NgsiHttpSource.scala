@@ -199,9 +199,21 @@ private[sources] class NgsiHttpTable(port: Int, captureDir: Option[String],
     }
 }
 
-/** Offset = count of notifications accepted since source start. */
-private[sources] case class SeqOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
+/** Offset = count of notifications accepted since source start, stamped
+  * with the MINTING INCARNATION's nonce (r17). The stamp is what makes the
+  * restart rebase exact: a deserialized offset carrying another
+  * incarnation's nonce (or the legacy bare-long format of older
+  * checkpoints) can only be a restored checkpoint position — never one of
+  * this incarnation's own offset-log entries — so "restored vs self-minted"
+  * is a fact read off the offset, not an inference from counters. The r16
+  * `maxMinted` inference had a residual window (ADVICE r16): enough posts
+  * racing into the restore window minted past the checkpoint and the
+  * rebase was skipped, trimming acked-but-never-delivered ring entries at
+  * the first commit. Legacy bare-long json still parses (old checkpoints
+  * restore fine); self-minted offsets always serialize with the nonce. */
+private[sources] case class SeqOffset(n: Long, inc: String = "") extends Offset {
+  override def json(): String =
+    if (inc.isEmpty) n.toString else s"""{"n":$n,"inc":"$inc"}"""
 }
 
 private[sources] final case class BufferedNotification(
@@ -432,26 +444,15 @@ private[sources] class NgsiHttpMicroBatchStream(
     } finally exchange.close()
   }
 
+  /** Nonce identifying THIS source incarnation; every offset it mints
+    * carries it (see [[SeqOffset]]). */
+  private val incarnation = java.util.UUID.randomUUID().toString
+
   override def initialOffset(): Offset =
-    buffer.synchronized { SeqOffset(0L) }
+    buffer.synchronized { SeqOffset(0L, incarnation) }
 
   override def latestOffset(): Offset =
-    buffer.synchronized {
-      val tail = firstSeq + buffer.size
-      maxMinted = math.max(maxMinted, tail)
-      SeqOffset(tail)
-    }
-
-  /** Highest sequence number this incarnation has MINTED (returned from
-    * latestOffset), initially the durable history's end. Any offset Spark
-    * hands back through deserializeOffset that exceeds it cannot have come
-    * from this incarnation — it is a restored checkpoint position, and the
-    * live numbering must rebase past it. Mid-run offset-log reads are
-    * always ≤ maxMinted (latestOffset mints under the same lock before an
-    * offset can enter any log), so they never rebase — a rebase there
-    * would renumber uncommitted buffer entries and replay them as
-    * duplicates. Guarded by the buffer lock. */
-  private var maxMinted = prevEnd
+    buffer.synchronized { SeqOffset(firstSeq + buffer.size, incarnation) }
 
   /** On restart with a checkpoint, the checkpointed offset is ahead of this
     * fresh instance's numbering (which starts at 0 when the capture history
@@ -462,25 +463,38 @@ private[sources] class NgsiHttpMicroBatchStream(
     * previous incarnation's unread buffer is (the documented at-most-once
     * contract across restarts).
     *
-    * ORDER-INDEPENDENT on purpose: Spark 4.1.2's committed-equal restart
-    * path (populateStartOffsets with offset log == commit log) makes NO
-    * source call during restore — the first call is constructNextBatch's
-    * latestOffset(), and the restored offset only arrives at the first
-    * runBatch's deserializeOffset. A first-call-wins flag (the previous
-    * implementation) therefore raced the accept path: a post landing
-    * before the restore was numbered below the checkpoint, the regression
-    * batch [checkpoint, staleLatest) committed, and the commit TRIMMED the
-    * acked-but-never-delivered record from the ring — observed as a
-    * timing-dependent lost event in the compacted-log restart spec. Keying
-    * the rebase on `n > maxMinted` instead of call order closes the race:
-    * restored offsets rebase whenever they arrive; self-minted offsets
-    * never do. */
+    * ORDER-INDEPENDENT AND COUNT-INDEPENDENT (r17): Spark 4.1.2's
+    * committed-equal restart path (populateStartOffsets with offset log ==
+    * commit log) makes NO source call during restore — the first call is
+    * constructNextBatch's latestOffset(), and the restored offset only
+    * arrives at the first runBatch's deserializeOffset, possibly after any
+    * number of posts were accepted. The r16 `n > maxMinted` inference
+    * closed the common ordering race but left a counting window (ADVICE
+    * r16): once ≥ (checkpoint − prevEnd) posts raced in, the live numbering
+    * minted PAST the checkpoint, the inference read the restored offset as
+    * self-minted, and the regression batch's commit trimmed acked ring
+    * entries below the checkpoint. The incarnation nonce removes the
+    * inference entirely: an offset stamped by another incarnation (or a
+    * legacy bare-long checkpoint) IS a restored position — rebase,
+    * whatever was minted meanwhile; an offset stamped by this incarnation
+    * is one of its own offset-log entries — never rebase (a rebase there
+    * would renumber uncommitted buffer entries and replay them as
+    * duplicates). The spec "restart rebase is count-independent…" pins the
+    * exact ADVICE scenario. */
   override def deserializeOffset(json: String): Offset = {
-    val n = json.toLong
+    val t = json.trim
+    val (n, inc) =
+      if (t.startsWith("{")) {
+        val nM = """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(t)
+        val iM = """"inc"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(t)
+        (nM.map(_.group(1).toLong).getOrElse(
+          throw new IllegalArgumentException(s"malformed ngsi offset: $json")),
+          iM.map(_.group(1)).getOrElse(""))
+      } else (t.toLong, "")
     buffer.synchronized {
-      if (n > maxMinted && n > firstSeq) firstSeq = n
+      if (inc != incarnation && n > firstSeq) firstSeq = n
     }
-    SeqOffset(n)
+    SeqOffset(n, inc)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

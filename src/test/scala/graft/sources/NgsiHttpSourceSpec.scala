@@ -129,8 +129,12 @@ class NgsiHttpSourceSpec extends SparkSpec {
       val latest = stream.latestOffset().asInstanceOf[SeqOffset]
       assert(latest.n == 102L,
         s"expected rebase to 100 + 2 surviving arrivals, got ${latest.n}")
-      // a second restore call (e.g. the batch's end offset) must NOT rebase again
-      stream.deserializeOffset("101")
+      // this incarnation's OWN offsets round-tripped through the offset
+      // log (stamped json since r17) must NOT rebase — the batch-end
+      // offset case. (A second LEGACY bare-long restore call would rebase
+      // further forward, which is restore-time-only and loss-free: live
+      // entries only ever renumber PAST offsets the engine may commit.)
+      stream.deserializeOffset(latest.json())
       assert(stream.latestOffset().asInstanceOf[SeqOffset].n == 102L)
       val parts = stream.planInputPartitions(SeqOffset(100L), latest)
       val rows = parts.flatMap(_.asInstanceOf[NgsiHttpInputPartition].rows)
@@ -693,6 +697,52 @@ class NgsiHttpSourceSpec extends SparkSpec {
       assert(rows == Seq("""{"ev":"X"}"""), s"acked pre-restore post lost: $rows")
       s.commit(latest)
       assert(s.latestOffset().asInstanceOf[SeqOffset].n == 5L)
+    } finally s.stop()
+  }
+
+  test("restart rebase is count-independent: posts minting past the " +
+    "checkpoint before the restore must not defeat the rebase") {
+    // The ADVICE r16 residual window: with the rebase keyed on
+    // `n > maxMinted`, ≥ (checkpoint − prevEnd) accepted posts before the
+    // restore minted the live numbering PAST the checkpoint; the restored
+    // offset then read as self-minted, the rebase was skipped, and the
+    // regression batch's commit trimmed the acked-but-never-delivered
+    // entries below the checkpoint. The r17 incarnation stamp makes the
+    // rebase exact: a foreign-stamped (or legacy bare-long) offset IS a
+    // restored position, whatever was minted meanwhile; a self-minted
+    // offset never rebases.
+    import org.apache.spark.sql.connector.read.InputPartition
+    val port = freePort()
+    val s = new NgsiHttpMicroBatchStream(port, None)
+    try {
+      waitListening(port)
+      def body(i: Int) = s"""{"ev":"C$i"}"""
+      assert(s.latestOffset().asInstanceOf[SeqOffset].n == 0L) // trigger A
+      // THREE acked posts race into the restore window: live numbering
+      // mints to 3 — past the checkpointed 2 (the maxMinted blind spot)
+      (0 until 3).foreach(i => assert(post(port, body(i), Map.empty) == 200))
+      assert(s.latestOffset().asInstanceOf[SeqOffset].n == 3L)
+      // the checkpoint (previous incarnation — legacy format) arrives last
+      s.deserializeOffset("2")
+      val latest = s.latestOffset().asInstanceOf[SeqOffset]
+      assert(latest.n == 5L,
+        s"rebase defeated by pre-restore mints, tail=${latest.n}")
+      val rows = s.planInputPartitions(SeqOffset(2), latest)
+        .flatMap { p: InputPartition =>
+          val r = s.createReaderFactory().createReader(p)
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          while (r.next()) out += r.get().getUTF8String(0).toString
+          out
+        }.toSeq
+      assert(rows == (0 until 3).map(body),
+        s"acked pre-restore posts lost: $rows")
+      s.commit(latest)
+      assert(s.latestOffset().asInstanceOf[SeqOffset].n == 5L)
+      // a self-minted offset round-tripped through the offset-log json
+      // must NOT rebase (it is one of this incarnation's own entries)
+      s.deserializeOffset(s.latestOffset().json())
+      assert(s.latestOffset().asInstanceOf[SeqOffset].n == 5L,
+        "self-minted offset must never rebase")
     } finally s.stop()
   }
 
