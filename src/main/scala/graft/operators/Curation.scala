@@ -542,8 +542,8 @@ object Curation {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val dd = docs.join(exactKeep, Seq("doc_id"), "left_semi")
-      .repartition(TextFns.cpuPartitions, col("doc_id"))
+    val dd = TextFns.fanCpu(
+      docs.join(exactKeep, Seq("doc_id"), "left_semi"), col("doc_id"))
       .select(col("doc_id"), col("source"), col("text"),
         toks(col("text")).as("tk"))
       .pin(true)
@@ -672,7 +672,7 @@ object Curation {
 
     // --- inverted index with bounded posting lists ------------------------
     "q59_inverted_index" -> ((s, d) =>
-      invertedIndex(t(s, d).repartition(TextFns.cpuPartitions, col("doc_id")), 8)),
+      invertedIndex(TextFns.fanCpu(t(s, d), col("doc_id")), 8)),
 
     // --- positional phrase search (the q59 index with positions) ----------
     // Exact phrase retrieval ("data fast") the way a real FTS engine runs

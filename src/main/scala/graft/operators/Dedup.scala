@@ -68,7 +68,7 @@ object Dedup {
   private def sigBase(s: SparkSession, d: String): DataFrame =
     sharedSigs.getOrCompute(s, d) {
       graft.functions.GraftFunctions.register(s)
-      docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      TextFns.fanCpu(docs(s, d), col("doc_id"))
         .select(col("doc_id"), col("source"),
           shingles(toks(col("text")), 3).as("sh"))
         .withColumn("mhs", minhashSig(col("sh"), NumHashes, 0))
@@ -104,7 +104,7 @@ object Dedup {
     // (md5 per shingle per hash); hash-distributing rows before it lets the
     // pass use every core even when the scan is a single split. The native
     // MinHashSignature expression computes all seeded mins in one array pass.
-    val base = docsDf.repartition(TextFns.cpuPartitions, col("doc_id"))
+    val base = TextFns.fanCpu(docsDf, col("doc_id"))
       .select(col("doc_id"), shingles(toks(col("text")), n).as("sh"))
     lshPairsFromShingles(base, numHashes, bandSize, seedBase, tNum, tDen)
   }
@@ -726,7 +726,7 @@ object Dedup {
   private def dupWindowPositions(s: SparkSession, d: String): DataFrame =
     sharedDupWindows.getOrCompute(s, d) {
       val W = DupWindowW
-      val wins = docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      val wins = TextFns.fanCpu(docs(s, d), col("doc_id"))
         .select(col("doc_id"), toks(col("text")).as("tk"))
         .withColumn("n", size(col("tk")))
         .filter(col("n") >= W)
@@ -1037,7 +1037,7 @@ object Dedup {
     val bandBits = 15
     val ht = transform(toks(col("text")), w =>
       conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
-    val base = docsDf.repartition(TextFns.cpuPartitions, col("doc_id"))
+    val base = TextFns.fanCpu(docsDf, col("doc_id"))
       .select(col("doc_id"), ht.as("ht"))
     val votes = base.select(col("doc_id") +:
       (0 until SimhashBits64).map { b =>
@@ -1114,9 +1114,8 @@ object Dedup {
         // in TextFns.shingles): pushed to the scan it costs one split()
         // per row, where a filter on the digest output would rebuild the
         // whole shingle array per row (containmentDigests' precondition).
-        containmentDigests(docs(s, d)
-          .filter(size(toks(col("text"))) >= 3)
-          .repartition(TextFns.cpuPartitions, col("doc_id"))
+        containmentDigests(TextFns.fanCpu(docs(s, d)
+          .filter(size(toks(col("text"))) >= 3), col("doc_id"))
           .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh")))
       }, containmentVerifyShards(s, d))),
 
@@ -1189,7 +1188,7 @@ object Dedup {
     // identically in the oracle.
     "q93_sparse_cosine" -> ((s, d) =>
       sparseCosinePairs(
-        docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id")),
+        TextFns.fanCpu(docs(s, d), col("doc_id")),
         dfCap = 64, minCos = 0.5)),
 
     // --- leakage-safe train/valid split -------------------------------------
@@ -1692,7 +1691,7 @@ object Dedup {
 
     // --- SimHash (8-bit random-hyperplane sketch over tokens) --------------
     "q43_dedup_simhash" -> ((s, d) => {
-      val base = docs(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      val base = TextFns.fanCpu(docs(s, d), col("doc_id"))
         .select(col("doc_id"), toks(col("text")).as("tk"))
       val votes = base.select(
         col("doc_id") +:
@@ -1816,7 +1815,7 @@ object Dedup {
     // -> same bits as norm-in-the-pair, so the oracle formula is unchanged).
     "q45_dedup_embcos" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val e = embs(s, d).repartition(TextFns.cpuPartitions, col("vec_id"))
+      val e = TextFns.fanCpu(embs(s, d), col("vec_id"))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("bucket", lshBucket(col("v")))
         .withColumn("nrm", norm(col("v")))

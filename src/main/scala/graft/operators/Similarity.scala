@@ -37,8 +37,9 @@ object Similarity {
     * arithmetic, same bits as computing norms inside the pair). */
   private[graft] def embs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.load(s, d, "embeddings")
-      .repartition(TextFns.cpuPartitions, col("vec_id")) // spread the per-pair dot products across cores
+    // spread the per-pair dot products across cores (gated: no exchange
+    // once the scan itself out-splits them — TextFns.fanCpu)
+    TextFns.fanCpu(Tables.load(s, d, "embeddings"), col("vec_id"))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -500,8 +501,8 @@ object Similarity {
     // --- per-label centroid outliers (embedding-quality filtering) ---------
     "q87_centroid_outliers" -> ((s, d) =>
       centroidOutliers(
-        Tables.load(s, d, "embeddings")
-          .repartition(TextFns.cpuPartitions, col("vec_id")), TopK)),
+        TextFns.fanCpu(Tables.load(s, d, "embeddings"), col("vec_id")),
+        TopK)),
 
     // --- semantic decontamination (embedding-space benchmark overlap) ------
     // The SEMANTIC member of the decontamination family: q57/q71 catch

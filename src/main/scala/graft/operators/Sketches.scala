@@ -586,7 +586,7 @@ object Sketches {
     }),
 
     "q65_cms_heavy_hitters" -> ((s, d) => {
-      val counts = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      val counts = TextFns.fanCpu(t(s, d), col("doc_id"))
         .select(explode(toks(col("text"))).as("term"))
         .groupBy(col("term"))
         .agg(count(lit(1)).as("n"))
@@ -607,7 +607,7 @@ object Sketches {
     // the audit the sketch replaces — a deployment drops it and keeps the
     // fixed-size registers (the q26/q71 pattern).
     "q107_hll_distinct" -> ((s, d) => {
-      val tk = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      val tk = TextFns.fanCpu(t(s, d), col("doc_id"))
         .select(col("source"), explode(toks(col("text"))).as("term"))
         .distinct()
       val reg = hllRegs(tk, Seq("source"))
@@ -691,7 +691,7 @@ object Sketches {
     // avoids). Registers densified to all 64 cells per source (m = 0 for
     // unseen) so the pair join needs no outer-join null handling.
     "q109_hll_union" -> ((s, d) => {
-      val tk = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      val tk = TextFns.fanCpu(t(s, d), col("doc_id"))
         .select(col("source"), explode(toks(col("text"))).as("term"))
         .distinct()
       val regs = hllRegs(tk, Seq("source"))

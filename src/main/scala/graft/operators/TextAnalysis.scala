@@ -670,7 +670,7 @@ object TextAnalysis {
     "q217_cdc_chunks" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val ch = cdcChunkRows(
-        t(s, d).repartition(TextFns.cpuPartitions, col("doc_id")))
+        TextFns.fanCpu(t(s, d), col("doc_id")))
       val dd = ch.groupBy(col("digest"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"))
@@ -873,7 +873,7 @@ object TextAnalysis {
     // top-5 window over qualifying postings only.
     "q108_bm25_rank" -> ((s, d) => {
       val D = DecimalType(38, 0)
-      val base = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      val base = TextFns.fanCpu(t(s, d), col("doc_id"))
         .select(col("doc_id"), toks(col("text")).as("tk"))
       val dtf = base
         .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
@@ -932,7 +932,7 @@ object TextAnalysis {
 
     // --- Gopher-style quality filter rules ---------------------------------
     "q37_text_gopher_rules" -> ((s, d) =>
-      gopherRules(t(s, d).repartition(TextFns.cpuPartitions, col("doc_id")))),
+      gopherRules(TextFns.fanCpu(t(s, d), col("doc_id")))),
 
     // --- lexical diversity: type-token ratio + Simpson index ---------------
     // Repetitiveness features for quality filtering that stay exact-rational
@@ -940,7 +940,7 @@ object TextAnalysis {
     // ttr = distinct/total, simpson = sum(c_i^2)/n^2. Two-level hash
     // aggregation — (doc, term) counts then per-doc moments — no windows.
     "q38_text_diversity" -> ((s, d) => {
-      val tc = t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      val tc = TextFns.fanCpu(t(s, d), col("doc_id"))
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("c"))
@@ -958,7 +958,7 @@ object TextAnalysis {
     // TakeOrdered for the limit — the boilerplate-discovery primitive that
     // feeds template filters. Total order (n desc, gram) for determinism.
     "q39_top_ngrams" -> ((s, d) =>
-      t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      TextFns.fanCpu(t(s, d), col("doc_id"))
         .select(explode(shingles(toks(col("text")), 2)).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram"))
@@ -975,15 +975,13 @@ object TextAnalysis {
     // left join + per-doc agg: token traffic shuffles once, keyed by doc.
     // The fraction is the exact rational n_oov/n_tok.
     "q101_oov_rate" -> ((s, d) => {
-      val vocab = t(s, d)
-        .repartition(TextFns.cpuPartitions, col("doc_id"))
+      val vocab = TextFns.fanCpu(t(s, d), col("doc_id"))
         .select(explode(toks(col("text"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("term"))
         .limit(VocabK)
         .select(col("term"), lit(true).as("in_vocab"))
-      t(s, d)
-        .repartition(TextFns.cpuPartitions, col("doc_id"))
+      TextFns.fanCpu(t(s, d), col("doc_id"))
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
         .join(broadcast(vocab), Seq("term"), "left")
         .groupBy(col("doc_id"))
@@ -1020,7 +1018,7 @@ object TextAnalysis {
     "q55_rolling_fingerprint" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val M = graft.functions.RollingHash.Mod
-      t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      TextFns.fanCpu(t(s, d), col("doc_id"))
         .select(col("doc_id"),
           call_function("graft_rolling_hash", col("text"), lit(16)).as("rh"))
         .select(col("doc_id"),
@@ -1046,7 +1044,7 @@ object TextAnalysis {
       val topBg = when(size(bg) > 0,
         array_max(transform(array_distinct(bg),
           x => size(filter(bg, y => y === x))))).otherwise(lit(0))
-      t(s, d).repartition(TextFns.cpuPartitions, col("doc_id"))
+      TextFns.fanCpu(t(s, d), col("doc_id"))
         .select(
           col("doc_id"),
           size(tk).cast("long").as("n_tok"),
@@ -1261,7 +1259,7 @@ object TextAnalysis {
     // --- document fingerprinting (full-hash + shingle winnow) --------------
     "q33_text_fingerprint" -> ((s, d) => {
       val sh = shingles(toks(col("text")), 3)
-      t(s, d).repartition(TextFns.cpuPartitions, col("doc_id")).select(
+      TextFns.fanCpu(t(s, d), col("doc_id")).select(
         col("doc_id"),
         md5(col("text")).as("fp"),
         array_min(transform(sh, x => md5(x))).as("min_shingle_fp"),

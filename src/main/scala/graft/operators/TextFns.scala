@@ -33,18 +33,33 @@ object TextFns {
     org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
 
   /** Gated CPU fan (r17): hash-repartition `df` by `key` to
-    * [[cpuPartitions]] ONLY when its planned scan parallelism is already
-    * below the core count — the small-file LOCAL artifact the fan exists
-    * to fix (a sub-core-count split count leaves cores idle under a
-    * CPU-bound projection). At 100 TB the scan has thousands of splits and
-    * the unconditional repartition was a corpus-wide exchange that existed
+    * [[cpuPartitions]] ONLY when its input parallelism is below the core
+    * count — the small-file LOCAL artifact the fan exists to fix (a
+    * sub-core-count split count leaves cores idle under a CPU-bound
+    * projection). At 100 TB the scan has thousands of splits and the
+    * unconditional repartition was a corpus-wide exchange that existed
     * purely to fix the local artifact — gated, it vanishes from the plan
-    * (`FanCpuSpec` pins both directions). The gate reads the planned
-    * file-split count (`rdd.getNumPartitions` — driver-side split
-    * arithmetic over the session-cached file listing; no job runs). */
-  def fanCpu(df: org.apache.spark.sql.DataFrame, key: Column): org.apache.spark.sql.DataFrame =
-    if (df.rdd.getNumPartitions >= cpuPartitions) df
+    * (`FanCpuSpec` pins both directions).
+    *
+    * The gate prices splits from plan STATISTICS (size ÷
+    * `files.maxPartitionBytes`), the [[dataPartitions]] discipline —
+    * metadata only, safe on ANY input plan. (An exact
+    * `rdd.getNumPartitions` probe would be wrong here: under AQE,
+    * executing `.rdd` on a frame that already contains an exchange
+    * materializes its query stages — running jobs at construction time.)
+    * Estimate errors are conservative both ways: width-scaled projected
+    * stats underestimate splits and merely KEEP the fan (never wrong,
+    * just local-shaped), and a size-unknown source keeps it too. */
+  def fanCpu(df: org.apache.spark.sql.DataFrame, key: Column): org.apache.spark.sql.DataFrame = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val unknown = BigInt(conf.defaultSizeInBytes)
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val splits =
+      if (size >= unknown) BigInt(0)
+      else size / BigInt(conf.filesMaxPartitionBytes)
+    if (splits >= BigInt(cpuPartitions)) df
     else df.repartition(cpuPartitions, key)
+  }
 
   /** Data-proportional partition count for explicitly-partitioned MEMO
     * tables. The r11 decade fix (AQE `initialPartitionNum` = 8× cores)

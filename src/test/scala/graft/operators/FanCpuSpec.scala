@@ -23,10 +23,14 @@ class FanCpuSpec extends SparkSpec {
     (r.getLong(0), r.getLong(1))
   }
 
+  private def estSplits(df: org.apache.spark.sql.DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes /
+      BigInt(org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+
   test("sub-core-count scan gets the fan (local small-file artifact)") {
     val fanned = TextFns.fanCpu(docs, col("doc_id"))
-    assert(docs.rdd.getNumPartitions < TextFns.cpuPartitions,
-      "precondition: the sf0.001 scan must be below the core count")
+    assert(estSplits(docs) < TextFns.cpuPartitions,
+      "precondition: the sf0.001 scan must price below the core count")
     assert(fanned.queryExecution.executedPlan.toString.contains("Exchange"),
       "expected the explicit hash fan on a sub-core-count scan")
     assert(fanned.rdd.getNumPartitions == TextFns.cpuPartitions)
@@ -35,14 +39,12 @@ class FanCpuSpec extends SparkSpec {
 
   test("many-split scan passes through with no added Exchange") {
     val conf = spark.conf
-    val saved = Seq("spark.sql.files.maxPartitionBytes",
-      "spark.sql.files.openCostInBytes")
+    val saved = Seq("spark.sql.files.maxPartitionBytes")
       .map(k => k -> conf.getOption(k)).toMap
     conf.set("spark.sql.files.maxPartitionBytes", "4096")
-    conf.set("spark.sql.files.openCostInBytes", "0")
     try {
       val many = docs
-      assert(many.rdd.getNumPartitions >= TextFns.cpuPartitions,
+      assert(estSplits(many) >= TextFns.cpuPartitions,
         "precondition: the shrunken split size must out-split the cores")
       val gated = TextFns.fanCpu(many, col("doc_id"))
       assert(gated eq many, "gate must return the input frame untouched")
